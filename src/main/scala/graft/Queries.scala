@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{DistanceMetric, VectorFunctions}
+import graft.operators.ExactKnn
+
+/** The declared query inventory + DuckDB oracles (driver t2 gate).
+  *
+  * Determinism rules used throughout (see SparkEntry scaladoc):
+  *  - money/measure aggregates: DECIMAL(18,2) in, exact decimal arithmetic,
+  *    cast to DOUBLE + round(4) at the very end;
+  *  - distances: sequential Double folds, round(6) at the end;
+  *  - every output totally ordered by a unique key.
+  */
+object Queries {
+
+  /** Cast a measure column to exact decimal before aggregation so the sum
+    * is order-independent (double summation is not associative). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(1).cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- q1_agg
+  /** TPC-H Q1-style scan + filter + group aggregate over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(dec(col("l_quantity"))).cast("double"), 4).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 4).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double"), 4).as("sum_disc_price"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2_join
+  /** Multi-way join orders->customer->nation->region (dims broadcast),
+    * revenue per region/nation. */
+  def q2Join(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q2Oracle =
+    """SELECT r_name, n_name,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3_topk_orders
+  /** Global top-k by sort + limit (SURVEY §2.5 sorts/limits/top-k). */
+  def q3TopkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val q3Oracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4_window
+  /** Window functions: per-customer rank + running spend (SURVEY §2.5). */
+  def q4Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 4))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q4Oracle =
+    """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+      |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_spend
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q5_semi_anti
+  /** Semi/anti join + union (SURVEY §2.5 joins + set ops). */
+  def q5SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("bucket"), col("n"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("bucket"), col("n"))
+    withOrders.union(withoutOrders).orderBy(col("bucket"))
+  }
+
+  private val q5Oracle =
+    """SELECT * FROM (
+      |  SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- v1_distances
+  /** All three distance metrics (SURVEY §2.2 D1-D3) over paired embeddings:
+    * vector i paired with vector i+100. */
+  def v1Distances(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding").as("ea"))
+    val b = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select((col("vec_id") - 100).as("vec_id"), col("embedding").as("eb"))
+    a.join(b, Seq("vec_id"))
+      .select(
+        col("vec_id"),
+        round(VectorFunctions.squaredL2(col("ea"), col("eb")), 6).as("d_l2sq"),
+        round(VectorFunctions.innerProductDistance(col("ea"), col("eb")), 6).as("d_ip"),
+        round(VectorFunctions.cosineDistance(col("ea"), col("eb")), 6).as("d_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  // DuckDB reproduces the same sequential Double folds over index order.
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  private val sqDistSql =
+    "list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))))"
+
+  private val v1Oracle =
+    s"""WITH a AS (SELECT vec_id, embedding AS ea FROM embeddings WHERE vec_id < 50),
+      |     b AS (SELECT vec_id - 100 AS vec_id, embedding AS eb FROM embeddings WHERE vec_id >= 100 AND vec_id < 150)
+      |SELECT vec_id,
+      |  round($sqDistSql, 6) AS d_l2sq,
+      |  round(1.0 - ${dotSql("ea", "eb")}, 6) AS d_ip,
+      |  round(1.0 - ${dotSql("ea", "eb")} / (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})), 6) AS d_cos
+      |FROM a JOIN b USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- v4_knn_exact
+  /** Exact kNN (reference O6 RM=0 exhaustive semantics + intended multi-shard
+    * merge of O8): queries = vec_id < 10, corpus = the rest, k = 10. */
+  def v4KnnExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    ExactKnn.knnJoin(queries, corpus, k = 10)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v4Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Oracle,
+    "q2_join" -> q2Oracle,
+    "q3_topk_orders" -> q3Oracle,
+    "q4_window" -> q4Oracle,
+    "q5_semi_anti" -> q5Oracle,
+    "v1_distances" -> v1Oracle,
+    "v4_knn_exact" -> v4Oracle
+  )
+}

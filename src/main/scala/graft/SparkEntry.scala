@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{DistanceMetric, VectorFunctions}
+import graft.operators.ExactKnn
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB oracle in [[oracleSql]]
+  * (same column names, same deterministic ordering, same rounding) unless
+  * the operator is not SQL-expressible.
+  *
+  * Float determinism policy: all money/measure aggregates go through
+  * DECIMAL (exact, order-independent) and only convert to DOUBLE at the
+  * end; all vector distances are computed as sequential left-to-right
+  * Double folds over array index order, which DuckDB's list lambdas
+  * reproduce bit-for-bit; every query output is totally ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exact batch kNN over the embeddings table (SURVEY §7.1 M0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    ExactKnn.knnJoin(queries, corpus, k = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational shell (SURVEY §2.5: scans, filters, aggs, joins, windows, sort/limit) ----
+    "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir)),
+    "q2_join" -> ((s, dir) => Queries.q2Join(s, dir)),
+    "q3_topk_orders" -> ((s, dir) => Queries.q3TopkOrders(s, dir)),
+    "q4_window" -> ((s, dir) => Queries.q4Window(s, dir)),
+    "q5_semi_anti" -> ((s, dir) => Queries.q5SemiAnti(s, dir)),
+    // ---- vector / distance operators (SURVEY §2.2 D1-D4) ----
+    "v1_distances" -> ((s, dir) => Queries.v1Distances(s, dir)),
+    // ---- kNN (SURVEY §2.1 O6/O8 exact mode) ----
+    "v4_knn_exact" -> ((s, dir) => Queries.v4KnnExact(s, dir))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }

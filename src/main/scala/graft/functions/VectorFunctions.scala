@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance metric ADT — the engine-side equivalent of the reference's
+  * `Distance_Type` enum (reference: source/distance.h:10-15). Unlike the
+  * reference, which only dispatches Euclidean2 (distance.h:178-186), all
+  * three metrics are enabled here.
+  */
+sealed trait DistanceMetric { def name: String }
+object DistanceMetric {
+  /** Squared L2 — sqrt deliberately omitted, order-preserving
+    * (reference: source/distance.h:133). */
+  case object Euclidean2 extends DistanceMetric { val name = "euclidean2" }
+  /** 1 - dot(a, b) (reference: source/distance.h:143-151). */
+  case object InnerProduct extends DistanceMetric { val name = "inner_product" }
+  /** 1 - dot/(|a||b|) (reference: source/distance.h:158-170). */
+  case object Cosine extends DistanceMetric { val name = "cosine" }
+
+  val all: Seq[DistanceMetric] = Seq(Euclidean2, InnerProduct, Cosine)
+}
+
+/** Column-level vector distance functions over `ARRAY<FLOAT>` columns.
+  *
+  * Declarative forms built from Catalyst higher-order functions
+  * (`zip_with` + `aggregate`) so they stay inside whole-stage codegen and
+  * need no UDF. All arithmetic is Double: floats are widened first, the
+  * fold is sequential left-to-right — deterministic and exactly
+  * reproducible by any engine that folds the same element order (this is
+  * what the DuckDB oracles rely on).
+  *
+  * Semantics mirror reference/source/distance.h D1-D3 at full precision
+  * (the reference's SIMD paths truncate dims to a multiple of 16,
+  * distance.h:26,52; we match mathematical semantics, not that quirk).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two float-array columns, in Double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared L2 distance (reference: source/distance.h:17-138; sqrt omitted
+    * per the comment at distance.h:133 — order-preserving for kNN). */
+  def squaredL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm of one vector. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Inner-product distance: 1 - dot (reference: source/distance.h:143-151). */
+  def innerProductDistance(a: Column, b: Column): Column =
+    lit(1.0) - dotProduct(a, b)
+
+  /** Cosine similarity dot/(|a||b|). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine distance: 1 - similarity (reference: source/distance.h:158-170). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** Distance column for a metric — engine-side analog of
+    * `get_distance_calculation_function` (reference: source/distance.h:174-187),
+    * with all metrics dispatchable. */
+  def distance(metric: DistanceMetric, a: Column, b: Column): Column = metric match {
+    case DistanceMetric.Euclidean2   => squaredL2(a, b)
+    case DistanceMetric.InnerProduct => innerProductDistance(a, b)
+    case DistanceMetric.Cosine       => cosineDistance(a, b)
+  }
+}
