@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst distance expressions with whole-stage codegen — the
+  * engine's replacement for the reference's SIMD distance kernels
+  * (reference: source/distance.h:17-172). The generated Java is a tight
+  * primitive loop over the two float arrays (JIT auto-vectorizable), with
+  * no per-element boxing or lambda dispatch, unlike the
+  * `zip_with`+`aggregate` fold — but it computes the *identical* sequence
+  * of Double operations, so results are bit-equal to the fold form (and
+  * to the DuckDB oracles).
+  *
+  * Full precision over the whole dimension — we deliberately do not
+  * reproduce the reference's 16-lane truncation quirk
+  * (reference: source/distance.h:26,52,86).
+  */
+abstract class VectorDistanceExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+
+  protected def evalArrays(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+}
+
+/** Squared L2 distance (sqrt omitted, order-preserving — reference:
+  * source/distance.h:133). */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_l2sq"
+}
+
+/** Dot product (building block; also exposed for SQL). */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** Inner-product distance: 1 - dot (reference: source/distance.h:143-151). */
+case class InnerProductDistance(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    1.0 - acc
+  }
+
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = 1.0 - $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_ip_dist"
+}
+
+/** Cosine distance: 1 - dot/(|a||b|) (reference: source/distance.h:158-170).
+  * Single pass accumulating dot, |a|^2, |b|^2 — each accumulator is the
+  * same sequential Double fold as three separate passes, so the result is
+  * bit-equal to the compositional form. */
+case class CosineDistance(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.getFloat($i);
+         |  final double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cos_dist"
+}
+
+/** SQL registration of the distance expressions — the engine-side analog of
+  * the reference's pybind module surface (reference:
+  * python_binding/dehnswpy.cpp:40-49), here as session temp functions so
+  * `spark.sql("SELECT vec_l2sq(a, b) ...")` works. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "vec_l2sq", es => SquaredL2Distance(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_ip_dist", es => InnerProductDistance(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_cos_dist", es => CosineDistance(es(0), es(1)))
+  }
+}

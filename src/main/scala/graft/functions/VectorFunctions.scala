@@ -35,17 +35,36 @@ object DistanceMetric {
   * distance.h:26,52; we match mathematical semantics, not that quirk).
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
 
-  /** Sequential-fold dot product of two float-array columns, in Double. */
+  /** Codegen'd dot product (primary API — see DistanceExpressions). */
   def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Codegen'd squared L2 distance (primary API). */
+  def squaredL2(a: Column, b: Column): Column =
+    toCol(SquaredL2Distance(toExpr(a), toExpr(b)))
+
+  /** Codegen'd inner-product distance 1 - dot (primary API). */
+  def innerProductDistance(a: Column, b: Column): Column =
+    toCol(InnerProductDistance(toExpr(a), toExpr(b)))
+
+  /** Codegen'd cosine distance 1 - dot/(|a||b|) (primary API). */
+  def cosineDistance(a: Column, b: Column): Column =
+    toCol(CosineDistance(toExpr(a), toExpr(b)))
+
+  /** Sequential-fold dot product of two float-array columns, in Double.
+    * Bit-equal to [[dotProduct]]; kept as the pure-built-in reference
+    * implementation the specs compare against. */
+  def dotProductFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Squared L2 distance (reference: source/distance.h:17-138; sqrt omitted
-    * per the comment at distance.h:133 — order-preserving for kNN). */
-  def squaredL2(a: Column, b: Column): Column =
+  /** Squared L2 distance, fold form (reference: source/distance.h:17-138;
+    * sqrt omitted per the comment at distance.h:133 — order-preserving). */
+  def squaredL2Fold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
@@ -55,17 +74,17 @@ object VectorFunctions {
   /** L2 norm of one vector. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Inner-product distance: 1 - dot (reference: source/distance.h:143-151). */
-  def innerProductDistance(a: Column, b: Column): Column =
-    lit(1.0) - dotProduct(a, b)
+  /** Inner-product distance, fold form (reference: source/distance.h:143-151). */
+  def innerProductDistanceFold(a: Column, b: Column): Column =
+    lit(1.0) - dotProductFold(a, b)
 
   /** Cosine similarity dot/(|a||b|). */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Cosine distance: 1 - similarity (reference: source/distance.h:158-170). */
-  def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - cosineSimilarity(a, b)
+  /** Cosine distance, fold form (reference: source/distance.h:158-170). */
+  def cosineDistanceFold(a: Column, b: Column): Column =
+    lit(1.0) - dotProductFold(a, b) / (sqrt(dotProductFold(a, a)) * sqrt(dotProductFold(b, b)))
 
   /** Distance column for a metric — engine-side analog of
     * `get_distance_calculation_function` (reference: source/distance.h:174-187),

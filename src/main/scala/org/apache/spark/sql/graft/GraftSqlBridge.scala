@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `org.apache.spark.sql` package tree.
+  *
+  * Spark 4 removed the public `Column(expr)` / `Column.expr` accessors
+  * (Columns are ColumnNode-backed); the supported conversion lives in
+  * `private[sql]` `classic.ExpressionUtils`. Extension libraries reach it
+  * by declaring a small object under the sql package — this is that shim.
+  */
+object GraftSqlBridge {
+
+  /** Wrap a Catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst Expression backing a (classic) Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a Catalyst function builder under a SQL name. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}
