@@ -199,6 +199,21 @@ object Queries {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v5_knn_topk
+  /** Same kNN contract as v4 but through the TopKByDistance
+    * TypedImperativeAggregate (partial per-partition heaps + final merge —
+    * reference O8's intended multi-shard merge, dehnsw.h:572-580). */
+  def v5KnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.TopK.knnAggregate(queries, corpus, k = 10)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -207,6 +222,7 @@ object Queries {
     "q4_window" -> q4Oracle,
     "q5_semi_anti" -> q5Oracle,
     "v1_distances" -> v1Oracle,
-    "v4_knn_exact" -> v4Oracle
+    "v4_knn_exact" -> v4Oracle,
+    "v5_knn_topk" -> v4Oracle
   )
 }

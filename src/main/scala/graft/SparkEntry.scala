@@ -44,7 +44,8 @@ object SparkEntry {
     // ---- vector / distance operators (SURVEY §2.2 D1-D4) ----
     "v1_distances" -> ((s, dir) => Queries.v1Distances(s, dir)),
     // ---- kNN (SURVEY §2.1 O6/O8 exact mode) ----
-    "v4_knn_exact" -> ((s, dir) => Queries.v4KnnExact(s, dir))
+    "v4_knn_exact" -> ((s, dir) => Queries.v4KnnExact(s, dir)),
+    "v5_knn_topk" -> ((s, dir) => Queries.v5KnnTopk(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
