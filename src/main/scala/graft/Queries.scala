@@ -214,6 +214,79 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v6..v9: ANN index
+  import graft.index.{IndexParams, VectorIndex}
+
+  private def buildEmbIndex(s: SparkSession, dir: String): VectorIndex = {
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+  }
+
+  private def embQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  /** dehnsw index probe in exact mode (searchWidth=0 == reference RM=0
+    * exhaustive semantics, dehnsw.h:300-307) — must equal the brute-force
+    * oracle exactly: same v4 SQL. */
+  def v6AnnExact(s: SparkSession, dir: String): DataFrame =
+    buildEmbIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 0)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** E1+E2 recall evaluation of the exact probe against exact ground truth
+    * (reference: example/dehnsw_example.cpp:10-44) — recall must be 1.0. */
+  def v7Recall(s: SparkSession, dir: String): DataFrame = {
+    val results = v6AnnExact(s, dir)
+    val gt = v4KnnExact(s, dir)
+    graft.operators.RecallEval.recallByQuery(results, gt, k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  /** True ANN probe (searchWidth=8 beam) — approximate by design, so no
+    * SQL oracle; declared for the rows-only check. Quality is gated by
+    * DehnswSpec (recall >= threshold, monotone in searchWidth). */
+  def v8AnnProbe(s: SparkSession, dir: String): DataFrame =
+    buildEmbIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 8)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Deterministic per-shard stats of the built index (shard assignment is
+    * id % numShards, so counts are SQL-derivable). */
+  def v9IndexStats(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildEmbIndex(s, dir)
+    idx.rows.groupBy(col("sub_index_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("sub_index_id"))
+  }
+
+  private val v6Oracle = v4Oracle
+
+  private val v7Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d),
+      |     res AS (SELECT query_id, rank, round(distance, 6) AS res_dist FROM r WHERE rank <= 10),
+      |     gt  AS (SELECT query_id, rank, round(distance, 6) AS gt_dist  FROM r WHERE rank <= 10)
+      |SELECT res.query_id,
+      |       SUM(CASE WHEN res.res_dist <= gt.gt_dist THEN 1 ELSE 0 END) AS hits,
+      |       round(CAST(SUM(CASE WHEN res.res_dist <= gt.gt_dist THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6) AS recall
+      |FROM res JOIN gt ON res.query_id = gt.query_id AND res.rank = gt.rank
+      |GROUP BY res.query_id
+      |ORDER BY res.query_id""".stripMargin
+
+  private val v9Oracle =
+    """SELECT CAST(vec_id % 4 AS INT) AS sub_index_id, COUNT(*) AS n_vectors
+      |FROM embeddings WHERE vec_id >= 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -223,6 +296,9 @@ object Queries {
     "q5_semi_anti" -> q5Oracle,
     "v1_distances" -> v1Oracle,
     "v4_knn_exact" -> v4Oracle,
-    "v5_knn_topk" -> v4Oracle
+    "v5_knn_topk" -> v4Oracle,
+    "v6_ann_exact" -> v6Oracle,
+    "v7_recall" -> v7Oracle,
+    "v9_index_stats" -> v9Oracle
   )
 }

@@ -45,7 +45,12 @@ object SparkEntry {
     "v1_distances" -> ((s, dir) => Queries.v1Distances(s, dir)),
     // ---- kNN (SURVEY §2.1 O6/O8 exact mode) ----
     "v4_knn_exact" -> ((s, dir) => Queries.v4KnnExact(s, dir)),
-    "v5_knn_topk" -> ((s, dir) => Queries.v5KnnTopk(s, dir))
+    "v5_knn_topk" -> ((s, dir) => Queries.v5KnnTopk(s, dir)),
+    // ---- dehnsw ANN index (SURVEY §2.1 O1-O10) ----
+    "v6_ann_exact" -> ((s, dir) => Queries.v6AnnExact(s, dir)),
+    "v7_recall" -> ((s, dir) => Queries.v7Recall(s, dir)),
+    "v8_ann_probe" -> ((s, dir) => Queries.v8AnnProbe(s, dir)),
+    "v9_index_stats" -> ((s, dir) => Queries.v9IndexStats(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,212 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DistanceMetric
+import graft.operators.TopK
+
+/** One persisted index row: a vector plus its per-layer adjacency
+  * (FIXTURES.md §4; arrays-of-structs instead of maps for encoder
+  * friendliness). */
+case class IndexRow(
+    sub_index_id: Int,
+    offset: Int,
+    global_id: Long,
+    layer: Int,
+    embedding: Array[Float],
+    out: Seq[Seq[OutEdge]],
+    edges: Seq[Seq[EdgeRef]])
+
+case class OutEdge(dist: Double, nbr: Int)
+case class EdgeRef(nbr: Int, rc: Int)
+
+/** Per-shard metadata (entry point etc. — reference: dehnsw.h:54-70). */
+case class ShardMeta(sub_index_id: Int, n_vectors: Long, layer_count: Int, entry_offset: Int)
+
+/** Distributed dehnsw index: shard == Spark partition (SURVEY §1.3).
+  *
+  * Build: deterministic shard assignment (`global_id % numShards` — unlike
+  * the reference's insertion-order chunking, dehnsw.h:601, but equally
+  * deterministic and shuffle-friendly), graph built partition-locally in
+  * insertion order of ascending id. Parallel across shards — better than
+  * the reference, which builds shards sequentially.
+  *
+  * Query: broadcast the query batch, probe every shard (the *intended*
+  * multi-shard semantics of the commented `query_with_sub_index`,
+  * dehnsw.h:532-587), then one partial/final top-k merge instead of the
+  * reference's sequential distance-bound (deliberate divergence, SURVEY
+  * §2.1 O7 — a shared bound would serialize shard visits).
+  *
+  * Scale notes: each task holds one shard's adjacency (size subIndexBound —
+  * pick it from executor memory); candidates shuffled are O(queries x
+  * shards x k) via TopKByDistance, never O(rows).
+  */
+class VectorIndex private (
+    val params: IndexParams,
+    val numShards: Int,
+    val rows: Dataset[IndexRow],
+    val meta: Array[ShardMeta]) extends Serializable {
+
+  /** Batch kNN probe. searchWidth (= the reference's query-RM,
+    * dehnsw.h:300-307): 0 = exact (per-shard brute-force scan — guaranteed
+    * exhaustive, a strict strengthening of the reference's
+    * connected-component walk); > 0 = ANN beam with early termination.
+    * Returns (query_id, rank, neighbor_id, distance). */
+  def query(queries: DataFrame, k: Int, searchWidth: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val queryBatch: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queryBatch)
+    val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
+    val p = params
+
+    val candidates = rows
+      .repartition(numShards, col("sub_index_id"))
+      .sortWithinPartitions(col("sub_index_id"), col("offset"))
+      .mapPartitions { it =>
+        val grouped = it.toSeq.groupBy(_.sub_index_id)
+        grouped.iterator.flatMap { case (shardId, shardRows) =>
+          val m = bcMeta.value(shardId)
+          val g = VectorIndex.rehydrate(p, m, shardRows)
+          bcQueries.value.iterator.flatMap { case (qid, qvec) =>
+            val topk =
+              if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
+              else g.queryTopK(qvec, k, searchWidth)
+            topk.iterator.map { case (d, gid) => (qid, d, gid) }
+          }
+        }
+      }.toDF("query_id", "distance", "neighbor_id")
+
+    TopK.topKMerge(candidates, k)
+  }
+
+  /** Persist index rows + shard meta + params (reference save/load
+    * round-trip invariant: dehnsw.h:666-844, exercised at
+    * dehnsw_example.cpp:208-228). */
+  def save(path: String): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.write.mode("overwrite").parquet(s"$path/rows")
+    meta.toSeq.toDS().write.mode("overwrite").json(s"$path/meta")
+    val p = params
+    val json =
+      s"""{"metric":"${p.metric.name}","minimumConnect":${p.minimumConnect},
+         |"relaxedMonotonicity":${p.relaxedMonotonicity},"step":${p.step},
+         |"subIndexBound":${p.subIndexBound},"numShards":$numShards}""".stripMargin
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/params.json"), json)
+  }
+}
+
+object VectorIndex {
+
+  /** Bulk build (reference O1 insert loop, parallelized across shards).
+    * Input df must have columns (id LONG, embedding ARRAY<FLOAT>). */
+  def build(df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = params
+    val n = numShards
+    val rows = df
+      .select(col("id").cast("long"), col("embedding"))
+      .withColumn("sub_index_id", pmod(col("id"), lit(n)).cast("int"))
+      .repartition(n, col("sub_index_id"))
+      .sortWithinPartitions(col("sub_index_id"), col("id"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        // consecutive rows share sub_index_id after the sort; build each
+        // shard's graph in ascending-id insertion order
+        val bit = it.buffered
+        new Iterator[IndexRow] {
+          private var pending: Iterator[IndexRow] = Iterator.empty
+          def hasNext: Boolean = pending.hasNext || bit.hasNext
+          def next(): IndexRow = {
+            if (!pending.hasNext) {
+              val shardId = bit.head._3
+              val vecs = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+              while (bit.hasNext && bit.head._3 == shardId)
+                { val r = bit.next(); vecs += ((r._1, r._2)) }
+              val g = new SubIndexGraph(p, vecs.length)
+              vecs.foreach { case (id, v) => g.insert(id, v) }
+              pending = dehydrate(shardId, g)
+            }
+            pending.next()
+          }
+        }
+      }
+    val cached = rows.cache()
+    val meta = computeMeta(cached)
+    new VectorIndex(params, numShards, cached, meta)
+  }
+
+  /** Load a saved index (reference O10). */
+  def load(spark: SparkSession, path: String): VectorIndex = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/rows").as[IndexRow]
+    val metaDs = spark.read.json(s"$path/meta")
+    val meta = metaDs
+      .select(col("sub_index_id").cast("int"), col("n_vectors").cast("long"),
+        col("layer_count").cast("int"), col("entry_offset").cast("int"))
+      .as[ShardMeta].collect().sortBy(_.sub_index_id)
+    val paramsJson = new String(Files.readAllBytes(Paths.get(s"$path/params.json")))
+    def extract(key: String): String =
+      s""""$key":\\s*"?([^,"}]+)"?""".r.findFirstMatchIn(paramsJson).get.group(1)
+    val metric = DistanceMetric.all.find(_.name == extract("metric")).get
+    val params = IndexParams(metric, extract("minimumConnect").toInt,
+      extract("relaxedMonotonicity").toInt, extract("step").toInt,
+      extract("subIndexBound").toLong)
+    new VectorIndex(params, extract("numShards").toInt, rows.cache(), meta)
+  }
+
+  private def computeMeta(rows: Dataset[IndexRow]): Array[ShardMeta] = {
+    import rows.sparkSession.implicits._
+    // entry = the unique vector whose layer == shard layer_count, recorded
+    // at promotion time; layer_count = max layer (dehnsw.h:495-499)
+    rows.groupByKey(_.sub_index_id).mapGroups { (shardId, it) =>
+      var n = 0L
+      var maxLayer = -1
+      var entry = 0
+      for (r <- it) {
+        n += 1
+        if (r.layer > maxLayer || (r.layer == maxLayer && r.offset < entry)) {
+          maxLayer = r.layer; entry = r.offset
+        }
+      }
+      ShardMeta(shardId, n, maxLayer, entry)
+    }.collect().sortBy(_.sub_index_id)
+  }
+
+  private[index] def dehydrate(shardId: Int, g: SubIndexGraph): Iterator[IndexRow] =
+    (0 until g.count).iterator.map { o =>
+      IndexRow(
+        shardId, o, g.globalIds(o), g.layerOf(o), g.data(o),
+        g.out(o).map(_.toSeq.map { case (d, nbr) => OutEdge(d, nbr) }).toSeq,
+        g.edges(o).map(_.toSeq.sortBy(_._1).map { case (nbr, rc) => EdgeRef(nbr, rc) }).toSeq)
+    }
+
+  private[index] def rehydrate(
+      params: IndexParams, m: ShardMeta, shardRows: Seq[IndexRow]): SubIndexGraph = {
+    val g = new SubIndexGraph(params, shardRows.length)
+    g.count = shardRows.length
+    g.layerCount = m.layer_count
+    g.entryOffset = m.entry_offset
+    for (r <- shardRows) {
+      val o = r.offset
+      g.globalIds(o) = r.global_id
+      g.data(o) = r.embedding
+      g.layerOf(o) = r.layer
+      g.out(o) = mutable.ArrayBuffer.from(r.out.map(layer =>
+        mutable.TreeSet.from(layer.map(e => (e.dist, e.nbr)))))
+      g.edges(o) = mutable.ArrayBuffer.from(r.edges.map(layer =>
+        mutable.HashMap.from(layer.map(e => e.nbr -> e.rc))))
+    }
+    g
+  }
+}

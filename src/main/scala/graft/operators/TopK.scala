@@ -167,6 +167,20 @@ object TopK {
         GraftSqlBridge.expression(dist),
         GraftSqlBridge.expression(id), k).toAggregateExpression())
 
+  /** Merge per-partition candidates (query_id, distance, neighbor_id) into
+    * ranked global top-k per query — the partial/final merge step alone
+    * (used by the ANN probe, where candidates come from shard searches). */
+  def topKMerge(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .groupBy(col("query_id"))
+      .agg(topKByDistance(col("distance"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("entry.neighbor_id").as("neighbor_id"),
+        col("entry.distance").as("distance"))
+
   /** Aggregate-based exact kNN: same contract as ExactKnn.knnJoin but with
     * map-side partial top-k — the scalable path for large query batches
     * (shuffle carries <= |queries| x partitions x k candidate rows). */
@@ -183,14 +197,6 @@ object TopK {
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorFunctions
           .distance(metric, col("q_embedding"), col("c_embedding")).as("distance"))
-    scored
-      .groupBy(col("query_id"))
-      .agg(topKByDistance(col("distance"), col("neighbor_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        col("entry.neighbor_id").as("neighbor_id"),
-        col("entry.distance").as("distance"))
+    topKMerge(scored, k)
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexParams, VectorIndex}
+import graft.operators.{ExactKnn, RecallEval}
+
+class DehnswSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+    .filter(col("vec_id") >= 50).select(col("vec_id").as("id"), col("embedding"))
+  private lazy val queries = Tables.embeddings(spark, sfDir)
+    .filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("embedding"))
+  private lazy val index = VectorIndex.build(corpus,
+    IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+  private lazy val exact = ExactKnn.knnJoin(queries, corpus, k = 10).cache()
+
+  private def recallAt(searchWidth: Int): Double = {
+    val res = index.query(queries, k = 10, searchWidth)
+    val r = RecallEval.recallByQuery(res, exact, k = 10)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    r
+  }
+
+  test("build invariants: every vector present once, layers consistent") {
+    val rows = index.rows.cache()
+    assert(rows.count() === corpus.count())
+    assert(rows.select(col("global_id")).distinct().count() === corpus.count())
+    // per-layer adjacency sizes == layer+1
+    val badLayers = rows.filter(size(col("out")) =!= col("layer") + 1 ||
+      size(col("edges")) =!= col("layer") + 1).count()
+    assert(badLayers === 0)
+    // out-degree stays near M (repair can push a node past M occasionally)
+    val maxDeg = rows.select(max(size(col("out").getItem(0)))).head.getInt(0)
+    assert(maxDeg <= 3 * index.params.minimumConnect)
+  }
+
+  test("exact mode (searchWidth=0) equals brute-force kNN exactly") {
+    val viaIndex = index.query(queries, k = 10, searchWidth = 0)
+    assert(viaIndex.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(viaIndex).count() === 0)
+  }
+
+  test("ANN recall is high and rises with searchWidth toward exact") {
+    val r1 = recallAt(1)
+    val r8 = recallAt(8)
+    val r64 = recallAt(64)
+    assert(r64 >= r1 - 0.05, s"recall not monotone-ish: r1=$r1 r64=$r64")
+    assert(r8 >= 0.7, s"recall@sw=8 too low: $r8")
+    assert(r64 >= 0.9, s"recall@sw=64 too low: $r64")
+  }
+
+  test("save/load round-trip answers queries identically (O9/O10 invariant)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_index_").toString
+    index.save(path)
+    val loaded = VectorIndex.load(spark, path)
+    assert(loaded.params === index.params)
+    val before = index.query(queries, k = 5, searchWidth = 8)
+    val after = loaded.query(queries, k = 5, searchWidth = 8)
+    assert(before.exceptAll(after).count() === 0)
+    assert(after.exceptAll(before).count() === 0)
+  }
+
+  test("deterministic rebuild: building twice yields the identical graph") {
+    val again = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+    assert(index.rows.exceptAll(again.rows).count() === 0)
+    assert(again.rows.exceptAll(index.rows).count() === 0)
+  }
+}
