@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Sessionize}
+import graft.streaming.StreamingOps
+
+/** LLM-data-pipeline query inventory (dedup / text analysis / multimodal /
+  * streaming) + DuckDB oracles. Same determinism rules as Queries. */
+object PipelineQueries {
+
+  // shared oracle SQL fragments -------------------------------------------
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ts) - 2, 0)), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles FROM toks)""".stripMargin
+
+  // ---------------------------------------------------------------- d1_dedup_exact
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir)).orderBy(col("digest"))
+
+  private val d1Oracle =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY text ORDER BY digest""".stripMargin
+
+  // ---------------------------------------------------------------- d2_ngram_jaccard
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val d2Oracle =
+    s"""WITH $shinglesCte,
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d3_minhash_pairs
+  def d3MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidatePairs(Tables.documents(s, dir), n = 3, numHashes = 6, bandSize = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val d3Oracle = {
+    val sigCols = (0 until 6)
+      .map(i => s"list_min(list_transform(shingles, x -> md5('$i:' || x))) AS mh$i")
+      .mkString(", ")
+    val bandSelects = (0 until 3)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+      |sig AS (SELECT doc_id, $sigCols FROM sh),
+      |bands AS ($bandSelects)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d4_simhash
+  def d4Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  private val d4Oracle = {
+    val bitSums = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val combine = (0 until 32)
+      .map(b => s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tk),
+      |v AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+      |SELECT doc_id, $combine AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d5_embed_neardup
+  def d5EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  private val d5Oracle = {
+    val sim = s"${dotSql("ea", "eb")} / (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")}))"
+    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
+      |b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings)
+      |SELECT id_a, id_b, round($sim, 6) AS cosine_sim
+      |FROM a JOIN b ON id_a < id_b
+      |WHERE round($sim, 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t1_langid
+  private val markers = Seq("the", "data", "spark")
+
+  def t1Langid(s: SparkSession, dir: String): DataFrame = {
+    val score = markers.map(m => TextFunctions.markerCount(col("text"), m))
+      .reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), score.as("en_score"),
+        when(score >= 3, lit("en")).otherwise(lit("und")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t1Oracle = {
+    val score = markers
+      .map(m => s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS INT)")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang, $score AS en_score,
+      |  CASE WHEN $score >= 3 THEN 'en' ELSE 'und' END AS lang_guess
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t2_quality
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    val ts = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(ts).as("n_tokens"),
+        round(length(replace(col("text"), lit(" "), lit(""))) / size(ts), 6)
+          .as("avg_token_len"),
+        round(size(array_distinct(ts)) / size(ts).cast("double"), 6).as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t2Oracle =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_token_len,
+      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS distinct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t3_tokens
+  def t3Tokens(s: SparkSession, dir: String): DataFrame = {
+    val ts = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(ts).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_alpha_tokens"),
+        size(array_distinct(ts)).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t3Oracle =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_alpha_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t4_fingerprint
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val t4Oracle =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(text, ' '), t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m1_multimodal
+  def m1Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.withPayload(Tables.documents(s, dir)))
+      .orderBy(col("doc_id"))
+
+  private val m1Oracle =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- s1_stream_window
+  def s1StreamWindow(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.hourlyByType(s, s"$dir/events.parquet")
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val s1Oracle =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- s2_sessionize
+  def s2Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(Tables.events(s, dir), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val s2Oracle =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |y AS (SELECT user_id, ts,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM x)
+      |SELECT user_id, CAST(sess AS INT) AS session_id, COUNT(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts
+      |FROM y GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- s3_stream_sliding
+  def s3StreamSliding(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.slidingCounts(s, s"$dir/events.parquet")
+      .orderBy(col("window_start"))
+
+  private val s3Oracle =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+      |SELECT ws AS window_start, COUNT(*) AS n_events
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> ((s, dir) => d1DedupExact(s, dir)),
+    "d2_ngram_jaccard" -> ((s, dir) => d2NgramJaccard(s, dir)),
+    "d3_minhash_pairs" -> ((s, dir) => d3MinhashPairs(s, dir)),
+    "d4_simhash" -> ((s, dir) => d4Simhash(s, dir)),
+    "d5_embed_neardup" -> ((s, dir) => d5EmbedNeardup(s, dir)),
+    "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
+    "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
+    "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
+    "t4_fingerprint" -> ((s, dir) => t4Fingerprint(s, dir)),
+    "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
+    "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
+    "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
+    "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" -> d1Oracle,
+    "d2_ngram_jaccard" -> d2Oracle,
+    "d3_minhash_pairs" -> d3Oracle,
+    "d4_simhash" -> d4Oracle,
+    "d5_embed_neardup" -> d5Oracle,
+    "t1_langid" -> t1Oracle,
+    "t2_quality" -> t2Oracle,
+    "t3_tokens" -> t3Oracle,
+    "t4_fingerprint" -> t4Oracle,
+    "m1_multimodal" -> m1Oracle,
+    "s1_stream_window" -> s1Oracle,
+    "s2_sessionize" -> s2Oracle,
+    "s3_stream_sliding" -> s3Oracle
+  )
+}

@@ -51,9 +51,9 @@ object SparkEntry {
     "v7_recall" -> ((s, dir) => Queries.v7Recall(s, dir)),
     "v8_ann_probe" -> ((s, dir) => Queries.v8AnnProbe(s, dir)),
     "v9_index_stats" -> ((s, dir) => Queries.v9IndexStats(s, dir))
-  )
+  ) ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-data pipelines (north-star ops on
+  * the `documents` table). Everything is built from codegen'd Catalyst
+  * built-ins with cross-engine-deterministic semantics: token hashes come
+  * from md5 hex (identical in any engine), counts from split/replace
+  * (identical semantics in Spark and DuckDB), so every operator has an
+  * exact SQL oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split; empties preserved — matches
+    * DuckDB string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, e.g. n=3 word trigrams. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic 32-bit token hash: first 8 hex chars of md5, as a long.
+    * Reproducible in any engine with md5 + hex parse. */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** 28-bit variant (7 hex chars) — small enough that a 31x polynomial
+    * rolling fold stays far from Long overflow in any engine. */
+  def tokenHash28(t: Column): Column =
+    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+
+  /** Occurrences of `marker` in text (padded word match), via the
+    * length/replace trick — identical semantics in Spark and DuckDB. */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val m = s" $marker "
+    ((length(padded) - length(replace(padded, lit(m), lit(""))))
+      / lit(m.length)).cast("int")
+  }
+
+  /** Polynomial rolling-hash document fingerprint over token hashes:
+    * fold h = (h*31 + tokenHash28) mod 2147483647, seed 7. Sequential and
+    * exactly reproducible (no Long overflow by construction). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), tokenHash28(_)),
+      lit(7L),
+      (acc, x) => pmod(acc * lit(31L) + x, lit(2147483647L)))
+
+  /** SimHash-32: per-bit vote over token hashes; bit b of the result is 1
+    * when more tokens have bit b set than clear. Computed per-document from
+    * the token-hash array (no shuffle). */
+  def simHash32(text: Column): Column = {
+    val hs = transform(tokens(text), tokenHash32(_))
+    val terms = (0 until 32).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) is carried as an
+  * opaque `binary` payload column plus typed metadata, and per-batch
+  * feature extraction runs in `mapPartitions` over the raw bytes — the
+  * same shape a real decoder (JNI/FFI image lib) would use, with the
+  * decode step STUBBED as a deterministic digest (media codecs are not
+  * available in this environment; the Spark-side plumbing — schema,
+  * partitioning, batch iteration, binary handling — is real and tested).
+  */
+object Multimodal {
+
+  case class MediaFeatures(doc_id: Long, byte_len: Long, sha256: String)
+
+  /** Attach an opaque binary payload column (here: UTF-8 bytes of `text`;
+    * in a real pipeline this is the image/audio blob read from storage). */
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Batched "decode + feature extract" over the binary payload. The stub
+    * features (byte length + sha256 hex digest) are computed from the raw
+    * bytes inside the task — exactly where a real decoder would run. */
+  def extractFeatures(docsWithPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // one digest instance per task, reused across the batch — the
+        // "model/decoder loaded once per partition" pattern
+        val digest = MessageDigest.getInstance("SHA-256")
+        batch.map { case (id, bytes) =>
+          digest.reset()
+          val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length.toLong, sha)
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators over the events table. For verification
+  * the parquet file drives the stream synchronously (memory sink +
+  * processAllAvailable — guide pattern), so batch oracles apply; the same
+  * plan runs unchanged against a live file/kafka source.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregate: (window_start, event_type, n_events,
+    * total_value) over 1-hour windows. Complete output mode so every
+    * window is emitted regardless of watermark (the batch-equivalence
+    * contract). */
+  /** Streaming read of the events parquet (TIMESTAMP(NANOS) handled the
+    * same way as Tables.events: nanos-as-long + explicit conversion). */
+  private def eventsStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    // the file-stream source requires a directory; stage a symlink to the
+    // single parquet file in a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(eventsPath))
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def hourlyByType(spark: SparkSession, eventsPath: String): DataFrame = {
+    val agg = eventsStream(spark, eventsPath)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 4).as("total_value"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Watermarked sliding-window count (10-min slide over 1-hour windows,
+    * 30-min watermark) — exercises the late-data/watermark surface; with a
+    * finite file source + complete-mode equivalence it still matches a
+    * batch oracle. */
+  def slidingCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val agg = eventsStream(spark, eventsPath)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("w.start").as("window_start"), col("n_events"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Sessionize}
+
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  test("exactDedup groups identical texts and keeps the min id") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (7L, "x y"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactDedup(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r === Set((1L, 3L), (7L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds near-identical docs and skips unrelated ones") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),          // near-dup of 1
+      (3L, "completely different words with no shared trigrams at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minHash LSH candidates include exact duplicates") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidatePairs(docs, n = 3, numHashes = 6, bandSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simHash: identical texts share fingerprints, disjoint texts differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated content goes right here"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("sessionize splits on gaps > threshold and aggregates correctly") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 1.0), (1L, 3L, ts(70), 1.0),
+      (2L, 4L, ts(5), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val sessions = Sessionize.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events").as[(Long, Int, Long)].collect()
+    assert(sessions.toSeq === Seq((1L, 0, 2L), (1L, 1, 1L), (2L, 0, 1L)))
+  }
+
+  test("multimodal payload round-trip: features computed from real bytes") {
+    val docs = Seq((1L, "héllo wörld")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.withPayload(docs)).head
+    assert(f.getLong(1) === "héllo wörld".getBytes("UTF-8").length.toLong)
+    assert(f.getString(2).length === 64) // sha256 hex
+  }
+}
