@@ -35,12 +35,18 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // cache the shingled form: it feeds the exploded join side twice plus
+    // the size lookup, and shingling (split + n x concat + distinct) is
+    // the expensive scalar work
     val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      TextFunctions.wordShingles(col(textCol), n).as("shingles")).cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // shuffle-hash, not sort-merge: the join blows up to |pairs sharing a
+    // shingle| rows and sorting that intermediate dominates otherwise
     val inter = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(ex.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -102,11 +108,16 @@ object Dedup {
   def embeddingNearDupPairs(
       embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("ea"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("eb"))
+    // precompute each row's norm once (identical doubles to computing it
+    // per pair — same expression over the same input), so the O(n^2) pair
+    // loop does one dot product instead of three
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("ea"),
+      VectorFunctions.l2Norm(col(vecCol)).as("norm_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("eb"),
+      VectorFunctions.l2Norm(col(vecCol)).as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine_sim",
-        round(VectorFunctions.cosineSimilarity(col("ea"), col("eb")), 6))
+        round(VectorFunctions.dotProduct(col("ea"), col("eb")) / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
