@@ -21,6 +21,135 @@ case class IndexParams(
     step: Int = 4,
     subIndexBound: Long = 10000000L)
 
+/** Ascending (dist, nbr) edge list over primitive parallel arrays — the
+  * engine-side `Vector.out` sorted multimap (reference: dehnsw.h:41). Kept
+  * sorted so "the M-th best" and "evict farthest" are O(1) index ops; M is
+  * small so inserts are a binary search + tiny arraycopy, allocation-free.
+  */
+final class EdgeList(initialCap: Int) extends Serializable {
+  var size: Int = 0
+  var ds: Array[Double] = new Array[Double](initialCap)
+  var ns: Array[Int] = new Array[Int](initialCap)
+
+  @inline private def lessThan(d: Double, n: Int, i: Int): Boolean =
+    d < ds(i) || (d == ds(i) && n < ns(i))
+
+  def insert(d: Double, n: Int): Unit = {
+    if (size == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, size * 2)
+      ns = java.util.Arrays.copyOf(ns, size * 2)
+    }
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (lessThan(d, n, mid)) hi = mid else lo = mid + 1
+    }
+    System.arraycopy(ds, lo, ds, lo + 1, size - lo)
+    System.arraycopy(ns, lo, ns, lo + 1, size - lo)
+    ds(lo) = d; ns(lo) = n
+    size += 1
+  }
+
+  def removeLast(): Unit = size -= 1
+
+  def foreachEntry(f: (Double, Int) => Unit): Unit = {
+    var i = 0
+    while (i < size) { f(ds(i), ns(i)); i += 1 }
+  }
+}
+
+/** Undirected refcounted adjacency over primitive parallel arrays — the
+  * engine-side `Vector.edges` (reference: dehnsw.h:43). Degrees are O(M),
+  * so linear scans beat hashing. Removal swaps with the last slot (edge
+  * iteration order is irrelevant: all traversals are set-semantic).
+  */
+final class AdjList(initialCap: Int) extends Serializable {
+  var size: Int = 0
+  var nbrs: Array[Int] = new Array[Int](initialCap)
+  var rcs: Array[Int] = new Array[Int](initialCap)
+
+  @inline def indexOf(n: Int): Int = {
+    var i = 0
+    while (i < size) { if (nbrs(i) == n) return i; i += 1 }
+    -1
+  }
+
+  def add(n: Int, rc: Int): Unit = {
+    if (size == nbrs.length) {
+      nbrs = java.util.Arrays.copyOf(nbrs, size * 2)
+      rcs = java.util.Arrays.copyOf(rcs, size * 2)
+    }
+    nbrs(size) = n; rcs(size) = rc
+    size += 1
+  }
+
+  /** +1 refcount, inserting at 1 if absent. */
+  def inc(n: Int): Unit = {
+    val i = indexOf(n)
+    if (i >= 0) rcs(i) += 1 else add(n, 1)
+  }
+
+  /** -1 refcount, removing at 0 (swap-with-last). */
+  def dec(n: Int): Unit = {
+    val i = indexOf(n)
+    if (i >= 0) {
+      if (rcs(i) == 1) {
+        size -= 1
+        nbrs(i) = nbrs(size); rcs(i) = rcs(size)
+      } else rcs(i) -= 1
+    }
+  }
+}
+
+/** Min-heap on (dist, id) lexicographic order, primitive arrays — the
+  * search frontier (`waiting_vectors`, reference: dehnsw.h:191,251). */
+final class MinHeap(initialCap: Int) {
+  var size: Int = 0
+  private var ds = new Array[Double](initialCap)
+  private var is = new Array[Int](initialCap)
+
+  @inline private def less(i: Int, j: Int): Boolean =
+    ds(i) < ds(j) || (ds(i) == ds(j) && is(i) < is(j))
+
+  @inline private def swap(i: Int, j: Int): Unit = {
+    val td = ds(i); ds(i) = ds(j); ds(j) = td
+    val ti = is(i); is(i) = is(j); is(j) = ti
+  }
+
+  def headDist: Double = ds(0)
+  def headId: Int = is(0)
+
+  def add(d: Double, id: Int): Unit = {
+    if (size == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, size * 2)
+      is = java.util.Arrays.copyOf(is, size * 2)
+    }
+    ds(size) = d; is(size) = id
+    var i = size
+    size += 1
+    while (i > 0 && less(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+  }
+
+  def removeHead(): Unit = {
+    size -= 1
+    if (size > 0) {
+      ds(0) = ds(size); is(0) = is(size)
+      var i = 0
+      var go = true
+      while (go) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && less(l, m)) m = l
+        if (r < size && less(r, m)) m = r
+        if (m == i) go = false else { swap(i, m); i = m }
+      }
+    }
+  }
+
+  def clear(): Unit = size = 0
+}
+
 /** One shard's graph — the engine-side `Sub_Index` (reference:
   * source/dehnsw.h:54-70), built partition-locally inside `mapPartitions`.
   *
@@ -31,6 +160,10 @@ case class IndexParams(
   * Deliberate divergences: distances accumulate in Double (not float32),
   * and ties order by (distance, offset) instead of multimap insertion
   * order — both deterministic.
+  *
+  * All hot-path state is primitive arrays (heaps, sorted edge lists,
+  * generation-stamped visited marks) — no per-candidate boxing, matching
+  * the reference's mechanical profile (SURVEY §4) on the JVM.
   */
 final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializable {
 
@@ -42,12 +175,18 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
   val globalIds = new Array[Long](capacity)
   val data = new Array[Array[Float]](capacity)
   val layerOf = new Array[Int](capacity)
-  /** Per vector, per layer: directed out-edges sorted by (dist, nbr) —
-    * the pruning order (reference: dehnsw.h:41,441-442). */
-  val out = new Array[mutable.ArrayBuffer[mutable.TreeSet[(Double, Int)]]](capacity)
-  /** Per vector, per layer: undirected adjacency, nbr -> refcount 1..2
-    * (reference: dehnsw.h:43; traversal walks these, not `out`). */
-  val edges = new Array[mutable.ArrayBuffer[mutable.HashMap[Int, Int]]](capacity)
+  /** Per vector: per-layer directed out-edges (pruning order). */
+  val out = new Array[mutable.ArrayBuffer[EdgeList]](capacity)
+  /** Per vector: per-layer undirected refcounted adjacency (traversal). */
+  val edges = new Array[mutable.ArrayBuffer[AdjList]](capacity)
+
+  // scratch state, reused across inserts/queries (single-threaded per task)
+  private var stamp = new Array[Int](capacity)
+  private var curStamp = 0
+  private val frontier = new MinHeap(64)
+  @inline private def freshStamps(): Unit = { curStamp += 1 }
+  @inline private def seen(i: Int): Boolean = stamp(i) == curStamp
+  @inline private def mark(i: Int): Unit = stamp(i) = curStamp
 
   @inline private def dist(a: Array[Float], b: Array[Float]): Double = params.metric match {
     case DistanceMetric.Euclidean2 =>
@@ -74,8 +213,8 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     globalIds(offset) = globalId
     data(offset) = vec
     layerOf(offset) = 0
-    out(offset) = mutable.ArrayBuffer(mutable.TreeSet.empty[(Double, Int)])
-    edges(offset) = mutable.ArrayBuffer(mutable.HashMap.empty[Int, Int])
+    out(offset) = mutable.ArrayBuffer(new EdgeList(params.minimumConnect + 2))
+    edges(offset) = mutable.ArrayBuffer(new AdjList(params.minimumConnect + 2))
     count += 1
     if (offset > 0) add(offset)
   }
@@ -85,85 +224,75 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     val vec = data(offset)
     // descend from the entry point, stacking per-layer candidate sets
     // (reference: dehnsw.h:406-417)
-    val stack = mutable.Stack.empty[mutable.TreeSet[(Double, Int)]]
-    stack.push(nnInsert(layerCount, vec, entryOffset))
+    val stack = new Array[EdgeList](layerCount + 2)
+    var sp = 0
+    stack(sp) = nnInsert(layerCount, vec, entryOffset); sp += 1
     var ln = layerCount - 1
     while (ln >= 0) {
-      stack.push(nnInsert(ln, vec, stack.top.head._2))
+      stack(sp) = nnInsert(ln, vec, stack(sp - 1).ns(0)); sp += 1
       ln -= 1
     }
     var targetLayer = 0
     var continue = true
-    while (continue && stack.nonEmpty) {
+    while (continue && sp > 0) {
       // evicted-target -> (dist, pruning neighbor) (reference: dehnsw.h:421)
-      val deletedEdges = mutable.HashMap.empty[Int, (Double, Int)]
-      val candidates = stack.top
+      var deletedEdges: mutable.HashMap[Int, (Double, Int)] = null
+      val candidates = stack(sp - 1)
       out(offset)(targetLayer) = candidates
-      for ((_, nbr) <- candidates) edges(offset)(targetLayer).update(nbr, 1)
-      for ((d, nbr) <- candidates) {
+      val myAdj = edges(offset)(targetLayer)
+      candidates.foreachEntry((_, nbr) => myAdj.add(nbr, 1))
+      var ci = 0
+      while (ci < candidates.size) {
+        val d = candidates.ds(ci)
+        val nbr = candidates.ns(ci)
         val nOut = out(nbr)(targetLayer)
-        val nEdges = edges(nbr)(targetLayer)
-        nEdges.getOrElseUpdate(offset, 0)
-        nEdges(offset) = math.max(nEdges(offset), 1)
+        val nAdj = edges(nbr)(targetLayer)
+        if (nAdj.indexOf(offset) < 0) nAdj.add(offset, 1)
         if (nOut.size < params.minimumConnect) {
           // both directed edges exist -> refcount 2 (reference: dehnsw.h:433-438)
-          nOut.add((d, offset))
-          nEdges(offset) = nEdges(offset) + 1
-          edges(offset)(targetLayer)(nbr) = edges(offset)(targetLayer)(nbr) + 1
-        } else {
+          nOut.insert(d, offset)
+          nAdj.inc(offset)
+          myAdj.inc(nbr)
+        } else if (d < nOut.ds(params.minimumConnect - 1)) {
           // prune: keep neighbor's M best, evict the (M+1)-th
           // (reference: dehnsw.h:440-464)
-          val mth = nOut.iterator.drop(params.minimumConnect - 1).next()
-          if (d < mth._1) {
-            nOut.add((d, offset))
-            nEdges(offset) = nEdges(offset) + 1
-            edges(offset)(targetLayer)(nbr) = edges(offset)(targetLayer)(nbr) + 1
-            val evicted = nOut.iterator.drop(params.minimumConnect).next()
-            val target = evicted._2
-            if (!deletedEdges.contains(target)) deletedEdges(target) = (evicted._1, nbr)
-            decRef(nbr, target, targetLayer)
-            decRef(target, nbr, targetLayer)
-            nOut.remove(evicted)
-          }
+          nOut.insert(d, offset)
+          nAdj.inc(offset)
+          myAdj.inc(nbr)
+          val evictDist = nOut.ds(params.minimumConnect)
+          val target = nOut.ns(params.minimumConnect)
+          if (deletedEdges == null) deletedEdges = mutable.HashMap.empty
+          if (!deletedEdges.contains(target)) deletedEdges(target) = (evictDist, nbr)
+          nAdj.dec(target)
+          edges(target)(targetLayer).dec(nbr)
+          nOut.removeLast()
         }
+        ci += 1
       }
       // connectivity repair (reference: dehnsw.h:467-489)
-      if (!connected(targetLayer, offset, deletedEdges)) {
+      if (deletedEdges != null && deletedEdges.nonEmpty &&
+          !connected(targetLayer, offset, deletedEdges)) {
         for ((target, (d, nbr)) <- deletedEdges) {
-          out(nbr)(targetLayer).add((d, target))
-          incRef(nbr, target, targetLayer)
-          incRef(target, nbr, targetLayer)
+          out(nbr)(targetLayer).insert(d, target)
+          edges(nbr)(targetLayer).inc(target)
+          edges(target)(targetLayer).inc(nbr)
         }
       }
       // deterministic promotion (reference: dehnsw.h:491-507)
       if (insertToUpperLayer(targetLayer, offset)) {
-        stack.pop()
+        sp -= 1
         targetLayer += 1
         if (layerCount < targetLayer) {
           layerCount = targetLayer
           entryOffset = offset
         }
         layerOf(offset) += 1
-        out(offset) += mutable.TreeSet.empty[(Double, Int)]
-        edges(offset) += mutable.HashMap.empty[Int, Int]
+        out(offset) += new EdgeList(params.minimumConnect + 2)
+        edges(offset) += new AdjList(params.minimumConnect + 2)
       } else {
         continue = false
       }
     }
-  }
-
-  @inline private def decRef(from: Int, to: Int, layer: Int): Unit = {
-    val m = edges(from)(layer)
-    m.get(to) match {
-      case Some(1)  => m.remove(to)
-      case Some(rc) => m(to) = rc - 1
-      case None     =>
-    }
-  }
-
-  @inline private def incRef(from: Int, to: Int, layer: Int): Unit = {
-    val m = edges(from)(layer)
-    m(to) = m.getOrElse(to, 0) + 1
   }
 
   /** Bounded reachability check — `connected` (reference: dehnsw.h:119-148):
@@ -171,17 +300,26 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * reached are safe; returns false if any stay unreached. */
   private def connected(
       layer: Int, start: Int, deletedEdges: mutable.HashMap[Int, (Double, Int)]): Boolean = {
-    if (deletedEdges.isEmpty) return true
-    var last = mutable.HashSet(start)
-    var next = mutable.HashSet.empty[Int]
-    val flag = mutable.HashSet(start)
+    var last = mutable.ArrayBuffer(start)
+    var next = mutable.ArrayBuffer.empty[Int]
+    freshStamps()
+    mark(start)
     var round = 0
     while (round < 4) {
-      for (v <- last; nbr <- edges(v)(layer).keysIterator) {
-        if (flag.add(nbr)) {
-          deletedEdges.remove(nbr)
-          next.add(nbr)
+      var li = 0
+      while (li < last.length) {
+        val adj = edges(last(li))(layer)
+        var ai = 0
+        while (ai < adj.size) {
+          val nbr = adj.nbrs(ai)
+          if (!seen(nbr)) {
+            mark(nbr)
+            deletedEdges.remove(nbr)
+            next += nbr
+          }
+          ai += 1
         }
+        li += 1
       }
       if (deletedEdges.isEmpty) return true
       val t = last; last = next; next = t; next.clear()
@@ -194,16 +332,26 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * dehnsw.h:150-178): BFS <= step rounds on `layer`; promote only if the
     * ball contains no vector already on a higher layer. */
   private def insertToUpperLayer(layer: Int, offset: Int): Boolean = {
-    var last = mutable.HashSet(offset)
-    var next = mutable.HashSet.empty[Int]
-    val flag = mutable.HashSet(offset)
+    var last = mutable.ArrayBuffer(offset)
+    var next = mutable.ArrayBuffer.empty[Int]
+    freshStamps()
+    mark(offset)
     var round = 0
     while (round < params.step) {
-      for (v <- last; nbr <- edges(v)(layer).keysIterator) {
-        if (flag.add(nbr)) {
-          if (layer < layerOf(nbr)) return false
-          next.add(nbr)
+      var li = 0
+      while (li < last.length) {
+        val adj = edges(last(li))(layer)
+        var ai = 0
+        while (ai < adj.size) {
+          val nbr = adj.nbrs(ai)
+          if (!seen(nbr)) {
+            mark(nbr)
+            if (layer < layerOf(nbr)) return false
+            next += nbr
+          }
+          ai += 1
         }
+        li += 1
       }
       val t = last; last = next; next = t; next.clear()
       round += 1
@@ -215,30 +363,39 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * dehnsw.h:181-237): best-first over edges(layer), keeps the M best,
     * early-stops after `relaxedMonotonicity` consecutive non-improving
     * pops (RM counter semantics: starts at 1, `==` test, dehnsw.h:215). */
-  private def nnInsert(layer: Int, q: Array[Float], start: Int): mutable.TreeSet[(Double, Int)] = {
-    val result = mutable.TreeSet.empty[(Double, Int)]
-    val flags = mutable.HashSet.empty[Int]
+  private def nnInsert(layer: Int, q: Array[Float], start: Int): EdgeList = {
+    val result = new EdgeList(params.minimumConnect + 2)
+    freshStamps()
     var outOfBound = 1
-    val waiting = mutable.TreeSet((dist(q, data(start)), start))
+    frontier.clear()
+    frontier.add(dist(q, data(start)), start)
     var break = false
-    while (!break && waiting.nonEmpty) {
-      val processing @ (d, v) = waiting.head
-      waiting.remove(processing)
-      flags.add(v)
+    while (!break && frontier.size > 0) {
+      val d = frontier.headDist
+      val v = frontier.headId
+      frontier.removeHead()
+      mark(v)
       if (result.size < params.minimumConnect) {
-        result.add((d, v))
-      } else if (d <= result.last._1) {
+        result.insert(d, v)
+      } else if (d <= result.ds(result.size - 1)) {
         outOfBound = 1
-        result.add((d, v))
-        result.remove(result.last)
+        result.insert(d, v)
+        result.removeLast()
       } else if (params.relaxedMonotonicity == outOfBound) {
         break = true
       } else {
         outOfBound += 1
       }
       if (!break) {
-        for (nbr <- edges(v)(layer).keysIterator) {
-          if (flags.add(nbr)) waiting.add((dist(q, data(nbr)), nbr))
+        val adj = edges(v)(layer)
+        var ai = 0
+        while (ai < adj.size) {
+          val nbr = adj.nbrs(ai)
+          if (!seen(nbr)) {
+            mark(nbr)
+            frontier.add(dist(q, data(nbr)), nbr)
+          }
+          ai += 1
         }
       }
     }
@@ -277,33 +434,39 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * component = exact search. Returns ascending (distance, globalId). */
   def queryTopK(q: Array[Float], k: Int, searchWidth: Int): Array[(Double, Long)] = {
     if (count == 0) return Array.empty
-    val flags = new Array[Boolean](count)
-    // worst-first bounded result (max at head semantics via TreeSet.last)
+    // worst-first bounded result on (dist, globalId)
     val result = mutable.TreeSet.empty[(Double, Long)]
     var outOfBound = 1
-    val waiting = mutable.TreeSet((dist(q, data(entryOffset)), entryOffset))
-    flags(entryOffset) = true
+    freshStamps()
+    val waiting = new MinHeap(64)
+    waiting.add(dist(q, data(entryOffset)), entryOffset)
+    mark(entryOffset)
     // phase 1 (reference: dehnsw.h:258-279)
     var layer = layerCount - 1
     while (layer >= 1) {
       var climbing = true
       while (climbing) {
-        val cur = waiting.head._2
-        for (nbr <- edges(cur)(layer).keysIterator) {
-          if (!flags(nbr)) {
-            flags(nbr) = true
-            waiting.add((dist(q, data(nbr)), nbr))
+        val cur = waiting.headId
+        val adj = edges(cur)(layer)
+        var ai = 0
+        while (ai < adj.size) {
+          val nbr = adj.nbrs(ai)
+          if (!seen(nbr)) {
+            mark(nbr)
+            waiting.add(dist(q, data(nbr)), nbr)
           }
+          ai += 1
         }
-        if (cur == waiting.head._2) climbing = false
+        if (cur == waiting.headId) climbing = false
       }
       layer -= 1
     }
     // phase 2 (reference: dehnsw.h:280-321)
     var break = false
-    while (!break && waiting.nonEmpty) {
-      val processing @ (d, v) = waiting.head
-      waiting.remove(processing)
+    while (!break && waiting.size > 0) {
+      val d = waiting.headDist
+      val v = waiting.headId
+      waiting.removeHead()
       if (result.size < k) {
         result.add((d, globalIds(v)))
       } else if (d < result.last._1) {
@@ -316,11 +479,15 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
         outOfBound += 1
       }
       if (!break) {
-        for (nbr <- edges(v)(0).keysIterator) {
-          if (!flags(nbr)) {
-            flags(nbr) = true
-            waiting.add((dist(q, data(nbr)), nbr))
+        val adj = edges(v)(0)
+        var ai = 0
+        while (ai < adj.size) {
+          val nbr = adj.nbrs(ai)
+          if (!seen(nbr)) {
+            mark(nbr)
+            waiting.add(dist(q, data(nbr)), nbr)
           }
+          ai += 1
         }
       }
     }

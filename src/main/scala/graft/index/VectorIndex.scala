@@ -187,8 +187,11 @@ object VectorIndex {
     (0 until g.count).iterator.map { o =>
       IndexRow(
         shardId, o, g.globalIds(o), g.layerOf(o), g.data(o),
-        g.out(o).map(_.toSeq.map { case (d, nbr) => OutEdge(d, nbr) }).toSeq,
-        g.edges(o).map(_.toSeq.sortBy(_._1).map { case (nbr, rc) => EdgeRef(nbr, rc) }).toSeq)
+        g.out(o).map(el => (0 until el.size).map(i => OutEdge(el.ds(i), el.ns(i))).toSeq).toSeq,
+        // adjacency arrays use swap-removal, so normalize to nbr order for
+        // a canonical (rebuild-stable) persisted form
+        g.edges(o).map(al => (0 until al.size).map(i => EdgeRef(al.nbrs(i), al.rcs(i)))
+          .sortBy(_.nbr).toSeq).toSeq)
     }
 
   private[index] def rehydrate(
@@ -202,10 +205,16 @@ object VectorIndex {
       g.globalIds(o) = r.global_id
       g.data(o) = r.embedding
       g.layerOf(o) = r.layer
-      g.out(o) = mutable.ArrayBuffer.from(r.out.map(layer =>
-        mutable.TreeSet.from(layer.map(e => (e.dist, e.nbr)))))
-      g.edges(o) = mutable.ArrayBuffer.from(r.edges.map(layer =>
-        mutable.HashMap.from(layer.map(e => e.nbr -> e.rc))))
+      g.out(o) = mutable.ArrayBuffer.from(r.out.map { layer =>
+        val el = new EdgeList(math.max(layer.size, 4))
+        layer.foreach(e => el.insert(e.dist, e.nbr))
+        el
+      })
+      g.edges(o) = mutable.ArrayBuffer.from(r.edges.map { layer =>
+        val al = new AdjList(math.max(layer.size, 4))
+        layer.foreach(e => al.add(e.nbr, e.rc))
+        al
+      })
     }
     g
   }
