@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{CosineDistance, DotProduct, InnerProductDistance, SquaredL2Distance}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers the vector distance
+  * expressions as SQL functions at session build time, so a deployment can
+  * enable the whole engine surface with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`), the
+  * engine-side analog of importing the reference's pybind module
+  * (reference: python_binding/dehnswpy.cpp:38-50).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    ext.injectFunction((FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "vec_l2sq"),
+      es => SquaredL2Distance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      es => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_ip_dist"),
+      new ExpressionInfo(classOf[InnerProductDistance].getName, "vec_ip_dist"),
+      es => InnerProductDistance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cos_dist"),
+      new ExpressionInfo(classOf[CosineDistance].getName, "vec_cos_dist"),
+      es => CosineDistance(es(0), es(1))))
+  }
+}

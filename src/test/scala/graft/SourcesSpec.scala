@@ -1,0 +1,61 @@
+package graft
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.BinaryVectors
+
+class SourcesSpec extends AnyFunSuite with SparkSuite {
+
+  private def writeLE(out: DataOutputStream, v: Long): Unit = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+    out.write(b.array())
+  }
+
+  test("binary vector format round-trips (FIXTURES §2 layout)") {
+    val f = java.io.File.createTempFile("graft_vecs_", ".bin")
+    val out = new DataOutputStream(new FileOutputStream(f))
+    writeLE(out, 3L) // count
+    writeLE(out, 2L) // dim
+    for (v <- Seq(1.0f, 2.0f, 3.5f, -4.25f, 0.0f, 9.75f)) {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(v)
+      out.write(b.array())
+    }
+    out.close()
+    val df = BinaryVectors.readVectors(spark, f.getPath)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    assert(rows(1).getSeq[Float](1) === Seq(3.5f, -4.25f))
+  }
+
+  test("binary neighbors format explodes to (query_id, rank, neighbor_id)") {
+    val f = java.io.File.createTempFile("graft_nbrs_", ".bin")
+    val out = new DataOutputStream(new FileOutputStream(f))
+    writeLE(out, 2L) // count
+    writeLE(out, 3L) // k
+    Seq(10L, 11L, 12L, 20L, 21L, 22L).foreach(writeLE(out, _))
+    out.close()
+    val df = BinaryVectors.readNeighbors(spark, f.getPath)
+    assert(df.count() === 6)
+    val r = df.filter("query_id = 1 AND rank = 2").head
+    assert(r.getLong(2) === 21L)
+  }
+
+  test("GraftExtensions registers SQL functions via withExtensions") {
+    // extension registration is builder-time; getOrCreate would reuse the
+    // shared session, so exercise the injected builder path directly
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    try {
+      val r = s2.sql("SELECT vec_l2sq(array(CAST(1.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+        .head.getDouble(0)
+      assert(r === 4.0)
+    } finally ()
+  }
+}
