@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexParams, SubIndexGraph, VectorIndex}
+import graft.operators.{ExactKnn, RecallEval}
+
+/** Kernel-level throughput benchmark at reference dataset scale — the
+  * analog of the reference's timed insert/query loops
+  * (example/dehnsw_example.cpp:154-185): N seeded synthetic vectors,
+  * single-shard single-thread build (comparable to the reference's
+  * single-thread profile) plus the distributed multi-shard path, reporting
+  * per-insert and per-query microseconds and recall.
+  *
+  * Run: sbt "runMain graft.KernelBench [nVectors] [dim]"
+  */
+object KernelBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(60000)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val k = 100
+    val nQueries = 100
+    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128, step = 4)
+
+    val rnd = new scala.util.Random(42)
+    val data = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
+    val queries = Array.fill(nQueries)(Array.fill(dim)(rnd.nextFloat()))
+
+    // --- single-thread, single-shard kernel (reference-comparable) ---
+    val t0 = System.nanoTime()
+    val g = new SubIndexGraph(params, n)
+    var i = 0
+    while (i < n) { g.insert(i.toLong, data(i)); i += 1 }
+    val buildUs = (System.nanoTime() - t0) / 1000.0
+    println(f"build: $n%d vectors, ${buildUs / n}%.1f us/insert, total ${buildUs / 1e6}%.2f s")
+
+    for (sw <- Seq(1, 16, 64)) {
+      val q0 = System.nanoTime()
+      var qi = 0
+      while (qi < nQueries) { g.queryTopK(queries(qi), k, sw); qi += 1 }
+      val qUs = (System.nanoTime() - q0) / 1000.0 / nQueries
+      // recall vs exact brute force on the same shard
+      val hits = queries.map { q =>
+        val ann = g.queryTopK(q, k, sw).map(_._2).toSet
+        val exact = g.bruteForceTopK(q, k).map(_._2).toSet
+        (ann intersect exact).size
+      }.sum
+      println(f"query(sw=$sw%3d): $qUs%9.1f us/query, recall@$k ${hits.toDouble / (nQueries * k)}%.3f")
+    }
+
+    // --- distributed build+probe through the full Spark path ---
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val df = data.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
+      .toDF("id", "embedding").cache()
+    df.count()
+    val s0 = System.nanoTime()
+    val idx = VectorIndex.build(df, params, numShards = cpus.toInt)
+    idx.rows.count()
+    println(f"spark build (shards=$cpus%s): ${(System.nanoTime() - s0) / 1e9}%.2f s wall")
+    val qdf = queries.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
+      .toDF("query_id", "embedding")
+    val s1 = System.nanoTime()
+    val res = idx.query(qdf, k, searchWidth = 64)
+    res.count()
+    println(f"spark probe (sw=64): ${(System.nanoTime() - s1) / 1e9}%.2f s wall for $nQueries queries")
+    spark.stop()
+  }
+}

@@ -188,22 +188,57 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
   @inline private def seen(i: Int): Boolean = stamp(i) == curStamp
   @inline private def mark(i: Int): Unit = stamp(i) = curStamp
 
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double = params.metric match {
-    case DistanceMetric.Euclidean2 =>
+  private val metricCode: Int = params.metric match {
+    case DistanceMetric.Euclidean2   => 0
+    case DistanceMetric.InnerProduct => 1
+    case DistanceMetric.Cosine       => 2
+  }
+
+  /** Build/ANN-search distance: float32 accumulation like the reference's
+    * kernels (source/distance.h:17-172) — half the lane width cost of
+    * doubles under JIT auto-vectorization, deterministic on the JVM. The
+    * oracle-gated exact path ([[bruteForceTopK]]) uses [[distExact]]
+    * (Double, bit-matching the Catalyst expressions) instead. */
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    if (metricCode == 0) {
+      var acc = 0.0f; var i = 0
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc.toDouble
+    } else if (metricCode == 1) {
+      var acc = 0.0f; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      (1.0f - acc).toDouble
+    } else {
+      var dot = 0.0f; var na = 0.0f; var nb = 0.0f; var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      (1.0 - dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+    }
+  }
+
+  /** Full-precision Double distance — identical operation sequence to the
+    * Catalyst distance expressions (bit-equal to the SQL oracles). */
+  @inline private def distExact(a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    if (metricCode == 0) {
       var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
       acc
-    case DistanceMetric.InnerProduct =>
+    } else if (metricCode == 1) {
       var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
       1.0 - acc
-    case DistanceMetric.Cosine =>
+    } else {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
+      while (i < n) {
         val x = a(i).toDouble; val y = b(i).toDouble
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
   }
 
   /** Insert in offset order — `insert` (reference: dehnsw.h:590-663). The
@@ -411,7 +446,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     val result = mutable.TreeSet.empty[(Double, Long)]
     var i = 0
     while (i < count) {
-      val d = dist(q, data(i))
+      val d = distExact(q, data(i))
       val gid = globalIds(i)
       if (result.size < k) result.add((d, gid))
       else {
@@ -461,18 +496,19 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
       }
       layer -= 1
     }
-    // phase 2 (reference: dehnsw.h:280-321)
+    // phase 2 (reference: dehnsw.h:280-321). The beam tracks (float-dist,
+    // offset); selection is approximate by design.
     var break = false
     while (!break && waiting.size > 0) {
       val d = waiting.headDist
       val v = waiting.headId
       waiting.removeHead()
       if (result.size < k) {
-        result.add((d, globalIds(v)))
+        result.add((d, v.toLong))
       } else if (d < result.last._1) {
         outOfBound = 1
         result.remove(result.last)
-        result.add((d, globalIds(v)))
+        result.add((d, v.toLong))
       } else if (searchWidth == outOfBound) {
         break = true
       } else {
@@ -491,6 +527,12 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
         }
       }
     }
-    result.toArray
+    // report full-precision distances for the selected candidates (the
+    // search metric is float for speed; the returned distances must be
+    // comparable with the exact/oracle path, so recompute in Double)
+    result.toArray.map { case (_, off) =>
+      val o = off.toInt
+      (distExact(q, data(o)), globalIds(o))
+    }.sortBy(identity)
   }
 }
