@@ -222,6 +222,15 @@ object PipelineQueries {
       |SELECT ws AS window_start, COUNT(*) AS n_events
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s4_stream_dedup
+  def s4StreamDedup(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamDedup(s, s"$dir/events.parquet")
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val s4Oracle =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, dir) => d1DedupExact(s, dir)),
@@ -236,7 +245,8 @@ object PipelineQueries {
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
-    "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir))
+    "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
+    "s4_stream_dedup" -> ((s, dir) => s4StreamDedup(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,6 +262,7 @@ object PipelineQueries {
     "m1_multimodal" -> m1Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
-    "s3_stream_sliding" -> s3Oracle
+    "s3_stream_sliding" -> s3Oracle,
+    "s4_stream_dedup" -> s4Oracle
   )
 }

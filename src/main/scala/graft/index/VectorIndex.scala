@@ -57,34 +57,40 @@ class VectorIndex private (
     * exhaustive, a strict strengthening of the reference's
     * connected-component walk); > 0 = ANN beam with early termination.
     * Returns (query_id, rank, neighbor_id, distance). */
-  def query(queries: DataFrame, k: Int, searchWidth: Int): DataFrame = {
+  /** @param maxBatch query vectors broadcast per pass; bigger batches are
+    *                 chunked so a single broadcast never exceeds
+    *                 maxBatch x dim floats (executor-memory safety at
+    *                 scale), with all chunks merged in one final top-k. */
+  def query(queries: DataFrame, k: Int, searchWidth: Int, maxBatch: Int = 100000): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val queryBatch: Array[(Long, Array[Float])] = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bcQueries = spark.sparkContext.broadcast(queryBatch)
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
 
-    val candidates = rows
-      .repartition(numShards, col("sub_index_id"))
-      .sortWithinPartitions(col("sub_index_id"), col("offset"))
-      .mapPartitions { it =>
-        val grouped = it.toSeq.groupBy(_.sub_index_id)
-        grouped.iterator.flatMap { case (shardId, shardRows) =>
-          val m = bcMeta.value(shardId)
-          val g = VectorIndex.rehydrate(p, m, shardRows)
-          bcQueries.value.iterator.flatMap { case (qid, qvec) =>
-            val topk =
-              if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
-              else g.queryTopK(qvec, k, searchWidth)
-            topk.iterator.map { case (d, gid) => (qid, d, gid) }
+    val candidateChunks = queryBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
+      val bcQueries = spark.sparkContext.broadcast(chunk)
+      rows
+        .repartition(numShards, col("sub_index_id"))
+        .sortWithinPartitions(col("sub_index_id"), col("offset"))
+        .mapPartitions { it =>
+          val grouped = it.toSeq.groupBy(_.sub_index_id)
+          grouped.iterator.flatMap { case (shardId, shardRows) =>
+            val m = bcMeta.value(shardId)
+            val g = VectorIndex.rehydrate(p, m, shardRows)
+            bcQueries.value.iterator.flatMap { case (qid, qvec) =>
+              val topk =
+                if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
+                else g.queryTopK(qvec, k, searchWidth)
+              topk.iterator.map { case (d, gid) => (qid, d, gid) }
+            }
           }
-        }
-      }.toDF("query_id", "distance", "neighbor_id")
+        }.toDF("query_id", "distance", "neighbor_id")
+    }.toSeq
 
-    TopK.topKMerge(candidates, k)
+    TopK.topKMerge(candidateChunks.reduce(_ union _), k)
   }
 
   /** Persist index rows + shard meta + params (reference save/load

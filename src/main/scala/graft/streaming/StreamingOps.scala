@@ -44,7 +44,23 @@ object StreamingOps {
         col("n_events"), col("total_value"))
   }
 
-  /** Watermarked sliding-window count (10-min slide over 1-hour windows,
+  /** Streaming exact dedup: emit the first occurrence of each
+    * (user_id, event_type) pair — `dropDuplicates` keyed state over the
+    * stream (the streaming face of Dedup.exactDedup). Append mode: each
+    * key is emitted exactly once, so on a finite source the result equals
+    * batch DISTINCT. */
+  def streamDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+    val dedup = eventsStream(spark, eventsPath)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = dedup.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a
     * batch oracle. */
