@@ -293,6 +293,100 @@ object Queries {
       |FROM embeddings WHERE vec_id >= 10
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- v10_lsh_ann
+  /** LSH-bucketed approximate kNN (sign-projection buckets; the bucketed
+    * scale path next to the graph index). Deterministic planes => exact
+    * SQL oracle. */
+  def v10LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.LshKnn.knnJoin(queries, corpus, k = 5, numPlanes = 8)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v10Oracle = {
+    def planeDot(v: String, i: Int) =
+      s"list_sum(list_transform(generate_series(1, len($v)), j -> CAST($v[j] AS DOUBLE) * CAST((($i * 37 + (j - 1) * 13) % 7) - 3 AS DOUBLE)))"
+    def bucketSql(v: String) = (0 until 8)
+      .map(i => s"(CASE WHEN ${planeDot(v, i)} > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS ea, ${bucketSql("embedding")} AS bucket
+      |           FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb, ${bucketSql("embedding")} AS bucket
+      |           FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q JOIN c USING (bucket)),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q6_rollup
+  /** ROLLUP aggregate (grouping-sets family; SURVEY §2.5 aggregations). */
+  def q6Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q6Oracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q7_dates
+  /** Date/time functions: monthly order aggregates via date_trunc. */
+  def q7Dates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("revenue"))
+      .orderBy(col("order_month"))
+
+  private val q7Oracle =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  COUNT(*) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t5_json
+  /** JSON extraction (SURVEY §2.5 json fns): pull the numeric k out of the
+    * props JSON column and aggregate per bucket. */
+  def t5Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 4).as("total_value"))
+      .orderBy(col("k_mod"))
+
+  private val t5Oracle =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -305,6 +399,10 @@ object Queries {
     "v5_knn_topk" -> v4Oracle,
     "v6_ann_exact" -> v6Oracle,
     "v7_recall" -> v7Oracle,
-    "v9_index_stats" -> v9Oracle
+    "v9_index_stats" -> v9Oracle,
+    "v10_lsh_ann" -> v10Oracle,
+    "q6_rollup" -> q6Oracle,
+    "q7_dates" -> q7Oracle,
+    "t5_json" -> t5Oracle
   )
 }

@@ -50,7 +50,11 @@ object SparkEntry {
     "v6_ann_exact" -> ((s, dir) => Queries.v6AnnExact(s, dir)),
     "v7_recall" -> ((s, dir) => Queries.v7Recall(s, dir)),
     "v8_ann_probe" -> ((s, dir) => Queries.v8AnnProbe(s, dir)),
-    "v9_index_stats" -> ((s, dir) => Queries.v9IndexStats(s, dir))
+    "v9_index_stats" -> ((s, dir) => Queries.v9IndexStats(s, dir)),
+    "v10_lsh_ann" -> ((s, dir) => Queries.v10LshAnn(s, dir)),
+    "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
+    "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
+    "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** LSH-bucketed approximate kNN — the bucketed "scale path" for similarity
+  * search: signed-random-projection signatures put each vector in one of
+  * 2^numPlanes buckets; candidates are only same-bucket pairs, so the
+  * pair space shrinks by ~2^numPlanes while cosine-close vectors tend to
+  * share signs.
+  *
+  * The hyperplanes are deterministic integer lattices
+  * h_i[j] = ((i*37 + j*13) mod 7) - 3, so the whole operator (signature
+  * included) is reproducible in plain SQL — the DuckDB oracle recomputes
+  * identical buckets. For production-scale use the planes would be seeded
+  * Gaussians; the operator shape is identical.
+  */
+object LshKnn {
+
+  /** Signed projection onto deterministic plane i (sequential Double fold,
+    * engine-portable). */
+  private def planeDot(v: Column, i: Int): Column =
+    aggregate(
+      sequence(lit(1), size(v)),
+      lit(0.0),
+      (acc, j) => acc +
+        element_at(v, j).cast("double") *
+          (((lit(i * 37) + (j - 1) * lit(13)) % 7) - lit(3)).cast("double"))
+
+  /** Bucket id: numPlanes sign bits. */
+  def bucket(v: Column, numPlanes: Int): Column =
+    (0 until numPlanes)
+      .map(i => when(planeDot(v, i) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Bucketed kNN: top-k per query among same-bucket corpus vectors (may
+    * return fewer than k when the bucket is small — the approximation).
+    * Output (query_id, rank, neighbor_id, distance). */
+  def knnJoin(
+      queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_embedding"),
+      bucket(col("embedding"), numPlanes).as("bucket"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_embedding"),
+      bucket(col("embedding"), numPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("distance",
+        VectorFunctions.squaredL2(col("q_embedding"), col("c_embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+  }
+}
