@@ -16,14 +16,11 @@ object TextFunctions {
     * DuckDB string_split). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles, e.g. n=3 word trigrams. */
+  /** Distinct word n-gram shingles, e.g. n=3 word trigrams (native
+    * expression — see [[WordShingles]] for the semantics contract). */
   def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
   }
 
   /** Deterministic 32-bit token hash: first 8 hex chars of md5, as a long.

@@ -35,19 +35,30 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // cache the shingled form: it feeds the exploded join side twice plus
-    // the size lookup, and shingling (split + n x concat + distinct) is
-    // the expensive scalar work
+    // cache the shingled form: it feeds the inverted index plus the size
+    // lookup, and shingling (split + n x concat + distinct) is the
+    // expensive scalar work
     val sh = docs.select(col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles")).cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    // shuffle-hash, not sort-merge: the join blows up to |pairs sharing a
-    // shingle| rows and sorting that intermediate dominates otherwise
-    val inter = ex.as("a")
-      .join(ex.as("b").hint("shuffle_hash"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // join-free pair generation: one shuffle groups postings per shingle,
+    // pairs are emitted in-task from the sorted posting list (i<j), and
+    // the pair counts partial-aggregate before the second shuffle. Cost is
+    // sum over shingles of m^2 (benign unless a shingle is near-universal;
+    // a df-cap belongs here if the corpus has stopword-like shingles).
+    val ds = array_sort(collect_list(col("doc_id"))).as("ds")
+    val postings = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(ds)
+      .filter(size(col("ds")) >= 2)
+    val pairsCol = flatten(transform(
+      sequence(lit(1), size(col("ds")) - 1),
+      i => transform(
+        slice(col("ds"), i + 1, size(col("ds")) - i),
+        b => struct(element_at(col("ds"), i).as("doc_a"), b.as("doc_b")))))
+    val inter = postings
+      .select(explode(pairsCol).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
