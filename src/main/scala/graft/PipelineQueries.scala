@@ -231,6 +231,30 @@ object PipelineQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- s5_stream_sessions
+  def s5StreamSessions(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamSessionize(s, s"$dir/events.parquet", gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Oracle = batch gaps-and-islands, restricted to sessions the stream
+    * has CLOSED: end + gap <= global max event time (event-time-timeout
+    * semantics with a 0-second watermark delay). */
+  private val s5Oracle =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |y AS (SELECT user_id, ts,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM x),
+      |sess AS (SELECT user_id, CAST(sess AS INT) AS session_id, COUNT(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts
+      |  FROM y GROUP BY user_id, sess)
+      |SELECT user_id, session_id, n_events, start_ts, end_ts
+      |FROM sess
+      |WHERE end_ts + INTERVAL '30 minutes' <= (SELECT max(ts) FROM events)
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, dir) => d1DedupExact(s, dir)),
@@ -246,7 +270,8 @@ object PipelineQueries {
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
-    "s4_stream_dedup" -> ((s, dir) => s4StreamDedup(s, dir))
+    "s4_stream_dedup" -> ((s, dir) => s4StreamDedup(s, dir)),
+    "s5_stream_sessions" -> ((s, dir) => s5StreamSessions(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -263,6 +288,7 @@ object PipelineQueries {
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,
-    "s4_stream_dedup" -> s4Oracle
+    "s4_stream_dedup" -> s4Oracle,
+    "s5_stream_sessions" -> s5Oracle
   )
 }

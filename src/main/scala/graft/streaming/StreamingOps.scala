@@ -2,7 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Sessionize.{Event, Session}
 
 /** Structured Streaming operators over the events table. For verification
   * the parquet file drives the stream synchronously (memory sink +
@@ -42,6 +45,72 @@ object StreamingOps {
     spark.table(name)
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+  }
+
+  /** Open-session state carried between micro-batches. */
+  case class OpenSession(
+      sessionId: Int, nEvents: Long, startMicros: Long, endMicros: Long)
+
+  /** Gap-based sessionization as a stateful streaming operator
+    * (`flatMapGroupsWithState` + event-time timeout — the custom-state
+    * streaming surface). Sessions closed by an in-batch gap are emitted
+    * immediately; the trailing open session per user is emitted when the
+    * watermark passes its end + gap (event-time timeout), so on a finite
+    * source the output is exactly: every session whose end + gap <=
+    * max(ts) — which the batch SQL oracle reproduces. */
+  def streamSessionize(spark: SparkSession, eventsPath: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    @inline def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+
+    val fn: (Long, Iterator[Event], GroupState[OpenSession]) => Iterator[Session] =
+      (uid, events, state) => {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(uid, s.sessionId, s.nEvents, toTs(s.startMicros), toTs(s.endMicros)))
+        } else {
+          val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption.orNull
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            if (open == null) {
+              open = OpenSession(0, 1L, t, t)
+            } else if (t - open.endMicros > gapMicros) {
+              out += Session(uid, open.sessionId, open.nEvents, toTs(open.startMicros), toTs(open.endMicros))
+              open = OpenSession(open.sessionId + 1, 1L, t, t)
+            } else {
+              open = open.copy(nEvents = open.nEvents + 1, endMicros = math.max(open.endMicros, t))
+            }
+          }
+          if (open != null) {
+            state.update(open)
+            state.setTimeoutTimestamp(open.endMicros / 1000L + gapMinutes.toLong * 60000L)
+          }
+          out.iterator
+        }
+      }
+
+    val sessions = eventsStream(spark, eventsPath)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[Event]
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 
   /** Streaming exact dedup: emit the first occurrence of each
