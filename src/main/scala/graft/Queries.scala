@@ -329,6 +329,21 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v11_knn_fused
+  /** Exact kNN through the custom Catalyst operator (KnnCandidates logical
+    * node -> KnnStrategy -> KnnCandidatesExec): fused distance + bounded
+    * heaps, no join materialization. Same contract and oracle as v4. */
+  def v11KnnFused(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.plans.KnnJoinPlan.knnFused(queries, corpus, k = 10)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q6_rollup
   /** ROLLUP aggregate (grouping-sets family; SURVEY §2.5 aggregations). */
   def q6Rollup(s: SparkSession, dir: String): DataFrame =
@@ -401,6 +416,7 @@ object Queries {
     "v7_recall" -> v7Oracle,
     "v9_index_stats" -> v9Oracle,
     "v10_lsh_ann" -> v10Oracle,
+    "v11_knn_fused" -> v4Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle

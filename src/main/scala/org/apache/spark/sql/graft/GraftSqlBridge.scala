@@ -19,6 +19,25 @@ object GraftSqlBridge {
   /** Extract the Catalyst Expression backing a (classic) Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a LogicalPlan as a DataFrame (Dataset.ofRows is private[sql]). */
+  def dataFrame(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The logical plan backing a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Idempotently install an extra planner strategy on a session. */
+  def addStrategy(spark: SparkSession, s: org.apache.spark.sql.classic.Strategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s)) {
+      cs.experimental.extraStrategies = s +: cs.experimental.extraStrategies
+    }
+  }
+
   /** Register a Catalyst function builder under a SQL name. */
   def registerFunction(
       spark: SparkSession,

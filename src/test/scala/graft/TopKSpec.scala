@@ -36,6 +36,18 @@ class TopKSpec extends AnyFunSuite with SparkSuite {
     assert(viaWin.exceptAll(viaAgg).count() === 0)
   }
 
+  test("knnFused (custom LogicalPlan/Strategy/Exec) matches knnJoin exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val fused = graft.plans.KnnJoinPlan.knnFused(queries, corpus, k = 12)
+    val viaWin = ExactKnn.knnJoin(queries, corpus, k = 12)
+    assert(fused.exceptAll(viaWin).count() === 0)
+    assert(viaWin.exceptAll(fused).count() === 0)
+  }
+
   test("group smaller than k returns all members, no crash") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") === 0)
