@@ -72,6 +72,20 @@ object KernelBench {
     val res = idx.query(qdf, k, searchWidth = 64)
     res.count()
     println(f"spark probe (sw=64): ${(System.nanoTime() - s1) / 1e9}%.2f s wall for $nQueries queries")
+
+    // --- exact kNN formulations head-to-head (same corpus, bigger batch) ---
+    val bigQ = (0 until 1000).map { id =>
+      (id.toLong, Array.fill(dim)(rnd.nextFloat()))
+    }.toDF("query_id", "embedding").cache()
+    bigQ.count()
+    def timeIt(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t = System.nanoTime()
+      df.count()
+      println(f"exact kNN [$name]: ${(System.nanoTime() - t) / 1e9}%.2f s wall (1000 queries x $n corpus)")
+    }
+    timeIt("window ") { graft.operators.ExactKnn.knnJoin(bigQ, df, k) }
+    timeIt("agg    ") { graft.operators.TopK.knnAggregate(bigQ, df, k) }
+    timeIt("fused  ") { graft.plans.KnnJoinPlan.knnFused(bigQ, df, k) }
     spark.stop()
   }
 }
