@@ -344,6 +344,59 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v12_centroids
+  /** Per-label embedding centroids (mean pooling — the class-prototype /
+    * k-means-step vector aggregate), exploded to (label, dim, value).
+    * Sum in Double then round(6): per-(label,dim) sums of ~O(100) unit
+    * floats keep accumulated ulp error far below the rounding grain, so
+    * the result is partition-order invariant. */
+  def v12Centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("i"))
+      .agg(
+        round(sum(col("v").cast("double")), 6).as("centroid_sum"),
+        round(avg(col("v").cast("double")), 6).as("centroid_mean"))
+      .orderBy(col("label"), col("i"))
+
+  private val v12Oracle =
+    """SELECT label, i,
+      |  round(sum(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_sum,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_mean
+      |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t
+      |GROUP BY label, i
+      |ORDER BY label, i""".stripMargin
+
+  // ---------------------------------------------------------------- v13_knn_cosine
+  /** Exact kNN under the cosine metric (D3 enabled end-to-end, unlike the
+    * reference's Euclidean-only dispatch, distance.h:178-186). */
+  def v13KnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    ExactKnn.knnJoin(queries, corpus, k = 10, graft.functions.DistanceMetric.Cosine)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v13Oracle = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             1.0 - ${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")})) AS distance
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q6_rollup
   /** ROLLUP aggregate (grouping-sets family; SURVEY §2.5 aggregations). */
   def q6Rollup(s: SparkSession, dir: String): DataFrame =
@@ -417,6 +470,8 @@ object Queries {
     "v9_index_stats" -> v9Oracle,
     "v10_lsh_ann" -> v10Oracle,
     "v11_knn_fused" -> v4Oracle,
+    "v12_centroids" -> v12Oracle,
+    "v13_knn_cosine" -> v13Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle

@@ -53,6 +53,8 @@ object SparkEntry {
     "v9_index_stats" -> ((s, dir) => Queries.v9IndexStats(s, dir)),
     "v10_lsh_ann" -> ((s, dir) => Queries.v10LshAnn(s, dir)),
     "v11_knn_fused" -> ((s, dir) => Queries.v11KnnFused(s, dir)),
+    "v12_centroids" -> ((s, dir) => Queries.v12Centroids(s, dir)),
+    "v13_knn_cosine" -> ((s, dir) => Queries.v13KnnCosine(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
