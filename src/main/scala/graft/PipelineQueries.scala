@@ -181,6 +181,18 @@ object PipelineQueries {
       |  sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m2_frames
+  def m2Frames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Tables.documents(s, dir), frameChars = 64)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val m2Oracle =
+    """SELECT doc_id, i AS frame_idx, md5(substr(text, (i - 1) * 64 + 1, 64)) AS frame_md5
+      |FROM documents,
+      |     (SELECT unnest(generate_series(1, 1000)) AS i) t
+      |WHERE i <= greatest(CAST(ceil(length(text) / 64.0) AS INT), 1)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   def s1StreamWindow(s: SparkSession, dir: String): DataFrame =
     StreamingOps.hourlyByType(s, s"$dir/events.parquet")
@@ -267,6 +279,7 @@ object PipelineQueries {
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
     "t4_fingerprint" -> ((s, dir) => t4Fingerprint(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
+    "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -285,6 +298,7 @@ object PipelineQueries {
     "t3_tokens" -> t3Oracle,
     "t4_fingerprint" -> t4Oracle,
     "m1_multimodal" -> m1Oracle,
+    "m2_frames" -> m2Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

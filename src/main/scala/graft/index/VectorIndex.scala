@@ -128,8 +128,16 @@ object VectorIndex {
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         // consecutive rows share sub_index_id after the sort; build each
-        // shard's graph in ascending-id insertion order
-        val bit = it.buffered
+        // shard's graph in ascending-id insertion order. Dimension is fixed
+        // at index creation (SURVEY §1.1) — enforce it on ingest.
+        var dim = -1
+        val checked = it.map { r =>
+          if (dim == -1) dim = r._2.length
+          else require(r._2.length == dim,
+            s"embedding dimension mismatch at id=${r._1}: got ${r._2.length}, index dimension is $dim")
+          r
+        }
+        val bit = checked.buffered
         new Iterator[IndexRow] {
           private var pending: Iterator[IndexRow] = Iterator.empty
           def hasNext: Boolean = pending.hasNext || bit.hasNext

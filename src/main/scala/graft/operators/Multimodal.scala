@@ -22,6 +22,23 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
+  /** Frame sampling: split the payload into fixed-size frames (the
+    * video-frame / audio-window analog) and fingerprint each — the
+    * per-frame feature-extraction shape with the decode stubbed as md5.
+    * Character-based frames so the operator is reproducible in plain SQL.
+    * Output: (doc_id, frame_idx 1-based, frame_md5). */
+  def sampleFrames(docs: DataFrame, frameChars: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Column
+    val nFrames = ceil(length(col(textCol)) / lit(frameChars.toDouble)).cast("int")
+    val frames: Column = transform(
+      sequence(lit(1), greatest(nFrames, lit(1))),
+      i => md5(col(textCol).substr((i - 1) * frameChars + 1, lit(frameChars))))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(frames).as(Seq("pos", "frame_md5")))
+      .select(col("doc_id"), (col("pos") + 1).as("frame_idx"), col("frame_md5"))
+  }
+
   /** Batched "decode + feature extract" over the binary payload. The stub
     * features (byte length + sha256 hex digest) are computed from the raw
     * bytes inside the task — exactly where a real decoder would run. */

@@ -62,6 +62,25 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(after.exceptAll(before).count() === 0)
   }
 
+  test("query batch order does not affect results (permutation invariance)") {
+    val shuffled = queries.orderBy(rand(7))
+    val a = index.query(queries, k = 5, searchWidth = 8)
+    val b = index.query(shuffled, k = 5, searchWidth = 8)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("mixed-dimension ingest is rejected with a clear error") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      VectorIndex.build(bad, IndexParams(minimumConnect = 2), numShards = 1).rows.count()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
+  }
+
   test("deterministic rebuild: building twice yields the identical graph") {
     val again = VectorIndex.build(corpus,
       IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
