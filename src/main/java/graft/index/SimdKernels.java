@@ -1,0 +1,75 @@
+package graft.index;
+
+import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.VectorOperators;
+import jdk.incubator.vector.VectorSpecies;
+
+/**
+ * SIMD float32 distance kernels via the JDK Vector API (incubator module,
+ * enabled through .jvmopts / javaOptions) — the JVM equivalent of the
+ * reference's hand-vectorized AVX paths (reference: source/distance.h:22-81),
+ * but full-precision over the whole dimension (no 16-lane truncation quirk)
+ * with a scalar tail loop. Used only for the build/ANN-search float metric;
+ * the oracle-facing exact path stays scalar Double (bit-stable).
+ *
+ * Written in Java because scalac cannot resolve incubator modules; javac
+ * (same sbt project, mixed compile) can.
+ */
+public final class SimdKernels {
+  private static final VectorSpecies<Float> S = FloatVector.SPECIES_PREFERRED;
+
+  private SimdKernels() {}
+
+  public static int lanes() { return S.length(); }
+
+  /** Squared L2 distance, float accumulation. */
+  public static float sqL2(float[] a, float[] b) {
+    int i = 0;
+    int bound = S.loopBound(a.length);
+    FloatVector acc = FloatVector.zero(S);
+    for (; i < bound; i += S.length()) {
+      FloatVector d = FloatVector.fromArray(S, a, i).sub(FloatVector.fromArray(S, b, i));
+      acc = d.fma(d, acc);
+    }
+    float s = acc.reduceLanes(VectorOperators.ADD);
+    for (; i < a.length; i++) { float d = a[i] - b[i]; s += d * d; }
+    return s;
+  }
+
+  /** Dot product, float accumulation. */
+  public static float dot(float[] a, float[] b) {
+    int i = 0;
+    int bound = S.loopBound(a.length);
+    FloatVector acc = FloatVector.zero(S);
+    for (; i < bound; i += S.length()) {
+      acc = FloatVector.fromArray(S, a, i).fma(FloatVector.fromArray(S, b, i), acc);
+    }
+    float s = acc.reduceLanes(VectorOperators.ADD);
+    for (; i < a.length; i++) { s += a[i] * b[i]; }
+    return s;
+  }
+
+  /** One-pass dot + squared norms for cosine; fills out[0]=dot,
+   *  out[1]=|a|^2, out[2]=|b|^2. */
+  public static void cosineParts(float[] a, float[] b, float[] out) {
+    int i = 0;
+    int bound = S.loopBound(a.length);
+    FloatVector dot = FloatVector.zero(S);
+    FloatVector na = FloatVector.zero(S);
+    FloatVector nb = FloatVector.zero(S);
+    for (; i < bound; i += S.length()) {
+      FloatVector va = FloatVector.fromArray(S, a, i);
+      FloatVector vb = FloatVector.fromArray(S, b, i);
+      dot = va.fma(vb, dot);
+      na = va.fma(va, na);
+      nb = vb.fma(vb, nb);
+    }
+    float d = dot.reduceLanes(VectorOperators.ADD);
+    float x = na.reduceLanes(VectorOperators.ADD);
+    float y = nb.reduceLanes(VectorOperators.ADD);
+    for (; i < a.length; i++) {
+      d += a[i] * b[i]; x += a[i] * a[i]; y += b[i] * b[i];
+    }
+    out[0] = d; out[1] = x; out[2] = y;
+  }
+}

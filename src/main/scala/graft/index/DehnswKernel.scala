@@ -150,6 +150,14 @@ final class MinHeap(initialCap: Int) {
   def clear(): Unit = size = 0
 }
 
+object SubIndexGraph {
+  /** Vector API availability probe — false (scalar fallback) when the JVM
+    * lacks --add-modules=jdk.incubator.vector. */
+  val simdAvailable: Boolean =
+    try { SimdKernels.lanes() > 0 }
+    catch { case _: Throwable => false }
+}
+
 /** One shard's graph — the engine-side `Sub_Index` (reference:
   * source/dehnsw.h:54-70), built partition-locally inside `mapPartitions`.
   *
@@ -199,16 +207,51 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * doubles under JIT auto-vectorization, deterministic on the JVM. The
     * oracle-gated exact path ([[bruteForceTopK]]) uses [[distExact]]
     * (Double, bit-matching the Catalyst expressions) instead. */
+  /** Build/ANN-search distance: SIMD float32 when the Vector API module is
+    * present (see SimdKernels), scalar float fallback otherwise. Float
+    * accumulation like the reference (source/distance.h); the oracle-gated
+    * exact path uses [[distExact]] (sequential Double). */
   @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
+    if (SubIndexGraph.simdAvailable) {
+      if (metricCode == 0) return SimdKernels.sqL2(a, b).toDouble
+      if (metricCode == 1) return (1.0f - SimdKernels.dot(a, b)).toDouble
+      val parts = cosineScratch
+      SimdKernels.cosineParts(a, b, parts)
+      return 1.0 - parts(0) / (math.sqrt(parts(1).toDouble) * math.sqrt(parts(2).toDouble))
+    }
+    distScalar(a, b)
+  }
+
+  private val cosineScratch = new Array[Float](3)
+
+  private def distScalar(a: Array[Float], b: Array[Float]): Double = {
     val n = a.length
+    val n4 = n - (n & 3)
     if (metricCode == 0) {
-      var acc = 0.0f; var i = 0
-      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc.toDouble
+      // 4 independent accumulators break the reduction dependency chain
+      // (C2 does not vectorize strict reductions; ILP recovers most of it).
+      // Order is fixed -> still fully deterministic.
+      var s0 = 0.0f; var s1 = 0.0f; var s2 = 0.0f; var s3 = 0.0f
+      var i = 0
+      while (i < n4) {
+        val d0 = a(i) - b(i); s0 += d0 * d0
+        val d1 = a(i + 1) - b(i + 1); s1 += d1 * d1
+        val d2 = a(i + 2) - b(i + 2); s2 += d2 * d2
+        val d3 = a(i + 3) - b(i + 3); s3 += d3 * d3
+        i += 4
+      }
+      while (i < n) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+      ((s0 + s1) + (s2 + s3)).toDouble
     } else if (metricCode == 1) {
-      var acc = 0.0f; var i = 0
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      (1.0f - acc).toDouble
+      var s0 = 0.0f; var s1 = 0.0f; var s2 = 0.0f; var s3 = 0.0f
+      var i = 0
+      while (i < n4) {
+        s0 += a(i) * b(i); s1 += a(i + 1) * b(i + 1)
+        s2 += a(i + 2) * b(i + 2); s3 += a(i + 3) * b(i + 3)
+        i += 4
+      }
+      while (i < n) { s0 += a(i) * b(i); i += 1 }
+      (1.0f - ((s0 + s1) + (s2 + s3))).toDouble
     } else {
       var dot = 0.0f; var na = 0.0f; var nb = 0.0f; var i = 0
       while (i < n) {
