@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
 import graft.functions.DistanceMetric
 import graft.operators.TopK
 
+/** Executor-local cache of rehydrated shard graphs, keyed by (index
+  * identity, shard). Rebuilding the in-memory adjacency from IndexRows is
+  * the dominant fixed cost of a probe; repeated probes (recall sweeps,
+  * interactive batches) hit the cache instead. Bounded LRU; graphs carry
+  * mutable search scratch, so probes synchronize on the instance (two
+  * concurrent jobs may probe the same shard).
+  */
+object ShardGraphCache {
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[(String, Int), SubIndexGraph](MaxEntries, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), SubIndexGraph]): Boolean =
+        size() > MaxEntries
+    }
+
+  def getOrRehydrate(indexId: String, shardId: Int)(make: => SubIndexGraph): SubIndexGraph =
+    cache.synchronized {
+      val key = (indexId, shardId)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val g = make
+        cache.put(key, g)
+        g
+      }
+    }
+}
+
 /** One persisted index row: a vector plus its per-layer adjacency
   * (FIXTURES.md §4; arrays-of-structs instead of maps for encoder
   * friendliness). */
@@ -50,7 +79,10 @@ class VectorIndex private (
     val params: IndexParams,
     val numShards: Int,
     val rows: Dataset[IndexRow],
-    val meta: Array[ShardMeta]) extends Serializable {
+    val meta: Array[ShardMeta],
+    /** Stable identity for executor-side graph caching (fresh per build,
+      * persisted with the index). */
+    val indexId: String) extends Serializable {
 
   /** Batch kNN probe. searchWidth (= the reference's query-RM,
     * dehnsw.h:300-307): 0 = exact (per-shard brute-force scan — guaranteed
@@ -69,6 +101,7 @@ class VectorIndex private (
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
+    val iid = indexId
 
     val candidateChunks = queryBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
       val bcQueries = spark.sparkContext.broadcast(chunk)
@@ -79,12 +112,16 @@ class VectorIndex private (
           val grouped = it.toSeq.groupBy(_.sub_index_id)
           grouped.iterator.flatMap { case (shardId, shardRows) =>
             val m = bcMeta.value(shardId)
-            val g = VectorIndex.rehydrate(p, m, shardRows)
-            bcQueries.value.iterator.flatMap { case (qid, qvec) =>
-              val topk =
-                if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
-                else g.queryTopK(qvec, k, searchWidth)
-              topk.iterator.map { case (d, gid) => (qid, d, gid) }
+            val g = ShardGraphCache.getOrRehydrate(iid, shardId)(
+              VectorIndex.rehydrate(p, m, shardRows))
+            // the graph carries reusable search scratch -> serialize probes
+            g.synchronized {
+              bcQueries.value.toArray.flatMap { case (qid, qvec) =>
+                val topk =
+                  if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
+                  else g.queryTopK(qvec, k, searchWidth)
+                topk.map { case (d, gid) => (qid, d, gid) }
+              }.iterator
             }
           }
         }.toDF("query_id", "distance", "neighbor_id")
@@ -105,7 +142,8 @@ class VectorIndex private (
     val json =
       s"""{"metric":"${p.metric.name}","minimumConnect":${p.minimumConnect},
          |"relaxedMonotonicity":${p.relaxedMonotonicity},"step":${p.step},
-         |"subIndexBound":${p.subIndexBound},"numShards":$numShards}""".stripMargin
+         |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
+         |"indexId":"$indexId"}""".stripMargin
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/params.json"), json)
   }
@@ -157,7 +195,8 @@ object VectorIndex {
       }
     val cached = rows.cache()
     val meta = computeMeta(cached)
-    new VectorIndex(params, numShards, cached, meta)
+    new VectorIndex(params, numShards, cached, meta,
+      java.util.UUID.randomUUID().toString)
   }
 
   /** Load a saved index (reference O10). */
@@ -176,7 +215,8 @@ object VectorIndex {
     val params = IndexParams(metric, extract("minimumConnect").toInt,
       extract("relaxedMonotonicity").toInt, extract("step").toInt,
       extract("subIndexBound").toLong)
-    new VectorIndex(params, extract("numShards").toInt, rows.cache(), meta)
+    new VectorIndex(params, extract("numShards").toInt, rows.cache(), meta,
+      extract("indexId"))
   }
 
   private def computeMeta(rows: Dataset[IndexRow]): Array[ShardMeta] = {
