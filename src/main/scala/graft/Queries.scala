@@ -397,6 +397,50 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v14_ivf_ann
+  /** IVF approximate kNN: 16 deterministic centroid cells, nprobe=4.
+    * Deterministic sampling quantizer => exact SQL oracle. */
+  def v14IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.IvfKnn.knnJoin(queries, corpus, k = 5, numCentroids = 16, nprobe = 4)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v14Oracle = {
+    def l2(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 10),
+      |     stats AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride FROM corpus),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding FROM
+      |                 (SELECT id, embedding, row_number() OVER (ORDER BY id) AS rn FROM corpus), stats
+      |               WHERE (rn - 1) % stride = 0),
+      |     assigned AS (SELECT id, embedding, cell FROM
+      |                    (SELECT c.id, c.embedding, ct.centroid_id AS cell,
+      |                       row_number() OVER (PARTITION BY c.id ORDER BY ${l2("c.embedding", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                     FROM corpus c CROSS JOIN cents ct)
+      |                  WHERE crank = 1),
+      |     qcells AS (SELECT query_id, q_embedding, cell FROM
+      |                  (SELECT q.query_id, q.q_embedding, ct.centroid_id AS cell,
+      |                     row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2("q.q_embedding", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                   FROM q CROSS JOIN cents ct)
+      |                WHERE crank <= 4),
+      |     scored AS (SELECT qc.query_id, a.id AS neighbor_id,
+      |                  ${l2("qc.q_embedding", "a.embedding")} AS distance
+      |                FROM assigned a JOIN qcells qc USING (cell)),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q6_rollup
   /** ROLLUP aggregate (grouping-sets family; SURVEY §2.5 aggregations). */
   def q6Rollup(s: SparkSession, dir: String): DataFrame =
@@ -472,6 +516,7 @@ object Queries {
     "v11_knn_fused" -> v4Oracle,
     "v12_centroids" -> v12Oracle,
     "v13_knn_cosine" -> v13Oracle,
+    "v14_ivf_ann" -> v14Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle
