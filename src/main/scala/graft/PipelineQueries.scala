@@ -267,6 +267,45 @@ object PipelineQueries {
       |WHERE end_ts + INTERVAL '30 minutes' <= (SELECT max(ts) FROM events)
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- p1_dedup_pipeline
+  /** Composed cleaning pipeline — the engine's primary use-case end to
+    * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
+    * each pair), then a token-count quality floor, then per-language
+    * stats of the surviving corpus. One declarative plan: the dedup
+    * anti-join consumes the pair operator's output directly. */
+  def p1DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dupPairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+      .select(col("doc_b").as("doc_id"))
+    val survivors = docs
+      .join(dupPairs, Seq("doc_id"), "left_anti")
+      .filter(size(TextFunctions.tokens(col("text"))) >= 20)
+    survivors
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        round(avg(size(TextFunctions.tokens(col("text"))).cast("double")), 6)
+          .as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val p1Oracle =
+    s"""WITH $shinglesCte,
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |dups AS (SELECT DISTINCT doc_b AS doc_id
+      |         FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |         WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |survivors AS (SELECT * FROM documents
+      |              WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      |                AND len(string_split(text, ' ')) >= 20)
+      |SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+      |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+      |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, dir) => d1DedupExact(s, dir)),
@@ -284,7 +323,8 @@ object PipelineQueries {
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
     "s4_stream_dedup" -> ((s, dir) => s4StreamDedup(s, dir)),
-    "s5_stream_sessions" -> ((s, dir) => s5StreamSessions(s, dir))
+    "s5_stream_sessions" -> ((s, dir) => s5StreamSessions(s, dir)),
+    "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -303,6 +343,7 @@ object PipelineQueries {
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,
     "s4_stream_dedup" -> s4Oracle,
-    "s5_stream_sessions" -> s5Oracle
+    "s5_stream_sessions" -> s5Oracle,
+    "p1_dedup_pipeline" -> p1Oracle
   )
 }
