@@ -70,6 +70,15 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("empty corpus builds an empty index and answers queries with 0 rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "embedding")
+    val idx = VectorIndex.build(empty, IndexParams(minimumConnect = 2), numShards = 2)
+    assert(idx.rows.count() === 0)
+    assert(idx.query(queries, k = 3, searchWidth = 0).count() === 0)
+    assert(idx.query(queries, k = 3, searchWidth = 8).count() === 0)
+  }
+
   test("mixed-dimension ingest is rejected with a clear error") {
     import spark.implicits._
     val bad = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
