@@ -416,10 +416,9 @@ object Queries {
       s"list_sum(list_transform(generate_series(1, len($x)), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
     s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
       |     q AS (SELECT vec_id AS query_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 10),
-      |     stats AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride FROM corpus),
-      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding FROM
-      |                 (SELECT id, embedding, row_number() OVER (ORDER BY id) AS rn FROM corpus), stats
-      |               WHERE (rn - 1) % stride = 0),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding
+      |               FROM corpus, stats WHERE id % greatest(stride, 1) = 0),
       |     assigned AS (SELECT id, embedding, cell FROM
       |                    (SELECT c.id, c.embedding, ct.centroid_id AS cell,
       |                       row_number() OVER (PARTITION BY c.id ORDER BY ${l2("c.embedding", "ct.c_embedding")}, ct.centroid_id) AS crank

@@ -24,15 +24,15 @@ import graft.functions.VectorFunctions
   */
 object IvfKnn {
 
-  /** Deterministic centroid sample: id-rank r is a centroid when
-    * (r-1) % stride == 0, stride = ceil(n / numCentroids). */
+  /** Deterministic centroid sample: vectors whose id % stride == 0,
+    * stride = ceil(max_id / numCentroids). A pure per-row predicate — no
+    * global sort/window, so sampling scales as a plain filtered scan (a
+    * rank-based scheme would funnel the corpus through one partition). */
   def centroids(corpus: DataFrame, numCentroids: Int): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, (n + numCentroids - 1) / numCentroids)
-    val w = Window.orderBy(col("id"))
+    val maxId = corpus.agg(max(col("id"))).head.getLong(0)
+    val stride = math.max(1L, (maxId + numCentroids) / numCentroids)
     corpus
-      .withColumn("rn", row_number().over(w))
-      .filter((col("rn") - 1) % stride === 0)
+      .filter(col("id") % stride === 0)
       .select(col("id").as("centroid_id"), col("embedding").as("c_embedding"))
   }
 
