@@ -164,6 +164,33 @@ object PipelineQueries {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t6_strings
+  /** String-function battery (SURVEY §2.5 string fns): case ops, trim,
+    * reverse, padding, prefix, edit distance — all cross-engine exact. */
+  def t6Strings(s: SparkSession, dir: String): DataFrame = {
+    val firstTok = element_at(TextFunctions.tokens(col("text")), 1)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        upper(firstTok).as("first_upper"),
+        reverse(firstTok).as("first_rev"),
+        length(trim(col("text"))).as("trimmed_len"),
+        substring(col("text"), 1, 5).as("prefix5"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("padded_id"),
+        levenshtein(firstTok, lit("spark")).as("lev_spark"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t6Oracle =
+    """SELECT doc_id,
+      |  upper(string_split(text, ' ')[1]) AS first_upper,
+      |  reverse(string_split(text, ' ')[1]) AS first_rev,
+      |  length(trim(text)) AS trimmed_len,
+      |  substr(text, 1, 5) AS prefix5,
+      |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+      |  levenshtein(string_split(text, ' ')[1], 'spark') AS lev_spark
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t4_fingerprint
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -324,6 +351,7 @@ object PipelineQueries {
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
     "t4_fingerprint" -> ((s, dir) => t4Fingerprint(s, dir)),
+    "t6_strings" -> ((s, dir) => t6Strings(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
@@ -344,6 +372,7 @@ object PipelineQueries {
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,
     "t4_fingerprint" -> t4Oracle,
+    "t6_strings" -> t6Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "s1_stream_window" -> s1Oracle,
