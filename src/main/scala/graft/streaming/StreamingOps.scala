@@ -33,6 +33,8 @@ object StreamingOps {
   }
 
   def hourlyByType(spark: SparkSession, eventsPath: String): DataFrame = {
+    // stateless-complete aggregation needs no watermark-driven extra batch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val agg = eventsStream(spark, eventsPath)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
@@ -59,6 +61,9 @@ object StreamingOps {
     * source the output is exactly: every session whose end + gap <=
     * max(ts) — which the batch SQL oracle reproduces. */
   def streamSessionize(spark: SparkSession, eventsPath: String, gapMinutes: Int): DataFrame = {
+    // event-time timeouts fire in the watermark-advance (no-data) batch —
+    // it must stay enabled here
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     import spark.implicits._
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     @inline def micros(t: java.sql.Timestamp): Long =
@@ -119,6 +124,7 @@ object StreamingOps {
     * key is emitted exactly once, so on a finite source the result equals
     * batch DISTINCT. */
   def streamDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val dedup = eventsStream(spark, eventsPath)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -134,6 +140,7 @@ object StreamingOps {
     * finite file source + complete-mode equivalence it still matches a
     * batch oracle. */
   def slidingCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val agg = eventsStream(spark, eventsPath)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
