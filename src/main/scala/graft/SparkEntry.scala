@@ -22,7 +22,8 @@ import graft.operators.ExactKnn
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Exact batch kNN over the embeddings table (SURVEY §7.1 M0). */
+    * Exact batch kNN through the custom fused Catalyst operator
+    * (SURVEY §7.1 M0 contract, fastest formulation). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
@@ -30,7 +31,7 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("id"), col("embedding"))
-    ExactKnn.knnJoin(queries, corpus, k = 10)
+    graft.plans.KnnJoinPlan.knnFused(queries, corpus, k = 10)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
