@@ -69,6 +69,38 @@ object PipelineQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d6_dup_clusters
+  /** Duplicate clustering: connected components over the 3-gram-Jaccard
+    * pair graph; summarized per non-trivial cluster. */
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = Dedup.duplicateClusters(docs, jaccardPairs(s, dir))
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("doc_id")).as("max_doc_id"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy(col("cluster_id"))
+  }
+
+  private val d6Oracle =
+    s"""WITH RECURSIVE $shinglesCte,
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS cluster_size, max(doc_id) AS max_doc_id
+      |FROM labels GROUP BY cluster_id HAVING COUNT(*) >= 2
+      |ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- d4_simhash
   def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -347,6 +379,7 @@ object PipelineQueries {
     "d3_minhash_pairs" -> ((s, dir) => d3MinhashPairs(s, dir)),
     "d4_simhash" -> ((s, dir) => d4Simhash(s, dir)),
     "d5_embed_neardup" -> ((s, dir) => d5EmbedNeardup(s, dir)),
+    "d6_dup_clusters" -> ((s, dir) => d6DupClusters(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -368,6 +401,7 @@ object PipelineQueries {
     "d3_minhash_pairs" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
     "d5_embed_neardup" -> d5Oracle,
+    "d6_dup_clusters" -> d6Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,

@@ -113,6 +113,44 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simHash32(col(textCol)).as("simhash"))
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation (the distributed CC pattern —
+    * alternating join + min-aggregate until fixpoint). Every doc gets
+    * cluster_id = the smallest doc id reachable through dup pairs
+    * (singletons keep their own id). The fixpoint is unique, so the
+    * result is engine-independent (oracled by a recursive CTE).
+    *
+    * Scale: each iteration is one equi-join + partial min-agg; iterations
+    * needed = component diameter (tiny for dup clusters). Labels are
+    * cached per iteration so lineage stays flat. */
+  def duplicateClusters(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: cosine similarity >= threshold,
     * id_a < id_b. Brute-force pair generation (right side broadcast when
     * small); at scale, generate candidates with VectorIndex instead. */
