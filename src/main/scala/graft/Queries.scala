@@ -440,6 +440,44 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v15_lsh_multiprobe
+  /** Multi-probe LSH kNN: each query also probes Hamming-1 buckets on the
+    * first 4 sign bits (5 buckets total) — higher recall than v10 at 5x
+    * the candidate cost. */
+  def v15LshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.LshKnn.knnJoinMultiProbe(queries, corpus, k = 5, numPlanes = 8, probeBits = 4)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v15Oracle = {
+    def planeDot(v: String, i: Int) =
+      s"list_sum(list_transform(generate_series(1, len($v)), j -> CAST($v[j] AS DOUBLE) * CAST((($i * 37 + (j - 1) * 13) % 7) - 3 AS DOUBLE)))"
+    def bucketSql(v: String) = (0 until 8)
+      .map(i => s"(CASE WHEN ${planeDot(v, i)} > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = "[qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]"
+    s"""WITH qraw AS (SELECT vec_id AS query_id, embedding AS ea, ${bucketSql("embedding")} AS qb
+      |              FROM embeddings WHERE vec_id < 10),
+      |     q AS (SELECT query_id, ea, unnest(list_distinct($probeList)) AS bucket FROM qraw),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb, ${bucketSql("embedding")} AS bucket
+      |           FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q JOIN c USING (bucket)),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q6_rollup
   /** ROLLUP aggregate (grouping-sets family; SURVEY §2.5 aggregations). */
   def q6Rollup(s: SparkSession, dir: String): DataFrame =
@@ -516,6 +554,7 @@ object Queries {
     "v12_centroids" -> v12Oracle,
     "v13_knn_cosine" -> v13Oracle,
     "v14_ivf_ann" -> v14Oracle,
+    "v15_lsh_multiprobe" -> v15Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle

@@ -40,9 +40,22 @@ object LshKnn {
     * return fewer than k when the bucket is small — the approximation).
     * Output (query_id, rank, neighbor_id, distance). */
   def knnJoin(
-      queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int): DataFrame = {
-    val q = queries.select(col("query_id"), col("embedding").as("q_embedding"),
-      bucket(col("embedding"), numPlanes).as("bucket"))
+      queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int): DataFrame =
+    knnJoinMultiProbe(queries, corpus, k, numPlanes, probeBits = 0)
+
+  /** Multi-probe variant: each query also probes every bucket within
+    * Hamming distance 1 on the first `probeBits` sign bits — the standard
+    * LSH recall booster (probeBits=0 degrades to single-bucket). Corpus
+    * rows are still bucketed once; only the (small) query side fans out,
+    * so the join stays an equi-join on bucket. */
+  def knnJoinMultiProbe(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int, probeBits: Int): DataFrame = {
+    val qb = bucket(col("embedding"), numPlanes)
+    val probes = array((qb +: (0 until probeBits).map(i => qb.bitwiseXOR(lit(1 << i)))): _*)
+    val q = queries
+      .select(col("query_id"), col("embedding").as("q_embedding"),
+        explode(array_distinct(probes)).as("bucket"))
     val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("c_embedding"),
       bucket(col("embedding"), numPlanes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
