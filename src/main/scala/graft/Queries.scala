@@ -236,11 +236,17 @@ object Queries {
 
   /** dehnsw index probe in exact mode (searchWidth=0 == reference RM=0
     * exhaustive semantics, dehnsw.h:300-307) — must equal the brute-force
-    * oracle exactly: same v4 SQL. */
+    * oracle exactly: same v4 SQL. Memoized + cached so v7's recall input
+    * is the SAME materialized result v6 dumps (one probe execution per
+    * session, not one per consumer). */
+  private val v6Cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def v6AnnExact(s: SparkSession, dir: String): DataFrame =
-    buildEmbIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 0)
-      .withColumn("distance", round(col("distance"), 6))
-      .orderBy(col("query_id"), col("rank"))
+    v6Cache.computeIfAbsent(dir, _ =>
+      buildEmbIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 0)
+        .withColumn("distance", round(col("distance"), 6))
+        .orderBy(col("query_id"), col("rank"))
+        .cache())
 
   /** E1+E2 recall evaluation of the exact probe against exact ground truth
     * (reference: example/dehnsw_example.cpp:10-44) — recall must be 1.0. */

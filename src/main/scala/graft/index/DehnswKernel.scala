@@ -53,6 +53,17 @@ final class EdgeList(initialCap: Int) extends Serializable {
 
   def removeLast(): Unit = size -= 1
 
+  /** Remove the entry at index i (shift-down; the list stays sorted) —
+    * needed by the prune path, where the evictee is the entry at index M,
+    * which is not the physically-last entry when the list had grown past M
+    * (possible after connectivity-repair re-insertions). Matches the
+    * reference's erase of the advanced iterator (dehnsw.h:441-464). */
+  def removeAt(i: Int): Unit = {
+    System.arraycopy(ds, i + 1, ds, i, size - i - 1)
+    System.arraycopy(ns, i + 1, ns, i, size - i - 1)
+    size -= 1
+  }
+
   def foreachEntry(f: (Double, Int) => Unit): Unit = {
     var i = 0
     while (i < size) { f(ds(i), ns(i)); i += 1 }
@@ -343,7 +354,10 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
           if (!deletedEdges.contains(target)) deletedEdges(target) = (evictDist, nbr)
           nAdj.dec(target)
           edges(target)(targetLayer).dec(nbr)
-          nOut.removeLast()
+          // remove the SAME entry whose refcounts were just decremented —
+          // index M, not the physically-last one (they differ when repair
+          // had grown the list past M)
+          nOut.removeAt(params.minimumConnect)
         }
         ci += 1
       }

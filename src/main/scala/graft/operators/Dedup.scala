@@ -114,22 +114,26 @@ object Dedup {
       TextFunctions.simHash32(col(textCol)).as("simhash"))
 
   /** Duplicate clusters from near-dup pairs: connected components by
-    * iterative min-label propagation (the distributed CC pattern —
-    * alternating join + min-aggregate until fixpoint). Every doc gets
+    * iterative min-label propagation plus pointer jumping. Every doc gets
     * cluster_id = the smallest doc id reachable through dup pairs
     * (singletons keep their own id). The fixpoint is unique, so the
     * result is engine-independent (oracled by a recursive CTE).
     *
-    * Scale: each iteration is one equi-join + partial min-agg; iterations
-    * needed = component diameter (tiny for dup clusters). Labels are
-    * cached per iteration so lineage stays flat. */
+    * Scale: each iteration is two equi-joins + a partial min-agg; the
+    * label(label(x)) jump makes iterations-to-converge O(log diameter)
+    * instead of O(diameter). Each iteration is materialized with
+    * localCheckpoint — caching alone keeps the logical plan growing
+    * exponentially with iterations (analysis/AQE explain cost, eventual
+    * driver OOM); checkpointing truncates lineage so iteration cost stays
+    * flat no matter how deep the loop runs. */
   def duplicateClusters(
       docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id")).cache()
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -137,11 +141,19 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val viaNbrs = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+      // pointer jump: label(x) is itself a doc id, so shortcut one level of
+      // indirection per round — min-propagation alone needs diameter rounds
+      val next = viaNbrs.as("m")
+        .join(labels.select(col("doc_id").as("ptr"), col("cluster_id").as("ptr_label")),
+          col("m.cluster_id") === col("ptr"), "left")
+        .select(col("m.doc_id").as("doc_id"),
+          least(col("m.cluster_id"), coalesce(col("ptr_label"), col("m.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") < col("old")).count()
       labels.unpersist()

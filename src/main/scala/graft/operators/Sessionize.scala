@@ -36,7 +36,11 @@ object Sessionize {
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
-        val evs = it.toArray.sortBy(e => (e.ts.getTime * 1000 + e.ts.getNanos / 1000, e.event_id))
+        // micros = epoch-seconds * 1e6 + fractional-second micros (getTime
+        // already includes nanos/1e6, so getTime*1000 + getNanos/1000 would
+        // double-count the sub-second part and mis-order fractional events)
+        val evs = it.toArray.sortBy(e =>
+          (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
         sessionsOf(uid, evs, gapMicros)
       }
       .toDF()
