@@ -25,14 +25,21 @@ object PipelineQueries {
       |FROM documents GROUP BY text ORDER BY digest""".stripMargin
 
   // ---------------------------------------------------------------- d2_ngram_jaccard
-  // d2 and p1 share the same pair computation; memoize the cached plan per
-  // sf dir so one session computes the shingle join once
+  // d2/d3/p1/d6 all start from the same shingled table, and d2's pairs
+  // feed p1/d6; memoize both per sf dir so one session computes the
+  // expensive scalar shingling and the inverted-index join once
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent(dir, _ =>
+      Dedup.shingled(Tables.documents(s, dir), n = 3).cache())
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(dir, _ =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8).cache())
+      Dedup.ngramJaccardPairsFromShingles(docShingles(s, dir), threshold = 0.8).cache())
 
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -50,7 +57,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- d3_minhash_pairs
   def d3MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCandidatePairs(Tables.documents(s, dir), n = 3, numHashes = 6, bandSize = 2)
+    Dedup.minHashCandidatePairsFromShingles(docShingles(s, dir), numHashes = 6, bandSize = 2)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val d3Oracle = {
@@ -261,8 +268,13 @@ object PipelineQueries {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- s1_stream_window
+  // streaming state partitions: state-store instances scale with this, so
+  // size it to key cardinality (windows/users — thousands here), not to
+  // scan parallelism; a 100 TB deployment raises it with the key space
+  private val streamStateParts = 4
+
   def s1StreamWindow(s: SparkSession, dir: String): DataFrame =
-    StreamingOps.hourlyByType(s, s"$dir/events.parquet")
+    StreamingOps.hourlyByType(s, s"$dir/events.parquet", streamStateParts)
       .orderBy(col("window_start"), col("event_type"))
 
   private val s1Oracle =
@@ -290,7 +302,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- s3_stream_sliding
   def s3StreamSliding(s: SparkSession, dir: String): DataFrame =
-    StreamingOps.slidingCounts(s, s"$dir/events.parquet")
+    StreamingOps.slidingCounts(s, s"$dir/events.parquet", streamStateParts)
       .orderBy(col("window_start"))
 
   private val s3Oracle =
@@ -303,7 +315,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- s4_stream_dedup
   def s4StreamDedup(s: SparkSession, dir: String): DataFrame =
-    StreamingOps.streamDedup(s, s"$dir/events.parquet")
+    StreamingOps.streamDedup(s, s"$dir/events.parquet", streamStateParts)
       .orderBy(col("user_id"), col("event_type"))
 
   private val s4Oracle =
@@ -312,7 +324,8 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- s5_stream_sessions
   def s5StreamSessions(s: SparkSession, dir: String): DataFrame =
-    StreamingOps.streamSessionize(s, s"$dir/events.parquet", gapMinutes = 30)
+    StreamingOps.streamSessionize(s, s"$dir/events.parquet", gapMinutes = 30,
+      statePartitions = streamStateParts)
       .orderBy(col("user_id"), col("session_id"))
 
   /** Oracle = batch gaps-and-islands, restricted to sessions the stream

@@ -32,14 +32,22 @@ object Dedup {
     * on distinct shingles. Output (doc_a, doc_b, jaccard), doc_a < doc_b.
     * The filter applies to the 6-dp-rounded value (so the oracle's rounding
     * matches exactly). */
+  /** Shingled form (doc_id, shingles) — shared input of the Jaccard and
+    * MinHash operators; callers running both should compute it once and
+    * cache (shingling is the expensive scalar work). */
+  def shingled(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // cache the shingled form: it feeds the inverted index plus the size
-    // lookup, and shingling (split + n x concat + distinct) is the
-    // expensive scalar work
-    val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.wordShingles(col(textCol), n).as("shingles")).cache()
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingled(docs, n, idCol, textCol).cache(), threshold)
+
+  /** Pair generation over a precomputed (doc_id, shingles) table. */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     // join-free pair generation: one shuffle groups postings per shingle,
     // pairs are emitted in-task from the sorted posting list (i<j), and
@@ -74,9 +82,11 @@ object Dedup {
     * shingles of md5("i:" + shingle) — deterministic in any engine. */
   def minHashSignatures(
       docs: DataFrame, n: Int, numHashes: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashSignaturesFromShingles(shingled(docs, n, idCol, textCol), numHashes)
+
+  /** Signatures over a precomputed (doc_id, shingles) table. */
+  def minHashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("shingles"), s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i")
     }
@@ -88,10 +98,16 @@ object Dedup {
     * bucket. Output distinct (doc_a, doc_b), doc_a < doc_b. */
   def minHashCandidatePairs(
       docs: DataFrame, n: Int, numHashes: Int, bandSize: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashCandidatePairsFromShingles(
+      shingled(docs, n, idCol, textCol), numHashes, bandSize)
+
+  /** Candidate pairs over a precomputed (doc_id, shingles) table. */
+  def minHashCandidatePairsFromShingles(
+      sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
     val numBands = numHashes / bandSize
-    val sigs = minHashSignatures(docs, n, numHashes, idCol, textCol)
+    val sigs = minHashSignaturesFromShingles(sh, numHashes)
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band$b")

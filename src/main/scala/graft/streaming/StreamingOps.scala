@@ -14,25 +14,74 @@ import graft.operators.Sessionize.{Event, Session}
   */
 object StreamingOps {
 
-  /** Tumbling-window aggregate: (window_start, event_type, n_events,
-    * total_value) over 1-hour windows. Complete output mode so every
-    * window is emitted regardless of watermark (the batch-equivalence
-    * contract). */
   /** Streaming read of the events parquet (TIMESTAMP(NANOS) handled the
     * same way as Tables.events: nanos-as-long + explicit conversion). */
+  private val stagedSources =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def eventsStream(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // the file-stream source requires a directory; stage a symlink to the
-    // single parquet file in a temp dir
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(eventsPath))
-    spark.readStream.schema(schema).parquet(dir.toString)
+    // single parquet file in a temp dir (memoized per source path)
+    val dir = stagedSources.computeIfAbsent(eventsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"), java.nio.file.Paths.get(eventsPath))
+      d.toString
+    })
+    spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  def hourlyByType(spark: SparkSession, eventsPath: String): DataFrame = {
+  /** Run a finite streaming plan to completion into an in-memory table.
+    *
+    * Fixed-cost engineering for the micro-batch path:
+    *  - state/shuffle partition count is scoped to `statePartitions` for
+    *    the duration of the run (state-store instances, and hence per-batch
+    *    commit fan-out, scale with it; size it to key cardinality, not to
+    *    the session's scan parallelism — the session value is restored
+    *    afterwards);
+    *  - the checkpoint goes to tmpfs (/dev/shm) when available and is
+    *    deleted after the run (the HDFS-backed store writes many small
+    *    delta files per batch — disk latency dominates on small state).
+    */
+  private def runFinite(
+      spark: SparkSession, plan: DataFrame, mode: String,
+      statePartitions: Int): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val shmRoot = java.nio.file.Paths.get("/dev/shm")
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(shmRoot)) shmRoot
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = plan.writeStream
+        .outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // best-effort cleanup of the per-run checkpoint
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.table(name)
+  }
+
+  /** Tumbling-window aggregate: (window_start, event_type, n_events,
+    * total_value) over 1-hour windows. Complete output mode so every
+    * window is emitted regardless of watermark (the batch-equivalence
+    * contract). */
+  def hourlyByType(
+      spark: SparkSession, eventsPath: String, statePartitions: Int = 0): DataFrame = {
     // stateless-complete aggregation needs no watermark-driven extra batch
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val agg = eventsStream(spark, eventsPath)
@@ -40,11 +89,7 @@ object StreamingOps {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 4).as("total_value"))
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    runFinite(spark, agg, "complete", statePartitions)
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
   }
@@ -60,7 +105,9 @@ object StreamingOps {
     * watermark passes its end + gap (event-time timeout), so on a finite
     * source the output is exactly: every session whose end + gap <=
     * max(ts) — which the batch SQL oracle reproduces. */
-  def streamSessionize(spark: SparkSession, eventsPath: String, gapMinutes: Int): DataFrame = {
+  def streamSessionize(
+      spark: SparkSession, eventsPath: String, gapMinutes: Int,
+      statePartitions: Int = 0): DataFrame = {
     // event-time timeouts fire in the watermark-advance (no-data) batch —
     // it must stay enabled here
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -111,11 +158,7 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
 
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    runFinite(spark, sessions.toDF(), "append", statePartitions)
   }
 
   /** Streaming exact dedup: emit the first occurrence of each
@@ -123,33 +166,27 @@ object StreamingOps {
     * stream (the streaming face of Dedup.exactDedup). Append mode: each
     * key is emitted exactly once, so on a finite source the result equals
     * batch DISTINCT. */
-  def streamDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+  def streamDedup(
+      spark: SparkSession, eventsPath: String, statePartitions: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val dedup = eventsStream(spark, eventsPath)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = dedup.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    runFinite(spark, dedup, "append", statePartitions)
   }
 
   /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a
     * batch oracle. */
-  def slidingCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+  def slidingCounts(
+      spark: SparkSession, eventsPath: String, statePartitions: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val agg = eventsStream(spark, eventsPath)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    runFinite(spark, agg, "complete", statePartitions)
       .select(col("w.start").as("window_start"), col("n_events"))
   }
 }
