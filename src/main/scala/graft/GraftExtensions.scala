@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     ext.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
     ext.injectFunction((FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[SquaredL2Distance].getName, "vec_l2sq"),
       es => SquaredL2Distance(es(0), es(1))))

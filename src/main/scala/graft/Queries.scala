@@ -221,14 +221,17 @@ object Queries {
   // a Verify/Bench session builds it once (the build itself is cached via
   // Dataset.cache inside VectorIndex.build).
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
+  private val corpusCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusCache.computeIfAbsent(dir, _ =>
+      Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding")))
 
   private def buildEmbIndex(s: SparkSession, dir: String): VectorIndex =
-    indexCache.computeIfAbsent(dir, _ => {
-      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("id"), col("embedding"))
-      VectorIndex.build(corpus,
-        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
-    })
+    indexCache.computeIfAbsent(dir, _ =>
+      VectorIndex.build(embCorpus(s, dir),
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4))
 
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 10)
@@ -298,6 +301,42 @@ object Queries {
     """SELECT CAST(vec_id % 4 AS INT) AS sub_index_id, COUNT(*) AS n_vectors
       |FROM embeddings WHERE vec_id >= 10
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- v16_sql_ann_rewrite
+  /** The optimizer rewrite end to end: a plain declarative
+    * `ORDER BY vec_l2sq(embedding, q) LIMIT 10` over the indexed corpus is
+    * rewritten by [[graft.plans.AnnTopKRewrite]] into an index probe
+    * (exact mode by default — bit-identical results, so the brute-force
+    * SQL oracle applies; `spark.graft.ann.searchWidth` opts into the ANN
+    * beam). The engine-side "index scan replaces sort" path. */
+  private val rewriteInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def v16SqlAnnRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val corpus = embCorpus(s, dir)
+    if (rewriteInstalled.add(dir)) {
+      GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
+      graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
+    }
+    val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    corpus
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(10)
+      .withColumn("distance", round(col("distance"), 6))
+  }
+
+  private val v16Oracle =
+    """WITH q AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM c CROSS JOIN q)
+      |SELECT neighbor_id, round(distance, 6) AS distance
+      |FROM d ORDER BY distance, neighbor_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- v10_lsh_ann
   /** LSH-bucketed approximate kNN (sign-projection buckets; the bucketed
@@ -561,6 +600,7 @@ object Queries {
     "v13_knn_cosine" -> v13Oracle,
     "v14_ivf_ann" -> v14Oracle,
     "v15_lsh_multiprobe" -> v15Oracle,
+    "v16_sql_ann_rewrite" -> v16Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle

@@ -96,9 +96,19 @@ class VectorIndex private (
   def query(queries: DataFrame, k: Int, searchWidth: Int, maxBatch: Int = 100000): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val queryBatch: Array[(Long, Array[Float])] = queries
+    val batch: Array[(Long, Array[Float])] = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    queryBatch(batch, k, searchWidth, maxBatch)
+  }
+
+  /** Probe with an already-materialized query batch (no collect) — used by
+    * the optimizer rewrite, where the query vector is a plan literal. */
+  def queryBatch(
+      queryBatch: Array[(Long, Array[Float])], k: Int, searchWidth: Int,
+      maxBatch: Int = 100000): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
     val iid = indexId

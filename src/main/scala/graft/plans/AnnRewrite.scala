@@ -1,0 +1,215 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, Expression, IntegerLiteral, Literal,
+  NamedExpression, SortOrder, Ascending}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.{
+  CosineDistance, DistanceMetric, InnerProductDistance, SquaredL2Distance}
+import graft.index.VectorIndex
+
+/** Registry binding a built [[VectorIndex]] to the corpus plan it indexes —
+  * the engine-side "CREATE INDEX" catalog that [[AnnTopKRewrite]] consults.
+  *
+  * The corpus DataFrame must expose (id LONG, embedding ARRAY<FLOAT>)
+  * columns (same contract as VectorIndex.build). Matching inside the
+  * optimizer is structural (`sameResult` on canonicalized plans), so a
+  * query is accelerated when its FROM subtree is the registered
+  * computation — the same frame reused, or an equivalent plan.
+  */
+object IndexCatalog {
+
+  /** idPos/embPos: positions of the id/embedding columns in `plan.output`.
+    * `stripped` is the plan under a top alias-only Project (the optimizer
+    * collapses adjacent Projects, so the matched subtree usually surfaces
+    * WITHOUT the registration-time Project on top), with the id/embedding
+    * positions mapped through to the child's output. */
+  private case class Entry(
+      index: VectorIndex,
+      plan: LogicalPlan, idPos: Int, embPos: Int,
+      stripped: Option[(LogicalPlan, Int, Int)])
+
+  private val entries =
+    new java.util.concurrent.CopyOnWriteArrayList[Entry]()
+
+  def clear(): Unit = entries.clear()
+
+  /** Register `index` as covering `corpus` (columns id, embedding). */
+  def register(index: VectorIndex, corpus: DataFrame): Unit = {
+    val plan = GraftSqlBridge.logicalPlan(corpus)
+    // use the session-optimized form: that is the shape subtrees have when
+    // the rewrite rule (an optimizer batch) sees them
+    val optimized = corpus.queryExecution.optimizedPlan
+    val idPos = optimized.output.indexWhere(_.name == "id")
+    val embPos = optimized.output.indexWhere(_.name == "embedding")
+    require(idPos >= 0 && embPos >= 0,
+      s"corpus must have id and embedding columns, got ${plan.output.map(_.name)}")
+    val stripped = optimized match {
+      case Project(projList, child) =>
+        // only an alias-only projection can be stripped losslessly
+        def source(ne: NamedExpression): Option[Attribute] = ne match {
+          case a: AttributeReference => Some(a)
+          case Alias(a: AttributeReference, _) => Some(a)
+          case _ => None
+        }
+        for {
+          idSrc <- source(projList(idPos))
+          embSrc <- source(projList(embPos))
+          idChildPos = child.output.indexWhere(_.exprId == idSrc.exprId)
+          embChildPos = child.output.indexWhere(_.exprId == embSrc.exprId)
+          if idChildPos >= 0 && embChildPos >= 0
+        } yield (child, idChildPos, embChildPos)
+      case _ => None
+    }
+    entries.add(Entry(index, optimized, idPos, embPos, stripped))
+  }
+
+  /** Find an index whose registered corpus computes the same result as
+    * `plan`; returns (index, idAttr, embAttr) in `plan`'s own attributes. */
+  private[plans] def lookup(plan: LogicalPlan): Option[(VectorIndex, Attribute, Attribute)] = {
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.plan.sameResult(plan)) {
+        return Some((e.index, plan.output(e.idPos), plan.output(e.embPos)))
+      }
+      e.stripped match {
+        case Some((inner, idPos, embPos)) if inner.sameResult(plan) =>
+          return Some((e.index, plan.output(idPos), plan.output(embPos)))
+        case _ =>
+      }
+    }
+    None
+  }
+}
+
+/** Optimizer rewrite: `ORDER BY vec_distance(embedding, <literal>) LIMIT k`
+  * over an indexed corpus becomes a [[VectorIndex]] probe — the engine-side
+  * analog of an index scan replacing a sort (SURVEY §7.2's planned v2 rule;
+  * reference capability: top-k query, source/dehnsw.h:512-529).
+  *
+  * Fires only when:
+  *  - the plan is GlobalLimit(k, LocalLimit, Sort(global)) over a Project
+  *    of a corpus registered in [[IndexCatalog]] (structural sameResult);
+  *  - the primary sort key is one of the engine distance expressions over
+  *    the corpus's embedding column and a foldable float-array literal,
+  *    with the index built for that metric;
+  *  - any further sort keys are just the id column (tie-break — the probe
+  *    already orders by (distance, id));
+  *  - every projected column is computable from (id, distance).
+  *
+  * Results: with `spark.graft.ann.searchWidth` = 0 (default) the probe is
+  * the per-shard exhaustive scan — bit-identical results to the sort plan,
+  * pure plan substitution. Setting it > 0 opts into the ANN beam (the
+  * reference's query-RM knob): sublinear probes, approximate results. A
+  * trailing Sort over the k result rows keeps the output-order contract.
+  */
+object AnnTopKRewrite extends Rule[LogicalPlan] {
+
+  private val widthConf = "spark.graft.ann.searchWidth"
+  private val maxK = 10000
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case orig @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Sort(orders, true, Project(projList, child), _)))
+        if k > 0 && k <= maxK && orders.nonEmpty =>
+      tryRewrite(k, orders, projList, child).getOrElse(orig)
+  }
+
+  private def metricOf(e: Expression): Option[(DistanceMetric, Attribute, Literal)] = {
+    def sides(l: Expression, r: Expression): Option[(Attribute, Literal)] = (l, r) match {
+      case (a: Attribute, lit: Literal) => Some((a, lit))
+      case (lit: Literal, a: Attribute) => Some((a, lit))
+      case _ => None
+    }
+    e match {
+      case SquaredL2Distance(l, r) => sides(l, r).map { case (a, v) => (DistanceMetric.Euclidean2, a, v) }
+      case InnerProductDistance(l, r) => sides(l, r).map { case (a, v) => (DistanceMetric.InnerProduct, a, v) }
+      case CosineDistance(l, r) => sides(l, r).map { case (a, v) => (DistanceMetric.Cosine, a, v) }
+      case _ => None
+    }
+  }
+
+  private def tryRewrite(
+      k: Int, orders: Seq[SortOrder], projList: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    // resolve sort keys through the projection's aliases
+    val aliasMap: Map[Attribute, Expression] =
+      projList.collect { case a: Alias => (a.toAttribute: Attribute) -> a.child }.toMap
+    def resolve(e: Expression): Expression = e.transformUp {
+      case a: Attribute if aliasMap.contains(a) => aliasMap(a)
+    }
+
+    val head = orders.head
+    if (head.direction != Ascending) return None
+    val (metric, embAttr, qLit) = metricOf(resolve(head.child)) match {
+      case Some(m) => m
+      case None => return None
+    }
+    qLit.dataType match {
+      case ArrayType(FloatType, _) =>
+      case _ => return None
+    }
+
+    val (index, idAttr, corpusEmbAttr) = IndexCatalog.lookup(child) match {
+      case Some(hit) => hit
+      case None => return None
+    }
+    if (index.params.metric != metric) return None
+    if (embAttr.exprId != corpusEmbAttr.exprId) return None
+
+    // tie-break keys beyond the distance must be the id column ascending
+    val tieOk = orders.tail.forall { o =>
+      o.direction == Ascending && (resolve(o.child) match {
+        case a: Attribute => a.exprId == idAttr.exprId
+        case _ => false
+      })
+    }
+    if (!tieOk) return None
+
+    val distExpr = resolve(head.child)
+    val qVec = qLit.value match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData => ad.toFloatArray()
+      case _ => return None
+    }
+    val width = conf.getConfString(widthConf, "0").toInt
+
+    // the probe plan, fully optimized on its own (no jobs run here — the
+    // broadcast inside the probe happens at execution time)
+    val probe = index.queryBatch(Array((0L, qVec)), k, width)
+    val probePlan = probe.queryExecution.optimizedPlan
+    val nbrAttr = probePlan.output.find(_.name == "neighbor_id").get
+    val probeDistAttr = probePlan.output.find(_.name == "distance").get
+
+    def map(e: Expression): Expression = resolve(e).transformUp {
+      case x if x.semanticEquals(distExpr) => probeDistAttr
+      case a: Attribute if a.exprId == idAttr.exprId => nbrAttr
+    }
+
+    // rebuild the projection over probe output, keeping names and exprIds
+    // so the substituted subtree binds wherever the original did; bail out
+    // unless every output column is computable from (id, distance)
+    val probeOut = org.apache.spark.sql.catalyst.expressions.AttributeSet(probePlan.output)
+    val newProj = projList.map { ne =>
+      val mapped = map(ne)
+      if (!mapped.references.subsetOf(probeOut)) return None
+      ne match {
+        case a: Alias => Alias(mapped, a.name)(exprId = a.exprId)
+        case other => Alias(mapped, other.name)(exprId = other.exprId)
+      }
+    }
+    // keep the sorted-output contract of the original Sort+Limit: sort the
+    // <= k probe rows (keys over probe attrs), then project to the original
+    // names/exprIds (Project preserves row order)
+    val outOrders = orders.map(o => o.copy(child = map(o.child)))
+    logInfo(s"graft: rewrote ORDER BY ${metric.name} LIMIT $k to index probe " +
+      s"(searchWidth=$width, shards=${index.numShards})")
+    Some(Project(newProj, Sort(outOrders, global = true, probePlan)))
+  }
+}

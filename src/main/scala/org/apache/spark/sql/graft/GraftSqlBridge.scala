@@ -38,6 +38,16 @@ object GraftSqlBridge {
     }
   }
 
+  /** Idempotently install an extra optimizer rule on a session. */
+  def addOptimizerRule(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r)) {
+      cs.experimental.extraOptimizations = r +: cs.experimental.extraOptimizations
+    }
+  }
+
   /** Register a Catalyst function builder under a SQL name. */
   def registerFunction(
       spark: SparkSession,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.index.{IndexParams, VectorIndex}
+import graft.plans.{AnnTopKRewrite, IndexCatalog}
+import org.apache.spark.sql.graft.GraftSqlBridge
+
+class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+    .filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding"))
+  private lazy val index = VectorIndex.build(corpus,
+    IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+
+  private def installed(): Unit = {
+    GraftSqlBridge.addOptimizerRule(spark, AnnTopKRewrite)
+    IndexCatalog.clear()
+    IndexCatalog.register(index, corpus)
+  }
+
+  private def qvec: Array[Float] = Tables.embeddings(spark, sfDir)
+    .filter(col("vec_id") === 0).select(col("embedding"))
+    .head.getSeq[Float](0).toArray
+
+  private def topKPlan(k: Int) = {
+    val d = VectorFunctions.squaredL2(col("embedding"), lit(qvec))
+    corpus
+      .select(col("id").as("neighbor_id"), d.as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(k)
+  }
+
+  test("ORDER BY vec_l2sq LIMIT k is rewritten to an index probe (exact, same rows)") {
+    installed()
+    val df = topKPlan(10)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("MapPartitions") || optimized.contains("SerializeFromObject"),
+      s"probe not spliced in:\n$optimized")
+    // bit-identical to the un-rewritten sort plan (exact-mode probe)
+    IndexCatalog.clear()
+    val expected = topKPlan(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    installed()
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === expected)
+    assert(got.length === 10)
+  }
+
+  test("rewrite keeps result order and exprIds under an outer projection") {
+    installed()
+    val outer = topKPlan(5)
+      .withColumn("distance", round(col("distance"), 6))
+      .withColumn("flag", lit(1))
+    val rows = outer.collect()
+    assert(rows.length === 5)
+    // ascending distances — the trailing sort preserved the contract
+    val ds = rows.map(_.getDouble(1))
+    assert(ds.sameElements(ds.sorted))
+  }
+
+  test("no rewrite for unregistered corpus, extra filters, or other sort keys") {
+    installed()
+    // different corpus subtree (extra filter) — must NOT be accelerated
+    val filtered = corpus.filter(col("id") =!= 11L)
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(10)
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+    assert(!filtered.collect().map(_.getLong(0)).contains(11L))
+
+    // descending order — not a kNN shape
+    val desc = corpus
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance").desc)
+      .limit(10)
+    assert(!desc.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+
+    // unregistered catalog
+    IndexCatalog.clear()
+    assert(!topKPlan(10).queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+  }
+
+  test("searchWidth > 0 opts into the ANN beam through the same SQL shape") {
+    installed()
+    spark.conf.set("spark.graft.ann.searchWidth", "8")
+    try {
+      val ann = topKPlan(10).collect()
+      assert(ann.length === 10)
+      val annIds = ann.map(_.getLong(0)).toSet
+      val exact = index.query(
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+          .select(lit(0L).as("query_id"), col("embedding")),
+        k = 10, searchWidth = 8)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      assert(annIds === exact, "rewritten ANN probe must equal the direct probe")
+    } finally spark.conf.set("spark.graft.ann.searchWidth", "0")
+  }
+}
