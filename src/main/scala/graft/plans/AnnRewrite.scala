@@ -119,7 +119,13 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     case orig @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(orders, true, Project(projList, child), _)))
         if k > 0 && k <= maxK && orders.nonEmpty =>
-      tryRewrite(k, orders, projList, child).getOrElse(orig)
+      tryRewrite(k, orders, projList, None, child).getOrElse(orig)
+    // PushProjectionThroughLimit moves output projections (e.g. a final
+    // round()) below the limit: Limit(Project(Sort(Project(corpus))))
+    case orig @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Project(outer, Sort(orders, true, Project(projList, child), _))))
+        if k > 0 && k <= maxK && orders.nonEmpty =>
+      tryRewrite(k, orders, projList, Some(outer), child).getOrElse(orig)
   }
 
   private def metricOf(e: Expression): Option[(DistanceMetric, Attribute, Literal)] = {
@@ -138,8 +144,10 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(
       k: Int, orders: Seq[SortOrder], projList: Seq[NamedExpression],
+      outerProj: Option[Seq[NamedExpression]],
       child: LogicalPlan): Option[LogicalPlan] = {
-    // resolve sort keys through the projection's aliases
+    // resolve sort keys and outer projections through the inner
+    // projection's aliases, down to expressions over `child`'s output
     val aliasMap: Map[Attribute, Expression] =
       projList.collect { case a: Alias => (a.toAttribute: Attribute) -> a.child }.toMap
     def resolve(e: Expression): Expression = e.transformUp {
@@ -192,17 +200,19 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case a: Attribute if a.exprId == idAttr.exprId => nbrAttr
     }
 
-    // rebuild the projection over probe output, keeping names and exprIds
-    // so the substituted subtree binds wherever the original did; bail out
-    // unless every output column is computable from (id, distance)
+    // rebuild the OUTERMOST projection over probe output, keeping names
+    // and exprIds so the substituted subtree binds wherever the original
+    // did; bail out unless every output column is computable from
+    // (id, distance)
     val probeOut = org.apache.spark.sql.catalyst.expressions.AttributeSet(probePlan.output)
-    val newProj = projList.map { ne =>
-      val mapped = map(ne)
-      if (!mapped.references.subsetOf(probeOut)) return None
-      ne match {
-        case a: Alias => Alias(mapped, a.name)(exprId = a.exprId)
-        case other => Alias(mapped, other.name)(exprId = other.exprId)
+    val outList = outerProj.getOrElse(projList)
+    val newProj = outList.map { ne =>
+      val mapped = ne match {
+        case a: Alias => map(a.child)
+        case other => map(other)
       }
+      if (!mapped.references.subsetOf(probeOut)) return None
+      Alias(mapped, ne.name)(exprId = ne.exprId)
     }
     // keep the sorted-output contract of the original Sort+Limit: sort the
     // <= k probe rows (keys over probe attrs), then project to the original

@@ -54,6 +54,9 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
     val outer = topKPlan(5)
       .withColumn("distance", round(col("distance"), 6))
       .withColumn("flag", lit(1))
+    // the outer projection is pushed below the limit by the optimizer —
+    // the rewrite must still fire through that shape
+    assert(outer.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
     val rows = outer.collect()
     assert(rows.length === 5)
     // ascending distances — the trailing sort preserved the contract
