@@ -59,14 +59,14 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .groupBy(col("s")).agg(ds)
       .filter(size(col("ds")) >= 2)
-    val pairsCol = flatten(transform(
-      sequence(lit(1), size(col("ds")) - 1),
-      i => transform(
-        slice(col("ds"), i + 1, size(col("ds")) - i),
-        b => struct(element_at(col("ds"), i).as("doc_a"), b.as("doc_b")))))
+    // pair emission via the native generator (one streaming pass — the HOF
+    // slice/flatten form copies O(m^2) elements per posting first)
+    val pairs = org.apache.spark.sql.graft.GraftSqlBridge.column(
+      graft.functions.SortedPairs(
+        org.apache.spark.sql.graft.GraftSqlBridge.expression(col("ds"))))
     val inter = postings
-      .select(explode(pairsCol).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(pairs.as(Seq("doc_a", "doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

@@ -65,6 +65,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(sessions.toSeq === Seq((1L, 0, 2L), (1L, 1, 1L), (2L, 0, 1L)))
   }
 
+  test("sessionize orders fractional-second events correctly (sort-key regression)") {
+    // 1.6s and 2.0s: the old key getTime*1000 + nanos/1000 double-counted
+    // the sub-second part (1.6s -> 2,200,000 us), ordering the earlier
+    // event AFTER the later one — visible as start_ts > end_ts
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    val events = Seq(
+      (1L, 1L, ts(1600), 1.0), (1L, 2L, ts(2000), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val s = Sessionize.sessionize(events, gapMinutes = 30)
+      .select("start_ts", "end_ts").as[(Timestamp, Timestamp)].head()
+    assert(s._1 === ts(1600))
+    assert(s._2 === ts(2000))
+  }
+
   test("multimodal payload round-trip: features computed from real bytes") {
     val docs = Seq((1L, "héllo wörld")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(Multimodal.withPayload(docs)).head
