@@ -338,6 +338,59 @@ object Queries {
       |SELECT neighbor_id, round(distance, 6) AS distance
       |FROM d ORDER BY distance, neighbor_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- v17_saveload
+  /** Persistence round-trip under the driver gate (reference O9/O10
+    * invariant, dehnsw.h:666-844 / dehnsw_example.cpp:208-228): save the
+    * built index, load it back, probe the LOADED copy in exact mode —
+    * results must equal the brute-force oracle, i.e. save/load preserves
+    * query answers. */
+  def v17Saveload(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_").toString
+    buildEmbIndex(s, dir).save(path)
+    val loaded = VectorIndex.load(s, path)
+    loaded.query(embQueries(s, dir), k = 10, searchWidth = 0)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // identical contract to v6 (exact probe of the same corpus/queries)
+  private val v17Oracle = v4Oracle
+
+  // ---------------------------------------------------------------- v18_sql_text
+  /** The SQL text surface: vec_* functions registered on the session
+    * (the extension path a deployment gets from
+    * spark.sql.extensions=graft.GraftExtensions), then a plain SQL string
+    * computes all three distances — gating that the registered functions
+    * are the same codegen expressions the DataFrame API uses. */
+  def v18SqlText(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    import graft.functions.{CosineDistance, InnerProductDistance, SquaredL2Distance}
+    GraftSqlBridge.registerFunction(s, "vec_l2sq", es => SquaredL2Distance(es(0), es(1)))
+    GraftSqlBridge.registerFunction(s, "vec_ip_dist", es => InnerProductDistance(es(0), es(1)))
+    GraftSqlBridge.registerFunction(s, "vec_cos_dist", es => CosineDistance(es(0), es(1)))
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+    s.sql("""
+      SELECT a.vec_id,
+             round(vec_l2sq(a.embedding, b.embedding), 6) AS d_l2sq,
+             round(vec_ip_dist(a.embedding, b.embedding), 6) AS d_ip,
+             round(vec_cos_dist(a.embedding, b.embedding), 6) AS d_cos
+      FROM graft_embeddings a
+      JOIN graft_embeddings b ON b.vec_id = a.vec_id + 100
+      WHERE a.vec_id < 50
+      ORDER BY a.vec_id""")
+  }
+
+  private val v18Oracle =
+    s"""WITH a AS (SELECT vec_id, embedding AS ea FROM embeddings WHERE vec_id < 50),
+      |     b AS (SELECT vec_id - 100 AS vec_id, embedding AS eb FROM embeddings WHERE vec_id >= 100 AND vec_id < 150)
+      |SELECT vec_id,
+      |  round($sqDistSql, 6) AS d_l2sq,
+      |  round(1.0 - ${dotSql("ea", "eb")}, 6) AS d_ip,
+      |  round(1.0 - ${dotSql("ea", "eb")} / (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})), 6) AS d_cos
+      |FROM a JOIN b USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- v10_lsh_ann
   /** LSH-bucketed approximate kNN (sign-projection buckets; the bucketed
     * scale path next to the graph index). Deterministic planes => exact
@@ -601,6 +654,8 @@ object Queries {
     "v14_ivf_ann" -> v14Oracle,
     "v15_lsh_multiprobe" -> v15Oracle,
     "v16_sql_ann_rewrite" -> v16Oracle,
+    "v17_saveload" -> v17Oracle,
+    "v18_sql_text" -> v18Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle

@@ -59,6 +59,8 @@ object SparkEntry {
     "v14_ivf_ann" -> ((s, dir) => Queries.v14IvfAnn(s, dir)),
     "v15_lsh_multiprobe" -> ((s, dir) => Queries.v15LshMultiprobe(s, dir)),
     "v16_sql_ann_rewrite" -> ((s, dir) => Queries.v16SqlAnnRewrite(s, dir)),
+    "v17_saveload" -> ((s, dir) => Queries.v17Saveload(s, dir)),
+    "v18_sql_text" -> ((s, dir) => Queries.v18SqlText(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))

@@ -99,4 +99,21 @@ class PropertySpec extends AnyFunSuite {
           res.sliding(2).forall { case Array(a, b) => a._1 <= b._1; case _ => true }
     })
   }
+
+  test("SortedPairs emits exactly the i<j pairs of a sorted array") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0L, 50L))) { xs: List[Long] =>
+      val sorted = xs.distinct.sorted
+      val gen = graft.functions.SortedPairs(
+        BoundReference(0, ArrayType(LongType, containsNull = false), nullable = false))
+      val row = InternalRow(new GenericArrayData(sorted.toArray))
+      val got = gen.eval(row).iterator.toList.map(r => (r.getLong(0), r.getLong(1)))
+      val want = for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+      got == want.toList
+    })
+  }
 }
