@@ -381,6 +381,43 @@ object Queries {
       ORDER BY a.vec_id""")
   }
 
+  // ---------------------------------------------------------------- b1_bucketed_join
+  /** Co-located join via bucketed tables — the 100 TB shuffle-elimination
+    * path (SCALE.md: "a bucketed corpus table would remove even that
+    * exchange"): both sides written bucketBy(custkey) + sortBy, so the
+    * sort-merge join runs with NO Exchange and NO Sort on either side
+    * (verified in BucketedJoinSpec); only the tiny post-join aggregate
+    * shuffles. The merge hint keeps the demo honest (AQE would otherwise
+    * broadcast the small test-scale dimension). */
+  private val bucketed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def b1BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val oTab = s"graft_orders_bkt_$tag"
+    val cTab = s"graft_customer_bkt_$tag"
+    if (bucketed.add(dir)) {
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oTab)
+      Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTab)
+    }
+    s.table(oTab).hint("merge")
+      .join(s.table(cTab).hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val b1Oracle =
+    """SELECT c_mktsegment,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   private val v18Oracle =
     s"""WITH a AS (SELECT vec_id, embedding AS ea FROM embeddings WHERE vec_id < 50),
       |     b AS (SELECT vec_id - 100 AS vec_id, embedding AS eb FROM embeddings WHERE vec_id >= 100 AND vec_id < 150)
@@ -656,6 +693,7 @@ object Queries {
     "v16_sql_ann_rewrite" -> v16Oracle,
     "v17_saveload" -> v17Oracle,
     "v18_sql_text" -> v18Oracle,
+    "b1_bucketed_join" -> b1Oracle,
     "q6_rollup" -> q6Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle

@@ -46,8 +46,18 @@ object Dedup {
     ngramJaccardPairsFromShingles(
       shingled(docs, n, idCol, textCol).cache(), threshold)
 
-  /** Pair generation over a precomputed (doc_id, shingles) table. */
-  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+  /** Pair generation over a precomputed (doc_id, shingles) table.
+    *
+    * @param maxShingleDf drop shingles appearing in more than this many
+    *   docs before pair emission — a near-universal shingle cannot push a
+    *   pair over any useful Jaccard threshold but inflates the emitted
+    *   pairs quadratically; the 100 TB knob. Note the intersection counts
+    *   of surviving pairs then undercount capped shingles, so results are
+    *   a (deliberate) lower bound when the cap is active; the default
+    *   keeps exact semantics. */
+  def ngramJaccardPairsFromShingles(
+      sh: DataFrame, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     // join-free pair generation: one shuffle groups postings per shingle,
     // pairs are emitted in-task from the sorted posting list (i<j), and
@@ -58,7 +68,7 @@ object Dedup {
     val postings = sh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .groupBy(col("s")).agg(ds)
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxShingleDf)
     // pair emission via the native generator (one streaming pass — the HOF
     // slice/flatten form copies O(m^2) elements per posting first)
     val pairs = org.apache.spark.sql.graft.GraftSqlBridge.column(

@@ -65,6 +65,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(sessions.toSeq === Seq((1L, 0, 2L), (1L, 1, 1L), (2L, 0, 1L)))
   }
 
+  test("ngramJaccardPairs df-cap: no-op above max df, prunes below") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, 3)
+    val uncapped = Dedup.ngramJaccardPairsFromShingles(sh, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cappedHigh = Dedup.ngramJaccardPairsFromShingles(sh, 0.8, maxShingleDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cappedHigh === uncapped)
+    assert(uncapped === Set((1L, 2L)))
+    // cap of 1 drops every shared shingle -> no pairs survive
+    val capped1 = Dedup.ngramJaccardPairsFromShingles(sh, 0.8, maxShingleDf = 1)
+      .collect()
+    assert(capped1.isEmpty)
+  }
+
   test("sessionize orders fractional-second events correctly (sort-key regression)") {
     // 1.6s and 2.0s: the old key getTime*1000 + nanos/1000 double-counted
     // the sub-second part (1.6s -> 2,200,000 us), ordering the earlier
