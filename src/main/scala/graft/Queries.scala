@@ -396,9 +396,26 @@ object Queries {
     val oTab = s"graft_orders_bkt_$tag"
     val cTab = s"graft_customer_bkt_$tag"
     if (bucketed.add(dir)) {
-      Tables.orders(s, dir).write.mode("overwrite")
+      // a previous SESSION may have left the table directories in the
+      // warehouse while this session's in-memory catalog has no entry —
+      // saveAsTable would then fail on the existing path; clear both
+      def reset(tab: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tab")
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val dirPath = java.nio.file.Paths.get(wh, tab.toLowerCase)
+        if (java.nio.file.Files.exists(dirPath)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      reset(oTab); reset(cTab)
+      // co-partition on the bucket key before writing so each task emits
+      // one file per bucket instead of every task writing every bucket
+      // (tasks x buckets small files otherwise)
+      Tables.orders(s, dir).repartition(8, col("o_custkey")).write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oTab)
-      Tables.customer(s, dir).write.mode("overwrite")
+      Tables.customer(s, dir).repartition(8, col("c_custkey")).write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTab)
     }
     s.table(oTab).hint("merge")
