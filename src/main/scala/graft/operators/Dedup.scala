@@ -190,22 +190,54 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: cosine similarity >= threshold,
-    * id_a < id_b. Brute-force pair generation (right side broadcast when
-    * small); at scale, generate candidates with VectorIndex instead. */
+    * id_a < id_b. Fused pair scan: the table is collected + broadcast
+    * once (ids, vectors, norms), and each partition streams its rows
+    * against the broadcast side emitting only qualifying pairs — no
+    * join-row materialization (the declarative BNLJ form materializes all
+    * n^2/2 wide rows first). Math is bit-identical to the Catalyst
+    * expressions: sequential Double folds, norm computed once per row,
+    * rounding/filtering left to Catalyst `round`.
+    *
+    * Scale: broadcast bounds this to tables that fit an executor
+    * (a dims/labels table); for a full corpus, generate candidates with
+    * VectorIndex/LSH and verify only those. */
   def embeddingNearDupPairs(
       embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // precompute each row's norm once (identical doubles to computing it
-    // per pair — same expression over the same input), so the O(n^2) pair
-    // loop does one dot product instead of three
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("ea"),
-      VectorFunctions.l2Norm(col(vecCol)).as("norm_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("eb"),
-      VectorFunctions.l2Norm(col(vecCol)).as("norm_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine_sim",
-        round(VectorFunctions.dotProduct(col("ea"), col("eb")) / (col("norm_a") * col("norm_b")), 6))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val side: Array[(Long, Array[Float], Double)] = rows.collect()
+      .sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotD(v, v))) }
+    val bc = spark.sparkContext.broadcast(side)
+    val thr = threshold
+    val raw = rows.mapPartitions { it =>
+      val s = bc.value
+      it.flatMap { case (ida, va) =>
+        val na = math.sqrt(dotD(va, va))
+        // round-to-6 can only pull a value over the threshold from just
+        // below it; pre-filter with a safe margin and let Catalyst round
+        // decide exactly
+        val cut = thr - 1e-6
+        s.iterator
+          .filter(_._1 > ida)
+          .map { case (idb, vb, nb) => (ida, idb, dotD(va, vb) / (na * nb)) }
+          .filter(_._3 >= cut)
+      }
+    }.toDF("id_a", "id_b", "sim_raw")
+    raw
+      .withColumn("cosine_sim", round(col("sim_raw"), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Sequential Double dot product — identical operation order to the
+    * DotProduct Catalyst expression (and the DuckDB oracle folds). */
+  @inline private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
   }
 }
