@@ -140,6 +140,13 @@ class VectorIndex private (
     TopK.topKMerge(candidateChunks.reduce(_ union _), k)
   }
 
+  /** Materialize the index — the engine-side A5 `optimize` (reference:
+    * python_binding/dehnswpy.cpp:18-21, a deep-copy compaction no-op that
+    * exists to settle memory after build): forces the cached rows to
+    * compute so later probes pay no build cost. Returns this index,
+    * mirroring the reference's returned copy. */
+  def optimize(): VectorIndex = { rows.count(); this }
+
   /** Persist index rows + shard meta + params (reference save/load
     * round-trip invariant: dehnsw.h:666-844, exercised at
     * dehnsw_example.cpp:208-228). */

@@ -62,6 +62,14 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(after.exceptAll(before).count() === 0)
   }
 
+  test("chunked query batches (maxBatch) merge to the same global top-k") {
+    val whole = index.query(queries, k = 5, searchWidth = 0)
+    val chunked = index.query(queries, k = 5, searchWidth = 0, maxBatch = 3)
+    assert(whole.exceptAll(chunked).count() === 0)
+    assert(chunked.exceptAll(whole).count() === 0)
+    assert(index.optimize() eq index)
+  }
+
   test("query batch order does not affect results (permutation invariance)") {
     val shuffled = queries.orderBy(rand(7))
     val a = index.query(queries, k = 5, searchWidth = 8)
