@@ -58,26 +58,67 @@ object Dedup {
   def ngramJaccardPairsFromShingles(
       sh: DataFrame, threshold: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    // join-free pair generation: one shuffle groups postings per shingle,
-    // pairs are emitted in-task from the sorted posting list (i<j), and
-    // the pair counts partial-aggregate before the second shuffle. Cost is
-    // sum over shingles of m^2 (benign unless a shingle is near-universal;
-    // a df-cap belongs here if the corpus has stopword-like shingles).
-    val ds = array_sort(collect_list(col("doc_id"))).as("ds")
-    val postings = sh
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .groupBy(col("s")).agg(ds)
-      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxShingleDf)
-    // pair emission via the native generator (one streaming pass — the HOF
-    // slice/flatten form copies O(m^2) elements per posting first)
-    val pairs = org.apache.spark.sql.graft.GraftSqlBridge.column(
-      graft.functions.SortedPairs(
-        org.apache.spark.sql.graft.GraftSqlBridge.expression(col("ds"))))
-    val inter = postings
-      .select(pairs.as(Seq("doc_a", "doc_b")))
+    // join-free pair generation, fused: ONE shuffle co-locates postings by
+    // shingle (sorted within partition so a shingle's docs are adjacent);
+    // each task then walks its groups, emits the i<j pairs of each posting
+    // list, and pre-aggregates pair counts into a bounded in-task map
+    // (flushed as partial rows when full — memory stays capped, the final
+    // groupBy sums partials). The second shuffle therefore carries
+    // near-distinct (doc_a, doc_b) partials, not one row per co-occurrence.
+    // Cost is sum over shingles of m^2 — benign unless a shingle is
+    // near-universal; `maxShingleDf` is that cap.
+    val cap = maxShingleDf
+    val partials = sh
+      .select(col("doc_id").cast("long"), explode(col("shingles")).as("s"))
+      .as[(Long, String)]
+      .repartition(col("s"))
+      .sortWithinPartitions(col("s"))
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[(Long, Long), Long](1 << 16)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        def flush(): Unit = {
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            out += ((kv.getKey._1, kv.getKey._2, kv.getValue))
+          }
+          counts.clear()
+        }
+        val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var cur: String = null
+        def emitGroup(): Unit = {
+          val m = docs.length
+          if (m >= 2 && m <= cap) {
+            val a = docs.toArray
+            java.util.Arrays.sort(a)
+            var i = 0
+            while (i < m - 1) {
+              var j = i + 1
+              while (j < m) {
+                counts.merge((a(i), a(j)), 1L, (x, y) => x + y)
+                j += 1
+              }
+              i += 1
+            }
+            if (counts.size > (1 << 20)) flush()
+          }
+          docs.clear()
+        }
+        it.foreach { case (id, s) =>
+          if (s != cur) { if (cur != null) emitGroup(); cur = s }
+          docs += id
+        }
+        if (cur != null) emitGroup()
+        flush()
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "partial")
+    val inter = partials
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(sum(col("partial")).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
