@@ -500,22 +500,15 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * O(shard size) but guaranteed exact even if pruning ever disconnects
     * the graph, so exact mode is a true brute-force oracle. */
   def bruteForceTopK(q: Array[Float], k: Int): Array[(Double, Long)] = {
-    val result = mutable.TreeSet.empty[(Double, Long)]
+    // primitive bounded heap — same (dist, id) lexicographic replacement
+    // as a sorted set, no per-candidate boxing
+    val result = new graft.operators.TopKBuffer(k)
     var i = 0
     while (i < count) {
-      val d = distExact(q, data(i))
-      val gid = globalIds(i)
-      if (result.size < k) result.add((d, gid))
-      else {
-        val worst = result.last
-        if (d < worst._1 || (d == worst._1 && gid < worst._2)) {
-          result.remove(worst)
-          result.add((d, gid))
-        }
-      }
+      result.insert(distExact(q, data(i)), globalIds(i))
       i += 1
     }
-    result.toArray
+    result.sortedPairs
   }
 
   /** Query kernel — `nearest_neighbors_query` (reference: dehnsw.h:241-323).
@@ -526,8 +519,8 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * component = exact search. Returns ascending (distance, globalId). */
   def queryTopK(q: Array[Float], k: Int, searchWidth: Int): Array[(Double, Long)] = {
     if (count == 0) return Array.empty
-    // worst-first bounded result on (dist, globalId)
-    val result = mutable.TreeSet.empty[(Double, Long)]
+    // worst-first bounded result over (dist, offset) — primitive heap
+    val result = new graft.operators.TopKBuffer(k)
     var outOfBound = 1
     freshStamps()
     val waiting = new MinHeap(64)
@@ -561,11 +554,12 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
       val v = waiting.headId
       waiting.removeHead()
       if (result.size < k) {
-        result.add((d, v.toLong))
-      } else if (d < result.last._1) {
+        result.insert(d, v.toLong)
+      } else if (d < result.worstDist) {
+        // strictly-closer only (reference dehnsw.h:292-295): an equal
+        // distance neither enters the set nor resets the RM counter
         outOfBound = 1
-        result.remove(result.last)
-        result.add((d, v.toLong))
+        result.insert(d, v.toLong)
       } else if (searchWidth == outOfBound) {
         break = true
       } else {
@@ -587,9 +581,15 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     // report full-precision distances for the selected candidates (the
     // search metric is float for speed; the returned distances must be
     // comparable with the exact/oracle path, so recompute in Double)
-    result.toArray.map { case (_, off) =>
-      val o = off.toInt
-      (distExact(q, data(o)), globalIds(o))
-    }.sortBy(identity)
+    val out = new Array[(Double, Long)](result.size)
+    var ri = 0
+    while (ri < result.size) {
+      val o = result.ids(ri).toInt
+      out(ri) = (distExact(q, data(o)), globalIds(o))
+      ri += 1
+    }
+    scala.util.Sorting.stableSort(out,
+      (a: (Double, Long), b: (Double, Long)) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    out
   }
 }

@@ -18,12 +18,15 @@ import org.apache.spark.sql.types._
   */
 final class TopKBuffer(val k: Int) extends Serializable {
   // max-heap: root is the *worst* kept candidate (largest (d, id))
-  private[operators] val dists = new Array[Double](k)
-  private[operators] val ids = new Array[Long](k)
-  private[operators] var size = 0
+  private[graft] val dists = new Array[Double](k)
+  private[graft] val ids = new Array[Long](k)
+  private[graft] var size = 0
 
   @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
+
+  /** Worst kept distance — the max-heap root (valid when size > 0). */
+  @inline def worstDist: Double = dists(0)
 
   def insert(d: Double, id: Long): Unit = {
     if (size < k) {
