@@ -653,6 +653,30 @@ object Queries {
       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  // ---------------------------------------------------------------- q8_cube
+  /** CUBE grouping sets (all four combinations) — completes the
+    * grouping-set surface next to q6's ROLLUP. */
+  def q8Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q8Oracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   // ---------------------------------------------------------------- q7_dates
   /** Date/time functions: monthly order aggregates via date_trunc. */
   def q7Dates(s: SparkSession, dir: String): DataFrame =
@@ -712,6 +736,7 @@ object Queries {
     "v18_sql_text" -> v18Oracle,
     "b1_bucketed_join" -> b1Oracle,
     "q6_rollup" -> q6Oracle,
+    "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,
     "t5_json" -> t5Oracle
   )

@@ -63,6 +63,7 @@ object SparkEntry {
     "v18_sql_text" -> ((s, dir) => Queries.v18SqlText(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
+    "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
