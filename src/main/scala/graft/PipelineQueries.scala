@@ -61,8 +61,10 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val d3Oracle = {
+    // one md5 per shingle; hash i = the i-th 5-hex slice of the digest
+    // (mirrors Dedup.minHashSignaturesFromShingles)
     val sigCols = (0 until 6)
-      .map(i => s"list_min(list_transform(shingles, x -> md5('$i:' || x))) AS mh$i")
+      .map(i => s"list_min(list_transform(shingles, x -> substr(md5(x), ${1 + i * 5}, 5))) AS mh$i")
       .mkString(", ")
     val bandSelects = (0 until 3)
       .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")

@@ -129,8 +129,12 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes independent min-hashes over distinct
-    * word-n-gram shingles. Hash i of a doc = lexicographic min over
-    * shingles of md5("i:" + shingle) — deterministic in any engine. */
+    * word-n-gram shingles. ONE md5 per shingle; hash i is the i-th 5-hex
+    * (20-bit) slice of that digest — disjoint slices of a cryptographic
+    * hash are independent uniform functions of the shingle, so the mins
+    * are statistically equivalent to numHashes separate hashes at 1/numHashes
+    * the hashing cost. Deterministic in any engine (md5 + substr).
+    * numHashes <= 6 keeps slices within the first 30 hex chars. */
   def minHashSignatures(
       docs: DataFrame, n: Int, numHashes: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -138,10 +142,14 @@ object Dedup {
 
   /** Signatures over a precomputed (doc_id, shingles) table. */
   def minHashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes <= 6, "slice-derived minhash supports up to 6 hashes per md5")
+    // materialize the digests once per row — inlining the transform into
+    // each sigCol would recompute the md5 pass numHashes times
+    val withDigests = sh.withColumn("hs", transform(col("shingles"), s => md5(s)))
     val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i")
+      array_min(transform(col("hs"), h => substring(h, 1 + i * 5, 5))).as(s"mh$i")
     }
-    sh.select(col("doc_id") +: sigCols: _*)
+    withDigests.select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH candidate pairs: band the signature (bandSize hashes per band),
