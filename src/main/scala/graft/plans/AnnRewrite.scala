@@ -186,7 +186,9 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case ad: org.apache.spark.sql.catalyst.util.ArrayData => ad.toFloatArray()
       case _ => return None
     }
-    val width = conf.getConfString(widthConf, "0").toInt
+    val width =
+      try math.max(conf.getConfString(widthConf, "0").toInt, 0)
+      catch { case _: NumberFormatException => 0 }
 
     // the probe plan, fully optimized on its own (no jobs run here — the
     // broadcast inside the probe happens at execution time)
