@@ -269,6 +269,17 @@ object PipelineQueries {
       |WHERE i <= greatest(CAST(ceil(length(text) / 64.0) AS INT), 1)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m3_resize
+  def m3Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(Tables.documents(s, dir), stride = 4)
+      .orderBy(col("doc_id"))
+
+  private val m3Oracle =
+    """SELECT doc_id, length(text) AS orig_chars,
+      |  length(array_to_string(list_transform(generate_series(1, greatest(CAST(ceil(length(text) / 4.0) AS INT), 1)), i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_chars,
+      |  md5(array_to_string(list_transform(generate_series(1, greatest(CAST(ceil(length(text) / 4.0) AS INT), 1)), i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -402,6 +413,7 @@ object PipelineQueries {
     "t6_strings" -> ((s, dir) => t6Strings(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
+    "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -424,6 +436,7 @@ object PipelineQueries {
     "t6_strings" -> t6Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
+    "m3_resize" -> m3Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

@@ -39,6 +39,25 @@ object Multimodal {
       .select(col("doc_id"), (col("pos") + 1).as("frame_idx"), col("frame_md5"))
   }
 
+  /** Resize/downsample stub: stride decimation over the payload characters
+    * (the 1-D analog of image downscaling — keep every `stride`-th sample),
+    * with the re-encode fingerprinted. Character-based so the operator is
+    * exactly reproducible in plain SQL; a real pipeline swaps the stride
+    * loop for the codec's scaler inside the same projection shape.
+    * Output: (doc_id, orig_chars, resized_chars, resized_md5). */
+  def resizeStub(docs: DataFrame, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = greatest(ceil(length(col(textCol)) / lit(stride.toDouble)).cast("int"), lit(1))
+    val resized = array_join(
+      transform(sequence(lit(1), n),
+        i => col(textCol).substr((i - 1) * stride + 1, lit(1))), "")
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("orig_chars"),
+      length(resized).as("resized_chars"),
+      md5(resized).as("resized_md5"))
+  }
+
   /** Batched "decode + feature extract" over the binary payload. The stub
     * features (byte length + sha256 hex digest) are computed from the raw
     * bytes inside the task — exactly where a real decoder would run. */
