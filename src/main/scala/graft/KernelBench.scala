@@ -13,13 +13,16 @@ import graft.operators.{ExactKnn, RecallEval}
   * single-thread profile) plus the distributed multi-shard path, reporting
   * per-insert and per-query microseconds and recall.
   *
-  * Run: sbt "runMain graft.KernelBench [nVectors] [dim]"
+  * Run: sbt "runMain graft.KernelBench [nVectors] [dim] [sparkOnly]"
+  * (third arg "sparkOnly" skips the single-thread section — for corpus
+  * sizes where a one-thread build is the thing being avoided)
   */
 object KernelBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(60000)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val sparkOnly = args.lift(2).contains("sparkOnly")
     val k = 100
     val nQueries = 100
     val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128, step = 4)
@@ -28,26 +31,28 @@ object KernelBench {
     val data = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
     val queries = Array.fill(nQueries)(Array.fill(dim)(rnd.nextFloat()))
 
-    // --- single-thread, single-shard kernel (reference-comparable) ---
-    val t0 = System.nanoTime()
-    val g = new SubIndexGraph(params, n)
-    var i = 0
-    while (i < n) { g.insert(i.toLong, data(i)); i += 1 }
-    val buildUs = (System.nanoTime() - t0) / 1000.0
-    println(f"build: $n%d vectors, ${buildUs / n}%.1f us/insert, total ${buildUs / 1e6}%.2f s")
+    if (!sparkOnly) {
+      // --- single-thread, single-shard kernel (reference-comparable) ---
+      val t0 = System.nanoTime()
+      val g = new SubIndexGraph(params, n)
+      var i = 0
+      while (i < n) { g.insert(i.toLong, data(i)); i += 1 }
+      val buildUs = (System.nanoTime() - t0) / 1000.0
+      println(f"build: $n%d vectors, ${buildUs / n}%.1f us/insert, total ${buildUs / 1e6}%.2f s")
 
-    for (sw <- Seq(1, 16, 64)) {
-      val q0 = System.nanoTime()
-      var qi = 0
-      while (qi < nQueries) { g.queryTopK(queries(qi), k, sw); qi += 1 }
-      val qUs = (System.nanoTime() - q0) / 1000.0 / nQueries
-      // recall vs exact brute force on the same shard
-      val hits = queries.map { q =>
-        val ann = g.queryTopK(q, k, sw).map(_._2).toSet
-        val exact = g.bruteForceTopK(q, k).map(_._2).toSet
-        (ann intersect exact).size
-      }.sum
-      println(f"query(sw=$sw%3d): $qUs%9.1f us/query, recall@$k ${hits.toDouble / (nQueries * k)}%.3f")
+      for (sw <- Seq(1, 16, 64)) {
+        val q0 = System.nanoTime()
+        var qi = 0
+        while (qi < nQueries) { g.queryTopK(queries(qi), k, sw); qi += 1 }
+        val qUs = (System.nanoTime() - q0) / 1000.0 / nQueries
+        // recall vs exact brute force on the same shard
+        val hits = queries.map { q =>
+          val ann = g.queryTopK(q, k, sw).map(_._2).toSet
+          val exact = g.bruteForceTopK(q, k).map(_._2).toSet
+          (ann intersect exact).size
+        }.sum
+        println(f"query(sw=$sw%3d): $qUs%9.1f us/query, recall@$k ${hits.toDouble / (nQueries * k)}%.3f")
+      }
     }
 
     // --- distributed build+probe through the full Spark path ---
