@@ -37,6 +37,11 @@ object ShardGraphCache {
         g
       }
     }
+
+  /** Cache lookup without building — lets the probe skip materializing a
+    * shard's rows entirely when its graph is already resident. */
+  def peek(indexId: String, shardId: Int): SubIndexGraph =
+    cache.synchronized { cache.get((indexId, shardId)) }
 }
 
 /** One persisted index row: a vector plus its per-layer adjacency
@@ -115,29 +120,58 @@ class VectorIndex private (
 
     val candidateChunks = queryBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
       val bcQueries = spark.sparkContext.broadcast(chunk)
-      rows
-        .repartition(numShards, col("sub_index_id"))
-        .sortWithinPartitions(col("sub_index_id"), col("offset"))
+      probeRows
         .mapPartitions { it =>
-          val grouped = it.toSeq.groupBy(_.sub_index_id)
-          grouped.iterator.flatMap { case (shardId, shardRows) =>
-            val m = bcMeta.value(shardId)
-            val g = ShardGraphCache.getOrRehydrate(iid, shardId)(
-              VectorIndex.rehydrate(p, m, shardRows))
-            // the graph carries reusable search scratch -> serialize probes
-            g.synchronized {
-              bcQueries.value.toArray.flatMap { case (qid, qvec) =>
-                val topk =
-                  if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
-                  else g.queryTopK(qvec, k, searchWidth)
-                topk.map { case (d, gid) => (qid, d, gid) }
-              }.iterator
+          // rows arrive sorted by (sub_index_id, offset): walk each shard
+          // group once; when the shard's graph is already resident in the
+          // executor cache, skip past its rows without materializing them
+          val bit = it.buffered
+          new Iterator[(Long, Double, Long)] {
+            private var pending: Iterator[(Long, Double, Long)] = Iterator.empty
+            def hasNext: Boolean = {
+              while (!pending.hasNext && bit.hasNext) pending = nextShard()
+              pending.hasNext
+            }
+            def next(): (Long, Double, Long) = { hasNext; pending.next() }
+            private def nextShard(): Iterator[(Long, Double, Long)] = {
+              val shardId = bit.head.sub_index_id
+              var g = ShardGraphCache.peek(iid, shardId)
+              if (g != null) {
+                while (bit.hasNext && bit.head.sub_index_id == shardId) bit.next()
+              } else {
+                val shardRows = mutable.ArrayBuffer.empty[IndexRow]
+                while (bit.hasNext && bit.head.sub_index_id == shardId)
+                  shardRows += bit.next()
+                g = ShardGraphCache.getOrRehydrate(iid, shardId)(
+                  VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
+              }
+              // the graph carries reusable search scratch -> serialize probes
+              g.synchronized {
+                bcQueries.value.toArray.flatMap { case (qid, qvec) =>
+                  val topk =
+                    if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
+                    else g.queryTopK(qvec, k, searchWidth)
+                  topk.map { case (d, gid) => (qid, d, gid) }
+                }.iterator
+              }
             }
           }
         }.toDF("query_id", "distance", "neighbor_id")
     }.toSeq
 
     TopK.topKMerge(candidateChunks.reduce(_ union _), k)
+  }
+
+  /** Probe-ready layout: rows co-located by shard and sorted by offset,
+    * cached — the shuffle happens once per index, not once per query
+    * call (repartition on the raw cached rows would re-exchange the whole
+    * index on every probe). */
+  @transient private lazy val probeRows: Dataset[IndexRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .repartition(numShards, col("sub_index_id"))
+      .sortWithinPartitions(col("sub_index_id"), col("offset"))
+      .cache()
   }
 
   /** Materialize the index — the engine-side A5 `optimize` (reference:
