@@ -315,9 +315,10 @@ object Queries {
   def v16SqlAnnRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (rewriteInstalled.add(dir)) {
+    if (!rewriteInstalled.contains(dir)) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
+      rewriteInstalled.add(dir)
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -395,7 +396,7 @@ object Queries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val oTab = s"graft_orders_bkt_$tag"
     val cTab = s"graft_customer_bkt_$tag"
-    if (bucketed.add(dir)) {
+    if (!bucketed.contains(dir)) {
       // a previous SESSION may have left the table directories in the
       // warehouse while this session's in-memory catalog has no entry —
       // saveAsTable would then fail on the existing path; clear both
@@ -417,6 +418,9 @@ object Queries {
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oTab)
       Tables.customer(s, dir).repartition(8, col("c_custkey")).write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTab)
+      // mark AFTER both writes: a failed setup must retry on the next
+      // call, not poison the session
+      bucketed.add(dir)
     }
     s.table(oTab).hint("merge")
       .join(s.table(cTab).hint("merge"), col("o_custkey") === col("c_custkey"))

@@ -114,6 +114,10 @@ class VectorIndex private (
       maxBatch: Int = 100000): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    if (queryBatch.isEmpty) {
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "distance")
+    }
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
     val iid = indexId
@@ -179,7 +183,7 @@ class VectorIndex private (
     * exists to settle memory after build): forces the cached rows to
     * compute so later probes pay no build cost. Returns this index,
     * mirroring the reference's returned copy. */
-  def optimize(): VectorIndex = { rows.count(); this }
+  def optimize(): VectorIndex = { rows.count(); probeRows.count(); this }
 
   /** Persist index rows + shard meta + params (reference save/load
     * round-trip invariant: dehnsw.h:666-844, exercised at
@@ -266,8 +270,12 @@ object VectorIndex {
     val params = IndexParams(metric, extract("minimumConnect").toInt,
       extract("relaxedMonotonicity").toInt, extract("step").toInt,
       extract("subIndexBound").toLong)
+    // fresh cache identity per load: reusing the persisted id would let a
+    // probe of the loaded index hit executor-cached graphs built from the
+    // ORIGINAL in-memory index (same JVM), silently bypassing the loaded
+    // rows — the save/load invariance gate must exercise the load path
     new VectorIndex(params, extract("numShards").toInt, rows.cache(), meta,
-      extract("indexId"))
+      extract("indexId") + "#load-" + java.util.UUID.randomUUID().toString)
   }
 
   private def computeMeta(rows: Dataset[IndexRow]): Array[ShardMeta] = {

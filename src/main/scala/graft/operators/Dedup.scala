@@ -77,43 +77,54 @@ object Dedup {
       .repartition(col("s"))
       .sortWithinPartitions(col("s"))
       .mapPartitions { it =>
-        val counts = new java.util.HashMap[(Long, Long), Long](1 << 16)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        def flush(): Unit = {
-          val e = counts.entrySet().iterator()
-          while (e.hasNext) {
-            val kv = e.next()
-            out += ((kv.getKey._1, kv.getKey._2, kv.getValue))
-          }
-          counts.clear()
-        }
+        // lazily interleave consumption and emission: when the in-task
+        // count map reaches its bound it is DRAINED to the output stream
+        // (not buffered) — peak memory is one map, however many partial
+        // pairs the partition produces
+        val bit = it.buffered
         val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var cur: String = null
-        def emitGroup(): Unit = {
-          val m = docs.length
-          if (m >= 2 && m <= cap) {
-            val a = docs.toArray
-            java.util.Arrays.sort(a)
-            var i = 0
-            while (i < m - 1) {
-              var j = i + 1
-              while (j < m) {
-                counts.merge((a(i), a(j)), 1L, (x, y) => x + y)
-                j += 1
+        new Iterator[(Long, Long, Long)] {
+          private val counts = new java.util.HashMap[(Long, Long), Long](1 << 16)
+          private var drain: java.util.Iterator[java.util.Map.Entry[(Long, Long), Long]] =
+            java.util.Collections.emptyIterator()
+          private def emitGroup(): Unit = {
+            val m = docs.length
+            if (m >= 2 && m <= cap) {
+              val a = docs.toArray
+              java.util.Arrays.sort(a)
+              var i = 0
+              while (i < m - 1) {
+                var j = i + 1
+                while (j < m) {
+                  counts.merge((a(i), a(j)), 1L, (x, y) => x + y)
+                  j += 1
+                }
+                i += 1
               }
-              i += 1
             }
-            if (counts.size > (1 << 20)) flush()
+            docs.clear()
           }
-          docs.clear()
+          private var draining = false
+          private def fill(): Unit = {
+            if (draining && !drain.hasNext) { counts.clear(); draining = false }
+            // accumulate groups until the map is worth draining or input ends
+            while (!draining && bit.hasNext && counts.size <= (1 << 20)) {
+              val cur = bit.head._2
+              while (bit.hasNext && bit.head._2 == cur) docs += bit.next()._1
+              emitGroup()
+            }
+            if (!draining && counts.size > 0 && (counts.size > (1 << 20) || !bit.hasNext)) {
+              drain = counts.entrySet().iterator()
+              draining = true
+            }
+          }
+          def hasNext: Boolean = { fill(); drain.hasNext }
+          def next(): (Long, Long, Long) = {
+            fill()
+            val kv = drain.next()
+            (kv.getKey._1, kv.getKey._2, kv.getValue)
+          }
         }
-        it.foreach { case (id, s) =>
-          if (s != cur) { if (cur != null) emitGroup(); cur = s }
-          docs += id
-        }
-        if (cur != null) emitGroup()
-        flush()
-        out.iterator
       }
       .toDF("doc_a", "doc_b", "partial")
     val inter = partials
@@ -231,12 +242,22 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") < col("old")).count()
-      labels.unpersist()
+      // Dataset.unpersist is a no-op for localCheckpoint data (it lives as
+      // RDD blocks, not CacheManager entries) — free the superseded
+      // iteration's blocks explicitly or up to maxIter copies of the label
+      // table pile up until GC
+      unpersistCheckpoint(labels)
       labels = next
       it += 1
     }
     labels
   }
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
 
   /** Embedding near-duplicate pairs: cosine similarity >= threshold,
     * id_a < id_b. Fused pair scan: the table is collected + broadcast

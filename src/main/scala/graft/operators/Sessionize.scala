@@ -38,9 +38,11 @@ object Sessionize {
       .flatMapGroups { (uid, it) =>
         // micros = epoch-seconds * 1e6 + fractional-second micros (getTime
         // already includes nanos/1e6, so getTime*1000 + getNanos/1000 would
-        // double-count the sub-second part and mis-order fractional events)
+        // double-count the sub-second part and mis-order fractional events;
+        // floorDiv because getTime is negative pre-epoch while getNanos is
+        // always the non-negative fraction)
         val evs = it.toArray.sortBy(e =>
-          (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
+          (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000, e.event_id))
         sessionsOf(uid, evs, gapMicros)
       }
       .toDF()
@@ -49,7 +51,8 @@ object Sessionize {
   private def sessionsOf(uid: Long, evs: Array[Event], gapMicros: Long): Iterator[Session] = {
     if (evs.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-    @inline def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    @inline def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     var sessionId = 0
     var start = evs(0).ts
     var last = evs(0).ts

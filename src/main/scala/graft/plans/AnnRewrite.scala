@@ -71,18 +71,25 @@ object IndexCatalog {
   }
 
   /** Find an index whose registered corpus computes the same result as
-    * `plan`; returns (index, idAttr, embAttr) in `plan`'s own attributes. */
+    * `plan`; returns (index, idAttr, embAttr) in `plan`'s own attributes.
+    * Entries whose owning SparkSession has been stopped are dropped — a
+    * structurally-identical query from a NEW session must fall back to the
+    * sort plan, not splice a probe bound to a dead SparkContext. */
   private[plans] def lookup(plan: LogicalPlan): Option[(VectorIndex, Attribute, Attribute)] = {
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.plan.sameResult(plan)) {
-        return Some((e.index, plan.output(e.idPos), plan.output(e.embPos)))
-      }
-      e.stripped match {
-        case Some((inner, idPos, embPos)) if inner.sameResult(plan) =>
-          return Some((e.index, plan.output(idPos), plan.output(embPos)))
-        case _ =>
+      if (e.index.rows.sparkSession.sparkContext.isStopped) {
+        entries.remove(e)
+      } else {
+        if (e.plan.sameResult(plan)) {
+          return Some((e.index, plan.output(e.idPos), plan.output(e.embPos)))
+        }
+        e.stripped match {
+          case Some((inner, idPos, embPos)) if inner.sameResult(plan) =>
+            return Some((e.index, plan.output(idPos), plan.output(embPos)))
+          case _ =>
+        }
       }
     }
     None
@@ -114,6 +121,33 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
 
   private val widthConf = "spark.graft.ann.searchWidth"
   private val maxK = 10000
+
+  /** The same logical shape is optimized repeatedly (explain, AQE,
+    * re-created DataFrames), and each probe construction broadcasts the
+    * query vector and runs a nested optimization — memoize the optimized
+    * probe plan per (index identity, query vector, k, width). Bounded LRU
+    * (index ids are unique per build, so a new session never hits a dead
+    * session's entry; stale entries age out). */
+  private val probeCache =
+    new java.util.LinkedHashMap[(String, Seq[Float], Int, Int), LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[Float], Int, Int), LogicalPlan]): Boolean =
+        size() > 16
+    }
+
+  private def probePlanFor(
+      index: VectorIndex, qVec: Array[Float], k: Int, width: Int): LogicalPlan =
+    probeCache.synchronized {
+      val key = (index.indexId, qVec.toSeq, k, width)
+      val hit = probeCache.get(key)
+      if (hit != null) hit
+      else {
+        val plan = index.queryBatch(Array((0L, qVec)), k, width)
+          .queryExecution.optimizedPlan
+        probeCache.put(key, plan)
+        plan
+      }
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case orig @ GlobalLimit(IntegerLiteral(k),
@@ -191,9 +225,9 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       catch { case _: NumberFormatException => 0 }
 
     // the probe plan, fully optimized on its own (no jobs run here — the
-    // broadcast inside the probe happens at execution time)
-    val probe = index.queryBatch(Array((0L, qVec)), k, width)
-    val probePlan = probe.queryExecution.optimizedPlan
+    // broadcast inside the probe happens at execution time); memoized so
+    // re-optimizations of the same shape reuse one plan + broadcast
+    val probePlan = probePlanFor(index, qVec, k, width)
     val nbrAttr = probePlan.output.find(_.name == "neighbor_id").get
     val probeDistAttr = probePlan.output.find(_.name == "distance").get
 

@@ -114,7 +114,7 @@ object StreamingOps {
     import spark.implicits._
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     @inline def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     def toTs(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(us / 1000000L * 1000L)
       t.setNanos(((us % 1000000L) * 1000L).toInt)

@@ -56,6 +56,9 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     index.save(path)
     val loaded = VectorIndex.load(spark, path)
     assert(loaded.params === index.params)
+    // distinct cache identity: the loaded index must probe ITS rows, not
+    // hit executor-cached graphs built from the original in-memory index
+    assert(loaded.indexId !== index.indexId)
     val before = index.query(queries, k = 5, searchWidth = 8)
     val after = loaded.query(queries, k = 5, searchWidth = 8)
     assert(before.exceptAll(after).count() === 0)
