@@ -387,37 +387,68 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     }
   }
 
+  // reusable BFS frontier scratch (single-threaded per task, like stamps)
+  private var bfsLast = new Array[Int](64)
+  private var bfsNext = new Array[Int](64)
+  @inline private def grown(a: Array[Int], n: Int): Array[Int] =
+    if (n < a.length) a else java.util.Arrays.copyOf(a, a.length * 2)
+
   /** Bounded reachability check — `connected` (reference: dehnsw.h:119-148):
     * BFS <= 4 rounds from `start`; evicted edges whose far endpoint is
-    * reached are safe; returns false if any stay unreached. */
+    * reached are safe (and removed from the map, so repair re-adds only
+    * the unreached ones); returns false if any stay unreached. The target
+    * set is tiny (<= prunes per insert), so membership is a linear scan
+    * over a local array instead of per-visit HashMap ops. */
   private def connected(
       layer: Int, start: Int, deletedEdges: mutable.HashMap[Int, (Double, Int)]): Boolean = {
-    var last = mutable.ArrayBuffer(start)
-    var next = mutable.ArrayBuffer.empty[Int]
+    val targets = deletedEdges.keysIterator.toArray
+    val found = new Array[Boolean](targets.length)
+    var remaining = targets.length
+    var last = bfsLast
+    var next = bfsNext
+    var lastN = 0
+    var nextN = 0
+    last(0) = start; lastN = 1
     freshStamps()
     mark(start)
     var round = 0
-    while (round < 4) {
+    var result = false
+    var break = false
+    while (!break && round < 4) {
       var li = 0
-      while (li < last.length) {
+      while (li < lastN) {
         val adj = edges(last(li))(layer)
         var ai = 0
         while (ai < adj.size) {
           val nbr = adj.nbrs(ai)
           if (!seen(nbr)) {
             mark(nbr)
-            deletedEdges.remove(nbr)
-            next += nbr
+            var t = 0
+            while (t < targets.length) {
+              if (!found(t) && targets(t) == nbr) { found(t) = true; remaining -= 1 }
+              t += 1
+            }
+            next = grown(next, nextN)
+            next(nextN) = nbr; nextN += 1
           }
           ai += 1
         }
         li += 1
       }
-      if (deletedEdges.isEmpty) return true
-      val t = last; last = next; next = t; next.clear()
-      round += 1
+      if (remaining == 0) { result = true; break = true }
+      else {
+        val t = last; last = next; next = t
+        lastN = nextN; nextN = 0
+        round += 1
+      }
     }
-    false
+    bfsLast = last; bfsNext = next
+    var t = 0
+    while (t < targets.length) {
+      if (found(t)) deletedEdges.remove(targets(t))
+      t += 1
+    }
+    result
   }
 
   /** Deterministic promotion test — `insert_to_upper_layer` (reference:
