@@ -382,6 +382,25 @@ object Queries {
       ORDER BY a.vec_id""")
   }
 
+  // ---------------------------------------------------------------- v19_append
+  /** Batch append under the gate: build on part of the corpus, append the
+    * rest (only shards receiving new ids rebuild), exact-probe the result
+    * — deterministic rebuild makes it equal the full-corpus brute force,
+    * so v4's oracle applies unchanged. */
+  def v19Append(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 3000)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val extra = emb.filter(col("vec_id") >= 3000)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val idx = VectorIndex.build(base,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+      .append(extra)
+    idx.query(embQueries(s, dir), k = 10, searchWidth = 0)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- b1_bucketed_join
   /** Co-located join via bucketed tables — the 100 TB shuffle-elimination
     * path (SCALE.md: "a bucketed corpus table would remove even that
@@ -738,6 +757,7 @@ object Queries {
     "v16_sql_ann_rewrite" -> v16Oracle,
     "v17_saveload" -> v17Oracle,
     "v18_sql_text" -> v18Oracle,
+    "v19_append" -> v4Oracle,
     "b1_bucketed_join" -> b1Oracle,
     "q6_rollup" -> q6Oracle,
     "q8_cube" -> q8Oracle,

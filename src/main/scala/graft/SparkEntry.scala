@@ -61,6 +61,7 @@ object SparkEntry {
     "v16_sql_ann_rewrite" -> ((s, dir) => Queries.v16SqlAnnRewrite(s, dir)),
     "v17_saveload" -> ((s, dir) => Queries.v17Saveload(s, dir)),
     "v18_sql_text" -> ((s, dir) => Queries.v18SqlText(s, dir)),
+    "v19_append" -> ((s, dir) => Queries.v19Append(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),

@@ -178,6 +178,36 @@ class VectorIndex private (
       .cache()
   }
 
+  /** Batch append: rebuild only the shards that receive new vectors
+    * (SURVEY §1.3 — online single-vector insert is out of scope; batch
+    * append = partition rebuild). Because shard assignment is id % shards
+    * and the kernel is deterministic in ascending-id insertion order, the
+    * result is IDENTICAL to rebuilding the whole index from the union of
+    * old and new vectors — untouched shards' rows are reused as-is.
+    * New ids must be disjoint from existing ones. Returns a new index
+    * (fresh cache identity); this index remains valid. */
+  def append(newVectors: DataFrame): VectorIndex = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val fresh = newVectors.select(col("id").cast("long"), col("embedding"))
+    val affected = fresh
+      .select(pmod(col("id"), lit(numShards)).cast("int").as("s"))
+      .distinct().as[Int].collect().toSet
+    if (affected.isEmpty) return this
+    val affectedSeq = affected.toSeq
+    // vectors already in the affected shards, recovered from index rows
+    val existing = rows
+      .filter(col("sub_index_id").isin(affectedSeq: _*))
+      .select(col("global_id").as("id"), col("embedding"))
+    val rebuilt = VectorIndex.buildRows(
+      existing.union(fresh), params, numShards)
+    val kept = rows.filter(!col("sub_index_id").isin(affectedSeq: _*))
+    val cached = kept.union(rebuilt).cache()
+    val meta = VectorIndex.computeMeta(cached)
+    new VectorIndex(params, numShards, cached, meta,
+      java.util.UUID.randomUUID().toString)
+  }
+
   /** Materialize the index — the engine-side A5 `optimize` (reference:
     * python_binding/dehnswpy.cpp:18-21, a deep-copy compaction no-op that
     * exists to settle memory after build): forces the cached rows to
@@ -206,14 +236,16 @@ class VectorIndex private (
 
 object VectorIndex {
 
-  /** Bulk build (reference O1 insert loop, parallelized across shards).
-    * Input df must have columns (id LONG, embedding ARRAY<FLOAT>). */
-  def build(df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
+  /** Shard-build pipeline shared by [[build]] and [[VectorIndex.append]]:
+    * (id, embedding) rows → shard assignment (id % numShards) → one
+    * partition-local graph build per shard → IndexRows. */
+  private[index] def buildRows(
+      df: DataFrame, params: IndexParams, numShards: Int): Dataset[IndexRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = params
     val n = numShards
-    val rows = df
+    df
       .select(col("id").cast("long"), col("embedding"))
       .withColumn("sub_index_id", pmod(col("id"), lit(n)).cast("int"))
       .repartition(n, col("sub_index_id"))
@@ -248,7 +280,12 @@ object VectorIndex {
           }
         }
       }
-    val cached = rows.cache()
+  }
+
+  /** Bulk build (reference O1 insert loop, parallelized across shards).
+    * Input df must have columns (id LONG, embedding ARRAY<FLOAT>). */
+  def build(df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
+    val cached = buildRows(df, params, numShards).cache()
     val meta = computeMeta(cached)
     new VectorIndex(params, numShards, cached, meta,
       java.util.UUID.randomUUID().toString)

@@ -65,6 +65,28 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(after.exceptAll(before).count() === 0)
   }
 
+  test("append rebuilds only affected shards and equals a full rebuild exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") >= 50 && col("vec_id") < 400)
+      .select(col("vec_id").as("id"), col("embedding"))
+    // extra ids hit only shard 1 (id % 4 == 1): shards 0/2/3 must be reused
+    val extra = emb.filter(col("vec_id") >= 400 && col("vec_id") % 4 === 1)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val params = IndexParams(minimumConnect = 6, relaxedMonotonicity = 16, step = 2)
+    val appended = VectorIndex.build(base, params, numShards = 4).append(extra)
+    val full = VectorIndex.build(base.union(extra), params, numShards = 4)
+    def canon(ds: org.apache.spark.sql.Dataset[graft.index.IndexRow]) =
+      ds.collect().map(r => (r.sub_index_id, r.offset, r.global_id, r.layer,
+        r.embedding.toSeq, r.out, r.edges)).sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(appended.rows) === canon(full.rows))
+    assert(appended.meta.toSeq === full.meta.toSeq)
+    // and answers queries identically through the probe
+    val a = appended.query(queries, k = 5, searchWidth = 8)
+    val b = full.query(queries, k = 5, searchWidth = 8)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("chunked query batches (maxBatch) merge to the same global top-k") {
     val whole = index.query(queries, k = 5, searchWidth = 0)
     val chunked = index.query(queries, k = 5, searchWidth = 0, maxBatch = 3)
