@@ -455,31 +455,40 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * dehnsw.h:150-178): BFS <= step rounds on `layer`; promote only if the
     * ball contains no vector already on a higher layer. */
   private def insertToUpperLayer(layer: Int, offset: Int): Boolean = {
-    var last = mutable.ArrayBuffer(offset)
-    var next = mutable.ArrayBuffer.empty[Int]
+    var last = bfsLast
+    var next = bfsNext
+    var lastN = 0
+    var nextN = 0
+    last(0) = offset; lastN = 1
     freshStamps()
     mark(offset)
     var round = 0
-    while (round < params.step) {
+    var promote = true
+    while (promote && round < params.step) {
       var li = 0
-      while (li < last.length) {
+      while (promote && li < lastN) {
         val adj = edges(last(li))(layer)
         var ai = 0
-        while (ai < adj.size) {
+        while (promote && ai < adj.size) {
           val nbr = adj.nbrs(ai)
           if (!seen(nbr)) {
             mark(nbr)
-            if (layer < layerOf(nbr)) return false
-            next += nbr
+            if (layer < layerOf(nbr)) promote = false
+            else {
+              next = grown(next, nextN)
+              next(nextN) = nbr; nextN += 1
+            }
           }
           ai += 1
         }
         li += 1
       }
-      val t = last; last = next; next = t; next.clear()
+      val t = last; last = next; next = t
+      lastN = nextN; nextN = 0
       round += 1
     }
-    true
+    bfsLast = last; bfsNext = next
+    promote
   }
 
   /** Build-time beam search — `nearest_neighbors_insert` (reference:
