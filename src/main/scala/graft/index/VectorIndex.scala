@@ -184,28 +184,58 @@ class VectorIndex private (
     * and the kernel is deterministic in ascending-id insertion order, the
     * result is IDENTICAL to rebuilding the whole index from the union of
     * old and new vectors — untouched shards' rows are reused as-is.
-    * New ids must be disjoint from existing ones. Returns a new index
-    * (fresh cache identity); this index remains valid. */
+    *
+    * New ids must be disjoint from existing ones and from each other
+    * (validated), and dimensions must match the index (validated).
+    * Returns a new index with a fresh cache identity — EXCEPT for an
+    * empty batch, which returns this index unchanged (no copy). The old
+    * index stays valid and keeps its caches; drop them with [[unpersist]]
+    * when a superseded generation is no longer needed. */
   def append(newVectors: DataFrame): VectorIndex = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val fresh = newVectors.select(col("id").cast("long"), col("embedding"))
+    // pin the batch: it is evaluated for shard discovery AND the rebuild —
+    // a nondeterministic source re-evaluating differently would corrupt
+    // the shard/row bookkeeping
+    val fresh = newVectors.select(col("id").cast("long"), col("embedding")).cache()
     val affected = fresh
-      .select(pmod(col("id"), lit(numShards)).cast("int").as("s"))
+      .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet
-    if (affected.isEmpty) return this
+    if (affected.isEmpty) { fresh.unpersist(); return this }
+    if (meta.nonEmpty) {
+      val dim = rows.select(size(col("embedding"))).head.getInt(0)
+      val badDim = fresh.filter(size(col("embedding")) =!= dim).count()
+      require(badDim == 0,
+        s"appended vectors must match index dimension $dim ($badDim mismatching rows)")
+    }
     val affectedSeq = affected.toSeq
     // vectors already in the affected shards, recovered from index rows
+    // (a clashing id necessarily hashes into an affected shard, so the
+    // distinctness check below covers old-vs-new AND new-vs-new clashes)
     val existing = rows
       .filter(col("sub_index_id").isin(affectedSeq: _*))
       .select(col("global_id").as("id"), col("embedding"))
-    val rebuilt = VectorIndex.buildRows(
-      existing.union(fresh), params, numShards)
+    val rebuildInput = existing.union(fresh).cache()
+    val nIn = rebuildInput.count()
+    val nDistinct = rebuildInput.select(col("id")).distinct().count()
+    require(nIn == nDistinct,
+      s"appended ids must be disjoint from the index and unique (${nIn - nDistinct} clashes)")
+    val rebuilt = VectorIndex.buildRows(rebuildInput, params, numShards)
     val kept = rows.filter(!col("sub_index_id").isin(affectedSeq: _*))
     val cached = kept.union(rebuilt).cache()
-    val meta = VectorIndex.computeMeta(cached)
-    new VectorIndex(params, numShards, cached, meta,
+    val meta2 = VectorIndex.computeMeta(cached) // action: materializes cached
+    fresh.unpersist()
+    rebuildInput.unpersist()
+    new VectorIndex(params, numShards, cached, meta2,
       java.util.UUID.randomUUID().toString)
+  }
+
+  /** Drop this index's cached data (rows + probe layout). Call on a
+    * superseded generation after [[append]] — each generation caches the
+    * full row set, so long ingest loops must release old ones. */
+  def unpersist(): Unit = {
+    probeRows.unpersist()
+    rows.unpersist()
   }
 
   /** Materialize the index — the engine-side A5 `optimize` (reference:
@@ -236,6 +266,12 @@ class VectorIndex private (
 
 object VectorIndex {
 
+  /** The shard-assignment expression — single source of truth for build
+    * AND append's affected-shard discovery (divergence would classify
+    * touched shards as untouched and corrupt the merge). */
+  private[index] def shardOf(id: org.apache.spark.sql.Column, numShards: Int) =
+    pmod(id, lit(numShards)).cast("int")
+
   /** Shard-build pipeline shared by [[build]] and [[VectorIndex.append]]:
     * (id, embedding) rows → shard assignment (id % numShards) → one
     * partition-local graph build per shard → IndexRows. */
@@ -247,7 +283,7 @@ object VectorIndex {
     val n = numShards
     df
       .select(col("id").cast("long"), col("embedding"))
-      .withColumn("sub_index_id", pmod(col("id"), lit(n)).cast("int"))
+      .withColumn("sub_index_id", shardOf(col("id"), n))
       .repartition(n, col("sub_index_id"))
       .sortWithinPartitions(col("sub_index_id"), col("id"))
       .as[(Long, Array[Float], Int)]

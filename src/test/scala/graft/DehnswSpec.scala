@@ -85,6 +85,15 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     val b = full.query(queries, k = 5, searchWidth = 8)
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
+
+    // clashing ids and mismatched dimensions are rejected
+    val clash = base.limit(1)
+    val eClash = intercept[Exception](VectorIndex.build(base, params, 4).append(clash))
+    assert(eClash.getMessage.contains("disjoint"))
+    val badDim = spark.range(1).selectExpr("90000L AS id",
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS embedding")
+    val eDim = intercept[Exception](VectorIndex.build(base, params, 4).append(badDim))
+    assert(eDim.getMessage.contains("dimension"))
   }
 
   test("chunked query batches (maxBatch) merge to the same global top-k") {
