@@ -88,6 +88,22 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(!topKPlan(10).queryExecution.optimizedPlan.toString.contains("MapPartitions"))
   }
 
+  test("rewrite fires through SQL text (temp view + registered function)") {
+    installed()
+    GraftSqlBridge.registerFunction(spark, "vec_l2sq",
+      es => graft.functions.SquaredL2Distance(es(0), es(1)))
+    corpus.createOrReplaceTempView("rw_corpus")
+    val lit64 = qvec.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val df = spark.sql(s"""
+      SELECT id AS neighbor_id, vec_l2sq(embedding, $lit64) AS distance
+      FROM rw_corpus ORDER BY distance, neighbor_id LIMIT 10""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("MapPartitions"),
+      "SQL-text plan over the registered corpus view must rewrite to the probe")
+    val viaSql = df.collect().map(_.getLong(0))
+    val viaApi = topKPlan(10).collect().map(_.getLong(0))
+    assert(viaSql.sameElements(viaApi))
+  }
+
   test("searchWidth > 0 opts into the ANN beam through the same SQL shape") {
     installed()
     spark.conf.set("spark.graft.ann.searchWidth", "8")
