@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions, VectorFunctions}
 
@@ -220,9 +221,17 @@ object Dedup {
       .cache()
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster_id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever decrease (least of candidates), so the label-sum
+    // strictly decreases until the fixpoint — convergence detection is one
+    // aggregate on the fresh checkpoint instead of a join with the
+    // previous iteration (DECIMAL: exact and overflow-free at any scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -240,8 +249,9 @@ object Dedup {
           least(col("m.cluster_id"), coalesce(col("ptr_label"), col("m.cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
+      val curSum = labelSum(next)
+      changed = curSum.compareTo(prevSum) != 0
+      prevSum = curSum
       // Dataset.unpersist is a no-op for localCheckpoint data (it lives as
       // RDD blocks, not CacheManager entries) — free the superseded
       // iteration's blocks explicitly or up to maxIter copies of the label
