@@ -20,21 +20,14 @@ import graft.functions.VectorFunctions
   */
 object LshKnn {
 
-  /** Signed projection onto deterministic plane i (sequential Double fold,
-    * engine-portable). */
-  private def planeDot(v: Column, i: Int): Column =
-    aggregate(
-      sequence(lit(1), size(v)),
-      lit(0.0),
-      (acc, j) => acc +
-        element_at(v, j).cast("double") *
-          (((lit(i * 37) + (j - 1) * lit(13)) % 7) - lit(3)).cast("double"))
-
-  /** Bucket id: numPlanes sign bits. */
-  def bucket(v: Column, numPlanes: Int): Column =
-    (0 until numPlanes)
-      .map(i => when(planeDot(v, i) > 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
+  /** Bucket id: numPlanes sign bits, computed in one pass by the native
+    * expression (bit-identical to the per-plane HOF folds the DuckDB
+    * oracle uses — see functions.LatticeBucket). */
+  def bucket(v: Column, numPlanes: Int): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.LatticeBucket(GraftSqlBridge.expression(v), numPlanes))
+  }
 
   /** Bucketed kNN: top-k per query among same-bucket corpus vectors (may
     * return fewer than k when the bucket is small — the approximation).
