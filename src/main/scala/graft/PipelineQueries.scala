@@ -145,6 +145,30 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d7_embed_neardup_lsh
+  /** LSH-bucketed near-dup: candidate pairs from sign-projection buckets,
+    * verified with exact cosine — d5's documented scale path as a gated
+    * query (a deterministic subset of d5's exact pairs). */
+  def d7EmbedNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.4, numPlanes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val d7Oracle = {
+    def planeDot(v: String, i: Int) =
+      s"list_sum(list_transform(generate_series(1, len($v)), j -> CAST($v[j] AS DOUBLE) * CAST((($i * 37 + (j - 1) * 13) % 7) - 3 AS DOUBLE)))"
+    val bucketSql = (0 until 4)
+      .map(i => s"(CASE WHEN ${planeDot("embedding", i)} > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val sim = s"${dotSql("ea", "eb")} / (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")}))"
+    s"""WITH bkt AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+      |a AS (SELECT vec_id AS id_a, embedding AS ea, bucket FROM bkt),
+      |b AS (SELECT vec_id AS id_b, embedding AS eb, bucket FROM bkt)
+      |SELECT id_a, id_b, round($sim, 6) AS cosine_sim
+      |FROM a JOIN b USING (bucket)
+      |WHERE id_a < id_b AND round($sim, 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t1_langid
   private val markers = Seq("the", "data", "spark")
 
@@ -406,6 +430,7 @@ object PipelineQueries {
     "d4_simhash" -> ((s, dir) => d4Simhash(s, dir)),
     "d5_embed_neardup" -> ((s, dir) => d5EmbedNeardup(s, dir)),
     "d6_dup_clusters" -> ((s, dir) => d6DupClusters(s, dir)),
+    "d7_embed_neardup_lsh" -> ((s, dir) => d7EmbedNeardupLsh(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -429,6 +454,7 @@ object PipelineQueries {
     "d4_simhash" -> d4Oracle,
     "d5_embed_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
+    "d7_embed_neardup_lsh" -> d7Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,

@@ -312,6 +312,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** The 100 TB near-dup path for embeddings: sign-projection LSH buckets
+    * generate candidate pairs (only same-bucket pairs are scored), then
+    * exact cosine verifies — the candidate-generation + verify pattern.
+    * Approximate BY BUCKETING (cross-bucket near-dups are missed; more
+    * planes = fewer candidates, fewer hits), but fully deterministic, so
+    * exact SQL oracles apply. */
+  def embeddingNearDupPairsLsh(
+      embeddings: DataFrame, threshold: Double, numPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = embeddings.select(
+      col(idCol).as("id"), col(vecCol).as("e"),
+      LshKnn.bucket(col(vecCol), numPlanes).as("bucket"),
+      VectorFunctions.l2Norm(col(vecCol)).as("nrm"))
+    val a = bucketed.select(col("id").as("id_a"), col("e").as("ea"),
+      col("bucket"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("id").as("id_b"), col("e").as("eb"),
+      col("bucket"), col("nrm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.dotProduct(col("ea"), col("eb")) /
+          (col("norm_a") * col("norm_b")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
   /** Sequential Double dot product — identical operation order to the
     * DotProduct Catalyst expression (and the DuckDB oracle folds). */
   @inline private def dotD(a: Array[Float], b: Array[Float]): Double = {
