@@ -9,6 +9,7 @@ the sorted rows. Dev tool only — NOT part of the Scala library.
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, math, os
+import decimal
 import duckdb
 import pyarrow.parquet as pq
 
@@ -23,6 +24,11 @@ def canon(v):
         return repr(v)
     if isinstance(v, bool):
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # Keep decimals distinct from ints so a HUGEINT/decimal128 oracle
+        # column (e.g. un-cast SUM(integer)) fails against Spark's int64
+        # here, the same way it fails the driver's hash gate.
+        return f"decimal:{v}"
     return str(v)
 
 
@@ -46,9 +52,14 @@ def main():
         spark_dir = f"{out_dir}/{name}"
         status, detail = "PASS", ""
         try:
-            duck = con.execute(sql)
-            dcols = [d[0] for d in duck.description]
-            drows = [tuple(canon(x) for x in r) for r in duck.fetchall()]
+            # Arrow fetch matches the driver's typing: e.g. DuckDB's
+            # SUM(integer) HUGEINT surfaces as decimal128(38,0) here but
+            # as a plain int via fetchall() — fetchall() would hide that.
+            dt = con.execute(sql).arrow()
+            dcols = dt.column_names
+            drows = ([tuple(canon(x) for x in r)
+                      for r in zip(*[c.to_pylist() for c in dt.columns])]
+                     if dt.num_rows else [])
             drows.sort()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")

@@ -418,7 +418,7 @@ object PipelineQueries {
       |survivors AS (SELECT * FROM documents
       |              WHERE doc_id NOT IN (SELECT doc_id FROM dups)
       |                AND len(string_split(text, ' ')) >= 20)
-      |SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
       |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
       |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
 

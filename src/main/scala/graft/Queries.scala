@@ -291,7 +291,7 @@ object Queries {
       |     res AS (SELECT query_id, rank, round(distance, 6) AS res_dist FROM r WHERE rank <= 10),
       |     gt  AS (SELECT query_id, rank, round(distance, 6) AS gt_dist  FROM r WHERE rank <= 10)
       |SELECT res.query_id,
-      |       SUM(CASE WHEN res.res_dist <= gt.gt_dist THEN 1 ELSE 0 END) AS hits,
+      |       CAST(SUM(CASE WHEN res.res_dist <= gt.gt_dist THEN 1 ELSE 0 END) AS BIGINT) AS hits,
       |       round(CAST(SUM(CASE WHEN res.res_dist <= gt.gt_dist THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6) AS recall
       |FROM res JOIN gt ON res.query_id = gt.query_id AND res.rank = gt.rank
       |GROUP BY res.query_id
