@@ -71,12 +71,19 @@ object Dedup {
     // near-distinct (doc_a, doc_b) partials, not one row per co-occurrence.
     // Cost is sum over shingles of m^2 — benign unless a shingle is
     // near-universal; `maxShingleDf` is that cap.
+    // postings are keyed by xxhash64(shingle), not the shingle string: the
+    // shuffle then moves (long, long) rows instead of string-keyed rows
+    // (cheaper ser/deser + comparisons; the grouping only needs group
+    // boundaries, never the text). Two distinct shingles colliding in 64
+    // bits would merge their posting lists — odds ~n^2/2^65, and the only
+    // in-doc effect (a self-pair) is guarded in emitGroup.
     val cap = maxShingleDf
     val partials = sh
       .select(col("doc_id").cast("long"), explode(col("shingles")).as("s"))
-      .as[(Long, String)]
-      .repartition(col("s"))
-      .sortWithinPartitions(col("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)]
+      .repartition(col("h"))
+      .sortWithinPartitions(col("h"))
       .mapPartitions { it =>
         // lazily interleave consumption and emission: when the in-task
         // count map reaches its bound it is DRAINED to the output stream
@@ -97,7 +104,9 @@ object Dedup {
               while (i < m - 1) {
                 var j = i + 1
                 while (j < m) {
-                  counts.merge((a(i), a(j)), 1L, (x, y) => x + y)
+                  // a(i)==a(j) only if a 64-bit shingle-hash collision put
+                  // one doc in the group twice — never emit a self-pair
+                  if (a(i) != a(j)) counts.merge((a(i), a(j)), 1L, (x, y) => x + y)
                   j += 1
                 }
                 i += 1

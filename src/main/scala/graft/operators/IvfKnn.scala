@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{NearestCentroids, VectorFunctions}
 
 /** IVF (inverted-file) approximate kNN — the coarse-quantizer scale path:
   * corpus vectors are assigned to their nearest centroid cell; a query
@@ -17,10 +17,14 @@ import graft.functions.VectorFunctions
   * in plain SQL and hash-checked against DuckDB. Swapping in trained
   * centroids changes only the centroid relation, not the plan shape.
   *
-  * Scale notes: centroids are broadcast twice (assignment + query
-  * routing); the only corpus-sized work is one broadcast-join pass for
-  * assignment; the probe joins queries to cells on cell id (equi-join on
-  * the posting lists) — never the full cross product.
+  * Scale notes: the centroid list is bounded (numCentroids rows), so it
+  * is collected once and embedded in a codegen'd argmin expression
+  * ([[NearestCentroids]] — one flat-array loop per row); cell assignment
+  * and query routing are then pure per-row projections — zero joins, zero
+  * shuffles on the corpus (the previous crossJoin + Window.partitionBy(id)
+  * exchanged the whole corpus, embeddings included). The only
+  * shuffle-bearing step is the final cell-equi-join probe, which never
+  * forms the full cross product.
   */
 object IvfKnn {
 
@@ -36,17 +40,42 @@ object IvfKnn {
       .select(col("id").as("centroid_id"), col("embedding").as("c_embedding"))
   }
 
-  /** Cell assignment: nearest centroid per corpus vector (ties by
-    * centroid id). */
-  def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(cents))
-      .withColumn("cdist",
-        VectorFunctions.squaredL2(col("embedding"), col("c_embedding")))
-    val w = Window.partitionBy(col("id")).orderBy(col("cdist"), col("centroid_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("id"), col("embedding"), col("centroid_id").as("cell"))
+  /** Collected centroid table in the flat layout the argmin expression
+    * wants — bounded by numCentroids, so the driver-side collect is safe
+    * by contract. Ids sorted ascending (the expression's tie-break relies
+    * on it). */
+  private final case class CentroidSet(ids: Array[Long], flat: Array[Float], dim: Int)
+
+  private def collectCentroids(cents: DataFrame): CentroidSet = {
+    val rows = cents.select(col("centroid_id"), col("c_embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val dim = rows.head._2.length
+    val flat = new Array[Float](rows.length * dim)
+    var k = 0
+    while (k < rows.length) {
+      val v = rows(k)._2
+      var i = 0
+      while (i < dim) { flat(k * dim + i) = v(i); i += 1 }
+      k += 1
+    }
+    CentroidSet(rows.map(_._1), flat, dim)
   }
+
+  private def nearestCells(emb: Column, cs: CentroidSet, nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
+    toCol(NearestCentroids(toExpr(emb), cs.ids, cs.flat, cs.dim, nprobe))
+  }
+
+  /** Cell assignment: nearest centroid per corpus vector (ties by
+    * centroid id) — a per-row codegen'd argmin, so the corpus never
+    * shuffles. */
+  def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assignWith(corpus, collectCentroids(cents))
+
+  private def assignWith(corpus: DataFrame, cs: CentroidSet): DataFrame =
+    corpus.select(col("id"), col("embedding"),
+      element_at(nearestCells(col("embedding"), cs, 1), 1).as("cell"))
 
   /** IVF kNN: probe the nprobe nearest cells per query, exact top-k among
     * their members (may return fewer than k — the approximation).
@@ -54,18 +83,13 @@ object IvfKnn {
   def knnJoin(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(corpus, numCentroids).cache()
-    val assigned = assign(corpus, cents)
-    val qCells = {
-      val scored = queries.crossJoin(broadcast(cents))
-        .withColumn("cdist",
-          VectorFunctions.squaredL2(col("embedding"), col("c_embedding")))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("centroid_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= nprobe)
-        .select(col("query_id"), col("embedding").as("q_embedding"),
-          col("centroid_id").as("cell"))
-    }
+    val cs = collectCentroids(centroids(corpus, numCentroids))
+    val assigned = assignWith(corpus, cs)
+    // query routing: top-nprobe cells from the same per-row expression —
+    // no join/window on the query side either
+    val qCells = queries.select(
+        col("query_id"), col("embedding").as("q_embedding"),
+        explode(nearestCells(col("embedding"), cs, nprobe)).as("cell"))
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .withColumn("distance",
         VectorFunctions.squaredL2(col("q_embedding"), col("embedding")))

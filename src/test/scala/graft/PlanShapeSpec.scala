@@ -34,4 +34,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("partial_topk_by_distance"))
     assert(p.contains("ObjectHashAggregate"))
   }
+
+  test("d2 postings shuffle keys on the 64-bit shingle hash, not the string") {
+    val p = plan("d2_ngram_jaccard")
+    assert(p.contains("xxhash64"), s"expected xxhash64 keying in:\n${p.take(3000)}")
+    assert(!p.contains("hashpartitioning(s#"),
+      s"postings exchange still string-keyed:\n${p.take(3000)}")
+  }
+
+  test("v14 IVF assigns cells without shuffling the corpus") {
+    val p = plan("v14_ivf_ann")
+    // one row_number window (final per-query top-k) — assignment and
+    // query routing are per-row argmin/sort over the literal centroid
+    // list, so the corpus-side crank/qcell windows must be gone
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 Window op, got $windows:\n${p.take(3000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected exactly 1 hash Exchange (final top-k window), got $shuffles:\n${p.take(3000)}")
+  }
 }
