@@ -101,10 +101,38 @@ class VectorIndex private (
   def query(queries: DataFrame, k: Int, searchWidth: Int, maxBatch: Int = 100000): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val batch: Array[(Long, Array[Float])] = queries
+    val qds = queries
       .select(col("query_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    queryBatch(batch, k, searchWidth, maxBatch)
+      .as[(Long, Array[Float])]
+    val total = qds.count()
+    if (total <= maxBatch) {
+      // common case: one driver collect, one broadcast pass
+      queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
+    } else {
+      // huge batches: stream sorted chunks through toLocalIterator so the
+      // driver holds at most ONE chunk at a time (a full collect of a 1e7
+      // query batch would OOM the driver before the first probe). Each
+      // chunk's top-k is eagerly materialized (localCheckpoint) so its
+      // broadcast is collectable before the next chunk is pulled. Chunks
+      // partition the query-id space, so the union IS the final result —
+      // no cross-chunk merge.
+      val sorted = qds.sort(col("query_id")).cache()
+      try {
+        val out = mutable.ArrayBuffer.empty[DataFrame]
+        val it = sorted.toLocalIterator()
+        val buf = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        def flush(): Unit = if (buf.nonEmpty) {
+          out += queryBatch(buf.toArray, k, searchWidth, maxBatch).localCheckpoint(true)
+          buf.clear()
+        }
+        while (it.hasNext) {
+          buf += it.next()
+          if (buf.length >= maxBatch) flush()
+        }
+        flush()
+        out.reduce(_ union _)
+      } finally sorted.unpersist()
+    }
   }
 
   /** Probe with an already-materialized query batch (no collect) — used by
