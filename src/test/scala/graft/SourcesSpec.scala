@@ -43,6 +43,31 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(2) === 21L)
   }
 
+  test("distributed slice read: many partitions == one partition == expected") {
+    // 1000 rows x 8 dims so several partitions get non-trivial contiguous
+    // slices; each vector encodes its id, so any seek/stride slip is loud
+    val f = java.io.File.createTempFile("graft_vecs_big_", ".bin")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(new FileOutputStream(f)))
+    val n = 1000
+    val dim = 8
+    writeLE(out, n.toLong)
+    writeLE(out, dim.toLong)
+    for (id <- 0 until n; j <- 0 until dim) {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putFloat(id * 100.0f + j)
+      out.write(b.array())
+    }
+    out.close()
+    val one = BinaryVectors.readVectors(spark, f.getPath, numPartitions = 1)
+    val many = BinaryVectors.readVectors(spark, f.getPath, numPartitions = 7)
+    assert(many.rdd.getNumPartitions === 7)
+    assert(many.count() === n)
+    assert(many.exceptAll(one).count() === 0)
+    assert(one.exceptAll(many).count() === 0)
+    val r = many.filter("id = 777").head.getSeq[Float](1)
+    assert(r === (0 until dim).map(j => 77700.0f + j))
+  }
+
   test("GraftExtensions registers SQL functions via withExtensions") {
     // extension registration is builder-time; getOrCreate would reuse the
     // shared session, so exercise the injected builder path directly
