@@ -49,6 +49,58 @@ public final class SimdKernels {
     return s;
   }
 
+  /** Squared L2 against a vector stored at {@code base} inside a flat
+   *  (contiguous) array — the flat-storage variant: same accumulation
+   *  order as {@link #sqL2(float[], float[])}, so results are identical. */
+  public static float sqL2(float[] a, float[] flat, int base) {
+    int i = 0;
+    int bound = S.loopBound(a.length);
+    FloatVector acc = FloatVector.zero(S);
+    for (; i < bound; i += S.length()) {
+      FloatVector d = FloatVector.fromArray(S, a, i).sub(FloatVector.fromArray(S, flat, base + i));
+      acc = d.fma(d, acc);
+    }
+    float s = acc.reduceLanes(VectorOperators.ADD);
+    for (; i < a.length; i++) { float d = a[i] - flat[base + i]; s += d * d; }
+    return s;
+  }
+
+  /** Dot product against a flat-stored vector at {@code base}. */
+  public static float dot(float[] a, float[] flat, int base) {
+    int i = 0;
+    int bound = S.loopBound(a.length);
+    FloatVector acc = FloatVector.zero(S);
+    for (; i < bound; i += S.length()) {
+      acc = FloatVector.fromArray(S, a, i).fma(FloatVector.fromArray(S, flat, base + i), acc);
+    }
+    float s = acc.reduceLanes(VectorOperators.ADD);
+    for (; i < a.length; i++) { s += a[i] * flat[base + i]; }
+    return s;
+  }
+
+  /** Cosine parts against a flat-stored vector at {@code base}. */
+  public static void cosineParts(float[] a, float[] flat, int base, float[] out) {
+    int i = 0;
+    int bound = S.loopBound(a.length);
+    FloatVector dot = FloatVector.zero(S);
+    FloatVector na = FloatVector.zero(S);
+    FloatVector nb = FloatVector.zero(S);
+    for (; i < bound; i += S.length()) {
+      FloatVector va = FloatVector.fromArray(S, a, i);
+      FloatVector vb = FloatVector.fromArray(S, flat, base + i);
+      dot = va.fma(vb, dot);
+      na = va.fma(va, na);
+      nb = vb.fma(vb, nb);
+    }
+    float d = dot.reduceLanes(VectorOperators.ADD);
+    float x = na.reduceLanes(VectorOperators.ADD);
+    float y = nb.reduceLanes(VectorOperators.ADD);
+    for (; i < a.length; i++) {
+      d += a[i] * flat[base + i]; x += a[i] * a[i]; y += flat[base + i] * flat[base + i];
+    }
+    out[0] = d; out[1] = x; out[2] = y;
+  }
+
   /** One-pass dot + squared norms for cosine; fills out[0]=dot,
    *  out[1]=|a|^2, out[2]=|b|^2. */
   public static void cosineParts(float[] a, float[] b, float[] out) {

@@ -192,12 +192,28 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
   var entryOffset: Int = 0
 
   val globalIds = new Array[Long](capacity)
-  val data = new Array[Array[Float]](capacity)
+  /** Flat vector storage: one contiguous dim-strided float array for the
+    * whole shard (like the reference's single data block, dehnsw.h:56) —
+    * sequential offsets are sequential memory, so the dist-dominated beam
+    * and the brute-force scan prefetch instead of pointer-chasing
+    * per-vector arrays. Allocated at the first vector (fixes dim). */
+  private var flat: Array[Float] = null
+  var dim: Int = -1
   val layerOf = new Array[Int](capacity)
   /** Per vector: per-layer directed out-edges (pruning order). */
   val out = new Array[mutable.ArrayBuffer[EdgeList]](capacity)
   /** Per vector: per-layer undirected refcounted adjacency (traversal). */
   val edges = new Array[mutable.ArrayBuffer[AdjList]](capacity)
+
+  /** Store a vector at `offset` (first call fixes the shard dimension). */
+  def setVec(offset: Int, v: Array[Float]): Unit = {
+    if (flat == null) { dim = v.length; flat = new Array[Float](capacity * dim) }
+    System.arraycopy(v, 0, flat, offset * dim, dim)
+  }
+
+  /** Copy a stored vector out (cold path: dehydrate/persist only). */
+  def vecAt(offset: Int): Array[Float] =
+    java.util.Arrays.copyOfRange(flat, offset * dim, offset * dim + dim)
 
   // scratch state, reused across inserts/queries (single-threaded per task)
   private var stamp = new Array[Int](capacity)
@@ -222,22 +238,24 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * present (see SimdKernels), scalar float fallback otherwise. Float
     * accumulation like the reference (source/distance.h); the oracle-gated
     * exact path uses [[distExact]] (sequential Double). */
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
+  @inline private def dist(a: Array[Float], off: Int): Double = {
+    val base = off * dim
     if (SubIndexGraph.simdAvailable) {
-      if (metricCode == 0) return SimdKernels.sqL2(a, b).toDouble
-      if (metricCode == 1) return (1.0f - SimdKernels.dot(a, b)).toDouble
+      if (metricCode == 0) return SimdKernels.sqL2(a, flat, base).toDouble
+      if (metricCode == 1) return (1.0f - SimdKernels.dot(a, flat, base)).toDouble
       val parts = cosineScratch
-      SimdKernels.cosineParts(a, b, parts)
+      SimdKernels.cosineParts(a, flat, base, parts)
       return 1.0 - parts(0) / (math.sqrt(parts(1).toDouble) * math.sqrt(parts(2).toDouble))
     }
-    distScalar(a, b)
+    distScalar(a, base)
   }
 
   private val cosineScratch = new Array[Float](3)
 
-  private def distScalar(a: Array[Float], b: Array[Float]): Double = {
+  private def distScalar(a: Array[Float], base: Int): Double = {
     val n = a.length
     val n4 = n - (n & 3)
+    val b = flat
     if (metricCode == 0) {
       // 4 independent accumulators break the reduction dependency chain
       // (C2 does not vectorize strict reductions; ILP recovers most of it).
@@ -245,50 +263,53 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
       var s0 = 0.0f; var s1 = 0.0f; var s2 = 0.0f; var s3 = 0.0f
       var i = 0
       while (i < n4) {
-        val d0 = a(i) - b(i); s0 += d0 * d0
-        val d1 = a(i + 1) - b(i + 1); s1 += d1 * d1
-        val d2 = a(i + 2) - b(i + 2); s2 += d2 * d2
-        val d3 = a(i + 3) - b(i + 3); s3 += d3 * d3
+        val d0 = a(i) - b(base + i); s0 += d0 * d0
+        val d1 = a(i + 1) - b(base + i + 1); s1 += d1 * d1
+        val d2 = a(i + 2) - b(base + i + 2); s2 += d2 * d2
+        val d3 = a(i + 3) - b(base + i + 3); s3 += d3 * d3
         i += 4
       }
-      while (i < n) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+      while (i < n) { val d = a(i) - b(base + i); s0 += d * d; i += 1 }
       ((s0 + s1) + (s2 + s3)).toDouble
     } else if (metricCode == 1) {
       var s0 = 0.0f; var s1 = 0.0f; var s2 = 0.0f; var s3 = 0.0f
       var i = 0
       while (i < n4) {
-        s0 += a(i) * b(i); s1 += a(i + 1) * b(i + 1)
-        s2 += a(i + 2) * b(i + 2); s3 += a(i + 3) * b(i + 3)
+        s0 += a(i) * b(base + i); s1 += a(i + 1) * b(base + i + 1)
+        s2 += a(i + 2) * b(base + i + 2); s3 += a(i + 3) * b(base + i + 3)
         i += 4
       }
-      while (i < n) { s0 += a(i) * b(i); i += 1 }
+      while (i < n) { s0 += a(i) * b(base + i); i += 1 }
       (1.0f - ((s0 + s1) + (s2 + s3))).toDouble
     } else {
       var dot = 0.0f; var na = 0.0f; var nb = 0.0f; var i = 0
       while (i < n) {
-        val x = a(i); val y = b(i)
+        val x = a(i); val y = b(base + i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       (1.0 - dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
     }
   }
 
-  /** Full-precision Double distance — identical operation sequence to the
-    * Catalyst distance expressions (bit-equal to the SQL oracles). */
-  @inline private def distExact(a: Array[Float], b: Array[Float]): Double = {
+  /** Full-precision Double distance vs the stored vector at `off` —
+    * identical operation sequence to the Catalyst distance expressions
+    * (bit-equal to the SQL oracles). */
+  @inline private def distExact(a: Array[Float], off: Int): Double = {
     val n = a.length
+    val base = off * dim
+    val b = flat
     if (metricCode == 0) {
       var acc = 0.0; var i = 0
-      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      while (i < n) { val d = a(i).toDouble - b(base + i).toDouble; acc += d * d; i += 1 }
       acc
     } else if (metricCode == 1) {
       var acc = 0.0; var i = 0
-      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < n) { acc += a(i).toDouble * b(base + i).toDouble; i += 1 }
       1.0 - acc
     } else {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
+        val x = a(i).toDouble; val y = b(base + i).toDouble
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
@@ -300,7 +321,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
   def insert(globalId: Long, vec: Array[Float]): Unit = {
     val offset = count
     globalIds(offset) = globalId
-    data(offset) = vec
+    setVec(offset, vec)
     layerOf(offset) = 0
     out(offset) = mutable.ArrayBuffer(new EdgeList(params.minimumConnect + 2))
     edges(offset) = mutable.ArrayBuffer(new AdjList(params.minimumConnect + 2))
@@ -310,7 +331,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
 
   /** Graph insert — `add` (reference: dehnsw.h:403-509). */
   private def add(offset: Int): Unit = {
-    val vec = data(offset)
+    val vec = vecAt(offset)
     // descend from the entry point, stacking per-layer candidate sets
     // (reference: dehnsw.h:406-417)
     val stack = new Array[EdgeList](layerCount + 2)
@@ -500,7 +521,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     freshStamps()
     var outOfBound = 1
     frontier.clear()
-    frontier.add(dist(q, data(start)), start)
+    frontier.add(dist(q, start), start)
     var break = false
     while (!break && frontier.size > 0) {
       val d = frontier.headDist
@@ -525,7 +546,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
           val nbr = adj.nbrs(ai)
           if (!seen(nbr)) {
             mark(nbr)
-            frontier.add(dist(q, data(nbr)), nbr)
+            frontier.add(dist(q, nbr), nbr)
           }
           ai += 1
         }
@@ -545,7 +566,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     val result = new graft.operators.TopKBuffer(k)
     var i = 0
     while (i < count) {
-      result.insert(distExact(q, data(i)), globalIds(i))
+      result.insert(distExact(q, i), globalIds(i))
       i += 1
     }
     result.sortedPairs
@@ -564,7 +585,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     var outOfBound = 1
     freshStamps()
     val waiting = new MinHeap(64)
-    waiting.add(dist(q, data(entryOffset)), entryOffset)
+    waiting.add(dist(q, entryOffset), entryOffset)
     mark(entryOffset)
     // phase 1 (reference: dehnsw.h:258-279)
     var layer = layerCount - 1
@@ -578,7 +599,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
           val nbr = adj.nbrs(ai)
           if (!seen(nbr)) {
             mark(nbr)
-            waiting.add(dist(q, data(nbr)), nbr)
+            waiting.add(dist(q, nbr), nbr)
           }
           ai += 1
         }
@@ -612,7 +633,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
           val nbr = adj.nbrs(ai)
           if (!seen(nbr)) {
             mark(nbr)
-            waiting.add(dist(q, data(nbr)), nbr)
+            waiting.add(dist(q, nbr), nbr)
           }
           ai += 1
         }
@@ -625,7 +646,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     var ri = 0
     while (ri < result.size) {
       val o = result.ids(ri).toInt
-      out(ri) = (distExact(q, data(o)), globalIds(o))
+      out(ri) = (distExact(q, o), globalIds(o))
       ri += 1
     }
     scala.util.Sorting.stableSort(out,

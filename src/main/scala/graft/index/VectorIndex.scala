@@ -400,7 +400,7 @@ object VectorIndex {
   private[index] def dehydrate(shardId: Int, g: SubIndexGraph): Iterator[IndexRow] =
     (0 until g.count).iterator.map { o =>
       IndexRow(
-        shardId, o, g.globalIds(o), g.layerOf(o), g.data(o),
+        shardId, o, g.globalIds(o), g.layerOf(o), g.vecAt(o),
         g.out(o).map(el => (0 until el.size).map(i => OutEdge(el.ds(i), el.ns(i))).toSeq).toSeq,
         // adjacency arrays use swap-removal, so normalize to nbr order for
         // a canonical (rebuild-stable) persisted form
@@ -417,7 +417,7 @@ object VectorIndex {
     for (r <- shardRows) {
       val o = r.offset
       g.globalIds(o) = r.global_id
-      g.data(o) = r.embedding
+      g.setVec(o, r.embedding)
       g.layerOf(o) = r.layer
       g.out(o) = mutable.ArrayBuffer.from(r.out.map { layer =>
         val el = new EdgeList(math.max(layer.size, 4))
