@@ -104,10 +104,11 @@ class VectorIndex private (
     val qds = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    val total = qds.count()
-    if (total <= maxBatch) {
-      // common case: one driver collect, one broadcast pass
-      queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
+    // one bounded probe-collect decides the path: <= maxBatch rows means we
+    // already hold the whole batch (no separate count job)
+    val head = qds.limit(maxBatch + 1).collect()
+    if (head.length <= maxBatch) {
+      queryBatch(head.sortBy(_._1), k, searchWidth, maxBatch)
     } else {
       // huge batches: stream sorted chunks through toLocalIterator so the
       // driver holds at most ONE chunk at a time (a full collect of a 1e7
@@ -244,14 +245,22 @@ class VectorIndex private (
       .filter(col("sub_index_id").isin(affectedSeq: _*))
       .select(col("global_id").as("id"), col("embedding"))
     val rebuildInput = existing.union(fresh).cache()
-    val nIn = rebuildInput.count()
-    val nDistinct = rebuildInput.select(col("id")).distinct().count()
+    val counts = rebuildInput
+      .agg(count(lit(1)), count_distinct(col("id"))).head
+    val (nIn, nDistinct) = (counts.getLong(0), counts.getLong(1))
     require(nIn == nDistinct,
       s"appended ids must be disjoint from the index and unique (${nIn - nDistinct} clashes)")
     val rebuilt = VectorIndex.buildRows(rebuildInput, params, numShards)
     val kept = rows.filter(!col("sub_index_id").isin(affectedSeq: _*))
     val cached = kept.union(rebuilt).cache()
-    val meta2 = VectorIndex.computeMeta(cached) // action: materializes cached
+    // untouched shards keep their meta verbatim; recompute only the
+    // rebuilt shards (one pass over the affected slice of the cached
+    // union, which also materializes it — not the whole index)
+    val rebuiltMeta = VectorIndex.computeMeta(
+      cached.filter(col("sub_index_id").isin(affectedSeq: _*)))
+    cached.count() // materialize the kept slice too before dropping inputs
+    val meta2 = (meta.filterNot(m => affected(m.sub_index_id)) ++ rebuiltMeta)
+      .sortBy(_.sub_index_id)
     fresh.unpersist()
     rebuildInput.unpersist()
     new VectorIndex(params, numShards, cached, meta2,
@@ -277,10 +286,14 @@ class VectorIndex private (
     * round-trip invariant: dehnsw.h:666-844, exercised at
     * dehnsw_example.cpp:208-228). */
   def save(path: String): Unit = {
-    val spark = rows.sparkSession
-    import spark.implicits._
     rows.write.mode("overwrite").parquet(s"$path/rows")
-    meta.toSeq.toDS().write.mode("overwrite").json(s"$path/meta")
+    // meta is numShards tiny records — a plain NDJSON file, not a Spark
+    // write job (the parquet write above is the only cluster work here)
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/meta.json"),
+      meta.map(m => s"""{"sub_index_id":${m.sub_index_id},"n_vectors":${m.n_vectors},""" +
+        s""""layer_count":${m.layer_count},"entry_offset":${m.entry_offset}}""")
+        .mkString("", "\n", "\n"))
     val p = params
     val json =
       s"""{"metric":"${p.metric.name}","minimumConnect":${p.minimumConnect},
@@ -359,11 +372,23 @@ object VectorIndex {
   def load(spark: SparkSession, path: String): VectorIndex = {
     import spark.implicits._
     val rows = spark.read.parquet(s"$path/rows").as[IndexRow]
-    val metaDs = spark.read.json(s"$path/meta")
-    val meta = metaDs
-      .select(col("sub_index_id").cast("int"), col("n_vectors").cast("long"),
-        col("layer_count").cast("int"), col("entry_offset").cast("int"))
-      .as[ShardMeta].collect().sortBy(_.sub_index_id)
+    val metaFile = Paths.get(s"$path/meta.json")
+    val meta =
+      if (Files.isRegularFile(metaFile)) {
+        def field(line: String, key: String): Long =
+          s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        Files.readAllLines(metaFile).toArray(Array.empty[String])
+          .filter(_.trim.nonEmpty)
+          .map(l => ShardMeta(field(l, "sub_index_id").toInt, field(l, "n_vectors"),
+            field(l, "layer_count").toInt, field(l, "entry_offset").toInt))
+          .sortBy(_.sub_index_id)
+      } else {
+        // older saves wrote meta as a Spark JSON directory
+        spark.read.json(s"$path/meta")
+          .select(col("sub_index_id").cast("int"), col("n_vectors").cast("long"),
+            col("layer_count").cast("int"), col("entry_offset").cast("int"))
+          .as[ShardMeta].collect().sortBy(_.sub_index_id)
+      }
     val paramsJson = new String(Files.readAllBytes(Paths.get(s"$path/params.json")))
     def extract(key: String): String =
       s""""$key":\\s*"?([^,"}]+)"?""".r.findFirstMatchIn(paramsJson).get.group(1)
@@ -382,19 +407,18 @@ object VectorIndex {
   private def computeMeta(rows: Dataset[IndexRow]): Array[ShardMeta] = {
     import rows.sparkSession.implicits._
     // entry = the unique vector whose layer == shard layer_count, recorded
-    // at promotion time; layer_count = max layer (dehnsw.h:495-499)
-    rows.groupByKey(_.sub_index_id).mapGroups { (shardId, it) =>
-      var n = 0L
-      var maxLayer = -1
-      var entry = 0
-      for (r <- it) {
-        n += 1
-        if (r.layer > maxLayer || (r.layer == maxLayer && r.offset < entry)) {
-          maxLayer = r.layer; entry = r.offset
-        }
-      }
-      ShardMeta(shardId, n, maxLayer, entry)
-    }.collect().sortBy(_.sub_index_id)
+    // at promotion time; layer_count = max layer (dehnsw.h:495-499).
+    // Declarative aggregate (max layer, min offset among them via negated
+    // tie-break) so only (shard, layer, offset) shuffle — groupByKey +
+    // mapGroups would drag embeddings and adjacency through the exchange.
+    rows.groupBy(col("sub_index_id"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("layer").as("l"), (-col("offset")).as("no"))).as("m"))
+      .select(col("sub_index_id"), col("n"),
+        col("m.l").as("lc"), (-col("m.no")).as("eo"))
+      .as[(Int, Long, Int, Int)].collect()
+      .map { case (s, n, lc, eo) => ShardMeta(s, n, lc, eo) }
+      .sortBy(_.sub_index_id)
   }
 
   private[index] def dehydrate(shardId: Int, g: SubIndexGraph): Iterator[IndexRow] =
