@@ -75,7 +75,12 @@ object IvfKnn {
 
   private def assignWith(corpus: DataFrame, cs: CentroidSet): DataFrame =
     corpus.select(col("id"), col("embedding"),
-      element_at(nearestCells(col("embedding"), cs, 1), 1).as("cell"))
+      // coalesce to a never-matching sentinel makes the column
+      // non-nullable, so the downstream equi-join does NOT inject an
+      // IsNotNull(argmin-expr) filter that would re-evaluate the argmin
+      // a second time per corpus row
+      coalesce(element_at(nearestCells(col("embedding"), cs, 1), 1), lit(-1L))
+        .as("cell"))
 
   /** IVF kNN: probe the nprobe nearest cells per query, exact top-k among
     * their members (may return fewer than k — the approximation).
