@@ -4,6 +4,22 @@ import scala.collection.mutable
 
 import graft.functions.DistanceMetric
 
+/** One step of the adaptive build schedule: once a shard holds
+  * `fromCount` vectors, subsequent inserts use these M / RM values —
+  * the engine-side form of the reference's latent count-switched
+  * parameter mutation (dehnsw.h:610-656, commented out there; it steps
+  * M=RM from 10 to 20 every 100k inserts). Deterministic: the switch
+  * depends only on shard-local count, so rebuilds reproduce bit-for-bit
+  * and append's affected-shard rebuild stays equal to a full rebuild. */
+case class ParamStep(fromCount: Int, minimumConnect: Int, relaxedMonotonicity: Int)
+
+object ParamStep {
+  /** The reference's own (commented-out) schedule: M=RM=10+count/100k,
+    * stepping at each 100k up to 20 (dehnsw.h:611-656). */
+  val referenceLatent: Seq[ParamStep] =
+    (0 to 10).map(i => ParamStep(i * 100000, 10 + i, 10 + i))
+}
+
 /** Index build/search parameters — the engine-side `Index_Parameters`
   * (reference: source/dehnsw.h:72-95).
   *
@@ -13,13 +29,19 @@ import graft.functions.DistanceMetric
   * @param relaxedMonotonicity  build-time early-termination window (dehnsw.h:84)
   * @param step                 BFS radius for deterministic layer promotion (dehnsw.h:76)
   * @param subIndexBound        max vectors per shard (dehnsw.h:80)
+  * @param schedule             optional adaptive M/RM build schedule
+  *                             (ascending fromCount; empty = fixed params)
   */
 case class IndexParams(
     metric: DistanceMetric = DistanceMetric.Euclidean2,
     minimumConnect: Int = 4,
     relaxedMonotonicity: Int = 128,
     step: Int = 4,
-    subIndexBound: Long = 10000000L)
+    subIndexBound: Long = 10000000L,
+    schedule: Seq[ParamStep] = Nil) {
+  require(schedule.sliding(2).forall(w => w.size < 2 || w(0).fromCount < w(1).fromCount),
+    "schedule fromCount thresholds must be strictly ascending")
+}
 
 /** Ascending (dist, nbr) edge list over primitive parallel arrays — the
   * engine-side `Vector.out` sorted multimap (reference: dehnsw.h:41). Kept
@@ -316,15 +338,32 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     }
   }
 
+  // effective build params — constant unless an adaptive schedule is set
+  // (reference's latent count-switched mutation, dehnsw.h:610-656). The
+  // switch keys on the PRE-insert shard count, like the reference's check
+  // of sub_indexes.back().count before the append.
+  private var mEff = params.minimumConnect
+  private var rmEff = params.relaxedMonotonicity
+  private var schedIdx = 0
+  @inline private def advanceSchedule(preCount: Int): Unit = {
+    val sch = params.schedule
+    while (schedIdx < sch.length && preCount >= sch(schedIdx).fromCount) {
+      mEff = sch(schedIdx).minimumConnect
+      rmEff = sch(schedIdx).relaxedMonotonicity
+      schedIdx += 1
+    }
+  }
+
   /** Insert in offset order — `insert` (reference: dehnsw.h:590-663). The
     * first vector of a shard is stored without edges (dehnsw.h:601-609). */
   def insert(globalId: Long, vec: Array[Float]): Unit = {
     val offset = count
+    advanceSchedule(offset)
     globalIds(offset) = globalId
     setVec(offset, vec)
     layerOf(offset) = 0
-    out(offset) = mutable.ArrayBuffer(new EdgeList(params.minimumConnect + 2))
-    edges(offset) = mutable.ArrayBuffer(new AdjList(params.minimumConnect + 2))
+    out(offset) = mutable.ArrayBuffer(new EdgeList(mEff + 2))
+    edges(offset) = mutable.ArrayBuffer(new AdjList(mEff + 2))
     count += 1
     if (offset > 0) add(offset)
   }
@@ -358,19 +397,19 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
         val nOut = out(nbr)(targetLayer)
         val nAdj = edges(nbr)(targetLayer)
         if (nAdj.indexOf(offset) < 0) nAdj.add(offset, 1)
-        if (nOut.size < params.minimumConnect) {
+        if (nOut.size < mEff) {
           // both directed edges exist -> refcount 2 (reference: dehnsw.h:433-438)
           nOut.insert(d, offset)
           nAdj.inc(offset)
           myAdj.inc(nbr)
-        } else if (d < nOut.ds(params.minimumConnect - 1)) {
+        } else if (d < nOut.ds(mEff - 1)) {
           // prune: keep neighbor's M best, evict the (M+1)-th
           // (reference: dehnsw.h:440-464)
           nOut.insert(d, offset)
           nAdj.inc(offset)
           myAdj.inc(nbr)
-          val evictDist = nOut.ds(params.minimumConnect)
-          val target = nOut.ns(params.minimumConnect)
+          val evictDist = nOut.ds(mEff)
+          val target = nOut.ns(mEff)
           if (deletedEdges == null) deletedEdges = mutable.HashMap.empty
           if (!deletedEdges.contains(target)) deletedEdges(target) = (evictDist, nbr)
           nAdj.dec(target)
@@ -378,7 +417,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
           // remove the SAME entry whose refcounts were just decremented —
           // index M, not the physically-last one (they differ when repair
           // had grown the list past M)
-          nOut.removeAt(params.minimumConnect)
+          nOut.removeAt(mEff)
         }
         ci += 1
       }
@@ -400,8 +439,8 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
           entryOffset = offset
         }
         layerOf(offset) += 1
-        out(offset) += new EdgeList(params.minimumConnect + 2)
-        edges(offset) += new AdjList(params.minimumConnect + 2)
+        out(offset) += new EdgeList(mEff + 2)
+        edges(offset) += new AdjList(mEff + 2)
       } else {
         continue = false
       }
@@ -517,7 +556,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * early-stops after `relaxedMonotonicity` consecutive non-improving
     * pops (RM counter semantics: starts at 1, `==` test, dehnsw.h:215). */
   private def nnInsert(layer: Int, q: Array[Float], start: Int): EdgeList = {
-    val result = new EdgeList(params.minimumConnect + 2)
+    val result = new EdgeList(mEff + 2)
     freshStamps()
     var outOfBound = 1
     frontier.clear()
@@ -528,13 +567,13 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
       val v = frontier.headId
       frontier.removeHead()
       mark(v)
-      if (result.size < params.minimumConnect) {
+      if (result.size < mEff) {
         result.insert(d, v)
       } else if (d <= result.ds(result.size - 1)) {
         outOfBound = 1
         result.insert(d, v)
         result.removeLast()
-      } else if (params.relaxedMonotonicity == outOfBound) {
+      } else if (rmEff == outOfBound) {
         break = true
       } else {
         outOfBound += 1

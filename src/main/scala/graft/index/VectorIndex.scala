@@ -295,10 +295,16 @@ class VectorIndex private (
         s""""layer_count":${m.layer_count},"entry_offset":${m.entry_offset}}""")
         .mkString("", "\n", "\n"))
     val p = params
+    // schedule as from:M:RM triples — build provenance AND an append
+    // contract (append rebuilds shards with the same schedule)
+    val sched = p.schedule
+      .map(s => s"${s.fromCount}:${s.minimumConnect}:${s.relaxedMonotonicity}")
+      .mkString(";")
     val json =
       s"""{"metric":"${p.metric.name}","minimumConnect":${p.minimumConnect},
          |"relaxedMonotonicity":${p.relaxedMonotonicity},"step":${p.step},
          |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
+         |"schedule":"$sched",
          |"indexId":"$indexId"}""".stripMargin
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/params.json"), json)
@@ -393,9 +399,17 @@ object VectorIndex {
     def extract(key: String): String =
       s""""$key":\\s*"?([^,"}]+)"?""".r.findFirstMatchIn(paramsJson).get.group(1)
     val metric = DistanceMetric.all.find(_.name == extract("metric")).get
+    // optional (older saves lack the key; empty string = no schedule)
+    val schedule = """"schedule":\s*"([^"]*)"""".r.findFirstMatchIn(paramsJson)
+      .map(_.group(1)).getOrElse("")
+      .split(";").toSeq.filter(_.nonEmpty)
+      .map { t =>
+        val Array(f, m, rm) = t.split(":")
+        ParamStep(f.toInt, m.toInt, rm.toInt)
+      }
     val params = IndexParams(metric, extract("minimumConnect").toInt,
       extract("relaxedMonotonicity").toInt, extract("step").toInt,
-      extract("subIndexBound").toLong)
+      extract("subIndexBound").toLong, schedule)
     // fresh cache identity per load: reusing the persisted id would let a
     // probe of the loaded index hit executor-cached graphs built from the
     // ORIGINAL in-memory index (same JVM), silently bypassing the loaded

@@ -96,6 +96,42 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(eDim.getMessage.contains("dimension"))
   }
 
+  test("adaptive M/RM schedule: deterministic, effective, persisted, append-stable") {
+    import graft.index.ParamStep
+    val sched = Seq(ParamStep(0, 4, 16), ParamStep(100, 8, 32))
+    val p = IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 2,
+      schedule = sched)
+    val s1 = VectorIndex.build(corpus, p, numShards = 2)
+    val s2 = VectorIndex.build(corpus, p, numShards = 2)
+    assert(s1.rows.exceptAll(s2.rows).count() === 0,
+      "scheduled rebuild must be deterministic")
+    // the schedule must actually change the graph vs fixed params
+    val fixed = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 2), numShards = 2)
+    assert(s1.rows.exceptAll(fixed.rows).count() > 0,
+      "schedule had no effect on the built graph")
+    // nodes inserted after the threshold link toward the larger M
+    val maxDeg = s1.rows
+      .select(max(size(col("out").getItem(0)))).head.getInt(0)
+    assert(maxDeg > 4, s"expected post-threshold degree above the initial M, got $maxDeg")
+    // exact probe is still exact regardless of graph shape
+    val viaIdx = s1.query(queries, k = 10, searchWidth = 0)
+    assert(viaIdx.exceptAll(exact).count() === 0)
+    // persisted: save/load round-trips the schedule; append rebuilds with it
+    val path = java.nio.file.Files.createTempDirectory("graft_sched_").toString
+    s1.save(path)
+    assert(VectorIndex.load(spark, path).params.schedule === sched)
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") >= 50 && col("vec_id") < 400)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val extra = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val appended = VectorIndex.build(base, p, numShards = 2).append(extra)
+    val full = VectorIndex.build(base.union(extra), p, numShards = 2)
+    assert(appended.rows.exceptAll(full.rows).count() === 0,
+      "append under a schedule must equal the full scheduled rebuild")
+  }
+
   test("chunked query batches (maxBatch) merge to the same global top-k") {
     val whole = index.query(queries, k = 5, searchWidth = 0)
     val chunked = index.query(queries, k = 5, searchWidth = 0, maxBatch = 3)
