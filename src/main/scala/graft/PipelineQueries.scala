@@ -304,6 +304,49 @@ object PipelineQueries {
       |  md5(array_to_string(list_transform(generate_series(1, greatest(CAST(ceil(length(text) / 4.0) AS INT), 1)), i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m4_image_stats
+  /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
+    * doc, push it through the pure-JVM decoder, and emit per-channel
+    * means — byte-level encode→decode→features must land exactly on the
+    * closed-form SQL oracle (any header-parse or stride slip shifts every
+    * channel mean). */
+  def m4ImageStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageStats(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("doc_id"))
+
+  private val m4Oracle =
+    """SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 47), p -> (doc_id * 31 + p) % 256)) AS DOUBLE) / 48, 6) AS mean_r,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 47), p -> (doc_id * 17 + 2 * p + 5) % 256)) AS DOUBLE) / 48, 6) AS mean_g,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 47), p -> (doc_id * 13 + 3 * p + 11) % 256)) AS DOUBLE) / 48, 6) AS mean_b
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m5_image_resize
+  /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
+    * resized pixels; source pixel of output (x, y) is (2x, 2y), so the
+    * oracle selects p' = 16*(p/4) + 2*(p%4) in closed form. */
+  def m5ImageResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImage(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6),
+      outW = 4, outH = 3)
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("doc_id"))
+
+  private val m5Oracle =
+    """SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 11), p -> (doc_id * 31 + (16 * (p // 4) + 2 * (p % 4))) % 256)) AS DOUBLE) / 12, 6) AS mean_r,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 11), p -> (doc_id * 17 + 2 * (16 * (p // 4) + 2 * (p % 4)) + 5) % 256)) AS DOUBLE) / 12, 6) AS mean_g,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 11), p -> (doc_id * 13 + 3 * (16 * (p // 4) + 2 * (p % 4)) + 11) % 256)) AS DOUBLE) / 12, 6) AS mean_b
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -439,6 +482,8 @@ object PipelineQueries {
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
+    "m4_image_stats" -> ((s, dir) => m4ImageStats(s, dir)),
+    "m5_image_resize" -> ((s, dir) => m5ImageResize(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -463,6 +508,8 @@ object PipelineQueries {
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,
+    "m4_image_stats" -> m4Oracle,
+    "m5_image_resize" -> m5Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

@@ -5,13 +5,79 @@ import java.security.MessageDigest
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Minimal pure-JVM PPM (P6, maxval 255) raster codec — a REAL binary
+  * image decode path with zero native/external dependencies (this
+  * environment ships no image libraries; PPM is the simplest widely-used
+  * raster format). Feeds [[Multimodal.imageStats]] /
+  * [[Multimodal.resizeImage]]; heavier codecs (JPEG/PNG) plug into the
+  * same mapPartitions shape via JNI/FFI in a full deployment. */
+object PpmCodec {
+
+  def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"expected ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a P6 payload (whitespace/comment-tolerant header).
+    * @return (width, height, interleaved RGB bytes) */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val s = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+      new String(bytes, s, i - s, "US-ASCII")
+    }
+    require(token() == "P6", "not a P6 PPM payload")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"unsupported maxval $maxval (8-bit only)")
+    i += 1 // exactly one whitespace byte separates header from pixels
+    require(bytes.length - i >= w * h * 3, "truncated pixel data")
+    (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+  }
+
+  /** Nearest-neighbor resample (source pixel floor(x*w/outW, y*h/outH)). */
+  def resizeNearest(w: Int, h: Int, rgb: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sp = (sy * w + x * w / outW) * 3
+        val dp = (y * outW + x) * 3
+        out(dp) = rgb(sp); out(dp + 1) = rgb(sp + 1); out(dp + 2) = rgb(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 /** Multimodal column plumbing: media (image/audio/video) is carried as an
   * opaque `binary` payload column plus typed metadata, and per-batch
   * feature extraction runs in `mapPartitions` over the raw bytes — the
-  * same shape a real decoder (JNI/FFI image lib) would use, with the
-  * decode step STUBBED as a deterministic digest (media codecs are not
-  * available in this environment; the Spark-side plumbing — schema,
-  * partitioning, batch iteration, binary handling — is real and tested).
+  * same shape a real decoder (JNI/FFI image lib) would use. The IMAGE
+  * path is real: [[PpmCodec]] decodes P6 payloads for [[imageStats]] and
+  * [[resizeImage]] (oracle-gated end-to-end: encode → decode → features
+  * must match closed-form SQL). Digest-based feature stubs remain for
+  * formats whose codecs this environment lacks.
   */
 object Multimodal {
 
@@ -56,6 +122,74 @@ object Multimodal {
       length(col(textCol)).as("orig_chars"),
       length(resized).as("resized_chars"),
       md5(resized).as("resized_md5"))
+  }
+
+  case class ImageStats(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic synthetic P6 payload per row — pixel channels are
+    * closed-form in (doc_id, pixel index), so decoded statistics have an
+    * exact SQL oracle: r=(id*31+p)%256, g=(id*17+2p+5)%256,
+    * b=(id*13+3p+11)%256. Output (doc_id, payload BINARY). */
+  def syntheticImages(docs: DataFrame, w: Int, h: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val n = w * h
+      it.map { id =>
+        val rgb = new Array[Byte](n * 3)
+        var p = 0
+        while (p < n) {
+          rgb(p * 3) = ((id * 31 + p) % 256).toByte
+          rgb(p * 3 + 1) = ((id * 17 + 2L * p + 5) % 256).toByte
+          rgb(p * 3 + 2) = ((id * 13 + 3L * p + 11) % 256).toByte
+          p += 1
+        }
+        (id, PpmCodec.encode(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  private def statsOf(id: Long, w: Int, h: Int, rgb: Array[Byte]): ImageStats = {
+    val n = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < n) {
+      sr += rgb(p * 3) & 0xff
+      sg += rgb(p * 3 + 1) & 0xff
+      sb += rgb(p * 3 + 2) & 0xff
+      p += 1
+    }
+    ImageStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** REAL image decode + per-channel mean features over P6 payloads —
+    * decoder instantiated per task, batch streamed through it. */
+  def imageStats(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, rgb) = PpmCodec.decode(bytes)
+        statsOf(id, w, h, rgb)
+      }).toDF()
+  }
+
+  /** Decode → nearest-neighbor resize → features of the RESIZED image
+    * (the thumbnailing shape: decode and scale inside one task pass). */
+  def resizeImage(withPayload: DataFrame, outW: Int, outH: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, rgb) = PpmCodec.decode(bytes)
+        statsOf(id, outW, outH, PpmCodec.resizeNearest(w, h, rgb, outW, outH))
+      }).toDF()
   }
 
   /** Batched "decode + feature extract" over the binary payload. The stub

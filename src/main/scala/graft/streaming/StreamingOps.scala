@@ -18,10 +18,15 @@ object StreamingOps {
     * same way as Tables.events: nanos-as-long + explicit conversion). */
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // footer-read schema inference is a Spark job — pay it once per path,
+  // not once per streaming query
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   private def eventsStream(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
+    val schema = schemaCache.computeIfAbsent(eventsPath,
+      p => spark.read.parquet(p).schema)
     // the file-stream source requires a directory; stage a symlink to the
     // single parquet file in a temp dir (memoized per source path)
     val dir = stagedSources.computeIfAbsent(eventsPath, _ => {

@@ -102,4 +102,37 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(f.getLong(1) === "héllo wörld".getBytes("UTF-8").length.toLong)
     assert(f.getString(2).length === 64) // sha256 hex
   }
+
+  test("PPM codec: encode/decode round-trips bytes exactly, header tolerant") {
+    import graft.operators.PpmCodec
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(9)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val (w2, h2, rgb2) = PpmCodec.decode(PpmCodec.encode(w, h, rgb))
+      assert(w2 === w); assert(h2 === h); assert(rgb2.toSeq === rgb.toSeq)
+    }
+    // comment + extra whitespace in the header must parse (the format
+    // allows both); pixel bytes may legitimately start with whitespace
+    val rgb = Array.tabulate[Byte](12)(_.toByte)
+    val loose = ("P6 # a comment\n 2\t2 \n255\n".getBytes("US-ASCII") ++ rgb)
+    val (lw, lh, lrgb) = PpmCodec.decode(loose)
+    assert((lw, lh) === ((2, 2))); assert(lrgb.toSeq === rgb.toSeq)
+    intercept[IllegalArgumentException](PpmCodec.decode("P5\n1 1\n255\nxxx".getBytes))
+  }
+
+  test("PPM nearest-neighbor resize picks floor-mapped source pixels") {
+    import graft.operators.PpmCodec
+    // 2x2 image with distinct channels per pixel; upscale to 4x4 must
+    // replicate each source pixel in a 2x2 block
+    val rgb = Array.tabulate[Byte](12)(i => (i * 10).toByte)
+    val up = PpmCodec.resizeNearest(2, 2, rgb, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val sp = ((y / 2) * 2 + (x / 2)) * 3 + c
+      assert(up((y * 4 + x) * 3 + c) === rgb(sp), s"pixel ($x,$y) channel $c")
+    }
+    // downscale 4x4 -> 2x2 keeps pixels (0,0),(2,0),(0,2),(2,2)
+    val down = PpmCodec.resizeNearest(4, 4, up, 2, 2)
+    assert(down.toSeq === rgb.toSeq)
+  }
 }
