@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sessionize}
+import graft.operators.{Dedup, Multimodal, Sampling, Sessionize}
 import graft.streaming.StreamingOps
 
 /** LLM-data-pipeline query inventory (dedup / text analysis / multimodal /
@@ -304,6 +304,47 @@ object PipelineQueries {
       |  md5(array_to_string(list_transform(generate_series(1, greatest(CAST(ceil(length(text) / 4.0) AS INT), 1)), i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t7_sample
+  /** Deterministic hash-split sample (the reproducible train/test-split
+    * primitive): md5-bucket the doc id, keep buckets 0-2 of 10 — a pure
+    * per-row predicate, no RNG, identical row set on any engine or
+    * partitioning. */
+  def t7Sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSample(Tables.documents(s, dir), "doc_id", buckets = 10, accept = 3)
+      .select(col("doc_id"), col("lang"),
+        Sampling.hashBucket(col("doc_id"), 10).as("bucket"))
+      .orderBy(col("doc_id"))
+
+  private val t7Oracle =
+    """SELECT doc_id, lang,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10 AS bucket
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10 < 3
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t8_percentiles
+  /** Exact per-language token-count percentiles (corpus length profiling —
+    * the quality-floor calibration query). Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` both linearly interpolate on the sorted
+    * values, so results hash-match at round(6). */
+  def t8Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_tokens, array(0.25, 0.5, 0.9))").as("p"))
+      .select(col("lang"),
+        round(col("p").getItem(0), 6).as("p25"),
+        round(col("p").getItem(1), 6).as("p50"),
+        round(col("p").getItem(2), 6).as("p90"))
+      .orderBy(col("lang"))
+
+  private val t8Oracle =
+    """SELECT lang,
+      |  round(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
+      |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+      |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -479,6 +520,8 @@ object PipelineQueries {
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
     "t4_fingerprint" -> ((s, dir) => t4Fingerprint(s, dir)),
     "t6_strings" -> ((s, dir) => t6Strings(s, dir)),
+    "t7_sample" -> ((s, dir) => t7Sample(s, dir)),
+    "t8_percentiles" -> ((s, dir) => t8Percentiles(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -505,6 +548,8 @@ object PipelineQueries {
     "t3_tokens" -> t3Oracle,
     "t4_fingerprint" -> t4Oracle,
     "t6_strings" -> t6Oracle,
+    "t7_sample" -> t7Oracle,
+    "t8_percentiles" -> t8Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

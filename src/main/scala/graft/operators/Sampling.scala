@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling / splitting — the reproducible
+  * train/test-split primitive of a training-data pipeline. A row's bucket
+  * is a pure function of its id (first 28 bits of md5, uniform), so:
+  *
+  *  - the same id lands in the same split on every run, any engine, any
+  *    partitioning (no RNG, no seed-ordering trap);
+  *  - splits are disjoint and exhaustive by construction;
+  *  - it is a plain per-row predicate: scales as a filtered scan with
+  *    pushdown-friendly shape, no shuffle, no sample() nondeterminism.
+  *
+  * md5 rather than a native hash so any SQL engine reproduces the split
+  * exactly (DuckDB: ('0x' || substr(md5(id::VARCHAR), 1, 7))::BIGINT).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the id column. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("long") % buckets
+
+  /** Keep rows whose bucket falls in [0, accept) of [0, buckets) — an
+    * accept/buckets fraction sample, deterministic in the id. */
+  def deterministicSample(df: DataFrame, idCol: String, buckets: Int, accept: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < accept)
+
+  /** Disjoint, exhaustive (train, test) split: test = `testBuckets` of
+    * `buckets` hash buckets, train = the rest. */
+  def trainTestSplit(
+      df: DataFrame, idCol: String, buckets: Int, testBuckets: Int): (DataFrame, DataFrame) = {
+    val b = hashBucket(col(idCol), buckets)
+    (df.filter(b >= testBuckets), df.filter(b < testBuckets))
+  }
+}

@@ -103,6 +103,17 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(f.getString(2).length === 64) // sha256 hex
   }
 
+  test("hash split is deterministic, disjoint, and exhaustive") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", buckets = 10, testBuckets = 3)
+    assert(train.count() + test.count() === docs.count())
+    assert(train.join(test, "doc_id").count() === 0)
+    // rerun yields the identical membership
+    val (train2, _) = Sampling.trainTestSplit(docs, "doc_id", buckets = 10, testBuckets = 3)
+    assert(train.select("doc_id").exceptAll(train2.select("doc_id")).count() === 0)
+  }
+
   test("PPM codec: encode/decode round-trips bytes exactly, header tolerant") {
     import graft.operators.PpmCodec
     val rnd = new scala.util.Random(7)
