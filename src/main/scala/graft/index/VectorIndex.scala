@@ -207,6 +207,76 @@ class VectorIndex private (
       .cache()
   }
 
+  /** Identity-partitioned layout for the driverless probe: partition i
+    * holds exactly shard i's rows (the ShardPartitioner maps the shard id
+    * to itself), cached once — zipping query partitions onto it needs the
+    * partition index to BE the shard id. Lazy: only materialized when
+    * [[queryDistributed]] is used. */
+  @transient private lazy val probePairRows
+      : org.apache.spark.rdd.RDD[IndexRow] = {
+    rows.rdd.map(r => (r.sub_index_id, r))
+      .partitionBy(new VectorIndex.ShardPartitioner(numShards))
+      .map(_._2)
+      .cache()
+  }
+
+  /** Fully driverless probe: query rows flow through ONE shuffle onto the
+    * identity-partitioned index layout — no driver collect, no broadcast,
+    * no `toLocalIterator` transit, so the batch may be arbitrarily large
+    * (each task holds one shard's graph plus a bounded query group).
+    * Each query is replicated to every shard (the same data volume a
+    * broadcast ships to every executor), probed per shard, and reduced by
+    * the usual partial/final top-k merge. Results are identical to
+    * [[query]] — gated by spec. Prefer [[query]] for small batches (one
+    * broadcast beats a |Q| x shards shuffle when |Q| is tiny). */
+  def queryDistributed(queries: DataFrame, k: Int, searchWidth: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val n = numShards
+    val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
+    val p = params
+    val iid = indexId
+    val qPairs = queries
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].rdd
+      .flatMap(q => Iterator.range(0, n).map(s => (s, q)))
+      .partitionBy(new VectorIndex.ShardPartitioner(n))
+      .map(_._2)
+    val candidates = probePairRows.zipPartitions(qPairs, preservesPartitioning = false) {
+      (rit, qit) =>
+        if (!qit.hasNext) Iterator.empty
+        else {
+          val shardId = org.apache.spark.TaskContext.getPartitionId()
+          var g = ShardGraphCache.peek(iid, shardId)
+          if (g == null) {
+            val shardRows = mutable.ArrayBuffer.empty[IndexRow]
+            rit.foreach(shardRows += _)
+            if (shardRows.nonEmpty)
+              g = ShardGraphCache.getOrRehydrate(iid, shardId)(
+                VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
+          }
+          if (g == null) Iterator.empty // shard holds no vectors
+          else {
+            val graph = g
+            // bounded groups keep per-task result memory ~groupSize x k
+            // while still materializing each group's probes inside the
+            // graph lock (the iterator must not escape the lock lazily)
+            qit.grouped(8192).flatMap { group =>
+              graph.synchronized {
+                group.iterator.flatMap { case (qid, qvec) =>
+                  val topk =
+                    if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
+                    else graph.queryTopK(qvec, k, searchWidth)
+                  topk.iterator.map { case (d, gid) => (qid, d, gid) }
+                }.toArray
+              }
+            }
+          }
+        }
+    }.toDF("query_id", "distance", "neighbor_id")
+    TopK.topKMerge(candidates, k)
+  }
+
   /** Batch append: rebuild only the shards that receive new vectors
     * (SURVEY §1.3 — online single-vector insert is out of scope; batch
     * append = partition rebuild). Because shard assignment is id % shards
@@ -272,6 +342,7 @@ class VectorIndex private (
     * full row set, so long ingest loops must release old ones. */
   def unpersist(): Unit = {
     probeRows.unpersist()
+    probePairRows.unpersist(false)
     rows.unpersist()
   }
 
@@ -312,6 +383,20 @@ class VectorIndex private (
 }
 
 object VectorIndex {
+
+  /** Identity partitioner over shard ids (keys are already 0..n-1):
+    * partition index == shard id, which the driverless probe relies on.
+    * Equality by partition count so `partitionBy` can skip redundant
+    * shuffles on already-partitioned RDDs. */
+  private[index] class ShardPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    override def equals(o: Any): Boolean = o match {
+      case s: ShardPartitioner => s.numPartitions == n
+      case _ => false
+    }
+    override def hashCode: Int = n
+  }
 
   /** The shard-assignment expression — single source of truth for build
     * AND append's affected-shard discovery (divergence would classify

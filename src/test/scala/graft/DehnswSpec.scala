@@ -140,6 +140,15 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(index.optimize() eq index)
   }
 
+  test("driverless shuffled probe equals the broadcast probe exactly") {
+    for (sw <- Seq(0, 8)) {
+      val viaBroadcast = index.query(queries, k = 7, searchWidth = sw)
+      val viaShuffle = index.queryDistributed(queries, k = 7, searchWidth = sw)
+      assert(viaBroadcast.exceptAll(viaShuffle).count() === 0, s"sw=$sw")
+      assert(viaShuffle.exceptAll(viaBroadcast).count() === 0, s"sw=$sw")
+    }
+  }
+
   test("query batch order does not affect results (permutation invariance)") {
     val shuffled = queries.orderBy(rand(7))
     val a = index.query(queries, k = 5, searchWidth = 8)
