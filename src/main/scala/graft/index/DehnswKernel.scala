@@ -358,6 +358,8 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * first vector of a shard is stored without edges (dehnsw.h:601-609). */
   def insert(globalId: Long, vec: Array[Float]): Unit = {
     val offset = count
+    require(dim < 0 || vec.length == dim,
+      s"vector dimension ${vec.length} does not match index dimension $dim")
     advanceSchedule(offset)
     globalIds(offset) = globalId
     setVec(offset, vec)
@@ -365,12 +367,13 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     out(offset) = mutable.ArrayBuffer(new EdgeList(mEff + 2))
     edges(offset) = mutable.ArrayBuffer(new AdjList(mEff + 2))
     count += 1
-    if (offset > 0) add(offset)
+    // pass the caller's array through — re-reading via vecAt would copy
+    // dim floats out of the flat block on every insert (hot path)
+    if (offset > 0) add(offset, vec)
   }
 
   /** Graph insert — `add` (reference: dehnsw.h:403-509). */
-  private def add(offset: Int): Unit = {
-    val vec = vecAt(offset)
+  private def add(offset: Int, vec: Array[Float]): Unit = {
     // descend from the entry point, stacking per-layer candidate sets
     // (reference: dehnsw.h:406-417)
     val stack = new Array[EdgeList](layerCount + 2)
@@ -600,6 +603,10 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * O(shard size) but guaranteed exact even if pruning ever disconnects
     * the graph, so exact mode is a true brute-force oracle. */
   def bruteForceTopK(q: Array[Float], k: Int): Array[(Double, Long)] = {
+    // flat storage reads offset*dim + i, so a longer query would silently
+    // read into the NEXT vector's floats — guard at the kernel entry
+    require(count == 0 || q.length == dim,
+      s"query dimension ${q.length} does not match index dimension $dim")
     // primitive bounded heap — same (dist, id) lexicographic replacement
     // as a sorted set, no per-candidate boxing
     val result = new graft.operators.TopKBuffer(k)
@@ -619,6 +626,8 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * component = exact search. Returns ascending (distance, globalId). */
   def queryTopK(q: Array[Float], k: Int, searchWidth: Int): Array[(Double, Long)] = {
     if (count == 0) return Array.empty
+    require(q.length == dim,
+      s"query dimension ${q.length} does not match index dimension $dim")
     // worst-first bounded result over (dist, offset) — primitive heap
     val result = new graft.operators.TopKBuffer(k)
     var outOfBound = 1

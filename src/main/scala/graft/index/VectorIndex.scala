@@ -1,7 +1,5 @@
 package graft.index
 
-import java.nio.file.{Files, Paths}
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -104,13 +102,14 @@ class VectorIndex private (
     val qds = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    // one bounded probe-collect decides the path: <= maxBatch rows means we
-    // already hold the whole batch (no separate count job). Bigger batches
-    // never transit the driver at all — they route to the driverless
-    // shuffled probe (measured ~3x faster than chunked broadcasts at 200k
-    // queries, and memory-safe at any batch size).
-    val head = qds.limit(maxBatch + 1).collect()
-    if (head.length <= maxBatch) queryBatch(head.sortBy(_._1), k, searchWidth, maxBatch)
+    // routing probe collects ONLY ids (column-pruned scan, 8 bytes/row
+    // bounded at maxBatch+1) — collecting whole rows here would ship up
+    // to maxBatch query VECTORS to the driver just to count them. Small
+    // batches then pay one more (full) collect; big batches never
+    // transit the driver at all — the driverless shuffled probe is also
+    // ~3x faster than chunked broadcasts at 200k queries.
+    val probeCount = qds.select(col("query_id")).limit(maxBatch + 1).count()
+    if (probeCount <= maxBatch) queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
     else queryDistributed(queries, k, searchWidth)
   }
 
@@ -131,66 +130,46 @@ class VectorIndex private (
 
     val candidateChunks = queryBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
       val bcQueries = spark.sparkContext.broadcast(chunk)
-      probeRows
-        .mapPartitions { it =>
-          // rows arrive sorted by (sub_index_id, offset): walk each shard
-          // group once; when the shard's graph is already resident in the
-          // executor cache, skip past its rows without materializing them
-          val bit = it.buffered
-          new Iterator[(Long, Double, Long)] {
-            private var pending: Iterator[(Long, Double, Long)] = Iterator.empty
-            def hasNext: Boolean = {
-              while (!pending.hasNext && bit.hasNext) pending = nextShard()
-              pending.hasNext
-            }
-            def next(): (Long, Double, Long) = { hasNext; pending.next() }
-            private def nextShard(): Iterator[(Long, Double, Long)] = {
-              val shardId = bit.head.sub_index_id
-              var g = ShardGraphCache.peek(iid, shardId)
-              if (g != null) {
-                while (bit.hasNext && bit.head.sub_index_id == shardId) bit.next()
-              } else {
-                val shardRows = mutable.ArrayBuffer.empty[IndexRow]
-                while (bit.hasNext && bit.head.sub_index_id == shardId)
-                  shardRows += bit.next()
-                g = ShardGraphCache.getOrRehydrate(iid, shardId)(
-                  VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
-              }
-              // the graph carries reusable search scratch -> serialize probes
-              g.synchronized {
-                bcQueries.value.toArray.flatMap { case (qid, qvec) =>
-                  val topk =
-                    if (searchWidth <= 0) g.bruteForceTopK(qvec, k)
-                    else g.queryTopK(qvec, k, searchWidth)
-                  topk.map { case (d, gid) => (qid, d, gid) }
-                }.iterator
-              }
-            }
+      val rdd = probeLayout.mapPartitions { rit =>
+        // partition index == shard id; when the shard's graph is already
+        // resident in the executor cache, its rows are simply never
+        // consumed (cached blocks — skipping costs nothing)
+        val shardId = org.apache.spark.TaskContext.getPartitionId()
+        var g = ShardGraphCache.peek(iid, shardId)
+        if (g == null) {
+          val shardRows = mutable.ArrayBuffer.empty[IndexRow]
+          rit.foreach(shardRows += _)
+          if (shardRows.nonEmpty)
+            g = ShardGraphCache.getOrRehydrate(iid, shardId)(
+              VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
+        }
+        if (g == null) Iterator.empty // shard holds no vectors
+        else {
+          val graph = g
+          // the graph carries reusable search scratch -> serialize probes;
+          // materialize inside the lock (a lazy iterator would escape it)
+          graph.synchronized {
+            bcQueries.value.toArray.flatMap { case (qid, qvec) =>
+              val topk =
+                if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
+                else graph.queryTopK(qvec, k, searchWidth)
+              topk.map { case (d, gid) => (qid, d, gid) }
+            }.iterator
           }
-        }.toDF("query_id", "distance", "neighbor_id")
+        }
+      }
+      spark.createDataset(rdd).toDF("query_id", "distance", "neighbor_id")
     }.toSeq
 
     TopK.topKMerge(candidateChunks.reduce(_ union _), k)
   }
 
-  /** Probe-ready layout: rows co-located by shard and sorted by offset,
-    * cached — the shuffle happens once per index, not once per query
-    * call (repartition on the raw cached rows would re-exchange the whole
-    * index on every probe). */
-  @transient private lazy val probeRows: Dataset[IndexRow] = {
-    import rows.sparkSession.implicits._
-    rows
-      .repartition(numShards, col("sub_index_id"))
-      .sortWithinPartitions(col("sub_index_id"), col("offset"))
-      .cache()
-  }
-
-  /** Identity-partitioned layout for the driverless probe: partition i
-    * holds exactly shard i's rows (the ShardPartitioner maps the shard id
-    * to itself), cached once — zipping query partitions onto it needs the
-    * partition index to BE the shard id. Lazy: only materialized when
-    * [[queryDistributed]] is used. */
-  @transient private lazy val probePairRows
+  /** Probe-ready layout shared by the broadcast and shuffled probes:
+    * partition i holds exactly shard i's rows (ShardPartitioner maps the
+    * shard id to itself), cached ONCE per index — the exchange happens on
+    * first probe, not once per query call, and both probe paths read the
+    * same cached blocks. */
+  @transient private lazy val probeLayout
       : org.apache.spark.rdd.RDD[IndexRow] = {
     rows.rdd.map(r => (r.sub_index_id, r))
       .partitionBy(new VectorIndex.ShardPartitioner(numShards))
@@ -220,7 +199,7 @@ class VectorIndex private (
       .flatMap(q => Iterator.range(0, n).map(s => (s, q)))
       .partitionBy(new VectorIndex.ShardPartitioner(n))
       .map(_._2)
-    val candidates = probePairRows.zipPartitions(qPairs, preservesPartitioning = false) {
+    val candidates = probeLayout.zipPartitions(qPairs, preservesPartitioning = false) {
       (rit, qit) =>
         if (!qit.hasNext) Iterator.empty
         else {
@@ -319,8 +298,7 @@ class VectorIndex private (
     * superseded generation after [[append]] — each generation caches the
     * full row set, so long ingest loops must release old ones. */
   def unpersist(): Unit = {
-    probeRows.unpersist()
-    probePairRows.unpersist(false)
+    probeLayout.unpersist(false)
     rows.unpersist()
   }
 
@@ -329,17 +307,17 @@ class VectorIndex private (
     * exists to settle memory after build): forces the cached rows to
     * compute so later probes pay no build cost. Returns this index,
     * mirroring the reference's returned copy. */
-  def optimize(): VectorIndex = { rows.count(); probeRows.count(); this }
+  def optimize(): VectorIndex = { rows.count(); probeLayout.count(); this }
 
   /** Persist index rows + shard meta + params (reference save/load
     * round-trip invariant: dehnsw.h:666-844, exercised at
     * dehnsw_example.cpp:208-228). */
   def save(path: String): Unit = {
     rows.write.mode("overwrite").parquet(s"$path/rows")
-    // meta is numShards tiny records — a plain NDJSON file, not a Spark
-    // write job (the parquet write above is the only cluster work here)
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/meta.json"),
+    // meta is numShards tiny records — one small file write through the
+    // Hadoop FS API (works for hdfs://, s3a://, file:, ...), not a Spark
+    // job (the parquet write above is the only cluster work here)
+    VectorIndex.writeSmallFile(rows.sparkSession, s"$path/meta.json",
       meta.map(m => s"""{"sub_index_id":${m.sub_index_id},"n_vectors":${m.n_vectors},""" +
         s""""layer_count":${m.layer_count},"entry_offset":${m.entry_offset}}""")
         .mkString("", "\n", "\n"))
@@ -355,12 +333,31 @@ class VectorIndex private (
          |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
          |"schedule":"$sched",
          |"indexId":"$indexId"}""".stripMargin
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/params.json"), json)
+    VectorIndex.writeSmallFile(rows.sparkSession, s"$path/params.json", json)
   }
 }
 
 object VectorIndex {
+
+  /** Small-file IO through the Hadoop FS API so index metadata lands on
+    * the SAME filesystem as the parquet rows (hdfs://, s3a://, file:...) —
+    * java.nio would silently write a driver-local path for remote URIs. */
+  private[index] def writeSmallFile(
+      spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small file via the Hadoop FS; null when absent. */
+  private[index] def readSmallFile(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return null
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
 
   /** Identity partitioner over shard ids (keys are already 0..n-1):
     * partition index == shard id, which the driverless probe relies on.
@@ -441,12 +438,12 @@ object VectorIndex {
   def load(spark: SparkSession, path: String): VectorIndex = {
     import spark.implicits._
     val rows = spark.read.parquet(s"$path/rows").as[IndexRow]
-    val metaFile = Paths.get(s"$path/meta.json")
+    val metaText = readSmallFile(spark, s"$path/meta.json")
     val meta =
-      if (Files.isRegularFile(metaFile)) {
+      if (metaText != null) {
         def field(line: String, key: String): Long =
           s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
-        Files.readAllLines(metaFile).toArray(Array.empty[String])
+        metaText.split("\n")
           .filter(_.trim.nonEmpty)
           .map(l => ShardMeta(field(l, "sub_index_id").toInt, field(l, "n_vectors"),
             field(l, "layer_count").toInt, field(l, "entry_offset").toInt))
@@ -458,7 +455,8 @@ object VectorIndex {
             col("layer_count").cast("int"), col("entry_offset").cast("int"))
           .as[ShardMeta].collect().sortBy(_.sub_index_id)
       }
-    val paramsJson = new String(Files.readAllBytes(Paths.get(s"$path/params.json")))
+    val paramsJson = readSmallFile(spark, s"$path/params.json")
+    require(paramsJson != null, s"missing $path/params.json")
     def extract(key: String): String =
       s""""$key":\\s*"?([^,"}]+)"?""".r.findFirstMatchIn(paramsJson).get.group(1)
     val metric = DistanceMetric.all.find(_.name == extract("metric")).get

@@ -74,9 +74,13 @@ object Dedup {
     // postings are keyed by xxhash64(shingle), not the shingle string: the
     // shuffle then moves (long, long) rows instead of string-keyed rows
     // (cheaper ser/deser + comparisons; the grouping only needs group
-    // boundaries, never the text). Two distinct shingles colliding in 64
-    // bits would merge their posting lists — odds ~n^2/2^65, and the only
-    // in-doc effect (a self-pair) is guarded in emitGroup.
+    // boundaries, never the text). A 64-bit collision between two distinct
+    // shingles merges their posting lists: self-pairs from a doc holding
+    // both colliding shingles are guarded in emitGroup, but that doc's
+    // pairs with the merged group's other members are counted once per
+    // duplicate entry — intersections can overcount, so Jaccard is exact
+    // only up to ~n^2/2^65 collision odds (accepted; the string-keyed
+    // formulation had none).
     val cap = maxShingleDf
     val partials = sh
       .select(col("doc_id").cast("long"), explode(col("shingles")).as("s"))

@@ -50,6 +50,7 @@ object IvfKnn {
     val rows = cents.select(col("centroid_id"), col("c_embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    if (rows.isEmpty) return CentroidSet(Array.empty, Array.empty, 0)
     val dim = rows.head._2.length
     val flat = new Array[Float](rows.length * dim)
     var k = 0
@@ -70,8 +71,16 @@ object IvfKnn {
   /** Cell assignment: nearest centroid per corpus vector (ties by
     * centroid id) — a per-row codegen'd argmin, so the corpus never
     * shuffles. */
-  def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
-    assignWith(corpus, collectCentroids(cents))
+  def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = collectCentroids(cents)
+    if (cs.ids.isEmpty) emptyAssignment(corpus) else assignWith(corpus, cs)
+  }
+
+  /** No centroids (possible when the deterministic sample matches no id)
+    * -> no cells, matching the old crossJoin-with-empty degradation. */
+  private def emptyAssignment(corpus: DataFrame): DataFrame =
+    corpus.filter(lit(false))
+      .select(col("id"), col("embedding"), lit(-1L).as("cell"))
 
   private def assignWith(corpus: DataFrame, cs: CentroidSet): DataFrame =
     corpus.select(col("id"), col("embedding"),
@@ -89,6 +98,14 @@ object IvfKnn {
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int, nprobe: Int): DataFrame = {
     val cs = collectCentroids(centroids(corpus, numCentroids))
+    if (cs.ids.isEmpty) {
+      // no centroids -> no probe-able cells -> empty result (old
+      // crossJoin-with-empty behavior), not a crash
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0).as("rank"),
+          lit(0L).as("neighbor_id"), lit(0.0).as("distance"))
+        .filter(lit(false))
+    }
     val assigned = assignWith(corpus, cs)
     // query routing: top-nprobe cells from the same per-row expression —
     // no join/window on the query side either

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * md5 rather than a native hash so any SQL engine reproduces the split
   * exactly (DuckDB: ('0x' || substr(md5(id::VARCHAR), 1, 7))::BIGINT).
+  *
+  * Contract: ids must be NON-NULL — a NULL id hashes to a NULL bucket,
+  * which every filter here rejects, so such a row would appear in NO
+  * split (violating exhaustiveness silently). Validate or assign ids
+  * upstream.
   */
 object Sampling {
 

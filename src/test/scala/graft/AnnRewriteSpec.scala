@@ -56,7 +56,7 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
       .withColumn("flag", lit(1))
     // the outer projection is pushed below the limit by the optimizer —
     // the rewrite must still fire through that shape
-    assert(outer.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+    assert(outer.queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
     val rows = outer.collect()
     assert(rows.length === 5)
     // ascending distances — the trailing sort preserved the contract
@@ -72,7 +72,7 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
         VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
       .orderBy(col("distance"), col("neighbor_id"))
       .limit(10)
-    assert(!filtered.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
     assert(!filtered.collect().map(_.getLong(0)).contains(11L))
 
     // descending order — not a kNN shape
@@ -81,11 +81,11 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
         VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
       .orderBy(col("distance").desc)
       .limit(10)
-    assert(!desc.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+    assert(!desc.queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
 
     // unregistered catalog
     IndexCatalog.clear()
-    assert(!topKPlan(10).queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+    assert(!topKPlan(10).queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
   }
 
   test("rewrite fires through SQL text (temp view + registered function)") {
@@ -97,7 +97,7 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
     val df = spark.sql(s"""
       SELECT id AS neighbor_id, vec_l2sq(embedding, $lit64) AS distance
       FROM rw_corpus ORDER BY distance, neighbor_id LIMIT 10""")
-    assert(df.queryExecution.optimizedPlan.toString.contains("MapPartitions"),
+    assert(df.queryExecution.optimizedPlan.toString.contains("topk_by_distance"),
       "SQL-text plan over the registered corpus view must rewrite to the probe")
     val viaSql = df.collect().map(_.getLong(0))
     val viaApi = topKPlan(10).collect().map(_.getLong(0))
