@@ -757,6 +757,55 @@ object Queries {
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- b2_salted_join
+  /** Salted skew join (SCALE.md skew mitigation, demonstrated exactly):
+    * fact rows get a deterministic salt from the high-cardinality order
+    * key, the dim side is replicated per salt, and the join runs on
+    * (key, salt) — a hot customer's rows spread over nSalts partitions.
+    * Results are identical to the plain join, so the plain-join SQL is
+    * the oracle. */
+  def b2SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedJoin(
+      Tables.orders(s, dir).withColumnRenamed("o_custkey", "c_custkey"),
+      Tables.customer(s, dir),
+      key = "c_custkey", saltSource = "o_orderkey", nSalts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  private val b2Oracle = b1Oracle // salting must not change the join result
+
+  // ---------------------------------------------------------------- b3_asof_join
+  /** Backward as-of join (an operator Spark lacks natively — composed as
+    * tagged-union + per-key running last, ONE shuffle, no row explosion):
+    * every event is annotated with the user's latest purchase value at or
+    * before the event's timestamp. DuckDB's native ASOF LEFT JOIN is the
+    * oracle. */
+  def b3AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pvalue")) // unique per (key, ts) contract
+    graft.operators.AsOfJoin.asOf(
+      ev.select(col("user_id"), col("event_id"), col("ts")),
+      purchases, keyCol = "user_id", tsCol = "ts", valueCol = "pvalue",
+      asOfCol = "last_purchase")
+      .select(col("user_id"), col("event_id"),
+        round(col("last_purchase"), 6).as("last_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val b3Oracle =
+    """WITH p AS (SELECT user_id, ts, max(value) AS pvalue
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.user_id AS user_id, e.event_id AS event_id,
+      |  round(p.pvalue, 6) AS last_purchase
+      |FROM events e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -781,6 +830,8 @@ object Queries {
     "v18_sql_text" -> v18Oracle,
     "v19_append" -> v4Oracle,
     "b1_bucketed_join" -> b1Oracle,
+    "b2_salted_join" -> b2Oracle,
+    "b3_asof_join" -> b3Oracle,
     "q6_rollup" -> q6Oracle,
     "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,

@@ -63,6 +63,8 @@ object SparkEntry {
     "v18_sql_text" -> ((s, dir) => Queries.v18SqlText(s, dir)),
     "v19_append" -> ((s, dir) => Queries.v19Append(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
+    "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
+    "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),

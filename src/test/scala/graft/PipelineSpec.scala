@@ -103,6 +103,34 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(f.getString(2).length === 64) // sha256 hex
   }
 
+  test("as-of join: equal-ts inclusion, latest-wins, null when no prior state") {
+    import java.sql.Timestamp
+    import graft.operators.AsOfJoin
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val left = Seq((1L, 10L, ts(5)), (1L, 11L, ts(10)), (1L, 12L, ts(2)), (2L, 20L, ts(5)))
+      .toDF("k", "row_id", "ts")
+    val right = Seq((1L, ts(3), 30.0), (1L, ts(10), 100.0), (3L, ts(1), 9.0))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "v").collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out(10L) === Some(30.0))  // latest state at ts<=5 is ts(3)
+    assert(out(11L) === Some(100.0)) // equal-ts state matches (>= semantics)
+    assert(out(12L) === None)        // before any state
+    assert(out(20L) === None)        // key with no state rows at all
+  }
+
+  test("salted join equals the plain join exactly") {
+    import graft.operators.SkewJoin
+    val fact = Seq((1L, 100L, 10.0), (1L, 101L, 20.0), (2L, 102L, 5.0), (9L, 103L, 1.0))
+      .toDF("k", "row_id", "x")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", "row_id", nSalts = 4)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("hash split is deterministic, disjoint, and exhaustive") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sfDir)
