@@ -434,6 +434,19 @@ object PipelineQueries {
       |SELECT ws AS window_start, COUNT(*) AS n_events
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s6_stream_join
+  def s6StreamJoin(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamStreamJoin(s, s"$dir/events.parquet", streamStateParts)
+      .orderBy(col("purchase_id"), col("click_id"))
+
+  private val s6Oracle =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // ---------------------------------------------------------------- s4_stream_dedup
   def s4StreamDedup(s: SparkSession, dir: String): DataFrame =
     StreamingOps.streamDedup(s, s"$dir/events.parquet", streamStateParts)
@@ -532,6 +545,7 @@ object PipelineQueries {
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
     "s4_stream_dedup" -> ((s, dir) => s4StreamDedup(s, dir)),
     "s5_stream_sessions" -> ((s, dir) => s5StreamSessions(s, dir)),
+    "s6_stream_join" -> ((s, dir) => s6StreamJoin(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -560,6 +574,7 @@ object PipelineQueries {
     "s3_stream_sliding" -> s3Oracle,
     "s4_stream_dedup" -> s4Oracle,
     "s5_stream_sessions" -> s5Oracle,
+    "s6_stream_join" -> s6Oracle,
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

@@ -180,6 +180,33 @@ object StreamingOps {
     runFinite(spark, dedup, "append", statePartitions)
   }
 
+  /** Stream-stream inner join with watermarks + a time-range condition:
+    * purchases joined to the same user's clicks in the preceding 30
+    * minutes. Both sides carry event-time watermarks so the join state is
+    * BOUNDED — a side's buffered rows are dropped once the other side's
+    * watermark passes the range (the unbounded-state trap of unconstrained
+    * stream joins). Inner joins emit eagerly, so on a finite source the
+    * output equals the batch join exactly. */
+  def streamStreamJoin(
+      spark: SparkSession, eventsPath: String, statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val purchases = eventsStream(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, eventsPath)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 minutes") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"))
+    runFinite(spark, joined, "append", statePartitions)
+  }
+
   /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a
