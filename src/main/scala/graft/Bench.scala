@@ -42,17 +42,29 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] shared prepare failed (queries will self-prepare): ${e.getMessage}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two full passes, report the per-query minimum: a burst of external CPU
+    // contention during one pass (observed to double every number of an
+    // otherwise identical run) then can't corrupt the recorded steady-state
+    // cost. A query that fails in either pass is reported as failed.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      // a crashed query must be distinguishable from a fast success:
-      // record negative wall time as the failure marker
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) secs else -secs, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => timeOnce(name, fn) }
+    val pass2 = ordered.map { case (name, fn) => timeOnce(name, fn) }
+    val results = ordered.zip(pass1.zip(pass2)).map {
+      case ((name, _), ((s1, ok1), (s2, ok2))) =>
+        val ok = ok1 && ok2
+        // a crashed query must be distinguishable from a fast success:
+        // record negative wall time as the failure marker
+        val secs = math.min(s1, s2)
+        (name, if (ok) secs else -math.max(s1, s2), ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
