@@ -270,13 +270,35 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
-  /** True ANN probe (searchWidth=8 beam) — approximate by design, so no
-    * SQL oracle; declared for the rows-only check. Quality is gated by
-    * DehnswSpec (recall >= threshold, monotone in searchWidth). */
-  def v8AnnProbe(s: SparkSession, dir: String): DataFrame =
-    buildEmbIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 8)
-      .withColumn("distance", round(col("distance"), 6))
-      .orderBy(col("query_id"), col("rank"))
+  /** True ANN probe (beam search), pinned to a HARD oracle: the index build
+    * is deterministic (O4 step-BFS promotion, PropertySpec), so the beam's
+    * hit count against the exact ground truth is bit-reproducible. Output is
+    * pure integers — (search_width, hits, total) — with hits the
+    * distance-based tie-tolerant recall numerator of the reference
+    * (example/dehnsw_example.cpp:26-44): a result counts when its distance
+    * (recomputed in Double, rounded like the gt) is <= the ground-truth
+    * distance at the same rank. Oracle = pinned VALUES for the driver's
+    * sf0.01 gate (see [[v8Oracle]]); DehnswSpec keeps the sf-independent
+    * recall floor + monotonicity guard. */
+  def v8AnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildEmbIndex(s, dir)
+    val q = embQueries(s, dir)
+    val gt = v6AnnExact(s, dir) // session-cached, == brute-force exact (v4 oracle)
+    val k = 10
+    v8Widths
+      .map { w =>
+        val res = idx.query(q, k = k, searchWidth = w)
+          .withColumn("distance", round(col("distance"), 6))
+        graft.operators.RecallEval.recallByQuery(res, gt, k)
+          .agg(sum(col("hits")).cast("long").as("hits"),
+            (count(lit(1)) * k).cast("long").as("total"))
+          .select(lit(w).as("search_width"), col("hits"), col("total"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("search_width"))
+  }
+
+  private val v8Widths = Seq(2, 4, 8, 16)
 
   /** Deterministic per-shard stats of the built index (shard assignment is
     * id % numShards, so counts are SQL-derivable). */
@@ -306,6 +328,16 @@ object Queries {
       |FROM res JOIN gt ON res.query_id = gt.query_id AND res.rank = gt.rank
       |GROUP BY res.query_id
       |ORDER BY res.query_id""".stripMargin
+
+  /** Pinned expectation for the deterministic beam (driver gate runs at
+    * sf0.01 — these are that scale's bit-reproducible hit counts; verified
+    * stable across fresh JVMs before pinning). Regenerate with
+    * `sbt "runMain graft.Verify /root/testdata/sf0.01 <out>"` + a look at
+    * v8_ann_probe.parquet if the kernel's build/beam ever changes. */
+  private val v8Oracle =
+    """SELECT search_width, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+      |FROM (VALUES (2, 58, 100), (4, 81, 100), (8, 81, 100), (16, 93, 100)) AS t(search_width, hits, total)
+      |ORDER BY search_width""".stripMargin
 
   private val v9Oracle =
     """SELECT CAST(vec_id % 4 AS INT) AS sub_index_id, COUNT(*) AS n_vectors
@@ -818,6 +850,7 @@ object Queries {
     "v5_knn_topk" -> v4Oracle,
     "v6_ann_exact" -> v6Oracle,
     "v7_recall" -> v7Oracle,
+    "v8_ann_probe" -> v8Oracle,
     "v9_index_stats" -> v9Oracle,
     "v10_lsh_ann" -> v10Oracle,
     "v11_knn_fused" -> v4Oracle,

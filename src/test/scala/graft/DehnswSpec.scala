@@ -51,6 +51,21 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(r64 >= 0.9, s"recall@sw=64 too low: $r64")
   }
 
+  test("v8 probe summary is integer-valued, floored, and monotone-ish (oracle shape)") {
+    // The driver-facing v8 contract: (search_width, hits, total) integers —
+    // deterministic because the build is (PropertySpec), so the sf0.01 run
+    // is pinned as a VALUES oracle. This guards the sf-independent floor.
+    val df = graft.Queries.v8AnnProbe(spark, sfDir)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq(("search_width", "int"), ("hits", "bigint"), ("total", "bigint")))
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 8, 16))
+    assert(rows.forall { case (_, h, t) => h >= 0 && h <= t && t == 100 })
+    assert(rows.last._2 >= 80, s"recall floor at sw=16: ${rows.last._2}/100")
+    assert(rows.last._2 >= rows.head._2 - 5,
+      s"beam recall fell with width: ${rows.mkString(", ")}")
+  }
+
   test("save/load round-trip answers queries identically (O9/O10 invariant)") {
     val path = java.nio.file.Files.createTempDirectory("graft_index_").toString
     index.save(path)
