@@ -91,7 +91,7 @@ object BinaryVectors {
     readNeighbors(spark, neighborsPath).write.mode("overwrite").parquet(s"$outDir/neighbors")
   }
 
-  private def partsFor(spark: SparkSession, count: Long, requested: Int): Int = {
+  private[sources] def partsFor(spark: SparkSession, count: Long, requested: Int): Int = {
     val p = if (requested > 0) requested else spark.sparkContext.defaultParallelism
     math.max(1, math.min(p.toLong, count).toInt)
   }
@@ -101,7 +101,7 @@ object BinaryVectors {
     * The stream closes on task completion (covers early termination) —
     * range partitions are contiguous ascending, so this is one buffered
     * sequential scan per task. */
-  private def sliceReader[T](
+  private[sources] def sliceReader[T](
       ids: Iterator[java.lang.Long], path: String, headerBytes: Long,
       stride: Long)(readOne: DataInputStream => T): Iterator[(Long, T)] = {
     if (!ids.hasNext) return Iterator.empty

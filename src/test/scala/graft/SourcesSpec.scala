@@ -68,6 +68,69 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(r === (0 until dim).map(j => 77700.0f + j))
   }
 
+  // ------------------------------------------------------------------ HDF5
+
+  private def annFixture: (Array[Array[Float]], Array[Array[Float]], Array[Array[Int]]) = {
+    // values encode (row, col) so any offset/stride slip is loud
+    val train = Array.tabulate(20, 4)((i, j) => i * 10.0f + j)
+    val test = Array.tabulate(5, 4)((i, j) => -(i * 10.0f + j) - 0.5f)
+    val neighbors = Array.tabulate(5, 3)((i, j) => i * 100 + j)
+    (train, test, neighbors)
+  }
+
+  private def checkHdf5RoundTrip(modern: Boolean): Unit = {
+    val (train, test, neighbors) = annFixture
+    val f = java.io.File.createTempFile("graft_ann_", ".hdf5")
+    graft.sources.Hdf5Writer.writeAnnBenchmarks(f.getPath, train, test, neighbors, modern)
+
+    val infos = graft.sources.Hdf5.datasets(f.getPath).map(d => d.name -> d).toMap
+    assert(infos.keySet === Set("train", "test", "neighbors"))
+    assert(infos("train").dims === Seq(20L, 4L))
+    assert(infos("train").dtype === graft.sources.Hdf5.FloatPoint(4, littleEndian = true))
+    assert(infos("neighbors").dtype ===
+      graft.sources.Hdf5.FixedPoint(4, littleEndian = true, signed = true))
+
+    val tr = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(tr.length === 20)
+    assert(tr(7).getSeq[Float](1) === Seq(70.0f, 71.0f, 72.0f, 73.0f))
+    val te = graft.sources.Hdf5.readVectors(spark, f.getPath, "test")
+      .collect().sortBy(_.getLong(0))
+    assert(te(2).getSeq[Float](1) === Seq(-20.5f, -21.5f, -22.5f, -23.5f))
+    val nb = graft.sources.Hdf5.readNeighbors(spark, f.getPath)
+    assert(nb.count() === 15)
+    assert(nb.filter("query_id = 3 AND rank = 2").head.getLong(2) === 301L)
+  }
+
+  test("HDF5 classic (superblock v0, B-tree root group) round-trips ann-benchmarks layout") {
+    checkHdf5RoundTrip(modern = false)
+  }
+
+  test("HDF5 modern (superblock v2, OHDR link messages) round-trips ann-benchmarks layout") {
+    checkHdf5RoundTrip(modern = true)
+  }
+
+  test("HDF5 -> parquet converter writes the three tables (E6)") {
+    val (train, test, neighbors) = annFixture
+    val f = java.io.File.createTempFile("graft_ann_conv_", ".hdf5")
+    graft.sources.Hdf5Writer.writeAnnBenchmarks(f.getPath, train, test, neighbors)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ann_parquet_").toString
+    graft.sources.Hdf5.convertToParquet(spark, f.getPath, outDir)
+    assert(spark.read.parquet(s"$outDir/train").count() === 20)
+    assert(spark.read.parquet(s"$outDir/test").count() === 5)
+    val nb = spark.read.parquet(s"$outDir/neighbors")
+    assert(nb.columns.toSeq === Seq("query_id", "rank", "neighbor_id"))
+    assert(nb.count() === 15)
+  }
+
+  test("HDF5 reader rejects what it cannot parse with a clear error") {
+    val bad = java.io.File.createTempFile("graft_noth5_", ".hdf5")
+    val out = new FileOutputStream(bad)
+    out.write(Array.fill[Byte](64)(7)); out.close()
+    val e = intercept[java.io.IOException](graft.sources.Hdf5.datasets(bad.getPath))
+    assert(e.getMessage.contains("superblock"))
+  }
+
   test("GraftExtensions registers SQL functions via withExtensions") {
     // extension registration is builder-time; getOrCreate would reuse the
     // shared session, so exercise the injected builder path directly
