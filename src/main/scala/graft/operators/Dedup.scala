@@ -165,16 +165,21 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     minHashSignaturesFromShingles(shingled(docs, n, idCol, textCol), numHashes)
 
-  /** Signatures over a precomputed (doc_id, shingles) table. */
+  /** Signatures over a precomputed (doc_id, shingles) table. The whole
+    * signature is ONE codegen'd single-pass expression
+    * ([[graft.functions.MinHashSlices]]) instead of `numHashes + 1`
+    * interpreted HOF array walks. */
   def minHashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    require(numHashes <= 6, "slice-derived minhash supports up to 6 hashes per md5")
-    // materialize the digests once per row — inlining the transform into
-    // each sigCol would recompute the md5 pass numHashes times
-    val withDigests = sh.withColumn("hs", transform(col("shingles"), s => md5(s)))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("hs"), h => substring(h, 1 + i * 5, 5))).as(s"mh$i")
-    }
-    withDigests.select(col("doc_id") +: sigCols: _*)
+    val sig = minHashSliceArray(sh, numHashes)
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** (doc_id, mhs ARRAY<STRING>) — null mhs when a doc has no shingles. */
+  private def minHashSliceArray(sh: DataFrame, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
+    sh.select(col("doc_id"),
+      toCol(graft.functions.MinHashSlices(toExpr(col("shingles")), numHashes)).as("mhs"))
   }
 
   /** LSH candidate pairs: band the signature (bandSize hashes per band),
@@ -186,24 +191,35 @@ object Dedup {
     minHashCandidatePairsFromShingles(
       shingled(docs, n, idCol, textCol), numHashes, bandSize)
 
-  /** Candidate pairs over a precomputed (doc_id, shingles) table. */
+  /** Candidate pairs over a precomputed (doc_id, shingles) table.
+    *
+    * Shape: band the signature, bucket docs by (band, md5(band hashes)),
+    * then emit each bucket's pairs IN-TASK from the grouped sorted id
+    * list ([[graft.functions.SortedPairs]]) — one groupBy shuffle of
+    * docs x bands *bucket rows* plus the distinct, instead of the
+    * previous self-equi-join (two shuffled join branches over the same
+    * exploded table). Candidate volume is unchanged (O(docs x bands)
+    * bucket rows; pairs only materialize inside each bucket, which is
+    * the LSH contract), so the 100 TB story is the same — fewer
+    * shuffles, no join build side. */
   def minHashCandidatePairsFromShingles(
       sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
     val numBands = numHashes / bandSize
-    val sigs = minHashSignaturesFromShingles(sh, numHashes)
+    val sigs = minHashSliceArray(sh, numHashes).filter(col("mhs").isNotNull)
     val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
+      val parts = (0 until bandSize).map(j => element_at(col("mhs"), b * bandSize + j + 1))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band$b")
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    banded
+      .groupBy(col("band_idx"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(toCol(graft.functions.SortedPairs(toExpr(col("ids")))).as(Seq("doc_a", "doc_b")))
       .distinct()
   }
 
