@@ -281,20 +281,22 @@ object Queries {
     * sf0.01 gate (see [[v8Oracle]]); DehnswSpec keeps the sf-independent
     * recall floor + monotonicity guard. */
   def v8AnnProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val idx = buildEmbIndex(s, dir)
-    val q = embQueries(s, dir)
+    val qb = embQueries(s, dir)
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // all widths probe in ONE pass (one job, one shard-cache lock cycle)
+    val res = idx.queryBatchMultiWidth(qb, k = 10, widths = v8Widths)
+      .select(col("search_width"), col("query_id"), col("rank"),
+        round(col("distance"), 6).as("res_dist"))
     val gt = v6AnnExact(s, dir) // session-cached, == brute-force exact (v4 oracle)
-    val k = 10
-    v8Widths
-      .map { w =>
-        val res = idx.query(q, k = k, searchWidth = w)
-          .withColumn("distance", round(col("distance"), 6))
-        graft.operators.RecallEval.recallByQuery(res, gt, k)
-          .agg(sum(col("hits")).cast("long").as("hits"),
-            (count(lit(1)) * k).cast("long").as("total"))
-          .select(lit(w).as("search_width"), col("hits"), col("total"))
-      }
-      .reduce(_.unionAll(_))
+      .select(col("query_id"), col("rank"), col("distance").as("gt_dist"))
+    res.join(gt, Seq("query_id", "rank"))
+      .groupBy(col("search_width"))
+      .agg(
+        sum(when(col("res_dist") <= col("gt_dist"), 1).otherwise(0)).cast("long").as("hits"),
+        count(lit(1)).cast("long").as("total"))
       .orderBy(col("search_width"))
   }
 

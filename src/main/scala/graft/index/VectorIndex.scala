@@ -164,6 +164,69 @@ class VectorIndex private (
     TopK.topKMerge(candidateChunks.reduce(_ union _), k)
   }
 
+  /** Probe the same query batch at SEVERAL beam widths in one pass —
+    * the recall-sweep shape (v8 oracle, [[graft.Sweep]]): per shard the
+    * graph is locked once and every (query, width) pair probes the
+    * resident graph back to back, so a W-width sweep costs one job and
+    * one shard-cache pass instead of W full probe jobs. Output adds a
+    * leading `search_width` column to the [[query]] schema. Widths <= 0
+    * mean exact (same contract as [[query]]). */
+  def queryBatchMultiWidth(
+      batch: Array[(Long, Array[Float])], k: Int, widths: Seq[Int],
+      maxBatch: Int = 100000): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val w = widths.length
+    require(w >= 1, "need at least one width")
+    require(batch.forall(_._1 >= 0), "multi-width probe requires non-negative query ids")
+    if (batch.isEmpty) {
+      return spark.emptyDataset[(Int, Long, Int, Long, Double)]
+        .toDF("search_width", "query_id", "rank", "neighbor_id", "distance")
+    }
+    val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
+    val p = params
+    val iid = indexId
+    val widthArr = widths.toArray
+    // width index rides in the low bits of a synthetic query id so the
+    // per-(query, width) top-k merge reuses the scalar machinery
+    val candidateChunks = batch.grouped(math.max(maxBatch, 1)).map { chunk =>
+      val bcQueries = spark.sparkContext.broadcast(chunk)
+      val rdd = probeLayout.mapPartitions { rit =>
+        val shardId = org.apache.spark.TaskContext.getPartitionId()
+        var g = ShardGraphCache.peek(iid, shardId)
+        if (g == null) {
+          val shardRows = mutable.ArrayBuffer.empty[IndexRow]
+          rit.foreach(shardRows += _)
+          if (shardRows.nonEmpty)
+            g = ShardGraphCache.getOrRehydrate(iid, shardId)(
+              VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
+        }
+        if (g == null) Iterator.empty
+        else {
+          val graph = g
+          graph.synchronized {
+            bcQueries.value.toArray.flatMap { case (qid, qvec) =>
+              widthArr.indices.flatMap { wi =>
+                val sw = widthArr(wi)
+                val topk =
+                  if (sw <= 0) graph.bruteForceTopK(qvec, k)
+                  else graph.queryTopK(qvec, k, sw)
+                topk.map { case (d, gid) => (qid * w + wi, d, gid) }
+              }
+            }.iterator
+          }
+        }
+      }
+      spark.createDataset(rdd).toDF("query_id", "distance", "neighbor_id")
+    }.toSeq
+    TopK.topKMerge(candidateChunks.reduce(_ union _), k)
+      .select(
+        element_at(typedLit(widthArr), (col("query_id") % w).cast("int") + 1)
+          .as("search_width"),
+        (col("query_id") / w).cast("long").as("query_id"),
+        col("rank"), col("neighbor_id"), col("distance"))
+  }
+
   /** Probe-ready layout shared by the broadcast and shuffled probes:
     * partition i holds exactly shard i's rows (ShardPartitioner maps the
     * shard id to itself), cached ONCE per index — the exchange happens on
