@@ -449,14 +449,29 @@ object VectorIndex {
       df: DataFrame, params: IndexParams, numShards: Int): Dataset[IndexRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    buildPartitions(
+      df
+        .select(col("id").cast("long"), col("embedding"))
+        .withColumn("sub_index_id", shardOf(col("id"), numShards))
+        .repartition(numShards, col("sub_index_id"))
+        .sortWithinPartitions(col("sub_index_id"), col("id"))
+        .as[(Long, Array[Float], Int)],
+      params)
+  }
+
+  /** Partition-local graph build over rows that are ALREADY grouped by
+    * sub_index_id within each partition and id-sorted within each group —
+    * the post-exchange half of [[buildRows]], also reachable without any
+    * exchange from a shard-bucketed corpus table ([[buildFromBucketed]]).
+    * A shard revisited after a different shard in the same partition means
+    * the ordering contract is broken (two partial graphs would silently
+    * share a shard id) — fail the task instead. */
+  private[graft] def buildPartitions(
+      ds: Dataset[(Long, Array[Float], Int)], params: IndexParams): Dataset[IndexRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
     val p = params
-    val n = numShards
-    df
-      .select(col("id").cast("long"), col("embedding"))
-      .withColumn("sub_index_id", shardOf(col("id"), n))
-      .repartition(n, col("sub_index_id"))
-      .sortWithinPartitions(col("sub_index_id"), col("id"))
-      .as[(Long, Array[Float], Int)]
+    ds
       .mapPartitions { it =>
         // consecutive rows share sub_index_id after the sort; build each
         // shard's graph in ascending-id insertion order. Dimension is fixed
@@ -469,15 +484,27 @@ object VectorIndex {
           r
         }
         val bit = checked.buffered
+        val built = mutable.BitSet.empty
         new Iterator[IndexRow] {
           private var pending: Iterator[IndexRow] = Iterator.empty
           def hasNext: Boolean = pending.hasNext || bit.hasNext
           def next(): IndexRow = {
             if (!pending.hasNext) {
               val shardId = bit.head._3
+              require(!built.contains(shardId),
+                s"input rows not grouped by sub_index_id: shard $shardId reappeared " +
+                  "after another shard (bucketed corpus unsorted or mis-bucketed?)")
+              built += shardId
               val vecs = mutable.ArrayBuffer.empty[(Long, Array[Float])]
-              while (bit.hasNext && bit.head._3 == shardId)
-                { val r = bit.next(); vecs += ((r._1, r._2)) }
+              var prevId = Long.MinValue
+              while (bit.hasNext && bit.head._3 == shardId) {
+                val r = bit.next()
+                require(r._1 > prevId,
+                  s"ids not ascending within shard $shardId: ${r._1} after $prevId " +
+                    "(bucketed corpus unsorted, or duplicate ids?)")
+                prevId = r._1
+                vecs += ((r._1, r._2))
+              }
               val g = new SubIndexGraph(p, vecs.length)
               vecs.foreach { case (id, v) => g.insert(id, v) }
               pending = dehydrate(shardId, g)
@@ -495,6 +522,67 @@ object VectorIndex {
     val meta = computeMeta(cached)
     new VectorIndex(params, numShards, cached, meta,
       java.util.UUID.randomUUID().toString)
+  }
+
+  /** One-time write of a shard-bucketed corpus table: rows land in
+    * `numShards` buckets keyed by `sub_index_id` (the same `id % numShards`
+    * assignment [[build]] uses — [[shardOf]] is the single source of
+    * truth), each bucket one file sorted by (sub_index_id, id). A build
+    * from this table ([[buildFromBucketed]]) then needs NO Exchange and NO
+    * Sort — at 100 TB this is the difference between re-shuffling the
+    * whole corpus on every (re)build and a pure narrow scan. The
+    * pre-write repartition matches the bucket hash, so each task emits
+    * exactly one bucket file (no tasks x buckets small-file explosion). */
+  def writeBucketedCorpus(df: DataFrame, table: String, numShards: Int): Unit = {
+    df.select(col("id").cast("long"), col("embedding"))
+      .withColumn("sub_index_id", shardOf(col("id"), numShards))
+      .repartition(numShards, col("sub_index_id"))
+      .write.mode("overwrite")
+      .bucketBy(numShards, "sub_index_id").sortBy("sub_index_id", "id")
+      .saveAsTable(table)
+  }
+
+  /** Bulk build from a [[writeBucketedCorpus]] table with ZERO Exchange and
+    * ZERO Sort: the bucketed scan already delivers each shard's rows
+    * co-located (one bucket file per bucket, never split) and
+    * (sub_index_id, id)-sorted, so the plan is scan → mapPartitions.
+    * Plan-guarded in PlanShapeSpec; the grouped/sorted input contract is
+    * additionally enforced in-task ([[buildPartitions]]) and a shard split
+    * across partitions is caught by the computeMeta offset invariant. */
+  def buildFromBucketed(
+      spark: SparkSession, table: String, params: IndexParams): VectorIndex = {
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = cat.bucketSpec.getOrElse(
+      sys.error(s"$table is not bucketed — write it with writeBucketedCorpus"))
+    require(spec.bucketColumnNames == Seq("sub_index_id") &&
+      spec.sortColumnNames.take(2) == Seq("sub_index_id", "id"),
+      s"$table bucket spec ${spec} does not match writeBucketedCorpus layout")
+    val numShards = spec.numBuckets
+    // DisableUnnecessaryBucketedScan would demote the scan to ordinary
+    // file splits (nothing above a mapPartitions "needs" bucketing), and a
+    // split bucket file puts half a shard in each of two partitions — the
+    // conf must be off while THIS plan is forced (build() materializes the
+    // rows inside this window via computeMeta's action).
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val cached = buildPartitions(
+        {
+          import spark.implicits._
+          spark.table(table)
+            .select(col("id").cast("long"), col("embedding"),
+              col("sub_index_id").cast("int"))
+            .as[(Long, Array[Float], Int)]
+        }, params).cache()
+      val meta = computeMeta(cached)
+      new VectorIndex(params, numShards, cached, meta,
+        java.util.UUID.randomUUID().toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Load a saved index (reference O10). */
@@ -551,11 +639,21 @@ object VectorIndex {
     // mapGroups would drag embeddings and adjacency through the exchange.
     rows.groupBy(col("sub_index_id"))
       .agg(count(lit(1)).as("n"),
-        max(struct(col("layer").as("l"), (-col("offset")).as("no"))).as("m"))
+        max(struct(col("layer").as("l"), (-col("offset")).as("no"))).as("m"),
+        max(col("offset")).as("mo"))
       .select(col("sub_index_id"), col("n"),
-        col("m.l").as("lc"), (-col("m.no")).as("eo"))
-      .as[(Int, Long, Int, Int)].collect()
-      .map { case (s, n, lc, eo) => ShardMeta(s, n, lc, eo) }
+        col("m.l").as("lc"), (-col("m.no")).as("eo"), col("mo"))
+      .as[(Int, Long, Int, Int, Int)].collect()
+      .map { case (s, n, lc, eo, mo) =>
+        // a shard built twice (split across partitions — e.g. a bucketed
+        // corpus read through file splits) yields duplicate offsets, so
+        // max(offset) falls short of n-1; a contiguous single build never
+        // does (dehydrate emits offsets 0..count-1)
+        require(mo == n - 1,
+          s"shard $s has $n rows but max offset $mo — shard built in " +
+            "multiple partitions (corpus mis-partitioned?)")
+        ShardMeta(s, n, lc, eo)
+      }
       .sortBy(_.sub_index_id)
   }
 

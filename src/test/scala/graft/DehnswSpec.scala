@@ -192,6 +192,18 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
       ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
   }
 
+  test("bucketed-corpus build equals the standard (shuffled) build exactly") {
+    val tab = "graft_test_corpus_bkt"
+    Queries.resetTable(spark, tab)
+    VectorIndex.writeBucketedCorpus(corpus, tab, numShards = 4)
+    val viaBucketed = VectorIndex.buildFromBucketed(spark, tab,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2))
+    assert(viaBucketed.numShards === 4)
+    // identical shard assignment + deterministic kernel ⇒ row-identical
+    assert(index.rows.exceptAll(viaBucketed.rows).count() === 0)
+    assert(viaBucketed.rows.exceptAll(index.rows).count() === 0)
+  }
+
   test("deterministic rebuild: building twice yields the identical graph") {
     val again = VectorIndex.build(corpus,
       IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)

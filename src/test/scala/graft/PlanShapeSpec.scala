@@ -42,6 +42,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"postings exchange still string-keyed:\n${p.take(3000)}")
   }
 
+  test("v20 bucketed corpus build runs with zero Exchange and zero Sort") {
+    // the cached build plan (InMemoryRelation prints the plan it captured
+    // when buildFromBucketed forced it) must be scan → mapPartitions: a
+    // bucketed scan, no Exchange, no Sort anywhere
+    val p = Queries.v20Index(spark, sfDir).rows.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"scan not bucketed:\n${p.take(3000)}")
+    assert(!p.contains("Exchange"), s"build plan still shuffles:\n${p.take(3000)}")
+    assert("\\bSort\\b".r.findFirstIn(p).isEmpty, s"build plan still sorts:\n${p.take(3000)}")
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
