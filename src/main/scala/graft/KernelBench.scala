@@ -16,13 +16,23 @@ import graft.operators.{ExactKnn, RecallEval}
   * Run: sbt "runMain graft.KernelBench [nVectors] [dim] [sparkOnly]"
   * (third arg "sparkOnly" skips the single-thread section — for corpus
   * sizes where a one-thread build is the thing being avoided)
+  *
+  * Soak mode: sbt "runMain graft.KernelBench [nVectors] [dim] soak [nQueries]"
+  * drives the driverless shuffled probe (`queryDistributed`) with an
+  * nQueries-row query set generated DISTRIBUTED via spark.range — no
+  * query vector ever transits the driver in either direction — then
+  * cross-checks a 100-query overlap against the broadcast `query` path
+  * for gate equality. This is the unbounded-batch path a 1000-executor
+  * cluster would run; heap stays bounded at one shard graph + one
+  * 8192-query group per task regardless of nQueries.
   */
 object KernelBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(60000)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
-    val sparkOnly = args.lift(2).contains("sparkOnly")
+    val soak = args.lift(2).contains("soak")
+    val sparkOnly = soak || args.lift(2).contains("sparkOnly")
     val k = 100
     val nQueries = 100
     val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128, step = 4)
@@ -78,19 +88,59 @@ object KernelBench {
     res.count()
     println(f"spark probe (sw=64): ${(System.nanoTime() - s1) / 1e9}%.2f s wall for $nQueries queries")
 
-    // --- exact kNN formulations head-to-head (same corpus, bigger batch) ---
-    val bigQ = (0 until 1000).map { id =>
-      (id.toLong, Array.fill(dim)(rnd.nextFloat()))
-    }.toDF("query_id", "embedding").cache()
-    bigQ.count()
-    def timeIt(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val t = System.nanoTime()
-      df.count()
-      println(f"exact kNN [$name]: ${(System.nanoTime() - t) / 1e9}%.2f s wall (1000 queries x $n corpus)")
+    if (soak) {
+      // --- driverless shuffled-probe soak (unbounded batch path) ---
+      val nSoak = args.lift(3).map(_.toLong).getOrElse(1000000L)
+      val sw = 16
+      // deterministic per-id query vectors, generated INSIDE the executors
+      // (spark.range -> mapPartitions); nothing query-sized on the driver
+      val soakQ = spark.range(nSoak).rdd.mapPartitions { it =>
+        it.map { id =>
+          val r = new scala.util.Random(id * 2654435761L + 1)
+          (id, Array.fill(dim)(r.nextFloat()))
+        }
+      }.toDF("query_id", "embedding")
+      val s2 = System.nanoTime()
+      val soakRes = idx.queryDistributed(soakQ, k, sw)
+      val nRes = soakRes.count()
+      val soakS = (System.nanoTime() - s2) / 1e9
+      println(f"soak queryDistributed (sw=$sw%d): $nSoak%d queries -> $nRes%d result rows, " +
+        f"$soakS%.1f s wall, ${soakS * 1e6 / nSoak}%.1f us/query amortized")
+
+      // gate equality: the first 100 soak queries through the broadcast
+      // path must produce the identical (query_id, neighbor_id, distance)
+      // set the shuffled probe produces for the same batch (a fresh small
+      // queryDistributed call — filtering soakRes would recompute the
+      // full uncached 1M-query lineage just to read 100 of them)
+      val headQ = soakQ.filter(col("query_id") < 100).cache()
+      val viaBroadcast = idx.query(headQ, k, sw)
+        .select("query_id", "neighbor_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaShuffle = idx.queryDistributed(headQ, k, sw)
+        .select("query_id", "neighbor_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      require(viaBroadcast == viaShuffle,
+        s"soak gate MISMATCH: broadcast=${viaBroadcast.size} shuffle=${viaShuffle.size} " +
+          s"diff=${(viaBroadcast diff viaShuffle).take(5)}")
+      println(s"soak gate: shuffled probe == broadcast probe on 100-query overlap " +
+        s"(${viaShuffle.size} rows) OK")
     }
-    timeIt("window ") { graft.operators.ExactKnn.knnJoin(bigQ, df, k) }
-    timeIt("agg    ") { graft.operators.TopK.knnAggregate(bigQ, df, k) }
-    timeIt("fused  ") { graft.plans.KnnJoinPlan.knnFused(bigQ, df, k) }
+
+    if (!soak) {
+      // --- exact kNN formulations head-to-head (same corpus, bigger batch) ---
+      val bigQ = (0 until 1000).map { id =>
+        (id.toLong, Array.fill(dim)(rnd.nextFloat()))
+      }.toDF("query_id", "embedding").cache()
+      bigQ.count()
+      def timeIt(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = System.nanoTime()
+        df.count()
+        println(f"exact kNN [$name]: ${(System.nanoTime() - t) / 1e9}%.2f s wall (1000 queries x $n corpus)")
+      }
+      timeIt("window ") { graft.operators.ExactKnn.knnJoin(bigQ, df, k) }
+      timeIt("agg    ") { graft.operators.TopK.knnAggregate(bigQ, df, k) }
+      timeIt("fused  ") { graft.plans.KnnJoinPlan.knnFused(bigQ, df, k) }
+    }
     spark.stop()
   }
 }

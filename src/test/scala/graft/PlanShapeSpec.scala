@@ -52,6 +52,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert("\\bSort\\b".r.findFirstIn(p).isEmpty, s"build plan still sorts:\n${p.take(3000)}")
   }
 
+  test("b3 as-of join compiles to one key shuffle and zero joins") {
+    // the tagged-union composition must never degrade into a range join
+    // (BroadcastNestedLoopJoin / CartesianProduct explode |L|x|R| at
+    // scale); its only wide op is the per-key running-last window
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("pvalue"))
+      .dropDuplicates("user_id", "ts")
+    val p = operators.AsOfJoin.asOf(
+      ev.select(col("user_id"), col("event_id"), col("ts")),
+      purchases, "user_id", "ts", "pvalue")
+      .queryExecution.executedPlan.toString
+    assert("\\bJoin\\b".r.findFirstIn(p).isEmpty, s"as-of degraded to a join:\n${p.take(3000)}")
+    assert(p.contains("Window"), s"expected running-last Window in:\n${p.take(3000)}")
+    val keyShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(keyShuffles >= 1 && !p.contains("CartesianProduct"),
+      s"expected key-hash exchange, no cartesian:\n${p.take(3000)}")
+  }
+
+  test("b2 salted join keys the join on (key, salt), dim replicated by explode") {
+    // the hot key must be spread across salt partitions: the physical
+    // join's key list has to include _salt, and the dim side must be a
+    // bounded explode-replication, not a cross join
+    val p = plan("b2_salted_join")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*_salt".r
+      .findFirstIn(p).isDefined, s"join not keyed on _salt:\n${p.take(3000)}")
+    assert(p.contains("Generate explode"), s"dim replication not an explode:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degraded to cross join:\n${p.take(3000)}")
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
