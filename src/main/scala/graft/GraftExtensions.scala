@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineDistance, DotProduct, InnerProductDistance, SquaredL2Distance}
+import graft.functions.{CosineDistance, DotProduct, InnerProductDistance, SquaredL2Distance, VecSq8Encode, VecSq8Decode, VecSq8L2Sq}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: registers the vector distance
@@ -32,5 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cos_dist"),
       new ExpressionInfo(classOf[CosineDistance].getName, "vec_cos_dist"),
       es => CosineDistance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_sq8"),
+      new ExpressionInfo(classOf[VecSq8Encode].getName, "vec_sq8"),
+      es => VecSq8Encode(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("vec_sq8_decode"),
+      new ExpressionInfo(classOf[VecSq8Decode].getName, "vec_sq8_decode"),
+      es => VecSq8Decode(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("vec_sq8_l2sq"),
+      new ExpressionInfo(classOf[VecSq8L2Sq].getName, "vec_sq8_l2sq"),
+      es => VecSq8L2Sq(es(0), es(1))))
   }
 }

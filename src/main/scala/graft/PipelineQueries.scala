@@ -481,6 +481,30 @@ object PipelineQueries {
       |WHERE end_ts + INTERVAL '30 minutes' <= (SELECT max(ts) FROM events)
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- s7_stream_ann
+  /** Streaming vector search: a stream of query vectors probed per
+    * micro-batch against the shared batch-built index (foreachBatch —
+    * the streaming-inference pattern). Exact mode (searchWidth=0), so
+    * the batch brute-force kNN SQL is the oracle. */
+  def s7StreamAnn(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamAnnProbe(s, s"$dir/embeddings.parquet",
+      Queries.sharedEmbIndex(s, dir), k = 10, statePartitions = streamStateParts)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val s7Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -546,6 +570,7 @@ object PipelineQueries {
     "s4_stream_dedup" -> ((s, dir) => s4StreamDedup(s, dir)),
     "s5_stream_sessions" -> ((s, dir) => s5StreamSessions(s, dir)),
     "s6_stream_join" -> ((s, dir) => s6StreamJoin(s, dir)),
+    "s7_stream_ann" -> ((s, dir) => s7StreamAnn(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -575,6 +600,7 @@ object PipelineQueries {
     "s4_stream_dedup" -> s4Oracle,
     "s5_stream_sessions" -> s5Oracle,
     "s6_stream_join" -> s6Oracle,
+    "s7_stream_ann" -> s7Oracle,
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

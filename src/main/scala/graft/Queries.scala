@@ -228,6 +228,11 @@ object Queries {
       Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding")))
 
+  /** The shared per-sf-dir index, for consumers outside this object
+    * (e.g. the streaming ANN probe). */
+  private[graft] def sharedEmbIndex(s: SparkSession, dir: String): VectorIndex =
+    buildEmbIndex(s, dir)
+
   private def buildEmbIndex(s: SparkSession, dir: String): VectorIndex =
     indexCache.computeIfAbsent(dir, _ =>
       VectorIndex.build(embCorpus(s, dir),
@@ -544,6 +549,55 @@ object Queries {
     v20Index(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 0)
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
+
+  // ---------------------------------------------------------------- v21_sq8_knn
+  /** Scalar-quantized (SQ8) kNN: vectors packed to one byte per dimension
+    * (4x memory/shuffle/scan cut vs float — the compression lever for a
+    * 100 TB corpus the reference lacks), distances computed EXACTLY in the
+    * quantized integer domain (codegen'd VecSq8L2Sq), top-k by
+    * (int distance, id) — a total order with no float-comparison hazard,
+    * so the oracle is bit-exact. Quantization code
+    * floor((x-lo)*scale + 0.5) is deterministic Double arithmetic the
+    * oracle reproduces verbatim. */
+  def v21Sq8Knn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sq8Functions
+    val emb = Tables.embeddings(s, dir)
+    val (lo, hi) = (-0.5, 0.5) // testdata embeddings span ~[-0.46, 0.46]
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        Sq8Functions.sq8(col("embedding"), lo, hi).as("qv"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        Sq8Functions.sq8(col("embedding"), lo, hi).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        Sq8Functions.sq8L2Sq(col("qv"), col("cv")).as("q_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("q_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v21Oracle = {
+    // identical arithmetic to VecSq8Encode with lo=-0.5, hi=0.5:
+    // scale = 255/(hi-lo) = 255.0 exactly, so (x-lo)*scale == (x+0.5)*255.0
+    val quant = "x -> CAST(least(greatest(floor((CAST(x AS DOUBLE) + 0.5) * 255.0 + 0.5), 0), 255) AS BIGINT)"
+    s"""WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, $quant) AS qa
+      |           FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, $quant) AS qb
+      |           FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS q_dist
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, q_dist,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY q_dist, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, q_dist
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
 
   private val b1Oracle =
     """SELECT c_mktsegment,
@@ -904,6 +958,7 @@ object Queries {
     "v18_sql_text" -> v18Oracle,
     "v19_append" -> v4Oracle,
     "v20_bucketed_build" -> v6Oracle,
+    "v21_sq8_knn" -> v21Oracle,
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,
     "b3_asof_join" -> b3Oracle,

@@ -63,6 +63,7 @@ object SparkEntry {
     "v18_sql_text" -> ((s, dir) => Queries.v18SqlText(s, dir)),
     "v19_append" -> ((s, dir) => Queries.v19Append(s, dir)),
     "v20_bucketed_build" -> ((s, dir) => Queries.v20BucketedBuild(s, dir)),
+    "v21_sq8_knn" -> ((s, dir) => Queries.v21Sq8Knn(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

@@ -207,6 +207,64 @@ object StreamingOps {
     runFinite(spark, joined, "append", statePartitions)
   }
 
+  /** Streaming ANN probe — the streaming-inference face of the vector
+    * index: a stream of query vectors is probed against a batch-built
+    * [[graft.index.VectorIndex]] inside `foreachBatch` (the idiomatic
+    * Structured Streaming pattern for joining a stream against a
+    * non-streamable operator), results appended to a parquet sink. Each
+    * query's result is independent of micro-batch boundaries, so on a
+    * finite source the accumulated sink equals the batch probe exactly —
+    * with searchWidth=0 (exact mode) that makes the brute-force kNN SQL
+    * the oracle. The same plan serves a live query feed: only the source
+    * changes.
+    *
+    * Scale shape: per micro-batch this is the index's own query path
+    * (broadcast for small batches, the driverless shuffled probe above
+    * maxBatch), so streaming adds no new driver materialization. */
+  def streamAnnProbe(
+      spark: SparkSession, embPath: String, idx: graft.index.VectorIndex,
+      k: Int, statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(embPath))
+      d.toString
+    })
+    val queries = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ann_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = queries.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            idx.query(batch, k, searchWidth = 0)
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a
