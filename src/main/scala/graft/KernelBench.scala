@@ -24,7 +24,7 @@ import graft.operators.{ExactKnn, RecallEval}
   * cross-checks a 100-query overlap against the broadcast `query` path
   * for gate equality. This is the unbounded-batch path a 1000-executor
   * cluster would run; heap stays bounded at one shard graph + one
-  * 8192-query group per task regardless of nQueries.
+  * bounded query group per task regardless of nQueries.
   */
 object KernelBench {
 
@@ -70,6 +70,9 @@ object KernelBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the soak's candidate shuffle is an RDD shuffle (tuples, not
+      // Tungsten rows) — Kryo halves its on-disk spill vs Java ser
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -92,6 +95,12 @@ object KernelBench {
       // --- driverless shuffled-probe soak (unbounded batch path) ---
       val nSoak = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val sw = 16
+      // candidate volume is |Q| x shards x k rows; at k=100 a 1M-query
+      // soak is 3.2B rows (~100+ GB of local shuffle spill — more disk
+      // than this container has). k=10 keeps the soak on one node while
+      // exercising the identical path; a cluster spreads the same
+      // volume over its executors. Overridable via arg 5.
+      val soakK = args.lift(4).map(_.toInt).getOrElse(10)
       // deterministic per-id query vectors, generated INSIDE the executors
       // (spark.range -> mapPartitions); nothing query-sized on the driver
       val soakQ = spark.range(nSoak).rdd.mapPartitions { it =>
@@ -101,10 +110,10 @@ object KernelBench {
         }
       }.toDF("query_id", "embedding")
       val s2 = System.nanoTime()
-      val soakRes = idx.queryDistributed(soakQ, k, sw)
+      val soakRes = idx.queryDistributed(soakQ, soakK, sw)
       val nRes = soakRes.count()
       val soakS = (System.nanoTime() - s2) / 1e9
-      println(f"soak queryDistributed (sw=$sw%d): $nSoak%d queries -> $nRes%d result rows, " +
+      println(f"soak queryDistributed (sw=$sw%d, k=$soakK%d): $nSoak%d queries -> $nRes%d result rows, " +
         f"$soakS%.1f s wall, ${soakS * 1e6 / nSoak}%.1f us/query amortized")
 
       // gate equality: the first 100 soak queries through the broadcast
@@ -113,10 +122,10 @@ object KernelBench {
       // queryDistributed call — filtering soakRes would recompute the
       // full uncached 1M-query lineage just to read 100 of them)
       val headQ = soakQ.filter(col("query_id") < 100).cache()
-      val viaBroadcast = idx.query(headQ, k, sw)
+      val viaBroadcast = idx.query(headQ, soakK, sw)
         .select("query_id", "neighbor_id", "distance")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val viaShuffle = idx.queryDistributed(headQ, k, sw)
+      val viaShuffle = idx.queryDistributed(headQ, soakK, sw)
         .select("query_id", "neighbor_id", "distance")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       require(viaBroadcast == viaShuffle,

@@ -281,20 +281,52 @@ class VectorIndex private (
             // bounded groups keep per-task result memory ~groupSize x k
             // while still materializing each group's probes inside the
             // graph lock (the iterator must not escape the lock lazily)
-            qit.grouped(8192).flatMap { group =>
+            qit.grouped(2048).flatMap { group =>
               graph.synchronized {
                 group.iterator.flatMap { case (qid, qvec) =>
                   val topk =
                     if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
                     else graph.queryTopK(qvec, k, searchWidth)
-                  topk.iterator.map { case (d, gid) => (qid, d, gid) }
+                  topk.iterator.map { case (d, gid) => (qid, (d, gid)) }
                 }.toArray
               }
             }
           }
         }
-    }.toDF("query_id", "distance", "neighbor_id")
-    TopK.topKMerge(candidates, k)
+    }
+    // Reduce-side-only top-k merge. A map-side partial top-k is pure
+    // overhead here: each probe task already emits AT MOST k candidates
+    // per (query, shard), so partial aggregation shrinks nothing — it
+    // only materializes |queries-in-task| aggregation state (at 10^6
+    // queries that is a million-key hash map per task, which falls back
+    // to sort-based aggregation over the full candidate stream and OOMs
+    // long before the shuffle would). With mapSideCombine=false the
+    // candidate rows stream straight into the shuffle writer, and the
+    // reduce side builds one bounded TopKBuffer per query — memory
+    // O(queries-per-reduce-task x k), independent of shard count.
+    val mergeParts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions", n.toString).toInt, n)
+    val merged = candidates
+      .combineByKeyWithClassTag[graft.operators.TopKBuffer](
+        createCombiner = (v: (Double, Long)) => {
+          val b = new graft.operators.TopKBuffer(k); b.insert(v._1, v._2); b
+        },
+        mergeValue = (b: graft.operators.TopKBuffer, v: (Double, Long)) => {
+          b.insert(v._1, v._2); b
+        },
+        mergeCombiners = (a: graft.operators.TopKBuffer, b: graft.operators.TopKBuffer) => {
+          a.merge(b); a
+        },
+        partitioner = new org.apache.spark.HashPartitioner(mergeParts),
+        mapSideCombine = false)
+      .flatMap { case (qid, buf) =>
+        buf.sortedPairs.iterator.zipWithIndex.map {
+          case ((d, gid), i) => (qid, i + 1, gid, d)
+        }
+      }
+    merged.toDF("query_id", "rank", "neighbor_id", "distance")
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("distance"))
   }
 
   /** Batch append: rebuild only the shards that receive new vectors
