@@ -580,6 +580,82 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v22_sq8_rerank
+  /** Two-stage retrieval — the standard architecture for quantized
+    * corpora: stage 1 scans the SQ8 bytes (4x less I/O) and keeps a
+    * candidate pool of 4k per query in the exact integer order; stage 2
+    * re-joins the pool to the full-precision vectors BY ID (at 100 TB the
+    * float corpus is too big to carry through the candidate shuffle — the
+    * re-join touches only |Q| x 4k rows of it) and re-ranks with the
+    * Double L2 fold. Both stages are deterministic, so the composed
+    * pipeline has an exact SQL oracle. Quantization is lossy, so the
+    * final top-k may differ from exact kNN (Sq8Spec bounds that recall
+    * >= 0.9); what the oracle pins is that the ENGINE computes this
+    * two-stage semantics bit-exactly. */
+  def v22Sq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sq8Functions
+    val emb = Tables.embeddings(s, dir)
+    val (lo, hi) = (-0.5, 0.5)
+    val k = 10
+    val pool = 4 * k
+    val q8 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        Sq8Functions.sq8(col("embedding"), lo, hi).as("qv"))
+    val c8 = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        Sq8Functions.sq8(col("embedding"), lo, hi).as("cv"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_dist"), col("neighbor_id"))
+    val candidates = c8.crossJoin(broadcast(q8))
+      .select(col("query_id"), col("neighbor_id"),
+        Sq8Functions.sq8L2Sq(col("qv"), col("cv")).as("q_dist"))
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= pool)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cFull = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    candidates
+      .join(cFull, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.squaredL2(col("qe"), col("ce")).as("distance"))
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("distance"), 6).as("distance"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v22Oracle = {
+    val quant = "x -> CAST(least(greatest(floor((CAST(x AS DOUBLE) + 0.5) * 255.0 + 0.5), 0), 255) AS BIGINT)"
+    """WITH q8 AS (SELECT vec_id AS query_id, list_transform(embedding, QUANT) AS qa
+      |            FROM embeddings WHERE vec_id < 10),
+      |     c8 AS (SELECT vec_id AS neighbor_id, list_transform(embedding, QUANT) AS qb
+      |            FROM embeddings WHERE vec_id >= 10),
+      |     d1 AS (SELECT query_id, neighbor_id,
+      |              CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS q_dist
+      |            FROM q8 CROSS JOIN c8),
+      |     pool AS (SELECT query_id, neighbor_id FROM
+      |              (SELECT query_id, neighbor_id,
+      |                 row_number() OVER (PARTITION BY query_id ORDER BY q_dist, neighbor_id) AS crank
+      |               FROM d1) WHERE crank <= 40),
+      |     d2 AS (SELECT p.query_id, p.neighbor_id,
+      |              list_sum(list_transform(generate_series(1, len(qe.embedding)), i -> (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)) * (CAST(qe.embedding[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)))) AS distance
+      |            FROM pool p
+      |            JOIN embeddings ce ON ce.vec_id = p.neighbor_id
+      |            JOIN embeddings qe ON qe.vec_id = p.query_id),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d2)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin.replace("QUANT", quant)
+  }
+
   private val v21Oracle = {
     // identical arithmetic to VecSq8Encode with lo=-0.5, hi=0.5:
     // scale = 255/(hi-lo) = 255.0 exactly, so (x-lo)*scale == (x+0.5)*255.0
@@ -959,6 +1035,7 @@ object Queries {
     "v19_append" -> v4Oracle,
     "v20_bucketed_build" -> v6Oracle,
     "v21_sq8_knn" -> v21Oracle,
+    "v22_sq8_rerank" -> v22Oracle,
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,
     "b3_asof_join" -> b3Oracle,

@@ -46,6 +46,22 @@ class Sq8Spec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.9, s"SQ8 recall@10 vs exact = $recall")
   }
 
+  test("two-stage rerank (v22) recalls at least as well as raw quantized ranking (v21)") {
+    val exact = Queries.v4KnnExact(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rQuant = recallOf(Queries.v21Sq8Knn(spark, sfDir))
+    val rRerank = recallOf(Queries.v22Sq8Rerank(spark, sfDir))
+    assert(rRerank >= rQuant,
+      s"rerank recall $rRerank < quantized-only recall $rQuant")
+    assert(rRerank >= 0.95, s"two-stage recall@10 = $rRerank")
+  }
+
   test("quantized distance is the exact integer the definition gives") {
     // spot-check interpreted vs codegen'd paths against a Scala reference
     val rows = emb.filter(col("vec_id") < 3)
