@@ -84,6 +84,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"salted join degraded to cross join:\n${p.take(3000)}")
   }
 
+  test("v21 quantized kNN bounds the shuffle with a partial WindowGroupLimit") {
+    val p = plan("v21_sq8_knn")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n${p.take(3000)}")
+    // one hash exchange (the final per-query top-k); the SQ8 encode must
+    // be evaluated scan-side, once per row, before the candidate join
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"),
+      s"vec_id filter not pushed to scan:\n${p.take(3000)}")
+  }
+
+  test("v22 two-stage rerank: quantized pool stage + id re-join, floats never in the candidate shuffle") {
+    val p = plan("v22_sq8_rerank")
+    // two ranking stages (pool 40 + final 10), still exactly one hash
+    // exchange — the rerank reuses the pool's query_id partitioning
+    val finals = "WindowGroupLimit .*Final".r.findAllIn(p).size
+    assert(finals == 2, s"expected 2 final WindowGroupLimits, got $finals:\n${p.take(3500)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3500)}")
+    // the candidate (pool) shuffle must carry quantized bytes only: no
+    // embedding column may appear between the cross join and the pool
+    // exchange — the full-precision vectors enter via the later re-join
+    val poolSection = p.substring(p.indexOf("Exchange hashpartitioning"))
+    assert(poolSection.contains("vec_sq8"), s"pool stage not quantized:\n${p.take(3500)}")
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
