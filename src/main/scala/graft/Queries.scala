@@ -580,6 +580,29 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v23_sq8_index
+  /** SQ8-quantized GRAPH INDEX: shard vectors held as one byte per
+    * dimension (4x less graph memory than float storage — the lever that
+    * turns a ~2-3k-shard 100 TB corpus into ~600 shards), with build and
+    * search distances computed in the exact quantized integer domain.
+    * Exact mode (searchWidth=0) over a quantized index IS quantized
+    * brute-force kNN, so v21's integer oracle gates the whole kernel
+    * path: quantize -> build -> probe -> merge must reproduce DuckDB's
+    * quantized scan bit-for-bit. Beam mode + save/load are spec-gated
+    * (QuantizedIndexSpec). */
+  def v23Sq8Index(s: SparkSession, dir: String): DataFrame =
+    quantIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 0)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("distance").cast("long").as("q_dist"))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val quantIdxCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
+  private[graft] def quantIndex(s: SparkSession, dir: String): VectorIndex =
+    quantIdxCache.computeIfAbsent(dir, _ =>
+      VectorIndex.build(embCorpus(s, dir),
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+          quantized = true), numShards = 4))
+
   // ---------------------------------------------------------------- v22_sq8_rerank
   /** Two-stage retrieval — the standard architecture for quantized
     * corpora: stage 1 scans the SQ8 bytes (4x less I/O) and keeps a
@@ -1036,6 +1059,8 @@ object Queries {
     "v20_bucketed_build" -> v6Oracle,
     "v21_sq8_knn" -> v21Oracle,
     "v22_sq8_rerank" -> v22Oracle,
+    "v23_sq8_index" -> v21Oracle, // exact quantized probe == quantized brute force
+
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,
     "b3_asof_join" -> b3Oracle,

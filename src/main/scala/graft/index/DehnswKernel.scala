@@ -31,6 +31,18 @@ object ParamStep {
   * @param subIndexBound        max vectors per shard (dehnsw.h:80)
   * @param schedule             optional adaptive M/RM build schedule
   *                             (ascending fromCount; empty = fixed params)
+  * @param quantized            SQ8 in-memory storage: shard vectors are
+  *                             held as one byte per dimension (4x less
+  *                             graph memory than the reference's float
+  *                             storage, dehnsw.h:70-78) and ALL build and
+  *                             search distances are computed in the exact
+  *                             quantized integer domain — deterministic,
+  *                             so exact-mode probes are oracle-checkable.
+  *                             Persisted rows carry the midpoint
+  *                             dequantization (lossy by contract);
+  *                             rehydration re-quantizes to the identical
+  *                             bytes. Euclidean2 only.
+  * @param quantLo / quantHi    quantization range (values are clamped)
   */
 case class IndexParams(
     metric: DistanceMetric = DistanceMetric.Euclidean2,
@@ -38,9 +50,16 @@ case class IndexParams(
     relaxedMonotonicity: Int = 128,
     step: Int = 4,
     subIndexBound: Long = 10000000L,
-    schedule: Seq[ParamStep] = Nil) {
+    schedule: Seq[ParamStep] = Nil,
+    quantized: Boolean = false,
+    quantLo: Float = -0.5f,
+    quantHi: Float = 0.5f) {
   require(schedule.sliding(2).forall(w => w.size < 2 || w(0).fromCount < w(1).fromCount),
     "schedule fromCount thresholds must be strictly ascending")
+  require(!quantized || metric == DistanceMetric.Euclidean2,
+    "quantized (SQ8) storage supports the Euclidean2 metric only")
+  require(!quantized || quantHi > quantLo,
+    s"quantization range is empty: [$quantLo, $quantHi]")
 }
 
 /** Ascending (dist, nbr) edge list over primitive parallel arrays — the
@@ -227,15 +246,79 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
   /** Per vector: per-layer undirected refcounted adjacency (traversal). */
   val edges = new Array[mutable.ArrayBuffer[AdjList]](capacity)
 
-  /** Store a vector at `offset` (first call fixes the shard dimension). */
-  def setVec(offset: Int, v: Array[Float]): Unit = {
-    if (flat == null) { dim = v.length; flat = new Array[Float](capacity * dim) }
-    System.arraycopy(v, 0, flat, offset * dim, dim)
+  // SQ8 storage (params.quantized): one byte per dimension instead of a
+  // float — 4x less shard memory; every distance is the exact integer
+  // sum of squared byte differences (deterministic, oracle-checkable).
+  // All public entry points quantize their incoming query/insert vector
+  // into `qScratch` once (safe: builds are single-threaded per shard and
+  // probes synchronize on the graph), so the hot loops compare bytes.
+  private val quantized: Boolean = params.quantized
+  private val qLo: Double = params.quantLo.toDouble
+  private val qScale: Double =
+    if (quantized) 255.0 / (params.quantHi.toDouble - qLo) else 0.0
+  private val qStep: Double =
+    if (quantized) (params.quantHi.toDouble - qLo) / 255.0 else 0.0
+  private var flatQ: Array[Byte] = null
+  private var qScratch: Array[Byte] = null
+
+  private def quantizeInto(v: Array[Float], dst: Array[Byte], base: Int): Unit = {
+    var i = 0
+    while (i < v.length) {
+      val t = Math.floor((v(i).toDouble - qLo) * qScale + 0.5)
+      dst(base + i) = Math.max(0.0, Math.min(255.0, t)).toInt.toByte
+      i += 1
+    }
   }
 
-  /** Copy a stored vector out (cold path: dehydrate/persist only). */
+  @inline private def prepQuery(v: Array[Float]): Unit =
+    if (quantized) {
+      if (qScratch == null || qScratch.length < v.length)
+        qScratch = new Array[Byte](v.length)
+      quantizeInto(v, qScratch, 0)
+    }
+
+  /** Exact integer-domain squared L2 between the prepared query bytes and
+    * the stored vector at `off` (fits a Long until ~2^47 dimensions). */
+  @inline private def intL2(off: Int): Double = {
+    val b = flatQ
+    val q = qScratch
+    val base = off * dim
+    var acc = 0L
+    var i = 0
+    while (i < dim) {
+      val d = (q(i) & 0xff) - (b(base + i) & 0xff)
+      acc += (d * d).toLong
+      i += 1
+    }
+    acc.toDouble
+  }
+
+  /** Store a vector at `offset` (first call fixes the shard dimension). */
+  def setVec(offset: Int, v: Array[Float]): Unit = {
+    if (quantized) {
+      if (flatQ == null) { dim = v.length; flatQ = new Array[Byte](capacity * dim) }
+      quantizeInto(v, flatQ, offset * dim)
+    } else {
+      if (flat == null) { dim = v.length; flat = new Array[Float](capacity * dim) }
+      System.arraycopy(v, 0, flat, offset * dim, dim)
+    }
+  }
+
+  /** Copy a stored vector out (cold path: dehydrate/persist only). For a
+    * quantized graph this is the midpoint dequantization `lo + q*step` —
+    * lossy by contract; re-quantizing it reproduces the identical bytes,
+    * so persisted rows rehydrate to the same graph. */
   def vecAt(offset: Int): Array[Float] =
-    java.util.Arrays.copyOfRange(flat, offset * dim, offset * dim + dim)
+    if (quantized) {
+      val base = offset * dim
+      val outV = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        outV(i) = (qLo + (flatQ(base + i) & 0xff) * qStep).toFloat
+        i += 1
+      }
+      outV
+    } else java.util.Arrays.copyOfRange(flat, offset * dim, offset * dim + dim)
 
   // scratch state, reused across inserts/queries (single-threaded per task)
   private var stamp = new Array[Int](capacity)
@@ -261,6 +344,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * accumulation like the reference (source/distance.h); the oracle-gated
     * exact path uses [[distExact]] (sequential Double). */
   @inline private def dist(a: Array[Float], off: Int): Double = {
+    if (quantized) return intL2(off)
     val base = off * dim
     if (SubIndexGraph.simdAvailable) {
       if (metricCode == 0) return SimdKernels.sqL2(a, flat, base).toDouble
@@ -317,6 +401,9 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * identical operation sequence to the Catalyst distance expressions
     * (bit-equal to the SQL oracles). */
   @inline private def distExact(a: Array[Float], off: Int): Double = {
+    // quantized graphs: the integer domain IS the exact domain (the float
+    // originals are not stored) — deterministic and oracle-reproducible
+    if (quantized) return intL2(off)
     val n = a.length
     val base = off * dim
     val b = flat
@@ -369,6 +456,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     count += 1
     // pass the caller's array through — re-reading via vecAt would copy
     // dim floats out of the flat block on every insert (hot path)
+    prepQuery(vec)
     if (offset > 0) add(offset, vec)
   }
 
@@ -607,6 +695,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     // read into the NEXT vector's floats — guard at the kernel entry
     require(count == 0 || q.length == dim,
       s"query dimension ${q.length} does not match index dimension $dim")
+    if (count > 0) prepQuery(q)
     // primitive bounded heap — same (dist, id) lexicographic replacement
     // as a sorted set, no per-candidate boxing
     val result = new graft.operators.TopKBuffer(k)
@@ -628,6 +717,7 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     if (count == 0) return Array.empty
     require(q.length == dim,
       s"query dimension ${q.length} does not match index dimension $dim")
+    prepQuery(q)
     // worst-first bounded result over (dist, offset) — primitive heap
     val result = new graft.operators.TopKBuffer(k)
     var outOfBound = 1

@@ -427,6 +427,7 @@ class VectorIndex private (
          |"relaxedMonotonicity":${p.relaxedMonotonicity},"step":${p.step},
          |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
          |"schedule":"$sched",
+         |"quantized":${p.quantized},"quantLo":${p.quantLo},"quantHi":${p.quantHi},
          |"indexId":"$indexId"}""".stripMargin
     VectorIndex.writeSmallFile(rows.sparkSession, s"$path/params.json", json)
   }
@@ -651,9 +652,15 @@ object VectorIndex {
         val Array(f, m, rm) = t.split(":")
         ParamStep(f.toInt, m.toInt, rm.toInt)
       }
+    // optional (older saves lack the keys; default = float storage)
+    def extractOpt(key: String): Option[String] =
+      s""""$key":\\s*"?([^,"}]+)"?""".r.findFirstMatchIn(paramsJson).map(_.group(1))
     val params = IndexParams(metric, extract("minimumConnect").toInt,
       extract("relaxedMonotonicity").toInt, extract("step").toInt,
-      extract("subIndexBound").toLong, schedule)
+      extract("subIndexBound").toLong, schedule,
+      quantized = extractOpt("quantized").exists(_.toBoolean),
+      quantLo = extractOpt("quantLo").map(_.toFloat).getOrElse(-0.5f),
+      quantHi = extractOpt("quantHi").map(_.toFloat).getOrElse(0.5f))
     // fresh cache identity per load: reusing the persisted id would let a
     // probe of the loaded index hit executor-cached graphs built from the
     // ORIGINAL in-memory index (same JVM), silently bypassing the loaded

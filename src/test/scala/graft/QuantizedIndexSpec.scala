@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexParams, VectorIndex}
+
+/** SQ8-quantized graph index (IndexParams.quantized): exact-mode probe ==
+  * quantized brute force (the same integer semantics v21 oracles), beam
+  * recall rises toward exact, and save/load round-trips to identical
+  * results (byte-stable re-quantization of the dequantized rows). */
+class QuantizedIndexSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val corpus = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding"))
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+  private val p = IndexParams(minimumConnect = 8, relaxedMonotonicity = 32,
+    step = 2, quantized = true)
+  private lazy val index = VectorIndex.build(corpus, p, numShards = 2)
+
+  test("exact probe over the quantized index equals quantized brute-force kNN (v21)") {
+    val viaIndex = Queries.v23Sq8Index(spark, sfDir)
+    val bruteForce = Queries.v21Sq8Knn(spark, sfDir)
+    assert(viaIndex.exceptAll(bruteForce).count() === 0)
+    assert(bruteForce.exceptAll(viaIndex).count() === 0)
+  }
+
+  test("quantized distances are integers and beam recall rises toward exact") {
+    val exact = index.query(queries, k = 10, searchWidth = 0)
+    val exactRows = exact.collect()
+    assert(exactRows.forall(r => r.getDouble(r.fieldIndex("distance")).isWhole),
+      "quantized distances must be exact integers")
+    val exactSet = exactRows
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id"))))
+      .toSet
+    val recalls = Seq(2, 8, 32).map { sw =>
+      val got = index.query(queries, k = 10, searchWidth = sw)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactSet intersect got).size.toDouble / exactSet.size
+    }
+    assert(recalls.sliding(2).forall(w => w(1) >= w(0) - 1e-9),
+      s"recall not monotone: $recalls")
+    assert(recalls.last >= 0.9, s"recall@sw=32 = ${recalls.last}")
+  }
+
+  test("quantized index save/load round-trips to identical probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant_idx_").toString
+    index.save(dir)
+    val loaded = VectorIndex.load(spark, dir)
+    assert(loaded.params.quantized && loaded.params.quantLo == p.quantLo &&
+      loaded.params.quantHi == p.quantHi, "quantization params must persist")
+    val before = index.query(queries, k = 10, searchWidth = 0)
+    val after = loaded.query(queries, k = 10, searchWidth = 0)
+    assert(before.exceptAll(after).count() === 0)
+    assert(after.exceptAll(before).count() === 0)
+  }
+
+  test("quantized mode rejects non-Euclidean metrics") {
+    import graft.functions.DistanceMetric
+    assertThrows[IllegalArgumentException] {
+      IndexParams(metric = DistanceMetric.Cosine, quantized = true)
+    }
+  }
+}
