@@ -1,6 +1,8 @@
 package graft.index;
 
+import jdk.incubator.vector.ByteVector;
 import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.IntVector;
 import jdk.incubator.vector.VectorOperators;
 import jdk.incubator.vector.VectorSpecies;
 
@@ -99,6 +101,46 @@ public final class SimdKernels {
       d += a[i] * flat[base + i]; x += a[i] * a[i]; y += flat[base + i] * flat[base + i];
     }
     out[0] = d; out[1] = x; out[2] = y;
+  }
+
+  private static final VectorSpecies<Byte> B = ByteVector.SPECIES_PREFERRED;
+
+  /**
+   * Squared L2 between unsigned-byte vectors (SQ8 storage): the exact
+   * integer sum of squared differences. Integer arithmetic is associative,
+   * so the SIMD result is BIT-IDENTICAL to the scalar loop — unlike the
+   * float kernels, this path needs no scalar oracle twin. Per-lane int
+   * accumulation overflows only past ~500k dimensions (255^2 per step);
+   * callers guard with {@link #sqL2U8MaxDim()}.
+   */
+  public static long sqL2U8(byte[] a, byte[] flat, int base) {
+    int i = 0;
+    int bound = B.loopBound(a.length);
+    IntVector acc = IntVector.zero(IntVector.SPECIES_PREFERRED);
+    for (; i < bound; i += B.length()) {
+      ByteVector va = ByteVector.fromArray(B, a, i);
+      ByteVector vb = ByteVector.fromArray(B, flat, base + i);
+      // sign-extend B2I then mask to recover the unsigned value (the
+      // ZERO_EXTEND conversions trip a JDK17 mask-broadcast limitation);
+      // a byte vector widens to 4 int parts of the same shape
+      for (int part = 0; part < 4; part++) {
+        IntVector ia = ((IntVector) va.convert(VectorOperators.B2I, part)).and(0xff);
+        IntVector ib = ((IntVector) vb.convert(VectorOperators.B2I, part)).and(0xff);
+        IntVector d = ia.sub(ib);
+        acc = acc.add(d.mul(d));
+      }
+    }
+    long s = acc.reduceLanesToLong(VectorOperators.ADD);
+    for (; i < a.length; i++) {
+      int d = (a[i] & 0xff) - (flat[base + i] & 0xff);
+      s += (long) (d * d);
+    }
+    return s;
+  }
+
+  /** Max dimension before per-lane int accumulation could overflow. */
+  public static int sqL2U8MaxDim() {
+    return (Integer.MAX_VALUE / (255 * 255)) * IntVector.SPECIES_PREFERRED.length();
   }
 
   /** One-pass dot + squared norms for cosine; fills out[0]=dot,

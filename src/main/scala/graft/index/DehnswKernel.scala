@@ -208,6 +208,10 @@ object SubIndexGraph {
   val simdAvailable: Boolean =
     try { SimdKernels.lanes() > 0 }
     catch { case _: Throwable => false }
+
+  /** Dimension bound for the SIMD byte kernel's int-lane accumulation. */
+  val sqL2U8MaxDim: Int =
+    if (simdAvailable) SimdKernels.sqL2U8MaxDim() else 0
 }
 
 /** One shard's graph — the engine-side `Sub_Index` (reference:
@@ -278,11 +282,15 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     }
 
   /** Exact integer-domain squared L2 between the prepared query bytes and
-    * the stored vector at `off` (fits a Long until ~2^47 dimensions). */
+    * the stored vector at `off` (fits a Long until ~2^47 dimensions).
+    * Integer sums are associative, so the SIMD path is bit-identical to
+    * the scalar loop — no exact/approximate twin needed here. */
   @inline private def intL2(off: Int): Double = {
+    val base = off * dim
+    if (SubIndexGraph.simdAvailable && dim <= SubIndexGraph.sqL2U8MaxDim)
+      return SimdKernels.sqL2U8(qScratch, flatQ, base).toDouble
     val b = flatQ
     val q = qScratch
-    val base = off * dim
     var acc = 0L
     var i = 0
     while (i < dim) {
