@@ -251,6 +251,7 @@ object Queries {
     ensureBucketedTables(s, dir)
     ensureBucketedCorpus(s, dir)
     buildEmbIndex(s, dir)
+    quantIndex(s, dir) // v23's shared quantized index (same one-time role)
   }
 
   /** dehnsw index probe in exact mode (searchWidth=0 == reference RM=0
