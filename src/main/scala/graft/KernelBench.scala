@@ -13,7 +13,7 @@ import graft.operators.{ExactKnn, RecallEval}
   * single-thread profile) plus the distributed multi-shard path, reporting
   * per-insert and per-query microseconds and recall.
   *
-  * Run: sbt "runMain graft.KernelBench [nVectors] [dim] [sparkOnly]"
+  * Run: sbt "runMain graft.KernelBench [nVectors] [dim] [sparkOnly] [quant]"
   * (third arg "sparkOnly" skips the single-thread section — for corpus
   * sizes where a one-thread build is the thing being avoided)
   *
@@ -31,11 +31,20 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(60000)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
-    val soak = args.lift(2).contains("soak")
-    val sparkOnly = soak || args.lift(2).contains("sparkOnly")
+    // flags after the first two positions: "soak" / "sparkOnly" / "quant"
+    // (SQ8 index storage); remaining numeric args = [nQueries, k] for soak
+    val flags = args.drop(2).filterNot(_.forall(_.isDigit))
+    val nums = args.drop(2).filter(a => a.nonEmpty && a.forall(_.isDigit))
+    val soak = flags.contains("soak")
+    val quant = flags.contains("quant")
+    val sparkOnly = soak || flags.contains("sparkOnly")
     val k = 100
     val nQueries = 100
-    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128, step = 4)
+    // synthetic vectors are uniform [0,1) — the quantization range must
+    // cover the data or values clamp and distances degenerate
+    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128, step = 4,
+      quantized = quant, quantLo = 0f, quantHi = 1f)
+    if (quant) println(s"SQ8 storage: ${n.toLong * dim} vector bytes/JVM vs ${4L * n * dim} float")
 
     val rnd = new scala.util.Random(42)
     val data = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
@@ -93,14 +102,14 @@ object KernelBench {
 
     if (soak) {
       // --- driverless shuffled-probe soak (unbounded batch path) ---
-      val nSoak = args.lift(3).map(_.toLong).getOrElse(1000000L)
+      val nSoak = nums.lift(0).map(_.toLong).getOrElse(1000000L)
       val sw = 16
       // candidate volume is |Q| x shards x k rows; at k=100 a 1M-query
       // soak is 3.2B rows (~100+ GB of local shuffle spill — more disk
       // than this container has). k=10 keeps the soak on one node while
       // exercising the identical path; a cluster spreads the same
       // volume over its executors. Overridable via arg 5.
-      val soakK = args.lift(4).map(_.toInt).getOrElse(10)
+      val soakK = nums.lift(1).map(_.toInt).getOrElse(10)
       // deterministic per-id query vectors, generated INSIDE the executors
       // (spark.range -> mapPartitions); nothing query-sized on the driver
       val soakQ = spark.range(nSoak).rdd.mapPartitions { it =>
