@@ -58,6 +58,18 @@ class QuantizedIndexSpec extends AnyFunSuite with SparkSuite {
     assert(after.exceptAll(before).count() === 0)
   }
 
+  test("quantized append equals the full quantized rebuild") {
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val extra = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val appended = VectorIndex.build(base, p, numShards = 2).append(extra)
+    val full = VectorIndex.build(base.union(extra), p, numShards = 2)
+    assert(appended.rows.exceptAll(full.rows).count() === 0,
+      "quantized append must equal the full quantized rebuild")
+    assert(full.rows.exceptAll(appended.rows).count() === 0)
+  }
+
   test("quantized mode rejects non-Euclidean metrics") {
     import graft.functions.DistanceMetric
     assertThrows[IllegalArgumentException] {
