@@ -38,7 +38,7 @@ abstract class Sq8CodecExpression extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val vecOk = vec.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) => !this.isInstanceOf[VecSq8Decode]
       case BinaryType              => this.isInstanceOf[VecSq8Decode]
       case _                       => false
     }
