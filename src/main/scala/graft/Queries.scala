@@ -768,6 +768,40 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v24_filtered_knn
+  /** FILTERED vector search — top-k restricted to a metadata predicate
+    * (the pre-filter strategy: at 100 TB, post-filtering an ANN result
+    * can't guarantee k survivors, so the predicate belongs under the
+    * search). Runs through the fused custom operator with the label
+    * filter BELOW the custom node: Catalyst pushes it into the parquet
+    * scan (PushedFilters, plan-guarded), so the custom exec only ever
+    * sees the qualifying rows — predicate pushdown composes with custom
+    * operators for free when the plan stays declarative. */
+  def v24FilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10 && col("label") === 3)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.plans.KnnJoinPlan.knnFused(queries, corpus, k = 10)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v24Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings
+      |           WHERE vec_id >= 10 AND label = 3),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1061,6 +1095,7 @@ object Queries {
     "v21_sq8_knn" -> v21Oracle,
     "v22_sq8_rerank" -> v22Oracle,
     "v23_sq8_index" -> v21Oracle, // exact quantized probe == quantized brute force
+    "v24_filtered_knn" -> v24Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

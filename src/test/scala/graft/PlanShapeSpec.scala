@@ -110,6 +110,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(poolSection.contains("vec_sq8"), s"pool stage not quantized:\n${p.take(3500)}")
   }
 
+  test("v24 filtered kNN pushes the label predicate through the custom operator") {
+    // the initial AQE plan still shows the logical KnnCandidates node
+    // (KnnStrategy plans it at execution — v11's oracle proves that path)
+    val p = plan("v24_filtered_knn")
+    assert(p.contains("KnnCandidates"), s"custom operator missing:\n${p.take(3000)}")
+    assert(p.contains("EqualTo(label,3)"),
+      s"label filter not pushed to the parquet scan:\n${p.take(4000)}")
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
