@@ -505,6 +505,30 @@ object PipelineQueries {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s8_stream_index
+  /** Streaming index maintenance: vectors with vec_id >= 3000 arrive as a
+    * stream and are folded into a batch-built base index via the
+    * deterministic shard-scoped append; the final exact probe must equal
+    * brute-force kNN over the WHOLE corpus (append == full rebuild, so
+    * micro-batch boundaries cannot show). */
+  def s8StreamIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.{IndexParams, VectorIndex}
+    val emb = Tables.events(s, dir).sparkSession.read
+      .parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 3000)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val baseIdx = VectorIndex.build(base,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    StreamingOps.streamIndexAppend(s, s"$dir/embeddings.parquet", baseIdx,
+      queries, col("vec_id") >= 3000, k = 10)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s8Oracle = s7Oracle // probe of the appended index == full-corpus kNN
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -571,6 +595,7 @@ object PipelineQueries {
     "s5_stream_sessions" -> ((s, dir) => s5StreamSessions(s, dir)),
     "s6_stream_join" -> ((s, dir) => s6StreamJoin(s, dir)),
     "s7_stream_ann" -> ((s, dir) => s7StreamAnn(s, dir)),
+    "s8_stream_index" -> ((s, dir) => s8StreamIndex(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -601,6 +626,7 @@ object PipelineQueries {
     "s5_stream_sessions" -> s5Oracle,
     "s6_stream_join" -> s6Oracle,
     "s7_stream_ann" -> s7Oracle,
+    "s8_stream_index" -> s8Oracle,
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

@@ -265,6 +265,55 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming index maintenance — the ingest face of the vector index: a
+    * stream of new vectors is folded into a batch-built base index with
+    * [[graft.index.VectorIndex.append]] per micro-batch (foreachBatch).
+    * Because append rebuilds exactly the shards that receive new ids and
+    * the kernel inserts in ascending-id order, the result after ANY
+    * micro-batch split is bit-identical to one full rebuild over the
+    * union — so the final probe has the plain brute-force SQL oracle.
+    * Returns the exact-mode probe of the final index generation. */
+  def streamIndexAppend(
+      spark: SparkSession, embPath: String,
+      baseIndex: graft.index.VectorIndex, queries: DataFrame,
+      newVectorsPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(embPath))
+      d.toString
+    })
+    val newVectors = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(newVectorsPred)
+      .select(col("vec_id").as("id"), col("embedding"))
+    // the evolving index generation — foreachBatch runs on the driver, so
+    // a plain var is the idiomatic accumulator for re-assignable state
+    @volatile var current = baseIndex
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    try {
+      val q = newVectors.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) current = current.append(batch)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    current.query(queries, k, searchWidth = 0)
+  }
+
   /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a
