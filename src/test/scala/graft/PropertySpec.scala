@@ -100,6 +100,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SQ8 quantized exact search equals an independent integer brute force") {
+    // vectors span [-10,10] while the quantization range is [-1,1], so the
+    // clamp path is exercised; the reference below re-derives the bytes
+    // and integer distances from the published formula alone
+    val (lo, hi) = (-1.0, 1.0)
+    def quantRef(v: Array[Float]): Array[Int] =
+      v.map { x =>
+        val t = math.floor((x.toDouble - lo) * (255.0 / (hi - lo)) + 0.5)
+        math.max(0.0, math.min(255.0, t)).toInt
+      }
+    check(Prop.forAll(
+      Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n, vecGen)),
+      vecGen,
+      Gen.chooseNum(1, 10)) { (vecs: List[Array[Float]], q: Array[Float], k: Int) =>
+      val g = new SubIndexGraph(
+        IndexParams(minimumConnect = 4, relaxedMonotonicity = 8, step = 2,
+          quantized = true, quantLo = lo.toFloat, quantHi = hi.toFloat), vecs.length)
+      vecs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+      val got = g.bruteForceTopK(q, k).toSeq
+      val qq = quantRef(q)
+      val want = vecs.zipWithIndex.map { case (v, i) =>
+        val qv = quantRef(v)
+        (qv.zip(qq).map { case (a, b) => ((a - b) * (a - b)).toLong }.sum.toDouble, i.toLong)
+      }.sorted.take(k)
+      got == want
+    })
+  }
+
+  test("quantized graph build is deterministic and append-stable") {
+    val p = IndexParams(minimumConnect = 4, relaxedMonotonicity = 8, step = 2,
+      quantized = true, quantLo = -10f, quantHi = 10f)
+    check(Prop.forAll(
+      Gen.chooseNum(4, 30).flatMap(n => Gen.listOfN(n, vecGen))) { vecs: List[Array[Float]] =>
+      def build(vs: Seq[Array[Float]]): SubIndexGraph = {
+        val g = new SubIndexGraph(p, vs.length)
+        vs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+        g
+      }
+      val g1 = build(vecs)
+      val g2 = build(vecs)
+      (0 until g1.count).forall { o =>
+        g1.layerOf(o) == g2.layerOf(o) && g1.vecAt(o).sameElements(g2.vecAt(o)) &&
+          g1.out(o).map(el => (0 until el.size).map(i => (el.ds(i), el.ns(i)))) ==
+          g2.out(o).map(el => (0 until el.size).map(i => (el.ds(i), el.ns(i))))
+      } && g1.entryOffset == g2.entryOffset
+    })
+  }
+
   test("SortedPairs emits exactly the i<j pairs of a sorted array") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
