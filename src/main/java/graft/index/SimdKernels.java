@@ -111,7 +111,9 @@ public final class SimdKernels {
    * so the SIMD result is BIT-IDENTICAL to the scalar loop — unlike the
    * float kernels, this path needs no scalar oracle twin. Per-lane int
    * accumulation overflows only past ~500k dimensions (255^2 per step);
-   * callers guard with {@link #sqL2U8MaxDim()}.
+   * callers guard with {@link #sqL2U8MaxDim()}. The cross-lane reduction
+   * widens each lane to long BEFORE summing (reduceLanesToLong would sum
+   * in the int domain first and overflow past ~33k dims total).
    */
   public static long sqL2U8(byte[] a, byte[] flat, int base) {
     int i = 0;
@@ -130,7 +132,8 @@ public final class SimdKernels {
         acc = acc.add(d.mul(d));
       }
     }
-    long s = acc.reduceLanesToLong(VectorOperators.ADD);
+    long s = 0;
+    for (int l = 0; l < acc.length(); l++) s += acc.lane(l);
     for (; i < a.length; i++) {
       int d = (a[i] & 0xff) - (flat[base + i] & 0xff);
       s += (long) (d * d);

@@ -488,7 +488,8 @@ object PipelineQueries {
     * the batch brute-force kNN SQL is the oracle. */
   def s7StreamAnn(s: SparkSession, dir: String): DataFrame =
     StreamingOps.streamAnnProbe(s, s"$dir/embeddings.parquet",
-      Queries.sharedEmbIndex(s, dir), k = 10, statePartitions = streamStateParts)
+      Queries.sharedEmbIndex(s, dir), k = 10, queryPred = col("vec_id") < 10,
+      statePartitions = streamStateParts)
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
 

@@ -42,12 +42,23 @@ abstract class Sq8CodecExpression extends TernaryExpression {
       case BinaryType              => this.isInstanceOf[VecSq8Decode]
       case _                       => false
     }
-    if (vecOk && lo.dataType == DoubleType && hi.dataType == DoubleType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (vector, DOUBLE lo, DOUBLE hi), got " +
-        children.map(_.dataType.simpleString).mkString(", "))
+    if (!(vecOk && lo.dataType == DoubleType && hi.dataType == DoubleType))
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (vector, DOUBLE lo, DOUBLE hi), got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    // hi == lo gives scale = Infinity and silently quantizes everything to
+    // byte 0; catch it at analysis time when the bounds are constants (the
+    // common case — IndexParams validates its own path separately).
+    (foldedBound(lo), foldedBound(hi)) match {
+      case (Some(l), Some(h)) if h <= l =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires hi > lo, got lo=$l hi=$h")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
+
+  private def foldedBound(e: Expression): Option[Double] =
+    if (e.foldable) Option(e.eval(null)).map(_.asInstanceOf[Double]) else None
 }
 
 /** ARRAY<FLOAT> -> BINARY, one byte per dimension:
@@ -155,10 +166,11 @@ case class VecSq8L2Sq(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw VecSq8L2Sq.dimMismatch(x.length, y.length)
     var acc = 0L
     var i = 0
-    while (i < n) {
+    while (i < x.length) {
       val d = (x(i) & 0xff) - (y(i) & 0xff)
       acc += (d * d).toLong
       i += 1
@@ -168,14 +180,15 @@ case class VecSq8L2Sq(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length) {
+         |  throw graft.functions.VecSq8L2Sq.dimMismatch($a.length, $b.length);
+         |}
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $a.length; $i++) {
          |  final int $d = ($a[$i] & 0xff) - ($b[$i] & 0xff);
          |  $acc += (long) ($d * $d);
          |}
@@ -186,6 +199,13 @@ case class VecSq8L2Sq(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "vec_sq8_l2sq"
+}
+
+object VecSq8L2Sq {
+  /** Called from generated code too — keep public, Java-callable. */
+  def dimMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_sq8_l2sq: mismatched quantized vector lengths ($a vs $b)")
 }
 
 /** Column + SQL surface for the SQ8 codec. */

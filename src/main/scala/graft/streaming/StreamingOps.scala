@@ -223,7 +223,8 @@ object StreamingOps {
     * maxBatch), so streaming adds no new driver materialization. */
   def streamAnnProbe(
       spark: SparkSession, embPath: String, idx: graft.index.VectorIndex,
-      k: Int, statePartitions: Int = 0): DataFrame = {
+      k: Int, queryPred: org.apache.spark.sql.Column,
+      statePartitions: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
     val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
@@ -233,7 +234,7 @@ object StreamingOps {
       d.toString
     })
     val queries = spark.readStream.schema(schema).parquet(srcDir)
-      .filter(col("vec_id") < 10)
+      .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ann_").toString
     val ckptRoot =

@@ -101,4 +101,40 @@ class Sq8Spec extends AnyFunSuite with SparkSuite {
         |WHERE a.vec_id < 5""".stripMargin).collect()
     assert(n.length == 5 && n.forall(r => r.getLong(0) >= 0L))
   }
+
+  test("vec_sq8_l2sq raises on mismatched quantized lengths") {
+    import spark.implicits._
+    val df = Seq((Array[Byte](1, 2, 3), Array[Byte](1, 2))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Sq8Functions.sq8L2Sq(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(t => Option(t.getMessage).exists(_.contains("mismatched"))))
+  }
+
+  test("vec_sq8 rejects constant hi <= lo at analysis time") {
+    val e = intercept[Exception] {
+      emb.select(Sq8Functions.sq8(col("embedding"), 0.5, 0.5)).collect()
+    }
+    assert(e.getMessage.contains("hi > lo"), e.getMessage)
+  }
+
+  test("SIMD byte kernel matches scalar past the 32k-dim int-sum boundary") {
+    // worst-case bytes (0 vs 255): total distance 40000 * 255^2 ~ 2.6e9
+    // exceeds Int.MaxValue — guards the widen-before-cross-lane-sum fix
+    val dim = 40000
+    assume(graft.index.SubIndexGraph.simdAvailable && dim <= graft.index.SubIndexGraph.sqL2U8MaxDim)
+    val a = Array.fill[Byte](dim)(0)
+    val flat = Array.fill[Byte](dim)(-1) // 0xff = 255 unsigned
+    val simd = graft.index.SimdKernels.sqL2U8(a, flat, 0)
+    var scalar = 0L
+    var i = 0
+    while (i < dim) {
+      val d = (a(i) & 0xff) - (flat(i) & 0xff); scalar += (d * d).toLong; i += 1
+    }
+    assert(simd == scalar, s"simd $simd != scalar $scalar")
+    assert(simd == dim.toLong * 255L * 255L)
+  }
 }
