@@ -530,6 +530,33 @@ object PipelineQueries {
 
   private val s8Oracle = s7Oracle // probe of the appended index == full-corpus kNN
 
+  // ---------------------------------------------------------------- s9_stream_lsm
+  /** LSM-generational streaming ingest: vectors with vec_id >= 300 arrive
+    * as THREE micro-batches, each becoming a fresh generation (O(batch)
+    * work, sealed base untouched); generations compact into the base when
+    * their total crosses 100 — so at sf0.01 the run exercises ingest, a
+    * MID-STREAM compaction (after batch 2), and a final probe that merges
+    * the compacted base with batch 3's still-fresh generation. The final
+    * exact probe equals brute-force kNN over the whole corpus regardless
+    * of batch boundaries or compaction points. */
+  def s9StreamLsm(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.{IndexParams, VectorIndex}
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val baseIdx = VectorIndex.build(base,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    StreamingOps.streamIndexLsm(s, s"$dir/embeddings.parquet", baseIdx,
+      queries, col("vec_id") >= 300, k = 10, compactThreshold = 100,
+      sourceSlices = 3)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s9Oracle = s7Oracle // LSM probe == full-corpus kNN
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -597,6 +624,7 @@ object PipelineQueries {
     "s6_stream_join" -> ((s, dir) => s6StreamJoin(s, dir)),
     "s7_stream_ann" -> ((s, dir) => s7StreamAnn(s, dir)),
     "s8_stream_index" -> ((s, dir) => s8StreamIndex(s, dir)),
+    "s9_stream_lsm" -> ((s, dir) => s9StreamLsm(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -628,6 +656,7 @@ object PipelineQueries {
     "s6_stream_join" -> s6Oracle,
     "s7_stream_ann" -> s7Oracle,
     "s8_stream_index" -> s8Oracle,
+    "s9_stream_lsm" -> s9Oracle,
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

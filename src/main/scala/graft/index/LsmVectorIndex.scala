@@ -1,0 +1,142 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+/** LSM-style generational vector index — the scale-safe streaming-ingest
+  * form of the shard contract (reference: source/dehnsw.h:601-609, where a
+  * full shard opens a new one; generational shards are that contract's
+  * natural streaming shape).
+  *
+  * [[VectorIndex.append]] rebuilds every shard a batch touches, so with
+  * `id % numShards` assignment a high-frequency stream rebuilds EVERY
+  * shard EVERY micro-batch — per-event cost grows with shard size, the one
+  * probe path whose work was O(index), not O(batch). Here instead:
+  *
+  *  - '''ingest''' builds a small FRESH index (its own generation) from
+  *    just the batch — work is O(batch) and the sealed base is untouched
+  *    (object-identity guaranteed, spec-gated);
+  *  - '''query''' probes the base and every generation and merges their
+  *    per-index top-k with the same partial/final merge the multi-shard
+  *    probe uses (top-k of a union == top-k of the per-member top-k
+  *    union, so exact-mode results equal one flat index — oracle-gated);
+  *  - '''compact''' folds all generations into the base via the
+  *    deterministic shard-scoped append once their total size crosses
+  *    `compactThreshold`, bounding the generation count a probe pays for.
+  *    Exact-mode probes are invariant across compaction (append ==
+  *    full rebuild; spec-gated).
+  *
+  * Id uniqueness within each ingested batch is validated eagerly (cheap,
+  * O(batch)); cross-generation/base clashes would need an O(index) lookup
+  * per batch — exactly the cost this structure avoids — so they are
+  * validated at compaction time by append's disjointness check.
+  *
+  * Instances are immutable: ingest/compact return a new handle; superseded
+  * generations (and compacted bases this class itself created) have their
+  * caches dropped automatically. The caller-supplied base is never
+  * unpersisted.
+  */
+final class LsmVectorIndex private (
+    val base: VectorIndex,
+    val generations: Vector[VectorIndex],
+    val compactThreshold: Long,
+    val genShardSize: Long,
+    ownsBase: Boolean) extends Serializable {
+
+  /** Vectors living in fresh generations (not yet compacted). */
+  val freshCount: Long = generations.map(_.meta.map(_.n_vectors).sum).sum
+
+  /** Fold one micro-batch (columns: id LONG, embedding ARRAY<FLOAT>) into
+    * a new generation; auto-compacts when the fresh total crosses the
+    * threshold. O(batch) work — the base and prior generations are reused
+    * as-is. */
+  def ingest(batch: DataFrame): LsmVectorIndex = {
+    val fresh = batch.select(col("id").cast("long"), col("embedding")).cache()
+    val counts = fresh.agg(count(lit(1)), count_distinct(col("id"))).head
+    val (n, nDistinct) = (counts.getLong(0), counts.getLong(1))
+    if (n == 0) { fresh.unpersist(); return this }
+    require(n == nDistinct,
+      s"ingested ids must be unique within the batch (${n - nDistinct} clashes)")
+    val genShards = math.max(1L, (n + genShardSize - 1) / genShardSize).toInt
+    val gen = VectorIndex.build(fresh, base.params, genShards)
+    fresh.unpersist() // gen rows were materialized by build's meta pass
+    val next = new LsmVectorIndex(
+      base, generations :+ gen, compactThreshold, genShardSize, ownsBase)
+    if (next.freshCount >= compactThreshold) next.compact() else next
+  }
+
+  /** Fold every generation into the base (one deterministic shard-scoped
+    * append over their union). Exact-mode probe results are unchanged —
+    * append equals a full rebuild, and the merged probe equals a flat
+    * probe. Generations this index built are unpersisted; so is the base
+    * when it came from a previous compaction. */
+  def compact(): LsmVectorIndex = {
+    if (generations.isEmpty) return this
+    val freshVecs = generations
+      .map(_.rows.toDF().select(col("global_id").as("id"), col("embedding")))
+      .reduce(_ union _)
+    val newBase = base.append(freshVecs) // materializes before we unpersist
+    generations.foreach(_.unpersist())
+    if (ownsBase) base.unpersist()
+    new LsmVectorIndex(newBase, Vector.empty, compactThreshold, genShardSize,
+      ownsBase = true)
+  }
+
+  /** Batch kNN probe across base + generations — same contract and output
+    * schema as [[VectorIndex.query]] (searchWidth 0 = exact). Queries are
+    * routed once (collected once for the broadcast path, never collected
+    * for the driverless path) and each member index contributes at most k
+    * candidates per query to one final merge. */
+  def query(queries: DataFrame, k: Int, searchWidth: Int,
+      maxBatch: Int = 100000): DataFrame = {
+    val members = (base +: generations).filter(_.meta.nonEmpty)
+    val spark = base.rows.sparkSession
+    import spark.implicits._
+    if (members.isEmpty) {
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "distance")
+    }
+    if (members.size == 1) return members.head.query(queries, k, searchWidth, maxBatch)
+    val qds = queries
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val probeCount = qds.select(col("query_id")).limit(maxBatch + 1).count()
+    val perMember =
+      if (probeCount <= maxBatch) {
+        val batch = qds.collect().sortBy(_._1)
+        members.map(_.queryBatch(batch, k, searchWidth, maxBatch))
+      } else members.map(_.queryDistributed(queries, k, searchWidth))
+    TopK.topKMerge(
+      perMember
+        .map(_.select(col("query_id"), col("distance"), col("neighbor_id")))
+        .reduce(_ union _), k)
+  }
+
+  /** Total vectors across base + generations. */
+  def vectorCount: Long = base.meta.map(_.n_vectors).sum + freshCount
+
+  /** Drop caches of every member this handle references. The base is only
+    * dropped when this class created it (a compaction product). */
+  def unpersist(): Unit = {
+    generations.foreach(_.unpersist())
+    if (ownsBase) base.unpersist()
+  }
+}
+
+object LsmVectorIndex {
+  /** Wrap a sealed base index for generational ingest.
+    *
+    * @param compactThreshold fold generations into the base once their
+    *                         total vector count reaches this
+    * @param genShardSize     max vectors per generation shard (a
+    *                         micro-batch usually fits one shard) */
+  def apply(base: VectorIndex, compactThreshold: Long,
+      genShardSize: Long = 65536L): LsmVectorIndex = {
+    require(compactThreshold > 0, "compactThreshold must be positive")
+    require(genShardSize > 0, "genShardSize must be positive")
+    new LsmVectorIndex(base, Vector.empty, compactThreshold, genShardSize,
+      ownsBase = false)
+  }
+}

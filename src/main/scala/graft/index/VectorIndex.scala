@@ -87,6 +87,12 @@ class VectorIndex private (
       * persisted with the index). */
     val indexId: String) extends Serializable {
 
+  /** Vector dimension, read once from the first index row and reused by
+    * every append (one fewer job per call). Only valid when the index is
+    * non-empty — callers guard on meta.nonEmpty. */
+  @transient lazy val dimension: Int =
+    rows.select(size(col("embedding"))).head.getInt(0)
+
   /** Batch kNN probe. searchWidth (= the reference's query-RM,
     * dehnsw.h:300-307): 0 = exact (per-shard brute-force scan — guaranteed
     * exhaustive, a strict strengthening of the reference's
@@ -353,12 +359,6 @@ class VectorIndex private (
       .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet
     if (affected.isEmpty) { fresh.unpersist(); return this }
-    if (meta.nonEmpty) {
-      val dim = rows.select(size(col("embedding"))).head.getInt(0)
-      val badDim = fresh.filter(size(col("embedding")) =!= dim).count()
-      require(badDim == 0,
-        s"appended vectors must match index dimension $dim ($badDim mismatching rows)")
-    }
     val affectedSeq = affected.toSeq
     // vectors already in the affected shards, recovered from index rows
     // (a clashing id necessarily hashes into an affected shard, so the
@@ -367,9 +367,16 @@ class VectorIndex private (
       .filter(col("sub_index_id").isin(affectedSeq: _*))
       .select(col("global_id").as("id"), col("embedding"))
     val rebuildInput = existing.union(fresh).cache()
+    // one validation pass: total/distinct counts + dimension mismatches
+    // (existing rows always match, so counting over the union is the same
+    // check as counting over fresh alone — in the same job)
+    val dim = if (meta.nonEmpty) dimension else -1
     val counts = rebuildInput
-      .agg(count(lit(1)), count_distinct(col("id"))).head
-    val (nIn, nDistinct) = (counts.getLong(0), counts.getLong(1))
+      .agg(count(lit(1)), count_distinct(col("id")),
+        count(when(lit(dim >= 0) && size(col("embedding")) =!= dim, 1))).head
+    val (nIn, nDistinct, badDim) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    require(badDim == 0,
+      s"appended vectors must match index dimension $dim ($badDim mismatching rows)")
     require(nIn == nDistinct,
       s"appended ids must be disjoint from the index and unique (${nIn - nDistinct} clashes)")
     val rebuilt = VectorIndex.buildRows(rebuildInput, params, numShards)

@@ -315,6 +315,54 @@ object StreamingOps {
     current.query(queries, k, searchWidth = 0)
   }
 
+  /** LSM-generational streaming index maintenance — the scale-safe form of
+    * [[streamIndexAppend]]: each micro-batch becomes a small FRESH
+    * generation ([[graft.index.LsmVectorIndex.ingest]], O(batch) work —
+    * no sealed shard rebuilds), probes run against base + generations via
+    * the multi-shard merge, and generations fold into the base once their
+    * total crosses `compactThreshold`. The new-vector slice is staged as
+    * `sourceSlices` files and streamed with maxFilesPerTrigger=1 so the
+    * file source delivers a real multi-batch cadence. Exact-mode probes
+    * are invariant to batch boundaries AND compaction points (merged
+    * top-k == flat top-k; append == full rebuild), so the final probe has
+    * the plain brute-force SQL oracle. */
+  def streamIndexLsm(
+      spark: SparkSession, embPath: String,
+      baseIndex: graft.index.VectorIndex, queries: DataFrame,
+      newVectorsPred: org.apache.spark.sql.Column, k: Int,
+      compactThreshold: Long, sourceSlices: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val slice = spark.read.parquet(embPath).filter(newVectorsPred)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lsm_src_").toString
+    slice.repartition(sourceSlices).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    @volatile var current = graft.index.LsmVectorIndex(baseIndex, compactThreshold)
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) current = current.ingest(batch)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    current.query(queries, k, searchWidth = 0)
+  }
+
   /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a

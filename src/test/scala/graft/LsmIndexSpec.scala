@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexParams, LsmVectorIndex, VectorIndex}
+
+/** LSM generational index: O(batch) ingest (base untouched), probe
+  * equality against a flat single-build index, invariance across batch
+  * splits and compaction points, and auto-compaction at the threshold. */
+class LsmIndexSpec extends AnyFunSuite with SparkSuite {
+
+  private val params =
+    IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2)
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  private def baseIdx = VectorIndex.build(
+    emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding")),
+    params, numShards = 4)
+
+  private def queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private def slice(from: Int, until: Int): DataFrame =
+    emb.filter(col("vec_id") >= from && col("vec_id") < until)
+      .select(col("vec_id").as("id"), col("embedding"))
+
+  private def resultSet(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  /** Flat single-build ground truth over vec_id in [10, hi). */
+  private def flatExact(hi: Int): Set[(Long, Int, Long)] = {
+    val flat = VectorIndex.build(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < hi)
+        .select(col("vec_id").as("id"), col("embedding")),
+      params, numShards = 4)
+    resultSet(flat.query(queries, 10, searchWidth = 0))
+  }
+
+  test("ingest is O(batch): the sealed base object is reused untouched") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+    val lsm2 = lsm.ingest(slice(300, 350))
+    val lsm3 = lsm2.ingest(slice(350, 400))
+    assert(lsm2.base eq lsm.base, "first ingest must not touch the base")
+    assert(lsm3.base eq lsm.base, "second ingest must not touch the base")
+    assert(lsm3.generations.size == 2 && lsm3.freshCount == 100)
+    assert(lsm3.vectorCount == 390)
+  }
+
+  test("exact probe over base + generations equals the flat single-build index") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350)).ingest(slice(350, 420))
+    assert(resultSet(lsm.query(queries, 10, searchWidth = 0)) == flatExact(420))
+  }
+
+  test("exact probe is invariant to how the stream was batched") {
+    val a = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 400))
+    val b = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 320)).ingest(slice(320, 360)).ingest(slice(360, 400))
+    assert(resultSet(a.query(queries, 10, searchWidth = 0)) ==
+      resultSet(b.query(queries, 10, searchWidth = 0)))
+  }
+
+  test("compaction preserves exact probe results and resets generations") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 360)).ingest(slice(360, 410))
+    val before = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    val compacted = lsm.compact()
+    assert(compacted.generations.isEmpty && compacted.freshCount == 0)
+    assert(compacted.vectorCount == lsm.vectorCount)
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == before)
+  }
+
+  test("ingest auto-compacts once fresh vectors reach the threshold") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 80)
+      .ingest(slice(300, 350)) // 50 fresh — below threshold
+    assert(lsm.generations.size == 1)
+    val lsm2 = lsm.ingest(slice(350, 400)) // 100 >= 80 — compacts
+    assert(lsm2.generations.isEmpty && lsm2.freshCount == 0)
+    assert(lsm2.vectorCount == 390)
+    assert(resultSet(lsm2.query(queries, 10, searchWidth = 0)) == flatExact(400))
+  }
+
+  test("duplicate ids within a batch are rejected eagerly; clashes with the base at compaction") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+    val dup = slice(300, 310).union(slice(300, 305))
+    val e1 = intercept[IllegalArgumentException](lsm.ingest(dup))
+    assert(e1.getMessage.contains("unique within the batch"))
+    // id 100 already lives in the base: caught by append's disjointness
+    // check when the generation folds in
+    val clash = lsm.ingest(
+      emb.filter(col("vec_id") === 100 || col("vec_id") === 300)
+        .select(col("vec_id").as("id"), col("embedding")))
+    val e2 = intercept[IllegalArgumentException](clash.compact())
+    assert(e2.getMessage.contains("disjoint"))
+  }
+
+  test("beam probe across generations reaches exact recall at full width") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 400))
+    val exact = resultSet(lsm.query(queries, 10, searchWidth = 0))
+      .map(t => (t._1, t._3))
+    val beam = resultSet(lsm.query(queries, 10, searchWidth = 64))
+      .map(t => (t._1, t._3))
+    val recall = (exact intersect beam).size.toDouble / exact.size
+    assert(recall >= 0.9, s"beam recall across generations = $recall")
+  }
+}
