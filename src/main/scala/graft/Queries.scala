@@ -802,6 +802,66 @@ object Queries {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v25_sq8_calibrated
+  /** AUTO-CALIBRATED SQ8 quantization: the corpus fixes its own range.
+    * The testdata embeddings are deterministically rescaled (x*20+3, in
+    * Double then rounded to float — both engines reproduce the identical
+    * floats) to a spread the default [-0.5, 0.5] range would saturate to
+    * bytes 0/255; one map-only min/max pass (array_min/array_max + scalar
+    * agg — no explode, no vector shuffle) derives (lo, hi), and the
+    * quantized kNN runs with the calibrated constants. The output carries
+    * lo/hi so the oracle pins the CALIBRATION itself (DuckDB recomputes
+    * min/max from the same floats) as well as the quantized ranking. */
+  def v25Sq8Calibrated(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sq8Functions
+    val emb = Tables.embeddings(s, dir)
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * 20 + 3).cast("float")).as("embedding"))
+    val (loF, hiF) = VectorIndex.calibrateQuantRange(scaled)
+    val (lo, hi) = (loF.toDouble, hiF.toDouble)
+    val q = scaled.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        Sq8Functions.sq8(col("embedding"), lo, hi).as("qv"))
+    val c = scaled.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        Sq8Functions.sq8(col("embedding"), lo, hi).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_dist"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        Sq8Functions.sq8L2Sq(col("qv"), col("cv")).as("q_dist"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("q_dist"),
+        lit(lo).as("cal_lo"), lit(hi).as("cal_hi"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v25Oracle = {
+    // identical arithmetic to the engine: scaled floats, (lo, hi) = global
+    // element min/max, code = clamp(floor((x - lo) * (255/(hi-lo)) + 0.5))
+    val scale = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 20 + 3 AS FLOAT))"
+    val quant = "x -> CAST(least(greatest(floor((CAST(x AS DOUBLE) - cal.lo) * (255.0 / (cal.hi - cal.lo)) + 0.5), 0), 255) AS BIGINT)"
+    s"""WITH s AS (SELECT vec_id, $scale AS emb FROM embeddings),
+      |     cal AS (SELECT CAST(min(list_min(emb)) AS DOUBLE) AS lo,
+      |                    CAST(max(list_max(emb)) AS DOUBLE) AS hi FROM s),
+      |     q AS (SELECT vec_id AS query_id, list_transform(emb, $quant) AS qa
+      |           FROM s, cal WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, list_transform(emb, $quant) AS qb
+      |           FROM s, cal WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS q_dist
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, q_dist,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY q_dist, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, q_dist,
+      |       (SELECT lo FROM cal) AS cal_lo, (SELECT hi FROM cal) AS cal_hi
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1096,6 +1156,7 @@ object Queries {
     "v22_sq8_rerank" -> v22Oracle,
     "v23_sq8_index" -> v21Oracle, // exact quantized probe == quantized brute force
     "v24_filtered_knn" -> v24Oracle,
+    "v25_sq8_calibrated" -> v25Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

@@ -67,6 +67,7 @@ object SparkEntry {
     "v22_sq8_rerank" -> ((s, dir) => Queries.v22Sq8Rerank(s, dir)),
     "v23_sq8_index" -> ((s, dir) => Queries.v23Sq8Index(s, dir)),
     "v24_filtered_knn" -> ((s, dir) => Queries.v24FilteredKnn(s, dir)),
+    "v25_sq8_calibrated" -> ((s, dir) => Queries.v25Sq8Calibrated(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

@@ -555,6 +555,34 @@ object VectorIndex {
       }
   }
 
+  /** Derive the SQ8 quantization range from the corpus itself: the global
+    * element-wise min/max in ONE map-only aggregation (array_min/array_max
+    * per row, then a scalar agg — no explode, no shuffle of vector data).
+    * A hardcoded range silently saturates any corpus with a different
+    * spread to bytes 0/255 and collapses quantized recall; min/max never
+    * saturates. A constant corpus (hi == lo) widens the range by 0.5 each
+    * way so the encode stays well-defined. */
+  def calibrateQuantRange(df: DataFrame, embCol: String = "embedding"): (Float, Float) = {
+    val r = df.agg(
+      min(array_min(col(embCol))).as("lo"),
+      max(array_max(col(embCol))).as("hi")).head
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "cannot calibrate a quantization range from an empty corpus")
+    val (lo, hi) = (r.getFloat(0), r.getFloat(1))
+    if (hi > lo) (lo, hi) else (lo - 0.5f, hi + 0.5f)
+  }
+
+  /** Quantized bulk build with auto-calibrated range: one calibration pass
+    * ([[calibrateQuantRange]]) fixes quantLo/quantHi from the data, then
+    * the normal build runs with SQ8 storage. The calibrated range persists
+    * through save/load via the params.json sidecar, so appends and loaded
+    * probes quantize identically. */
+  def buildAutoQuantized(
+      df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
+    val (lo, hi) = calibrateQuantRange(df)
+    build(df, params.copy(quantized = true, quantLo = lo, quantHi = hi), numShards)
+  }
+
   /** Bulk build (reference O1 insert loop, parallelized across shards).
     * Input df must have columns (id LONG, embedding ARRAY<FLOAT>). */
   def build(df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {

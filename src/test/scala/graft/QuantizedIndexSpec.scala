@@ -70,6 +70,44 @@ class QuantizedIndexSpec extends AnyFunSuite with SparkSuite {
     assert(full.rows.exceptAll(appended.rows).count() === 0)
   }
 
+  test("auto-calibrated range keeps recall on a wide-range corpus where the default collapses") {
+    // rescale the corpus far outside the default [-0.5, 0.5] range
+    val wide = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * 20 + 3).cast("float")).as("embedding"))
+    val wCorpus = wide.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val wQueries = wide.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // true neighbors: float exact kNN on the wide corpus
+    val truth = VectorIndex
+      .build(wCorpus, p.copy(quantized = false), numShards = 2)
+      .query(wQueries, k = 10, searchWidth = 0)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ix: VectorIndex): Double = {
+      val got = ix.query(wQueries, k = 10, searchWidth = 0)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val calibrated = VectorIndex.buildAutoQuantized(wCorpus, p, numShards = 2)
+    assert(calibrated.params.quantLo < -0.5f && calibrated.params.quantHi > 0.5f,
+      s"calibration should widen the range, got [${calibrated.params.quantLo}, ${calibrated.params.quantHi}]")
+    val rCal = recallOf(calibrated)
+    val rDefault = recallOf(VectorIndex.build(wCorpus, p, numShards = 2))
+    assert(rCal >= 0.9, s"calibrated recall@10 = $rCal")
+    assert(rDefault < rCal,
+      s"default-range recall $rDefault should collapse below calibrated $rCal")
+    // the calibrated range persists through save/load (params.json sidecar)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal_idx_").toString
+    calibrated.save(dir)
+    val loaded = VectorIndex.load(spark, dir)
+    assert(loaded.params.quantLo == calibrated.params.quantLo &&
+      loaded.params.quantHi == calibrated.params.quantHi)
+    assert(recallOf(loaded) == rCal)
+  }
+
   test("quantized mode rejects non-Euclidean metrics") {
     import graft.functions.DistanceMetric
     assertThrows[IllegalArgumentException] {
