@@ -539,6 +539,29 @@ object Queries {
       corpusBucketed.add(dir)
     }
 
+  // full-precision corpus bucketed BY ID for the v22 rerank join: stage
+  // 2's candidate->corpus join must ride the bucketed table (zero corpus
+  // Exchange, zero corpus Sort) instead of broadcasting the corpus — at
+  // 100 TB only the k-bounded candidate rows may shuffle
+  private val rerankBucketed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rerankTableName(dir: String): String =
+    "graft_rerank_corpus_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def ensureRerankCorpus(s: SparkSession, dir: String): Unit =
+    if (!rerankBucketed.contains(dir)) {
+      val tab = rerankTableName(dir)
+      resetTable(s, tab)
+      // pre-shuffle on the bucket hash so each task emits exactly one
+      // bucket file; one file per bucket keeps the sortBy order usable
+      // (multiple files per bucket would force a Sort back into the SMJ)
+      embCorpus(s, dir)
+        .repartition(4, col("id"))
+        .write.mode("overwrite")
+        .bucketBy(4, "id").sortBy("id")
+        .saveAsTable(tab)
+      rerankBucketed.add(dir)
+    }
+
   private[graft] def v20Index(s: SparkSession, dir: String): VectorIndex =
     bucketedIdxCache.computeIfAbsent(dir, _ => {
       ensureBucketedCorpus(s, dir)
@@ -638,15 +661,19 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"))
     val qFull = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cFull = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    // stage-2 corpus: the id-bucketed full-precision table — the merge
+    // hint forces the SMJ so the plan is the 100 TB shape even when the
+    // test-scale corpus would fit a broadcast; only the candidate rows
+    // shuffle (plan-guarded in PlanShapeSpec)
+    ensureRerankCorpus(s, dir)
+    val cFull = s.table(rerankTableName(dir))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("distance"), col("neighbor_id"))
     candidates
-      .join(cFull, Seq("neighbor_id"))
+      .join(cFull.hint("merge"), col("neighbor_id") === col("id"))
       .join(broadcast(qFull), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorFunctions.squaredL2(col("qe"), col("ce")).as("distance"))
+        graft.functions.VectorFunctions.squaredL2(col("qe"), col("embedding")).as("distance"))
       .withColumn("rank", row_number().over(w2).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

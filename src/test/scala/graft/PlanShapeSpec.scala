@@ -95,17 +95,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"vec_id filter not pushed to scan:\n${p.take(3000)}")
   }
 
-  test("v22 two-stage rerank: quantized pool stage + id re-join, floats never in the candidate shuffle") {
+  test("v22 two-stage rerank: quantized pool + bucketed SMJ rerank, corpus never shuffles") {
     val p = plan("v22_sq8_rerank")
-    // two ranking stages (pool 40 + final 10), still exactly one hash
-    // exchange — the rerank reuses the pool's query_id partitioning
+    // two ranking stages (pool 40 + final 10)
     val finals = "WindowGroupLimit .*Final".r.findAllIn(p).size
     assert(finals == 2, s"expected 2 final WindowGroupLimits, got $finals:\n${p.take(3500)}")
+    // stage 2 is a sort-merge join of the k-bounded candidates against the
+    // id-bucketed full-precision corpus — NOT a corpus broadcast
+    assert("SortMergeJoin \\[neighbor_id#\\d+L?\\], \\[id#".r.findFirstIn(p).isDefined,
+      s"rerank join is not an SMJ on (neighbor_id, id):\n${p.take(4500)}")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"rerank corpus scan not bucketed:\n${p.take(4500)}")
+    // only candidate/query rows may shuffle: three bounded hash Exchanges
+    // (pool top-k by query_id, candidates into corpus buckets by
+    // neighbor_id, final top-k by query_id) and NONE keyed on the corpus
+    // id — the corpus reads its bucket files in place
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3500)}")
-    // the candidate (pool) shuffle must carry quantized bytes only: no
-    // embedding column may appear between the cross join and the pool
-    // exchange — the full-precision vectors enter via the later re-join
+    assert(shuffles == 3, s"expected 3 hash Exchanges, got $shuffles:\n${p.take(4500)}")
+    assert("hashpartitioning\\(id#".r.findFirstIn(p).isEmpty,
+      s"corpus side must never shuffle:\n${p.take(4500)}")
+    // the candidate (pool) shuffle carries quantized bytes only: the
+    // full-precision vectors enter via the bucketed re-join
     val poolSection = p.substring(p.indexOf("Exchange hashpartitioning"))
     assert(poolSection.contains("vec_sq8"), s"pool stage not quantized:\n${p.take(3500)}")
   }
