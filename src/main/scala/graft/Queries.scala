@@ -627,6 +627,44 @@ object Queries {
         IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
           quantized = true), numShards = 4))
 
+  // ---------------------------------------------------------------- v26_sq8_beam
+  /** QUANTIZED beam sweep, hard-gated like v8: the SQ8 graph build and its
+    * integer-domain beam are deterministic, so the multi-width hit counts
+    * against the quantized exact ground truth are bit-reproducible and can
+    * be pinned as an integer VALUES oracle (closing the gap v8 closed for
+    * the float beam — the quantized beam was spec-only before). Hits use
+    * the reference's distance-based tie-tolerant recall numerator
+    * (example/dehnsw_example.cpp:26-44) in the EXACT integer domain: a
+    * result counts when its integer distance <= the ground-truth integer
+    * distance at the same rank. */
+  def v26Sq8Beam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = quantIndex(s, dir)
+    val qb = embQueries(s, dir)
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val res = idx.queryBatchMultiWidth(qb, k = 10, widths = v8Widths)
+      .select(col("search_width"), col("query_id"), col("rank"),
+        col("distance").cast("long").as("res_dist"))
+    val gt = idx.query(embQueries(s, dir), k = 10, searchWidth = 0)
+      .select(col("query_id"), col("rank"), col("distance").cast("long").as("gt_dist"))
+    res.join(gt, Seq("query_id", "rank"))
+      .groupBy(col("search_width"))
+      .agg(
+        sum(when(col("res_dist") <= col("gt_dist"), 1).otherwise(0)).cast("long").as("hits"),
+        count(lit(1)).cast("long").as("total"))
+      .orderBy(col("search_width"))
+  }
+
+  /** Pinned expectation for the quantized beam at the driver's sf0.01
+    * gate — bit-reproducible integer hit counts, verified stable across
+    * fresh JVMs (and parallelism levels) before pinning. Regenerate like
+    * v8's if the quantized kernel build/beam ever changes. */
+  private val v26Oracle =
+    """SELECT search_width, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+      |FROM (VALUES (2, 67, 100), (4, 71, 100), (8, 84, 100), (16, 92, 100)) AS t(search_width, hits, total)
+      |ORDER BY search_width""".stripMargin
+
   // ---------------------------------------------------------------- v22_sq8_rerank
   /** Two-stage retrieval — the standard architecture for quantized
     * corpora: stage 1 scans the SQ8 bytes (4x less I/O) and keeps a
@@ -1184,6 +1222,7 @@ object Queries {
     "v23_sq8_index" -> v21Oracle, // exact quantized probe == quantized brute force
     "v24_filtered_knn" -> v24Oracle,
     "v25_sq8_calibrated" -> v25Oracle,
+    "v26_sq8_beam" -> v26Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,
