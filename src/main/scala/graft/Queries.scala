@@ -252,6 +252,7 @@ object Queries {
     ensureBucketedCorpus(s, dir)
     buildEmbIndex(s, dir)
     quantIndex(s, dir) // v23's shared quantized index (same one-time role)
+    graft.streaming.StreamingOps.warmEngine(s) // streaming-engine cold init
   }
 
   /** dehnsw index probe in exact mode (searchWidth=0 == reference RM=0
