@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, DataInputStream, FileInputStream, IOExcepti
 import java.nio.{ByteBuffer, ByteOrder}
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
 /** Minimal pure-JVM HDF5 reader for the ann-benchmarks dataset layout
   * (reference: `example/example.py:66-102` and `data/sift/sift.py:52-82`
@@ -18,16 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - root group links via v1 B-tree + SNOD + local heap (classic) or
   *     inline Link messages (v2 "compact" groups)
   *   - simple dataspaces (rank 1/2), fixed-point and IEEE float datatypes
-  *     in either byte order, CONTIGUOUS or COMPACT data layout
+  *     in either byte order, CONTIGUOUS, COMPACT or CHUNKED data layout
+  *   - chunked datasets may be DEFLATE-compressed (`compression="gzip"`,
+  *     the h5py default filter); chunk records come from the v1 chunk
+  *     B-tree, and each task inflates only its own chunks
   *
-  * Chunked/compressed layouts, fractal-heap ("dense") groups, and
-  * non-atomic datatypes are out of scope and rejected with a clear error
-  * (ann-benchmarks publishes plain `create_dataset(name, data=...)`
-  * files: contiguous, uncompressed). Metadata (a few KB) is parsed on the
-  * driver; the raw data block is a fixed-stride region read DISTRIBUTED,
-  * exactly like [[BinaryVectors]]: each task streams only its contiguous
-  * row slice, so a 1M x 960d train matrix never materializes on the
-  * driver.
+  * Fractal-heap ("dense") groups, non-atomic datatypes, filters other
+  * than deflate (shuffle/fletcher32/szip), and chunk shapes that split
+  * rows across chunks are out of scope and rejected with a clear error.
+  * Metadata (a few KB, including the chunk index) is parsed on the
+  * driver; bulk data reads are DISTRIBUTED, exactly like
+  * [[BinaryVectors]]: contiguous layouts stream fixed-stride row slices,
+  * chunked layouts partition whole chunks across tasks — a 1M x 960d
+  * train matrix never materializes on the driver.
   */
 object Hdf5 {
 
@@ -37,11 +40,25 @@ object Hdf5 {
   final case class FixedPoint(size: Int, littleEndian: Boolean, signed: Boolean) extends Dtype
   final case class FloatPoint(size: Int, littleEndian: Boolean) extends Dtype
 
+  /** One stored chunk: logical (row, col) origin, file address and stored
+    * (possibly compressed) byte count; `filterMask` bit i set means filter
+    * i was SKIPPED for this chunk. */
+  final case class ChunkRec(rowStart: Long, colStart: Long, addr: Long,
+      storedSize: Long, filterMask: Int)
+
+  /** Chunked-layout metadata: chunk shape + the flattened chunk index
+    * (driver-parsed — a few bytes per chunk) and whether the deflate
+    * filter applies. */
+  final case class ChunkedMeta(chunkRows: Int, chunkCols: Int, gzip: Boolean,
+      chunks: Seq[ChunkRec])
+
   /** One dataset's metadata: `dims` is the dataspace shape; the raw data
-    * live at `dataAddress` (contiguous) or inline (`compact`). */
+    * live at `dataAddress` (contiguous), inline (`compact`), or in
+    * indexed chunks (`chunked`). */
   final case class DatasetInfo(
       name: String, dims: Seq[Long], dtype: Dtype,
-      dataAddress: Long, compact: Option[Array[Byte]]) {
+      dataAddress: Long, compact: Option[Array[Byte]],
+      chunked: Option[ChunkedMeta] = None) {
     def rows: Long = dims.headOption.getOrElse(0L)
     def cols: Long = if (dims.length >= 2) dims(1) else 1L
     def rowStride: Long = cols * dtype.size
@@ -118,20 +135,68 @@ object Hdf5 {
   }
 
   /** Distributed row reader over a contiguous (or small compact) layout:
-    * row i of an N x d matrix lives at dataAddress + i*stride. */
+    * row i of an N x d matrix lives at dataAddress + i*stride. Chunked
+    * layouts partition whole chunks across tasks; each task reads and
+    * (if filtered) inflates only its own chunks. */
   private def withRows[T](
       spark: SparkSession, path: String, info: DatasetInfo, numPartitions: Int)(
       decode: Array[Byte] => T)(implicit enc: org.apache.spark.sql.Encoder[(Long, T)])
       : org.apache.spark.sql.Dataset[(Long, T)] = {
     val count = info.rows
     val stride = info.rowStride
-    info.compact match {
-      case Some(bytes) => // tiny inline block: decode on the driver, parallelize
+    (info.chunked, info.compact) match {
+      case (Some(cm), _) =>
+        require(cm.chunkCols.toLong == info.cols,
+          s"dataset '${info.name}': chunk shape ${cm.chunkRows}x${cm.chunkCols} splits rows " +
+            s"across chunks (row width ${info.cols}) — only full-row chunking is supported")
+        val chunkBytes = cm.chunkRows.toLong * cm.chunkCols * info.dtype.size
+        require(chunkBytes <= Int.MaxValue, s"chunk too large: $chunkBytes bytes")
+        val gzip = cm.gzip
+        val chunkRows = cm.chunkRows
+        val strideI = stride.toInt
+        val parts = math.max(1, math.min(
+          if (numPartitions > 0) numPartitions
+          else spark.sparkContext.defaultParallelism, cm.chunks.length))
+        val rdd = spark.sparkContext
+          .parallelize(cm.chunks, parts)
+          .flatMap { rec =>
+            val raf = new RandomAccessFile(path, "r")
+            val full = try {
+              val stored = new Array[Byte](rec.storedSize.toInt)
+              raf.seek(rec.addr)
+              raf.readFully(stored)
+              // filter mask bit 0 set = deflate skipped for this chunk
+              if (gzip && (rec.filterMask & 1) == 0) {
+                val inf = new java.util.zip.Inflater()
+                inf.setInput(stored)
+                val out = new Array[Byte](chunkBytes.toInt)
+                var off = 0
+                while (off < out.length && !inf.finished()) {
+                  val n = inf.inflate(out, off, out.length - off)
+                  if (n == 0 && inf.needsInput()) throw new IOException(
+                    s"truncated deflate chunk at ${rec.addr}")
+                  off += n
+                }
+                inf.end()
+                out
+              } else stored
+            } finally raf.close()
+            // edge chunks are stored full-size; only the valid rows count
+            val valid = math.min(chunkRows.toLong, count - rec.rowStart).toInt
+            (0 until valid).iterator.map { r =>
+              (rec.rowStart + r,
+                java.util.Arrays.copyOfRange(full, r * strideI, (r + 1) * strideI))
+            }
+          }
+        import spark.implicits._
+        spark.createDataset(rdd)(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+          .map { case (i, buf) => (i, decode(buf)) }
+      case (None, Some(bytes)) => // tiny inline block: decode on the driver, parallelize
         val rows = (0L until count).map { i =>
           (i, decode(java.util.Arrays.copyOfRange(bytes, (i * stride).toInt, ((i + 1) * stride).toInt)))
         }
         spark.createDataset(rows)
-      case None =>
+      case (None, None) =>
         val dataAddr = info.dataAddress
         val parts = BinaryVectors.partsFor(spark, count, numPartitions)
         spark.range(0L, count, 1L, parts)
@@ -144,6 +209,13 @@ object Hdf5 {
           }
     }
   }
+
+  private sealed trait LayoutKind
+  private final case class LayoutContiguous(addr: Long) extends LayoutKind
+  private final case class LayoutCompact(bytes: Array[Byte]) extends LayoutKind
+  /** `chunkDims` = per-dimension chunk sizes plus the trailing element
+    * size the layout message stores. */
+  private final case class LayoutChunked(btreeAddr: Long, chunkDims: Seq[Int]) extends LayoutKind
 
   // ------------------------------------------------------------------ parser
 
@@ -362,9 +434,85 @@ object Hdf5 {
         throw new IOException(s"dataset '$name': no dataspace message"))
       val dtype = msgs.find(_._1 == 0x0003).map(m => datatype(m._2, name)).getOrElse(
         throw new IOException(s"dataset '$name': no datatype message"))
-      val (addr, compact) = msgs.find(_._1 == 0x0008).map(m => layout(m._2, name)).getOrElse(
-        throw new IOException(s"dataset '$name': no layout message"))
-      DatasetInfo(name, dims, dtype, addr, compact)
+      layout(msgs.find(_._1 == 0x0008).map(_._2).getOrElse(
+        throw new IOException(s"dataset '$name': no layout message")), name) match {
+        case LayoutContiguous(addr) => DatasetInfo(name, dims, dtype, addr, None)
+        case LayoutCompact(bytes) => DatasetInfo(name, dims, dtype, Undef, Some(bytes))
+        case LayoutChunked(btreeAddr, chunkDims) =>
+          // chunk dims include a trailing element-size dimension
+          val rank = dims.length
+          require(chunkDims.length == rank + 1,
+            s"dataset '$name': chunk rank ${chunkDims.length - 1} != dataspace rank $rank")
+          val gzip = msgs.find(_._1 == 0x000B).exists(m => filterPipelineHasDeflate(m._2, name))
+          val chunks = chunkBtreeEntries(btreeAddr, rank + 1)
+          val (cr, cc) =
+            if (rank == 1) (chunkDims(0), 1)
+            else (chunkDims(0), chunkDims(1))
+          DatasetInfo(name, dims, dtype, Undef, None,
+            Some(ChunkedMeta(cr, cc, gzip, chunks)))
+      }
+    }
+
+    /** True when the filter pipeline is exactly the filters this reader
+      * can undo (deflate, optionally alone); anything else rejects. */
+    private def filterPipelineHasDeflate(body: Array[Byte], name: String): Boolean = {
+      val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val version = b.get(0) & 0xFF
+      val nFilters = b.get(1) & 0xFF
+      var p = version match {
+        case 1 => 8 // version, nfilters, reserved(6)
+        case 2 => 2
+        case v => throw new IOException(s"dataset '$name': unsupported filter pipeline version $v")
+      }
+      var sawDeflate = false
+      for (_ <- 0 until nFilters) {
+        val id = b.getShort(p) & 0xFFFF
+        // v1 always carries a name-length field; v2 omits it for id < 256
+        val hasNameLen = version == 1 || id >= 256
+        val nameLen = if (hasNameLen) b.getShort(p + 2) & 0xFFFF else 0
+        var q = p + (if (hasNameLen) 4 else 2)
+        q += 2 // flags
+        val nCd = b.getShort(q) & 0xFFFF; q += 2
+        val paddedName = if (version == 1) (nameLen + 7) & ~7 else nameLen
+        q += paddedName
+        q += 4 * nCd
+        if (version == 1 && nCd % 2 == 1) q += 4 // v1 pads client data to 8
+        id match {
+          case 1 => sawDeflate = true
+          case other => throw new IOException(
+            s"dataset '$name': unsupported HDF5 filter id $other " +
+              "(only deflate/gzip is supported — rewrite without shuffle/fletcher32/szip)")
+        }
+        p = q
+      }
+      sawDeflate
+    }
+
+    /** All chunk records under a v1 chunk B-tree (node type 1). Keys carry
+      * (stored size, filter mask, chunk offsets x ndims); children are
+      * chunk data addresses at level 0 and subtree addresses above. */
+    private def chunkBtreeEntries(btreeAddr: Long, ndims: Int): Seq[ChunkRec] = {
+      if (btreeAddr == Undef) return Seq.empty
+      val keySize = 8 + 8 * ndims
+      val head = bb(btreeAddr, 24)
+      require(new String(head.array(), 0, 4, "ASCII") == "TREE", "bad chunk B-tree signature")
+      val nodeType = head.get(4) & 0xFF
+      require(nodeType == 1, s"unexpected B-tree node type $nodeType (want chunk node)")
+      val level = head.get(5) & 0xFF
+      val entries = head.getShort(6) & 0xFFFF
+      val body = bb(btreeAddr + 24, entries * (keySize + 8) + keySize)
+      (0 until entries).flatMap { i =>
+        val kp = i * (keySize + 8)
+        val child = body.getLong(kp + keySize)
+        if (level > 0) chunkBtreeEntries(child, ndims)
+        else {
+          val storedSize = body.getInt(kp).toLong & 0xFFFFFFFFL
+          val mask = body.getInt(kp + 4)
+          val rowStart = body.getLong(kp + 8)
+          val colStart = if (ndims >= 3) body.getLong(kp + 16) else 0L
+          Seq(ChunkRec(rowStart, colStart, child, storedSize, mask))
+        }
+      }
     }
 
     private def dataspace(body: Array[Byte]): Seq[Long] = {
@@ -395,7 +543,7 @@ object Hdf5 {
       }
     }
 
-    private def layout(body: Array[Byte], name: String): (Long, Option[Array[Byte]]) = {
+    private def layout(body: Array[Byte], name: String): LayoutKind = {
       val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val version = b.get(0) & 0xFF
       version match {
@@ -404,18 +552,22 @@ object Hdf5 {
           cls match {
             case 0 => // compact: size(2) + data
               val n = b.getShort(2) & 0xFFFF
-              (Undef, Some(java.util.Arrays.copyOfRange(body, 4, 4 + n)))
-            case 1 => (b.getLong(2), None) // contiguous: address(8), size(8)
-            case 2 => throw new IOException(
-              s"dataset '$name': chunked layout not supported (write contiguous — " +
-                "plain h5py create_dataset without chunks/compression)")
+              LayoutCompact(java.util.Arrays.copyOfRange(body, 4, 4 + n))
+            case 1 => LayoutContiguous(b.getLong(2)) // address(8), size(8)
+            case 2 =>
+              // dimensionality(1, = rank+1), btree address(8), dims x 4
+              val ndims = b.get(2) & 0xFF
+              val btreeAddr = b.getLong(3)
+              val dims = (0 until ndims - 1).map(i => b.getInt(11 + i * 4))
+              // the trailing dim is the element size; keep shape + size
+              LayoutChunked(btreeAddr, dims :+ b.getInt(11 + (ndims - 1) * 4))
             case c => throw new IOException(s"dataset '$name': unknown layout class $c")
           }
         case 1 | 2 =>
           val rank = b.get(1) & 0xFF
           val cls = b.get(2) & 0xFF
           require(cls == 1, s"dataset '$name': only contiguous v1/v2 layouts supported")
-          (b.getLong(8), None) // version, rank, class, reserved(5), address
+          LayoutContiguous(b.getLong(8)) // version, rank, class, reserved(5), address
         case v => throw new IOException(s"dataset '$name': unsupported layout version $v")
       }
     }

@@ -268,6 +268,207 @@ object Hdf5Writer {
     out.array()
   }
 
+  // ------------------------------------------------------- chunked (+gzip)
+
+  /** Write `datasets` with CHUNKED layout (each chunk spans `chunkRows`
+    * full rows), deflate-compressed when `gzip` — the fixture half of the
+    * chunked/compressed read path ([[Hdf5]] round-trips it). Classic
+    * container, v1 chunk B-tree with one leaf node per dataset. */
+  def writeChunked(path: String, datasets: Seq[(String, Matrix)],
+      chunkRows: Int, gzip: Boolean): Unit = {
+    require(chunkRows > 0, "chunkRows must be positive")
+    val sorted = datasets.sortBy(_._1)
+    val bytes = writeChunkedClassic(sorted, chunkRows, gzip)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    try out.write(bytes) finally out.close()
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeChunkedClassic(
+      datasets: Seq[(String, Matrix)], chunkRows: Int, gzip: Boolean): Array[Byte] = {
+    val K = 4
+    require(datasets.length <= 2 * K, s"classic writer supports <= ${2 * K} datasets")
+    val chunkKeySize = 8 + 3 * 8 // size, mask, offsets (row, col, elem)
+
+    // chunk payloads (full-size buffers, zero-padded tail, then deflate)
+    val chunkBlobs: Map[String, IndexedSeq[Array[Byte]]] = datasets.map { case (name, m) =>
+      val raw = rawData(m)
+      val perChunk = chunkRows * m.cols * elemSize(m)
+      val n = math.max(1, (m.rows + chunkRows - 1) / chunkRows)
+      val cs = (0 until n).map { ci =>
+        val buf = new Array[Byte](perChunk)
+        val from = ci * perChunk
+        val len = math.max(0, math.min(perChunk, raw.length - from))
+        if (len > 0) System.arraycopy(raw, from, buf, 0, len)
+        if (gzip) deflate(buf) else buf
+      }
+      (name, cs)
+    }.toMap
+
+    def chunkedLayoutBody(btreeAddr: Long, m: Matrix): Array[Byte] = {
+      val b = le(23)
+      b.put(3.toByte) // layout version 3
+      b.put(2.toByte) // chunked
+      b.put(3.toByte) // dimensionality = rank + 1 (element-size dim)
+      b.putLong(btreeAddr)
+      b.putInt(chunkRows); b.putInt(m.cols); b.putInt(elemSize(m))
+      b.array()
+    }
+
+    def filterBody: Array[Byte] = {
+      val b = le(24)
+      b.put(1.toByte); b.put(1.toByte) // pipeline version 1, one filter
+      b.put(new Array[Byte](6)) // reserved
+      b.putShort(1.toShort) // filter id: deflate
+      b.putShort(0.toShort) // name length 0
+      b.putShort(0.toShort) // flags
+      b.putShort(1.toShort) // one client value
+      b.putInt(6) // compression level
+      b.putInt(0) // v1 pads client data to 8 bytes
+      b.array()
+    }
+
+    def dsHeader(m: Matrix, btreeAddr: Long): Array[Byte] = v1ObjectHeader(
+      Seq(
+        v1Message(0x0001, dataspaceV1Body(m)),
+        v1Message(0x0003, datatypeBody(m))) ++
+        (if (gzip) Seq(v1Message(0x000B, filterBody)) else Nil) :+
+        v1Message(0x0008, chunkedLayoutBody(btreeAddr, m)))
+
+    // --- address layout (mirrors writeClassic's fixed header region)
+    var heapOff = 8
+    val nameOffsets = datasets.map { case (name, _) =>
+      val off = heapOff
+      heapOff += pad8(name.length + 1)
+      (name, off.toLong)
+    }.toMap
+    val heapDataSize = pad8(heapOff)
+    val rootHeaderAddr = 96L
+    val rootHeaderLen = 16 + 8 + 16
+    val heapHdrAddr = rootHeaderAddr + rootHeaderLen
+    val heapDataAddr = heapHdrAddr + 32
+    val btreeAddr = heapDataAddr + heapDataSize
+    val btreeLen = 24 + (2 * K + 1) * 8 + 2 * K * 8
+    val snodAddr = btreeAddr + btreeLen
+    val snodLen = 8 + 2 * K * 40
+    var cursor = snodAddr + snodLen
+    val headerAddrs = datasets.map { case (name, m) =>
+      val a = cursor
+      cursor += dsHeader(m, 0L).length
+      (name, a)
+    }.toMap
+    val chunkBtreeAddrs = datasets.map { case (name, _) =>
+      val n = chunkBlobs(name).length
+      val a = cursor
+      cursor += pad8(24 + n * (chunkKeySize + 8) + chunkKeySize)
+      (name, a)
+    }.toMap
+    val chunkAddrs: Map[String, IndexedSeq[Long]] = datasets.map { case (name, _) =>
+      val as = chunkBlobs(name).map { blob =>
+        val a = cursor
+        cursor += pad8(blob.length)
+        a
+      }
+      (name, as)
+    }.toMap
+    val eof = cursor
+
+    val out = le(eof.toInt)
+    // superblock v0 + root STE (same as writeClassic)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+    out.put(0.toByte)
+    out.put(8.toByte); out.put(8.toByte)
+    out.put(0.toByte)
+    out.putShort(K.toShort)
+    out.putShort(16.toShort)
+    out.putInt(0)
+    out.putLong(0L)
+    out.putLong(Undef)
+    out.putLong(eof)
+    out.putLong(Undef)
+    out.putLong(0L)
+    out.putLong(rootHeaderAddr)
+    out.putInt(1); out.putInt(0)
+    out.putLong(btreeAddr); out.putLong(heapHdrAddr)
+
+    val stBody = { val b = le(16); b.putLong(btreeAddr); b.putLong(heapHdrAddr); b.array() }
+    out.put(v1ObjectHeader(Seq(v1Message(0x0011, stBody))))
+
+    out.put("HEAP".getBytes("ASCII"))
+    out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+    out.putLong(heapDataSize.toLong)
+    out.putLong(1L)
+    out.putLong(heapDataAddr)
+    val heapData = new Array[Byte](heapDataSize)
+    nameOffsets.foreach { case (name, off) =>
+      System.arraycopy(name.getBytes("UTF-8"), 0, heapData, off.toInt, name.length)
+    }
+    out.put(heapData)
+
+    out.put("TREE".getBytes("ASCII"))
+    out.put(0.toByte); out.put(0.toByte)
+    out.putShort(1.toShort)
+    out.putLong(Undef); out.putLong(Undef)
+    out.putLong(0L)
+    out.putLong(snodAddr)
+    out.putLong(nameOffsets(datasets.last._1))
+
+    out.position(snodAddr.toInt)
+    out.put("SNOD".getBytes("ASCII"))
+    out.put(1.toByte); out.put(0.toByte)
+    out.putShort(datasets.length.toShort)
+    datasets.foreach { case (name, _) =>
+      out.putLong(nameOffsets(name))
+      out.putLong(headerAddrs(name))
+      out.putInt(0); out.putInt(0)
+      out.putLong(0L); out.putLong(0L)
+    }
+
+    datasets.foreach { case (name, m) =>
+      out.position(headerAddrs(name).toInt)
+      out.put(dsHeader(m, chunkBtreeAddrs(name)))
+    }
+
+    // chunk B-trees (one leaf node each) + chunk data
+    datasets.foreach { case (name, m) =>
+      val blobs = chunkBlobs(name)
+      val addrs = chunkAddrs(name)
+      out.position(chunkBtreeAddrs(name).toInt)
+      out.put("TREE".getBytes("ASCII"))
+      out.put(1.toByte) // node type: chunk
+      out.put(0.toByte) // level
+      out.putShort(blobs.length.toShort)
+      out.putLong(Undef); out.putLong(Undef)
+      blobs.zipWithIndex.foreach { case (blob, ci) =>
+        out.putInt(blob.length) // stored size
+        out.putInt(0) // filter mask
+        out.putLong(ci.toLong * chunkRows) // row offset
+        out.putLong(0L) // col offset
+        out.putLong(0L) // element-dim offset
+        out.putLong(addrs(ci)) // child: chunk address
+      }
+      // final key: first offset past the last chunk
+      out.putInt(0); out.putInt(0)
+      out.putLong(blobs.length.toLong * chunkRows)
+      out.putLong(m.cols.toLong); out.putLong(elemSize(m).toLong)
+      blobs.zipWithIndex.foreach { case (blob, ci) =>
+        out.position(addrs(ci).toInt)
+        out.put(blob)
+      }
+    }
+    out.array()
+  }
+
   // -------------------------------------------------------------- modern v2
 
   private def v2Message(mtype: Int, body: Array[Byte]): Array[Byte] = {

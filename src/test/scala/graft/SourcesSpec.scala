@@ -123,6 +123,49 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(nb.count() === 15)
   }
 
+  private def checkHdf5Chunked(gzip: Boolean): Unit = {
+    val (train, test, neighbors) = annFixture
+    val f = java.io.File.createTempFile("graft_ann_chunked_", ".hdf5")
+    // chunkRows=8 over 20 train rows -> 3 chunks, last one partial (edge
+    // chunks are stored full-size; the reader must trim the padding)
+    graft.sources.Hdf5Writer.writeChunked(f.getPath, Seq(
+      "train" -> graft.sources.Hdf5Writer.FloatMatrix(train),
+      "test" -> graft.sources.Hdf5Writer.FloatMatrix(test),
+      "neighbors" -> graft.sources.Hdf5Writer.IntMatrix(neighbors)),
+      chunkRows = 8, gzip = gzip)
+
+    val infos = graft.sources.Hdf5.datasets(f.getPath).map(d => d.name -> d).toMap
+    assert(infos("train").chunked.isDefined, "train should parse as chunked")
+    val cm = infos("train").chunked.get
+    assert(cm.chunkRows === 8 && cm.chunkCols === 4 && cm.gzip === gzip)
+    assert(cm.chunks.length === 3)
+
+    val tr = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(tr.length === 20)
+    assert(tr.map(_.getLong(0)).toSeq === (0L until 20L))
+    assert(tr(7).getSeq[Float](1) === Seq(70.0f, 71.0f, 72.0f, 73.0f))
+    assert(tr(19).getSeq[Float](1) === Seq(190.0f, 191.0f, 192.0f, 193.0f))
+    val nb = graft.sources.Hdf5.readNeighbors(spark, f.getPath)
+    assert(nb.count() === 15)
+    assert(nb.filter("query_id = 3 AND rank = 2").head.getLong(2) === 301L)
+    // chunked and contiguous reads of the same logical data agree
+    val f2 = java.io.File.createTempFile("graft_ann_contig_", ".hdf5")
+    graft.sources.Hdf5Writer.writeAnnBenchmarks(f2.getPath, train, test, neighbors)
+    val contig = graft.sources.Hdf5.readVectors(spark, f2.getPath, "train")
+    val chunked = graft.sources.Hdf5.readVectors(spark, f.getPath, "train")
+    assert(chunked.exceptAll(contig).count() === 0)
+    assert(contig.exceptAll(chunked).count() === 0)
+  }
+
+  test("HDF5 chunked layout round-trips (v1 chunk B-tree, edge chunk trimmed)") {
+    checkHdf5Chunked(gzip = false)
+  }
+
+  test("HDF5 chunked + gzip round-trips (deflate chunks inflated per task)") {
+    checkHdf5Chunked(gzip = true)
+  }
+
   test("HDF5 reader rejects what it cannot parse with a clear error") {
     val bad = java.io.File.createTempFile("graft_noth5_", ".hdf5")
     val out = new FileOutputStream(bad)
