@@ -272,13 +272,22 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m1_multimodal
+  /** Decode-verified image features: the payload goes THROUGH the real
+    * P6 codec and the fingerprint covers the DECODED pixel buffer (as a
+    * lowercase-hex string, sha256-hashed — computable in both engines),
+    * so a decoder that mis-parses the header, strides wrong, or returns
+    * raw bytes fails the oracle. byte_len pins the container size
+    * (11-byte header + 144 pixel bytes). */
   def m1Multimodal(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.withPayload(Tables.documents(s, dir)))
+    Multimodal.extractImageFeatures(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6))
       .orderBy(col("doc_id"))
 
   private val m1Oracle =
-    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  sha256(text) AS sha256
+    """SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(155 AS BIGINT) AS byte_len,
+      |  sha256(array_to_string(list_transform(generate_series(0, 47),
+      |    p -> printf('%02x%02x%02x', (doc_id * 31 + p) % 256, (doc_id * 17 + 2 * p + 5) % 256, (doc_id * 13 + 3 * p + 11) % 256)), '')) AS rgb_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m2_frames
@@ -294,14 +303,22 @@ object PipelineQueries {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- m3_resize
+  /** Decode -> nearest-neighbor 8x6 -> 4x3 resize -> fingerprint of the
+    * RESIZED pixel buffer: source pixel of output q is
+    * p' = 16*(q/4) + 2*(q%4), so the oracle reconstructs the exact
+    * thumbnail bytes in closed form (m5 pins the resized STATISTICS;
+    * this pins the resized BYTES). */
   def m3Resize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resizeStub(Tables.documents(s, dir), stride = 4)
+    Multimodal.resizeFingerprint(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6),
+      outW = 4, outH = 3)
       .orderBy(col("doc_id"))
 
   private val m3Oracle =
-    """SELECT doc_id, length(text) AS orig_chars,
-      |  length(array_to_string(list_transform(generate_series(1, greatest(CAST(ceil(length(text) / 4.0) AS INT), 1)), i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_chars,
-      |  md5(array_to_string(list_transform(generate_series(1, greatest(CAST(ceil(length(text) / 4.0) AS INT), 1)), i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_md5
+    """SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(4 AS INT) AS out_width, CAST(3 AS INT) AS out_height,
+      |  sha256(array_to_string(list_transform(generate_series(0, 11),
+      |    q -> printf('%02x%02x%02x', (doc_id * 31 + (16 * (q // 4) + 2 * (q % 4))) % 256, (doc_id * 17 + 2 * (16 * (q // 4) + 2 * (q % 4)) + 5) % 256, (doc_id * 13 + 3 * (16 * (q // 4) + 2 * (q % 4)) + 11) % 256)), '')) AS resized_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t7_sample

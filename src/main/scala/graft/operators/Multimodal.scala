@@ -74,19 +74,14 @@ object PpmCodec {
   * opaque `binary` payload column plus typed metadata, and per-batch
   * feature extraction runs in `mapPartitions` over the raw bytes — the
   * same shape a real decoder (JNI/FFI image lib) would use. The IMAGE
-  * path is real: [[PpmCodec]] decodes P6 payloads for [[imageStats]] and
-  * [[resizeImage]] (oracle-gated end-to-end: encode → decode → features
-  * must match closed-form SQL). Digest-based feature stubs remain for
-  * formats whose codecs this environment lacks.
+  * path is real end-to-end: [[PpmCodec]] decodes P6 payloads for
+  * [[extractImageFeatures]], [[imageStats]], [[resizeImage]] and
+  * [[resizeFingerprint]] (oracle-gated: encode → decode → features /
+  * resample must match closed-form SQL over the synthetic pixel
+  * formulas). Only [[sampleFrames]] keeps a digest fingerprint — its
+  * subject is the frame-splitting shape, not a codec.
   */
 object Multimodal {
-
-  case class MediaFeatures(doc_id: Long, byte_len: Long, sha256: String)
-
-  /** Attach an opaque binary payload column (here: UTF-8 bytes of `text`;
-    * in a real pipeline this is the image/audio blob read from storage). */
-  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
   /** Frame sampling: split the payload into fixed-size frames (the
     * video-frame / audio-window analog) and fingerprint each — the
@@ -105,23 +100,56 @@ object Multimodal {
       .select(col("doc_id"), (col("pos") + 1).as("frame_idx"), col("frame_md5"))
   }
 
-  /** Resize/downsample stub: stride decimation over the payload characters
-    * (the 1-D analog of image downscaling — keep every `stride`-th sample),
-    * with the re-encode fingerprinted. Character-based so the operator is
-    * exactly reproducible in plain SQL; a real pipeline swaps the stride
-    * loop for the codec's scaler inside the same projection shape.
-    * Output: (doc_id, orig_chars, resized_chars, resized_md5). */
-  def resizeStub(docs: DataFrame, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val n = greatest(ceil(length(col(textCol)) / lit(stride.toDouble)).cast("int"), lit(1))
-    val resized = array_join(
-      transform(sequence(lit(1), n),
-        i => col(textCol).substr((i - 1) * stride + 1, lit(1))), "")
-    docs.select(
-      col(idCol).as("doc_id"),
-      length(col(textCol)).as("orig_chars"),
-      length(resized).as("resized_chars"),
-      md5(resized).as("resized_md5"))
+  case class DecodedFeatures(
+      doc_id: Long, width: Int, height: Int, byte_len: Long, rgb_sha256: String)
+
+  /** REAL decode + feature extraction over the binary payload: the codec
+    * parses the container and the features fingerprint the DECODED pixel
+    * buffer (lowercase hex, sha256-hashed — a digest both engines can
+    * compute), proving the bytes went through the decoder rather than
+    * being hashed raw. Decoder + digest instantiated once per task. */
+  def extractImageFeatures(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val digest = MessageDigest.getInstance("SHA-256")
+        batch.map { case (id, bytes) =>
+          val (w, h, rgb) = PpmCodec.decode(bytes)
+          digest.reset()
+          val hex = rgb.map("%02x".format(_)).mkString
+          DecodedFeatures(id, w, h, bytes.length.toLong,
+            digest.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString)
+        }
+      }.toDF()
+  }
+
+  case class ResizedFingerprint(
+      doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int,
+      resized_sha256: String)
+
+  /** REAL decode -> nearest-neighbor resize -> fingerprint of the RESIZED
+    * pixel buffer (same hex-digest convention as
+    * [[extractImageFeatures]]) — the thumbnail shape with the scaler's
+    * exact output pinned, not just its statistics. */
+  def resizeFingerprint(withPayload: DataFrame, outW: Int, outH: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val digest = MessageDigest.getInstance("SHA-256")
+        batch.map { case (id, bytes) =>
+          val (w, h, rgb) = PpmCodec.decode(bytes)
+          val resized = PpmCodec.resizeNearest(w, h, rgb, outW, outH)
+          digest.reset()
+          val hex = resized.map("%02x".format(_)).mkString
+          ResizedFingerprint(id, w, h, outW, outH,
+            digest.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString)
+        }
+      }.toDF()
   }
 
   case class ImageStats(
@@ -192,25 +220,4 @@ object Multimodal {
       }).toDF()
   }
 
-  /** Batched "decode + feature extract" over the binary payload. The stub
-    * features (byte length + sha256 hex digest) are computed from the raw
-    * bytes inside the task — exactly where a real decoder would run. */
-  def extractFeatures(docsWithPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val spark = docsWithPayload.sparkSession
-    import spark.implicits._
-    docsWithPayload
-      .select(col(idCol).cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        // one digest instance per task, reused across the batch — the
-        // "model/decoder loaded once per partition" pattern
-        val digest = MessageDigest.getInstance("SHA-256")
-        batch.map { case (id, bytes) =>
-          digest.reset()
-          val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-          MediaFeatures(id, bytes.length.toLong, sha)
-        }
-      }
-      .toDF()
-  }
 }

@@ -96,11 +96,34 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(s._2 === ts(2000))
   }
 
-  test("multimodal payload round-trip: features computed from real bytes") {
-    val docs = Seq((1L, "héllo wörld")).toDF("doc_id", "text")
-    val f = Multimodal.extractFeatures(Multimodal.withPayload(docs)).head
-    assert(f.getLong(1) === "héllo wörld".getBytes("UTF-8").length.toLong)
-    assert(f.getString(2).length === 64) // sha256 hex
+  test("multimodal features go through the real decoder, not the raw payload") {
+    val docs = Seq((7L, "ignored")).toDF("doc_id", "text")
+    val f = Multimodal.extractImageFeatures(
+      Multimodal.syntheticImages(docs, w = 8, h = 6)).head
+    assert(f.getInt(1) === 8 && f.getInt(2) === 6)
+    assert(f.getLong(3) === 11L + 144L) // "P6\n8 6\n255\n" header + pixels
+    // recompute the decoded-pixel digest locally from the pixel formula
+    val rgb = new Array[Byte](48 * 3)
+    for (p <- 0 until 48) {
+      rgb(p * 3) = ((7L * 31 + p) % 256).toByte
+      rgb(p * 3 + 1) = ((7L * 17 + 2L * p + 5) % 256).toByte
+      rgb(p * 3 + 2) = ((7L * 13 + 3L * p + 11) % 256).toByte
+    }
+    val hex = rgb.map("%02x".format(_)).mkString
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(f.getString(4) === expect)
+  }
+
+  test("resize fingerprint: identity resize reproduces the original pixel digest") {
+    val docs = Seq((3L, "ignored")).toDF("doc_id", "text")
+    val images = Multimodal.syntheticImages(docs, w = 8, h = 6)
+    val same = Multimodal.resizeFingerprint(images, outW = 8, outH = 6).head
+    val orig = Multimodal.extractImageFeatures(images).head
+    assert(same.getString(5) === orig.getString(4))
+    val thumb = Multimodal.resizeFingerprint(images, outW = 4, outH = 3).head
+    assert(thumb.getInt(3) === 4 && thumb.getInt(4) === 3)
+    assert(thumb.getString(5) !== orig.getString(4))
   }
 
   test("as-of join: equal-ts inclusion, latest-wins, null when no prior state") {
