@@ -550,9 +550,9 @@ object PipelineQueries {
   // ---------------------------------------------------------------- s9_stream_lsm
   /** LSM-generational streaming ingest: vectors with vec_id >= 300 arrive
     * as THREE micro-batches, each becoming a fresh generation (O(batch)
-    * work, sealed base untouched); generations compact into the base when
-    * their total crosses 100 — so at sf0.01 the run exercises ingest, a
-    * MID-STREAM compaction (after batch 2), and a final probe that merges
+    * work, sealed base untouched); the compaction threshold is 60% of the
+    * stream size, so at EVERY scale factor the run exercises ingest, ONE
+    * mid-stream compaction (after batch 2), and a final probe that merges
     * the compacted base with batch 3's still-fresh generation. The final
     * exact probe equals brute-force kNN over the whole corpus regardless
     * of batch boundaries or compaction points. */
@@ -565,8 +565,10 @@ object PipelineQueries {
       IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
+    val streamed = emb.filter(col("vec_id") >= 300).count()
     StreamingOps.streamIndexLsm(s, s"$dir/embeddings.parquet", baseIdx,
-      queries, col("vec_id") >= 300, k = 10, compactThreshold = 100,
+      queries, col("vec_id") >= 300, k = 10,
+      compactThreshold = math.max(1L, streamed * 3 / 5),
       sourceSlices = 3)
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
