@@ -928,6 +928,56 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v27_pq_knn
+  /** Product-quantized kNN (see [[graft.operators.PqKnn]]): the corpus
+    * collapses to 8 BYTES per vector (32x less candidate state than
+    * float32 at d=64 — the memory lever past SQ8's 4x), queries carry an
+    * m x k ADC table, and per-candidate scoring is 8 byte-indexed adds.
+    * Codebooks are deterministically sampled corpus rows and every
+    * distance is a sequential Double fold, so the lossy pipeline is
+    * bit-reproducible and has an exact SQL oracle (recall is bounded
+    * separately in PqKnnSpec). */
+  def v27PqKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.PqKnn.knnJoin(queries, corpus, k = 10, m = 8, numCodewords = 16)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v27Oracle = {
+    // sub-distance of subspace sp.s between list x and codeword list cbx:
+    // sequential Double fold over the 8 in-subspace dimensions
+    def l2sub(x: String, cbx: String) =
+      s"list_sum(list_transform(generate_series(1, 8), i -> (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE)) * (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE))))"
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
+      |     cw AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, embedding AS cb
+      |            FROM corpus, stats WHERE id % greatest(stride, 1) = 0),
+      |     sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |     enc AS (SELECT id, s, j AS code FROM (
+      |               SELECT c.id, sp.s, cw.j,
+      |                 row_number() OVER (PARTITION BY c.id, sp.s
+      |                   ORDER BY ${l2sub("c.embedding", "cw.cb")}, cw.j) AS rn
+      |               FROM corpus c, sp, cw) WHERE rn = 1),
+      |     adc AS (SELECT q.query_id, e.id AS neighbor_id,
+      |               list_sum(list((${l2sub("q.qe", "cw.cb")}) ORDER BY e.s)) AS distance
+      |             FROM q, enc e
+      |             JOIN cw ON cw.j = e.code
+      |             JOIN sp ON sp.s = e.s
+      |             GROUP BY q.query_id, e.id),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM adc)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1224,6 +1274,7 @@ object Queries {
     "v24_filtered_knn" -> v24Oracle,
     "v25_sq8_calibrated" -> v25Oracle,
     "v26_sq8_beam" -> v26Oracle,
+    "v27_pq_knn" -> v27Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

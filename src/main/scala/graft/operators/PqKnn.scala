@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqFunctions
+
+/** Product-quantized approximate kNN (see [[graft.functions.PqEncode]]
+  * for the codec contract). Scale shape:
+  *
+  *  - the corpus is encoded ONCE, map-only, into `m` bytes per vector —
+  *    at d=64/m=8 that is 32x less candidate state than float32, so the
+  *    code table (id + 8 bytes) is what flows through any downstream
+  *    shuffle, cache, or index, never the embeddings;
+  *  - queries precompute an m x k ADC table each (one narrow projection)
+  *    and broadcast; per-candidate scoring is m byte-indexed adds —
+  *    independent of the original dimension;
+  *  - top-k uses the same rank-window Spark rewrites to WindowGroupLimit
+  *    (partial per partition), so the shuffle carries O(|Q| x parts x k).
+  *
+  * Codebooks are deterministically sampled corpus rows (id % stride == 0,
+  * the IVF sampling rule — no RNG), so the whole pipeline has an exact
+  * SQL oracle; a k-means-trained codebook plugs into the same flat-array
+  * slot without changing any plumbing. PQ is lossy: recall is bounded in
+  * the spec, while the oracle pins that the ENGINE computes this exact
+  * quantization bit-for-bit. */
+object PqKnn {
+
+  /** Deterministic flat codebook from sampled corpus rows.
+    * @return (flat subspace-major floats, effective k, subDim) */
+  def codebooks(corpus: DataFrame, numCodewords: Int, m: Int): (Array[Float], Int, Int) = {
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dimension $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val maxId = corpus.agg(max(col("id"))).head.getLong(0)
+    val stride = math.max((maxId + numCodewords) / numCodewords, 1L)
+    // bounded collect: ~numCodewords sampled rows (the codebook IS the
+    // small literal state, like the IVF centroid table)
+    val sampled = corpus.filter(col("id") % stride === 0)
+      .orderBy(col("id")).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sampled.nonEmpty, "empty corpus sample — no codebook")
+    require(sampled.length <= 256, s"codebook of ${sampled.length} exceeds byte codes")
+    val k = sampled.length
+    val flat = new Array[Float](m * k * subDim)
+    for (j <- 0 until k; s <- 0 until m; i <- 0 until subDim)
+      flat((s * k + j) * subDim + i) = sampled(j)(s * subDim + i)
+    (flat, k, subDim)
+  }
+
+  /** PQ-approximate kNN join: (query_id, rank, neighbor_id, distance)
+    * where distance is the exact ADC value of the quantized corpus. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int, numCodewords: Int): DataFrame = {
+    val (flat, kEff, subDim) = codebooks(corpus, numCodewords, m)
+    val codes = corpus.select(col("id").as("neighbor_id"),
+      PqFunctions.encode(col("embedding"), flat, m, kEff, subDim).as("codes"))
+    val qTab = queries.select(col("query_id"),
+      PqFunctions.adcTable(col("embedding"), flat, m, kEff, subDim).as("tab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    codes.crossJoin(broadcast(qTab))
+      .select(col("query_id"), col("neighbor_id"),
+        PqFunctions.adcLookup(col("tab"), col("codes"), kEff).as("distance"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PqFunctions
+import graft.operators.PqKnn
+
+/** Product-quantized kNN: compression factor, encode/ADC consistency with
+  * a Scala reference, and bounded recall against exact search. */
+class PqKnnSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val corpus = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding"))
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  test("codes are m bytes per vector (32x smaller than float32 at d=64, m=8)") {
+    val (flat, k, subDim) = PqKnn.codebooks(corpus, numCodewords = 16, m = 8)
+    assert(subDim == 8 && k >= 2 && k <= 16 && flat.length == 8 * k * 8)
+    val lens = corpus
+      .select(length(PqFunctions.encode(col("embedding"), flat, 8, k, subDim)).as("n"))
+      .distinct().collect()
+    assert(lens.length == 1 && lens(0).getInt(0) == 8)
+  }
+
+  test("encode + ADC lookup equal a direct Scala recomputation") {
+    val (flat, k, subDim) = PqKnn.codebooks(corpus, numCodewords = 16, m = 8)
+    val m = 8
+    def subL2(v: Array[Float], s: Int, j: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val t = v(s * subDim + i).toDouble - flat((s * k + j) * subDim + i).toDouble
+        acc += t * t
+        i += 1
+      }
+      acc
+    }
+    val rows = corpus.filter(col("id") < 20)
+      .select(col("id"), col("embedding"),
+        PqFunctions.encode(col("embedding"), flat, m, k, subDim).as("codes"))
+      .collect()
+    for (r <- rows) {
+      val v = r.getSeq[Float](1).toArray
+      val codes = r.getAs[Array[Byte]](2).map(_ & 0xff)
+      for (s <- 0 until m) {
+        val best = (0 until k).minBy(j => (subL2(v, s, j), j))
+        assert(codes(s) == best, s"id=${r.getLong(0)} subspace $s")
+      }
+    }
+    // ADC of a query against those codes == sum of codeword sub-distances
+    val q = queries.filter(col("query_id") === 0).head.getSeq[Float](1).toArray
+    val got = corpus.filter(col("id") < 20)
+      .select(col("id"),
+        PqFunctions.adcLookup(
+          PqFunctions.adcTable(typedLit(q.toSeq), flat, m, k, subDim),
+          PqFunctions.encode(col("embedding"), flat, m, k, subDim), k).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (r <- rows) {
+      val codes = r.getAs[Array[Byte]](2).map(_ & 0xff)
+      val expect = (0 until m).map(s => subL2(q, s, codes(s))).sum
+      assert(math.abs(got(r.getLong(0)) - expect) == 0.0, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("PQ candidate generation is useful: pool recall well above chance, more codewords help") {
+    val exact = Queries.v4KnnExact(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(pool: Int, nc: Int): Double = {
+      val pq = PqKnn.knnJoin(queries, corpus, k = pool, m = 8, numCodewords = nc)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect pq).size.toDouble / exact.size
+    }
+    // 16 sampled codewords x 8 subspaces is a deliberately coarse code;
+    // its contract is candidate GENERATION — a 4x pool captures a large
+    // share of the exact top-10 (rerank then recovers order, v22 pattern)
+    val top10 = recallOf(10, 16)
+    val pool40 = recallOf(40, 16)
+    val corpusSize = corpus.count().toDouble
+    assert(top10 > 10.0 / corpusSize * 3, s"top-10 recall $top10 no better than chance")
+    assert(pool40 >= 0.35, s"pool-40 recall = $pool40")
+    assert(pool40 > top10, "a bigger pool must not lose candidates")
+    // a finer codebook strictly helps the pool
+    assert(recallOf(40, 64) >= pool40, "64 codewords should not recall worse than 16")
+  }
+}
