@@ -120,6 +120,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(poolSection.contains("vec_sq8"), s"pool stage not quantized:\n${p.take(3500)}")
   }
 
+  test("v27 PQ kNN: codes and ADC tables computed scan-side, one bounded exchange") {
+    val p = plan("v27_pq_knn")
+    // encode/table are projections directly over the scans (map-only);
+    // the only rows crossing the join and the top-k exchange are
+    // (query_id, neighbor_id, distance) — embeddings never leave the scan
+    assert(p.contains("pq_encode") && p.contains("pq_adc_table") && p.contains("pq_adc_lookup"),
+      s"PQ expressions missing from plan:\n${p.take(3000)}")
+    assert("Project \\[query_id#\\d+L?, neighbor_id#\\d+L?, pq_adc_lookup".r.findFirstIn(p).isDefined,
+      s"join output must carry only (ids, distance):\n${p.take(3500)}")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${p.take(3000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"),
+      s"vec_id filter not pushed to scan:\n${p.take(3000)}")
+  }
+
   test("v24 filtered kNN pushes the label predicate through the custom operator") {
     // the initial AQE plan still shows the logical KnnCandidates node
     // (KnnStrategy plans it at execution — v11's oracle proves that path)
