@@ -948,12 +948,15 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val v27Oracle = {
+  /** Shared CTEs reconstructing the PQ pipeline (codebooks, encode, ADC)
+    * exactly as the engine computes it — used by v27 (plain PQ top-k) and
+    * v28 (PQ pool + exact rerank). */
+  private val pqCtes = {
     // sub-distance of subspace sp.s between list x and codeword list cbx:
     // sequential Double fold over the 8 in-subspace dimensions
     def l2sub(x: String, cbx: String) =
       s"list_sum(list_transform(generate_series(1, 8), i -> (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE)) * (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE))))"
-    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+    s"""corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
       |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
       |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
       |     cw AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, embedding AS cb
@@ -972,11 +975,63 @@ object Queries {
       |             GROUP BY q.query_id, e.id),
       |     r AS (SELECT query_id, neighbor_id, distance,
       |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
-      |           FROM adc)
+      |           FROM adc)""".stripMargin
+  }
+
+  private val v27Oracle =
+    s"""WITH $pqCtes
       |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- v28_pq_rerank
+  /** Two-stage retrieval with a PQ first stage: the 8-byte codes generate
+    * a 4k candidate pool per query (the 32x-compressed scan), and the
+    * pool re-joins the id-bucketed full-precision corpus through the
+    * forced SMJ (v22's zero-corpus-Exchange stage 2) for exact Double
+    * re-ranking. The composed pipeline is deterministic end to end, so
+    * it hash-matches an oracle that replays both stages. */
+  def v28PqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val k = 10
+    val pool = graft.operators.PqKnn.knnJoin(queries, corpus, k = 4 * k, m = 8, numCodewords = 16)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ensureRerankCorpus(s, dir)
+    val cFull = s.table(rerankTableName(dir))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    pool
+      .join(cFull.hint("merge"), col("neighbor_id") === col("id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.squaredL2(col("qe"), col("embedding")).as("distance"))
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("distance"), 6).as("distance"))
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  private val v28Oracle =
+    s"""WITH $pqCtes,
+      |     pool AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 40),
+      |     d2 AS (SELECT p.query_id, p.neighbor_id,
+      |              list_sum(list_transform(generate_series(1, len(qq.qe)), i -> (CAST(qq.qe[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)) * (CAST(qq.qe[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)))) AS distance
+      |            FROM pool p
+      |            JOIN corpus ce ON ce.id = p.neighbor_id
+      |            JOIN q qq ON qq.query_id = p.query_id),
+      |     r2 AS (SELECT query_id, neighbor_id, distance,
+      |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |            FROM d2)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r2 WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
@@ -1275,6 +1330,7 @@ object Queries {
     "v25_sq8_calibrated" -> v25Oracle,
     "v26_sq8_beam" -> v26Oracle,
     "v27_pq_knn" -> v27Oracle,
+    "v28_pq_rerank" -> v28Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

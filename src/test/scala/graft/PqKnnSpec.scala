@@ -86,5 +86,15 @@ class PqKnnSpec extends AnyFunSuite with SparkSuite {
     assert(pool40 > top10, "a bigger pool must not lose candidates")
     // a finer codebook strictly helps the pool
     assert(recallOf(40, 64) >= pool40, "64 codewords should not recall worse than 16")
+    // the composed two-stage query (v28) converts pool recall into
+    // top-10 recall: exact rerank can only surface what the pool holds,
+    // and surfaces all of it
+    val reranked = Queries.v28PqRerank(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = (exact intersect reranked).size.toDouble / exact.size
+    assert(rerankRecall >= pool40 - 1e-9,
+      s"rerank recall $rerankRecall fell below its pool's $pool40")
+    assert(rerankRecall >= top10, "rerank must not be worse than raw PQ top-10")
   }
 }
