@@ -123,6 +123,18 @@ final class LsmVectorIndex private (
     generations.foreach(_.unpersist())
     if (ownsBase) base.unpersist()
   }
+
+  /** Persist the whole generational state: base + each generation through
+    * [[VectorIndex.save]] (parquet rows + sidecars) plus one manifest.
+    * Loading restores an equivalent handle mid-stream — ingest, probe and
+    * compaction pick up exactly where the saved state left off. */
+  def save(path: String): Unit = {
+    base.save(s"$path/base")
+    generations.zipWithIndex.foreach { case (g, i) => g.save(s"$path/gen-$i") }
+    VectorIndex.writeSmallFile(base.rows.sparkSession, s"$path/lsm.json",
+      s"""{"generations":${generations.length},"compactThreshold":$compactThreshold,""" +
+        s""""genShardSize":$genShardSize}""")
+  }
 }
 
 object LsmVectorIndex {
@@ -138,5 +150,20 @@ object LsmVectorIndex {
     require(genShardSize > 0, "genShardSize must be positive")
     new LsmVectorIndex(base, Vector.empty, compactThreshold, genShardSize,
       ownsBase = false)
+  }
+
+  /** Restore a [[LsmVectorIndex.save]]d generational index. The loaded
+    * handle owns its members (unpersist/compaction may drop their
+    * caches). */
+  def load(spark: SparkSession, path: String): LsmVectorIndex = {
+    val manifest = VectorIndex.readSmallFile(spark, s"$path/lsm.json")
+    require(manifest != null, s"missing $path/lsm.json")
+    def field(key: String): Long =
+      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(manifest).get.group(1).toLong
+    val nGens = field("generations").toInt
+    val base = VectorIndex.load(spark, s"$path/base")
+    val gens = (0 until nGens).map(i => VectorIndex.load(spark, s"$path/gen-$i")).toVector
+    new LsmVectorIndex(base, gens, field("compactThreshold"),
+      field("genShardSize"), ownsBase = true)
   }
 }

@@ -100,6 +100,22 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(e2.getMessage.contains("disjoint"))
   }
 
+  test("save/load round-trips the generational state and stays ingestable") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350)).ingest(slice(350, 400))
+    val before = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsm_save_").toString
+    lsm.save(dir)
+    val loaded = LsmVectorIndex.load(spark, dir)
+    assert(loaded.generations.size == 2 && loaded.freshCount == lsm.freshCount)
+    assert(loaded.compactThreshold == lsm.compactThreshold)
+    assert(resultSet(loaded.query(queries, 10, searchWidth = 0)) == before)
+    // the loaded handle keeps working: further ingest + compaction
+    val more = loaded.ingest(slice(400, 430)).compact()
+    assert(more.generations.isEmpty)
+    assert(resultSet(more.query(queries, 10, searchWidth = 0)) == flatExact(430))
+  }
+
   test("beam probe across generations reaches exact recall at full width") {
     val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
       .ingest(slice(300, 400))
