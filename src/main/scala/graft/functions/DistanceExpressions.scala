@@ -38,8 +38,22 @@ abstract class VectorDistanceExpression extends BinaryExpression {
 
   protected def evalArrays(a: ArrayData, b: ArrayData): Double
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    evalArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw VectorDistanceExpression.dimMismatch(prettyName, x.numElements(), y.numElements())
+    evalArrays(x, y)
+  }
+}
+
+object VectorDistanceExpression {
+  /** Called from generated code too — keep public, Java-callable. A
+    * silent min-length truncation would return an under-counted distance
+    * for mismatched vectors; fail loudly instead (same strictness as
+    * vec_sq8_l2sq). */
+  def dimMismatch(fn: String, a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(s"$fn: mismatched vector lengths ($a vs $b)")
 }
 
 /** Squared L2 distance (sqrt omitted, order-preserving — reference:
@@ -48,7 +62,7 @@ case class SquaredL2Distance(left: Expression, right: Expression)
     extends VectorDistanceExpression {
 
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -67,7 +81,11 @@ case class SquaredL2Distance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw graft.functions.VectorDistanceExpression.dimMismatch(
+         |    "$prettyName", $a.numElements(), $b.numElements());
+         |}
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
@@ -87,7 +105,7 @@ case class DotProduct(left: Expression, right: Expression)
     extends VectorDistanceExpression {
 
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -104,7 +122,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw graft.functions.VectorDistanceExpression.dimMismatch(
+         |    "$prettyName", $a.numElements(), $b.numElements());
+         |}
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -123,7 +145,7 @@ case class InnerProductDistance(left: Expression, right: Expression)
     extends VectorDistanceExpression {
 
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -140,7 +162,11 @@ case class InnerProductDistance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw graft.functions.VectorDistanceExpression.dimMismatch(
+         |    "$prettyName", $a.numElements(), $b.numElements());
+         |}
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -162,7 +188,7 @@ case class CosineDistance(left: Expression, right: Expression)
     extends VectorDistanceExpression {
 
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -189,7 +215,11 @@ case class CosineDistance(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw graft.functions.VectorDistanceExpression.dimMismatch(
+         |    "$prettyName", $a.numElements(), $b.numElements());
+         |}
+         |final int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $x = (double) $a.getFloat($i);

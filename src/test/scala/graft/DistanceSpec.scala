@@ -63,6 +63,23 @@ class DistanceSpec extends AnyFunSuite with SparkSuite {
     assert(n === 10)
   }
 
+  test("mismatched vector lengths raise instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    for (fn <- Seq(
+        VectorFunctions.squaredL2 _,
+        VectorFunctions.innerProductDistance _,
+        VectorFunctions.cosineDistance _)) {
+      val e = intercept[Exception] {
+        df.select(fn(col("a"), col("b"))).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(t => Option(t.getMessage).exists(_.contains("mismatched"))),
+        s"expected a mismatched-length error, got: ${e.getMessage}")
+    }
+  }
+
   test("null input yields null (nullIntolerant)") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
