@@ -144,7 +144,46 @@ object KernelBench {
         s"(${viaShuffle.size} rows) OK")
     }
 
-    if (!soak) {
+    if (flags.contains("lsm")) {
+      // --- LSM generational ingest: per-batch cost must be O(batch), not
+      // O(index) — the structural claim behind s9. Ingest a fixed-size
+      // batch repeatedly into an ever-growing index; per-ingest wall time
+      // must stay flat while an equivalent append (which rebuilds every
+      // touched shard) grows with the base. Then probe across the
+      // accumulated generations and compact.
+      val batchSize = nums.lift(0).map(_.toInt).getOrElse(10000)
+      val rounds = nums.lift(1).map(_.toInt).getOrElse(8)
+      var lsm = graft.index.LsmVectorIndex(idx, compactThreshold = Long.MaxValue)
+      var nextId = n.toLong
+      for (r <- 1 to rounds) {
+        val batch = spark.range(nextId, nextId + batchSize).rdd.mapPartitions { it =>
+          it.map { id =>
+            val rr = new scala.util.Random(id * 2654435761L + 7)
+            (id, Array.fill(dim)(rr.nextFloat()))
+          }
+        }.toDF("id", "embedding")
+        val t = System.nanoTime()
+        lsm = lsm.ingest(batch)
+        println(f"lsm ingest[$r]: $batchSize vectors into ${lsm.vectorCount - batchSize} " +
+          f"-> ${(System.nanoTime() - t) / 1e9}%.2f s wall (${lsm.generations.size} generations)")
+        nextId += batchSize
+      }
+      val qdf2 = queries.take(100).zipWithIndex
+        .map { case (v, id) => (id.toLong, v) }.toSeq.toDF("query_id", "embedding")
+      val tp = System.nanoTime()
+      val nr = lsm.query(qdf2, k, searchWidth = 16).count()
+      println(f"lsm probe across base + ${lsm.generations.size} generations: " +
+        f"${(System.nanoTime() - tp) / 1e9}%.2f s wall for 100 queries ($nr rows)")
+      val tc = System.nanoTime()
+      lsm = lsm.compact()
+      println(f"lsm compaction of ${rounds}x$batchSize vectors: " +
+        f"${(System.nanoTime() - tc) / 1e9}%.2f s wall")
+      val tp2 = System.nanoTime()
+      lsm.query(qdf2, k, searchWidth = 16).count()
+      println(f"lsm probe after compaction: ${(System.nanoTime() - tp2) / 1e9}%.2f s wall")
+    }
+
+    if (!soak && !flags.contains("lsm")) {
       // --- exact kNN formulations head-to-head (same corpus, bigger batch) ---
       val bigQ = (0 until 1000).map { id =>
         (id.toLong, Array.fill(dim)(rnd.nextFloat()))
