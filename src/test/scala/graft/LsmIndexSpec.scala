@@ -116,6 +116,36 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(resultSet(more.query(queries, 10, searchWidth = 0)) == flatExact(430))
   }
 
+  test("LSM over an EMPTY base: ingest-only lifecycle works end to end") {
+    val emptyBase = VectorIndex.build(
+      emb.filter(col("vec_id") < 0).select(col("vec_id").as("id"), col("embedding")),
+      params, numShards = 4)
+    val lsm = LsmVectorIndex(emptyBase, compactThreshold = 1000000)
+    assert(resultSet(lsm.query(queries, 10, searchWidth = 0)).isEmpty)
+    val grown = lsm.ingest(slice(10, 200)).ingest(slice(200, 350))
+    assert(resultSet(grown.query(queries, 10, searchWidth = 0)) == flatExact(350))
+    val compacted = grown.compact()
+    assert(compacted.generations.isEmpty)
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == flatExact(350))
+  }
+
+  test("property: ANY random batching of the stream probes identically (exact mode)") {
+    val rnd = new scala.util.Random(20260813)
+    val expected = flatExact(460)
+    for (_ <- 1 to 3) {
+      // random cut points over [300, 460)
+      val cuts = (Seq(300, 460) ++ Seq.fill(rnd.nextInt(4))(300 + rnd.nextInt(160)))
+        .distinct.sorted
+      val lsm = cuts.sliding(2).foldLeft(
+        LsmVectorIndex(baseIdx, compactThreshold = 1000000)) {
+        case (acc, Seq(a, b)) => acc.ingest(slice(a, b))
+        case (acc, _) => acc
+      }
+      assert(resultSet(lsm.query(queries, 10, searchWidth = 0)) == expected,
+        s"mismatch for cuts $cuts")
+    }
+  }
+
   test("beam probe across generations reaches exact recall at full width") {
     val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
       .ingest(slice(300, 400))
