@@ -43,7 +43,14 @@ final class LsmVectorIndex private (
     val generations: Vector[VectorIndex],
     val compactThreshold: Long,
     val genShardSize: Long,
-    ownsBase: Boolean) extends Serializable {
+    ownsBase: Boolean) extends Serializable with AnnProbe {
+
+  override def probeId: String =
+    (base +: generations).map(_.indexId).mkString("lsm:", "+", "")
+  override def probeMetric: graft.functions.DistanceMetric = base.params.metric
+  override def probeSession: org.apache.spark.sql.SparkSession = base.rows.sparkSession
+  override def probeDescription: String =
+    s"lsm base shards=${base.numShards} + ${generations.size} generations"
 
   /** Vectors living in fresh generations (not yet compacted). */
   val freshCount: Long = generations.map(_.meta.map(_.n_vectors).sum).sum
@@ -103,16 +110,35 @@ final class LsmVectorIndex private (
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     val probeCount = qds.select(col("query_id")).limit(maxBatch + 1).count()
-    val perMember =
-      if (probeCount <= maxBatch) {
-        val batch = qds.collect().sortBy(_._1)
-        members.map(_.queryBatch(batch, k, searchWidth, maxBatch))
-      } else members.map(_.queryDistributed(queries, k, searchWidth))
+    if (probeCount <= maxBatch)
+      queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
+    else mergeMembers(members.map(_.queryDistributed(queries, k, searchWidth)), k)
+  }
+
+  /** Probe with an already-materialized query batch (broadcast path) —
+    * the [[AnnProbe]] face the SQL rewrite splices in. */
+  def queryBatch(batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int,
+      maxBatch: Int = 100000): DataFrame = {
+    val members = (base +: generations).filter(_.meta.nonEmpty)
+    val spark = base.rows.sparkSession
+    import spark.implicits._
+    if (members.isEmpty) {
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "distance")
+    }
+    if (members.size == 1) return members.head.queryBatch(batch, k, searchWidth, maxBatch)
+    mergeMembers(members.map(_.queryBatch(batch, k, searchWidth, maxBatch)), k)
+  }
+
+  override def probeBatch(
+      batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
+    queryBatch(batch, k, searchWidth)
+
+  private def mergeMembers(perMember: Seq[DataFrame], k: Int): DataFrame =
     TopK.topKMerge(
       perMember
         .map(_.select(col("query_id"), col("distance"), col("neighbor_id")))
         .reduce(_ union _), k)
-  }
 
   /** Total vectors across base + generations. */
   def vectorCount: Long = base.meta.map(_.n_vectors).sum + freshCount

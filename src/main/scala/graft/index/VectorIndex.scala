@@ -85,7 +85,15 @@ class VectorIndex private (
     val meta: Array[ShardMeta],
     /** Stable identity for executor-side graph caching (fresh per build,
       * persisted with the index). */
-    val indexId: String) extends Serializable {
+    val indexId: String) extends Serializable with AnnProbe {
+
+  override def probeId: String = indexId
+  override def probeMetric: graft.functions.DistanceMetric = params.metric
+  override def probeSession: SparkSession = rows.sparkSession
+  override def probeBatch(
+      batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
+    queryBatch(batch, k, searchWidth)
+  override def probeDescription: String = s"shards=$numShards"
 
   /** Vector dimension, read once from the first index row and reused by
     * every append (one fewer job per call). Only valid when the index is

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 import graft.functions.{
   CosineDistance, DistanceMetric, InnerProductDistance, SquaredL2Distance}
-import graft.index.VectorIndex
+import graft.index.{AnnProbe, VectorIndex}
 
 /** Registry binding a built [[VectorIndex]] to the corpus plan it indexes —
   * the engine-side "CREATE INDEX" catalog that [[AnnTopKRewrite]] consults.
@@ -31,7 +31,7 @@ object IndexCatalog {
     * WITHOUT the registration-time Project on top), with the id/embedding
     * positions mapped through to the child's output. */
   private case class Entry(
-      index: VectorIndex,
+      index: AnnProbe,
       plan: LogicalPlan, idPos: Int, embPos: Int,
       stripped: Option[(LogicalPlan, Int, Int)])
 
@@ -40,8 +40,12 @@ object IndexCatalog {
 
   def clear(): Unit = entries.clear()
 
-  /** Register `index` as covering `corpus` (columns id, embedding). */
-  def register(index: VectorIndex, corpus: DataFrame): Unit = {
+  /** Register `index` as covering `corpus` (columns id, embedding).
+    * Accepts any [[AnnProbe]] — a sealed [[VectorIndex]] or a live
+    * [[graft.index.LsmVectorIndex]] generation state (re-register after
+    * ingest/compaction: the registration covers the corpus AS OF the
+    * probe's identity). */
+  def register(index: AnnProbe, corpus: DataFrame): Unit = {
     val plan = GraftSqlBridge.logicalPlan(corpus)
     // use the session-optimized form: that is the shape subtrees have when
     // the rewrite rule (an optimizer batch) sees them
@@ -75,11 +79,11 @@ object IndexCatalog {
     * Entries whose owning SparkSession has been stopped are dropped — a
     * structurally-identical query from a NEW session must fall back to the
     * sort plan, not splice a probe bound to a dead SparkContext. */
-  private[plans] def lookup(plan: LogicalPlan): Option[(VectorIndex, Attribute, Attribute)] = {
+  private[plans] def lookup(plan: LogicalPlan): Option[(AnnProbe, Attribute, Attribute)] = {
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.index.rows.sparkSession.sparkContext.isStopped) {
+      if (e.index.probeSession.sparkContext.isStopped) {
         entries.remove(e)
       } else {
         if (e.plan.sameResult(plan)) {
@@ -136,13 +140,13 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     }
 
   private def probePlanFor(
-      index: VectorIndex, qVec: Array[Float], k: Int, width: Int): LogicalPlan =
+      index: AnnProbe, qVec: Array[Float], k: Int, width: Int): LogicalPlan =
     probeCache.synchronized {
-      val key = (index.indexId, qVec.toSeq, k, width)
+      val key = (index.probeId, qVec.toSeq, k, width)
       val hit = probeCache.get(key)
       if (hit != null) hit
       else {
-        val plan = index.queryBatch(Array((0L, qVec)), k, width)
+        val plan = index.probeBatch(Array((0L, qVec)), k, width)
           .queryExecution.optimizedPlan
         probeCache.put(key, plan)
         plan
@@ -203,7 +207,7 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case Some(hit) => hit
       case None => return None
     }
-    if (index.params.metric != metric) return None
+    if (index.probeMetric != metric) return None
     if (embAttr.exprId != corpusEmbAttr.exprId) return None
 
     // tie-break keys beyond the distance must be the id column ascending
@@ -255,7 +259,7 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     // names/exprIds (Project preserves row order)
     val outOrders = orders.map(o => o.copy(child = map(o.child)))
     logInfo(s"graft: rewrote ORDER BY ${metric.name} LIMIT $k to index probe " +
-      s"(searchWidth=$width, shards=${index.numShards})")
+      s"(searchWidth=$width, ${index.probeDescription})")
     Some(Project(newProj, Sort(outOrders, global = true, probePlan)))
   }
 }

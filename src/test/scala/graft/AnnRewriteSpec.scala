@@ -64,6 +64,39 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(ds.sameElements(ds.sorted))
   }
 
+  test("a live LSM generation state serves the SQL rewrite through the same seam") {
+    import graft.index.LsmVectorIndex
+    GraftSqlBridge.addOptimizerRule(spark, AnnTopKRewrite)
+    val emb = Tables.embeddings(spark, sfDir)
+    val baseCorpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val lsm = LsmVectorIndex(
+      VectorIndex.build(baseCorpus,
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4),
+      compactThreshold = 1000000)
+      .ingest(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select(col("vec_id").as("id"), col("embedding")))
+    // the registered corpus is the union the LSM state currently covers
+    val fullCorpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 400)
+      .select(col("vec_id").as("id"), col("embedding"))
+    IndexCatalog.clear()
+    IndexCatalog.register(lsm, fullCorpus)
+    def plan(k: Int) = fullCorpus
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(k)
+    val df = plan(10)
+    assert(df.queryExecution.optimizedPlan.toString.contains("topk_by_distance"),
+      s"LSM probe not spliced in:\n${df.queryExecution.optimizedPlan.toString.take(2000)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    IndexCatalog.clear()
+    val expected = plan(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === expected)
+    IndexCatalog.clear()
+    installed() // restore the shared registration for later tests
+  }
+
   test("no rewrite for unregistered corpus, extra filters, or other sort keys") {
     installed()
     // different corpus subtree (extra filter) — must NOT be accelerated

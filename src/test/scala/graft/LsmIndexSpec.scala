@@ -146,6 +146,26 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("quantized base: generations inherit SQ8 storage and probe == quantized flat build") {
+    val qParams = params.copy(quantized = true)
+    val qBase = VectorIndex.build(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding")),
+      qParams, numShards = 4)
+    val lsm = LsmVectorIndex(qBase, compactThreshold = 1000000)
+      .ingest(slice(300, 360)).ingest(slice(360, 420))
+    assert(lsm.generations.forall(_.params.quantized),
+      "generations must inherit the base's quantized storage")
+    val flat = VectorIndex.build(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 420)
+        .select(col("vec_id").as("id"), col("embedding")),
+      qParams, numShards = 4)
+    val viaLsm = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    assert(viaLsm == resultSet(flat.query(queries, 10, searchWidth = 0)))
+    // and across compaction (append re-quantizes identically)
+    assert(resultSet(lsm.compact().query(queries, 10, searchWidth = 0)) == viaLsm)
+  }
+
   test("beam probe across generations reaches exact recall at full width") {
     val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
       .ingest(slice(300, 400))
