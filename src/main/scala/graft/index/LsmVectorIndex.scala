@@ -116,7 +116,14 @@ final class LsmVectorIndex private (
   }
 
   /** Probe with an already-materialized query batch (broadcast path) —
-    * the [[AnnProbe]] face the SQL rewrite splices in. */
+    * the [[AnnProbe]] face the SQL rewrite splices in.
+    *
+    * FUSED across members: the cached probe layouts of the base and every
+    * generation are unioned (a narrow concatenation — no recompute, no
+    * shuffle) and probed in ONE job; each task maps its union partition
+    * back to (member, local shard) through the broadcast shard offsets.
+    * One job chain + one merge instead of one per member — the per-probe
+    * fixed cost no longer grows with the generation count. */
   def queryBatch(batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int,
       maxBatch: Int = 100000): DataFrame = {
     val members = (base +: generations).filter(_.meta.nonEmpty)
@@ -127,7 +134,30 @@ final class LsmVectorIndex private (
         .toDF("query_id", "rank", "neighbor_id", "distance")
     }
     if (members.size == 1) return members.head.queryBatch(batch, k, searchWidth, maxBatch)
-    mergeMembers(members.map(_.queryBatch(batch, k, searchWidth, maxBatch)), k)
+    if (batch.isEmpty) {
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "distance")
+    }
+    // member m owns union partitions [offsets(m), offsets(m+1))
+    val offsets = members.map(_.numShards).scanLeft(0)(_ + _).toArray
+    val memberInfo = members.map(m =>
+      (m.indexId, m.params, m.meta.map(x => x.sub_index_id -> x).toMap)).toArray
+    val bcInfo = spark.sparkContext.broadcast((offsets, memberInfo))
+    val union = members.map(_.probeLayout).reduce(_ union _)
+    val candidateChunks = batch.grouped(math.max(maxBatch, 1)).map { chunk =>
+      val bcQueries = spark.sparkContext.broadcast(chunk)
+      val rdd = union.mapPartitions { rit =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (offs, info) = bcInfo.value
+        var m = 0
+        while (m + 1 < offs.length && offs(m + 1) <= pid) m += 1
+        val (iid, params, metaMap) = info(m)
+        VectorIndex.probePartition(
+          rit, iid, pid - offs(m), params, metaMap, bcQueries.value, k, searchWidth)
+      }
+      spark.createDataset(rdd).toDF("query_id", "distance", "neighbor_id")
+    }.toSeq
+    TopK.topKMerge(candidateChunks.reduce(_ union _), k)
   }
 
   override def probeBatch(

@@ -149,28 +149,8 @@ class VectorIndex private (
         // resident in the executor cache, its rows are simply never
         // consumed (cached blocks — skipping costs nothing)
         val shardId = org.apache.spark.TaskContext.getPartitionId()
-        var g = ShardGraphCache.peek(iid, shardId)
-        if (g == null) {
-          val shardRows = mutable.ArrayBuffer.empty[IndexRow]
-          rit.foreach(shardRows += _)
-          if (shardRows.nonEmpty)
-            g = ShardGraphCache.getOrRehydrate(iid, shardId)(
-              VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
-        }
-        if (g == null) Iterator.empty // shard holds no vectors
-        else {
-          val graph = g
-          // the graph carries reusable search scratch -> serialize probes;
-          // materialize inside the lock (a lazy iterator would escape it)
-          graph.synchronized {
-            bcQueries.value.toArray.flatMap { case (qid, qvec) =>
-              val topk =
-                if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
-                else graph.queryTopK(qvec, k, searchWidth)
-              topk.map { case (d, gid) => (qid, d, gid) }
-            }.iterator
-          }
-        }
+        VectorIndex.probePartition(
+          rit, iid, shardId, p, bcMeta.value, bcQueries.value, k, searchWidth)
       }
       spark.createDataset(rdd).toDF("query_id", "distance", "neighbor_id")
     }.toSeq
@@ -246,7 +226,7 @@ class VectorIndex private (
     * shard id to itself), cached ONCE per index — the exchange happens on
     * first probe, not once per query call, and both probe paths read the
     * same cached blocks. */
-  @transient private lazy val probeLayout
+  @transient private[index] lazy val probeLayout
       : org.apache.spark.rdd.RDD[IndexRow] = {
     rows.rdd.map(r => (r.sub_index_id, r))
       .partitionBy(new VectorIndex.ShardPartitioner(numShards))
@@ -449,6 +429,38 @@ class VectorIndex private (
 }
 
 object VectorIndex {
+
+  /** One shard's probe: rehydrate (or cache-hit) the graph from the
+    * partition's rows and run every query of the broadcast batch against
+    * it — the per-partition body shared by the broadcast probe and the
+    * fused multi-member LSM probe. The graph carries reusable search
+    * scratch, so probes serialize on it and materialize INSIDE the lock
+    * (a lazy iterator would escape it). */
+  private[index] def probePartition(
+      rit: Iterator[IndexRow], iid: String, shardId: Int, params: IndexParams,
+      metaMap: Map[Int, ShardMeta], queries: Array[(Long, Array[Float])],
+      k: Int, searchWidth: Int): Iterator[(Long, Double, Long)] = {
+    var g = ShardGraphCache.peek(iid, shardId)
+    if (g == null) {
+      val shardRows = mutable.ArrayBuffer.empty[IndexRow]
+      rit.foreach(shardRows += _)
+      if (shardRows.nonEmpty)
+        g = ShardGraphCache.getOrRehydrate(iid, shardId)(
+          rehydrate(params, metaMap(shardId), shardRows.toSeq))
+    }
+    if (g == null) Iterator.empty // shard holds no vectors
+    else {
+      val graph = g
+      graph.synchronized {
+        queries.toArray.flatMap { case (qid, qvec) =>
+          val topk =
+            if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
+            else graph.queryTopK(qvec, k, searchWidth)
+          topk.map { case (d, gid) => (qid, d, gid) }
+        }.iterator
+      }
+    }
+  }
 
   /** Small-file IO through the Hadoop FS API so index metadata lands on
     * the SAME filesystem as the parquet rows (hdfs://, s3a://, file:...) —
