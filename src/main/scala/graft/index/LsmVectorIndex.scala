@@ -91,6 +91,48 @@ final class LsmVectorIndex private (
       ownsBase = true)
   }
 
+  /** Begin folding the CURRENT generations into the base on another
+    * thread (Spark runs concurrent jobs from separate driver threads), so
+    * ingest keeps accepting batches while the fold runs — the
+    * background-compaction shape a live stream needs (a synchronous
+    * [[compact]] blocks the batch that crosses the threshold for the
+    * whole append rebuild).
+    *
+    * Returns a future SWAP function: apply it to any LATER handle
+    * descended from this one (same leading generations — validated by
+    * identity) to obtain the compacted equivalent, whose generations are
+    * exactly the ones ingested since this call. Exact-mode probes are
+    * unaffected by WHEN the swap is applied (same vectors either way —
+    * the [[compact]] invariance, spec-gated). The snapshot generations
+    * and this base (when owned) are unpersisted as part of the swap. */
+  def compactAsync()(implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[LsmVectorIndex => LsmVectorIndex] = {
+    val snapshot = generations
+    if (snapshot.isEmpty) return scala.concurrent.Future.successful(identity)
+    val freshVecs = snapshot
+      .map(_.rows.toDF().select(col("global_id").as("id"), col("embedding")))
+      .reduce(_ union _)
+    val oldBase = base
+    val owned = ownsBase
+    scala.concurrent.Future {
+      val newBase = oldBase.append(freshVecs) // materializes before any unpersist
+      (later: LsmVectorIndex) => {
+        require(later.base eq oldBase,
+          "compaction swap applied to a handle with a different base " +
+            "(compacted concurrently elsewhere?)")
+        require(later.generations.length >= snapshot.length &&
+          later.generations.take(snapshot.length).zip(snapshot).forall {
+            case (a, b) => a eq b
+          },
+          "compaction swap applied to a handle that does not extend the snapshot")
+        snapshot.foreach(_.unpersist())
+        if (owned) oldBase.unpersist()
+        new LsmVectorIndex(newBase, later.generations.drop(snapshot.length),
+          later.compactThreshold, later.genShardSize, ownsBase = true)
+      }
+    }
+  }
+
   /** Batch kNN probe across base + generations — same contract and output
     * schema as [[VectorIndex.query]] (searchWidth 0 = exact). Queries are
     * routed once (collected once for the broadcast path, never collected

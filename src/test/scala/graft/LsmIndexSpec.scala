@@ -146,6 +146,25 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("background compaction: ingest continues while the fold runs; swap preserves probes") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lsm0 = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350)).ingest(slice(350, 400))
+    val pending = lsm0.compactAsync()
+    // keep ingesting while the fold runs on its own thread
+    val lsm1 = lsm0.ingest(slice(400, 430)).ingest(slice(430, 460))
+    val swap = scala.concurrent.Await.result(
+      pending, scala.concurrent.duration.Duration(180, "seconds"))
+    val compacted = swap(lsm1)
+    assert(compacted.generations.size == 2,
+      "only the generations ingested after the call should remain fresh")
+    assert(compacted.vectorCount == lsm1.vectorCount)
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == flatExact(460))
+    // misuse: a handle that is not a descendant of the snapshot fails loudly
+    val other = LsmVectorIndex(baseIdx, 1000000).ingest(slice(300, 320))
+    intercept[IllegalArgumentException](swap(other))
+  }
+
   test("quantized base: generations inherit SQ8 storage and probe == quantized flat build") {
     val qParams = params.copy(quantized = true)
     val qBase = VectorIndex.build(
