@@ -49,11 +49,78 @@ object PqKnn {
     (flat, k, subDim)
   }
 
-  /** PQ-approximate kNN join: (query_id, rank, neighbor_id, distance)
-    * where distance is the exact ADC value of the quantized corpus. */
-  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int, numCodewords: Int): DataFrame = {
-    val (flat, kEff, subDim) = codebooks(corpus, numCodewords, m)
+  /** K-means-TRAINED codebooks (Lloyd iterations from the deterministic
+    * sampled init): the recall upgrade over [[codebooks]] — sampling keeps
+    * the exact SQL oracle, training closes the recall gap. Deterministic
+    * end to end: assignment uses the same strict-argmin as the encoder,
+    * per-partition partial sums fold in partition order on the driver
+    * (the whole accumulation state is m*k*subDim doubles — KBs), and an
+    * empty cluster keeps its previous codeword.
+    *
+    * Scale shape: each iteration is one map-only pass over the corpus
+    * emitting ONE partial-sums row per partition (no shuffle of vectors,
+    * no per-row state on the driver). */
+  def trainCodebooks(corpus: DataFrame, numCodewords: Int, m: Int,
+      iterations: Int = 5): (Array[Float], Int, Int) = {
+    var (flat, k, subDim) = codebooks(corpus, numCodewords, m)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    for (_ <- 0 until iterations) {
+      val cb = flat // stable reference for the closure
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val sums = new Array[Double](m * k * subDim)
+        val counts = new Array[Long](m * k)
+        it.foreach { v =>
+          var s = 0
+          while (s < m) {
+            var bestD = Double.PositiveInfinity
+            var bestJ = 0
+            var j = 0
+            while (j < k) {
+              val off = (s * k + j) * subDim
+              var acc = 0.0
+              var i = 0
+              while (i < subDim) {
+                val t = v(s * subDim + i).toDouble - cb(off + i).toDouble
+                acc += t * t
+                i += 1
+              }
+              if (acc < bestD) { bestD = acc; bestJ = j }
+              j += 1
+            }
+            val off = (s * k + bestJ) * subDim
+            var i = 0
+            while (i < subDim) { sums(off + i) += v(s * subDim + i).toDouble; i += 1 }
+            counts(s * k + bestJ) += 1
+            s += 1
+          }
+        }
+        Iterator.single((pid, sums, counts))
+      }.collect().sortBy(_._1) // deterministic driver-side fold order
+      val sums = new Array[Double](m * k * subDim)
+      val counts = new Array[Long](m * k)
+      partials.foreach { case (_, ps, pc) =>
+        var i = 0
+        while (i < sums.length) { sums(i) += ps(i); i += 1 }
+        i = 0
+        while (i < counts.length) { counts(i) += pc(i); i += 1 }
+      }
+      val next = flat.clone()
+      for (s <- 0 until m; j <- 0 until k if counts(s * k + j) > 0) {
+        val off = (s * k + j) * subDim
+        val n = counts(s * k + j).toDouble
+        var i = 0
+        while (i < subDim) { next(off + i) = (sums(off + i) / n).toFloat; i += 1 }
+      }
+      flat = next
+    }
+    (flat, k, subDim)
+  }
+
+  /** PQ-approximate kNN join over an explicit codebook. */
+  def knnJoinWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      flat: Array[Float], kEff: Int, subDim: Int, m: Int): DataFrame = {
     val codes = corpus.select(col("id").as("neighbor_id"),
       PqFunctions.encode(col("embedding"), flat, m, kEff, subDim).as("codes"))
     val qTab = queries.select(col("query_id"),
@@ -66,5 +133,13 @@ object PqKnn {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+  }
+
+  /** PQ-approximate kNN join: (query_id, rank, neighbor_id, distance)
+    * where distance is the exact ADC value of the quantized corpus. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int, numCodewords: Int): DataFrame = {
+    val (flat, kEff, subDim) = codebooks(corpus, numCodewords, m)
+    knnJoinWith(queries, corpus, k, flat, kEff, subDim, m)
   }
 }

@@ -97,4 +97,26 @@ class PqKnnSpec extends AnyFunSuite with SparkSuite {
       s"rerank recall $rerankRecall fell below its pool's $pool40")
     assert(rerankRecall >= top10, "rerank must not be worse than raw PQ top-10")
   }
+
+  test("k-means-trained codebooks beat the sampled init and are deterministic") {
+    val exact = Queries.v4KnnExact(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(flat: Array[Float], kEff: Int, subDim: Int): Double = {
+      val pq = PqKnn.knnJoinWith(queries, corpus, k = 40, flat, kEff, subDim, m = 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect pq).size.toDouble / exact.size
+    }
+    val (sampled, k0, sd0) = PqKnn.codebooks(corpus, numCodewords = 16, m = 8)
+    val (trained, k1, sd1) = PqKnn.trainCodebooks(corpus, numCodewords = 16, m = 8)
+    assert(k1 == k0 && sd1 == sd0)
+    assert(!trained.sameElements(sampled), "training should move the codebook")
+    val rS = recallOf(sampled, k0, sd0)
+    val rT = recallOf(trained, k1, sd1)
+    assert(rT >= rS, s"trained pool-40 recall $rT < sampled $rS")
+    // deterministic training: a second run reproduces the identical floats
+    val (trained2, _, _) = PqKnn.trainCodebooks(corpus, numCodewords = 16, m = 8)
+    assert(trained2.sameElements(trained), "training must be deterministic")
+  }
 }
