@@ -146,18 +146,22 @@ object Hdf5 {
     val stride = info.rowStride
     (info.chunked, info.compact) match {
       case (Some(cm), _) =>
-        require(cm.chunkCols.toLong == info.cols,
-          s"dataset '${info.name}': chunk shape ${cm.chunkRows}x${cm.chunkCols} splits rows " +
-            s"across chunks (row width ${info.cols}) — only full-row chunking is supported")
         val chunkBytes = cm.chunkRows.toLong * cm.chunkCols * info.dtype.size
         require(chunkBytes <= Int.MaxValue, s"chunk too large: $chunkBytes bytes")
         val gzip = cm.gzip
         val chunkRows = cm.chunkRows
+        val chunkCols = cm.chunkCols
+        val cols = info.cols
+        val elemSize = info.dtype.size
         val strideI = stride.toInt
+        val fullRowChunks = chunkCols.toLong == cols
         val parts = math.max(1, math.min(
           if (numPartitions > 0) numPartitions
           else spark.sparkContext.defaultParallelism, cm.chunks.length))
-        val rdd = spark.sparkContext
+        // per chunk: (rowId, colStart, row-fragment bytes). With full-row
+        // chunks the fragment IS the row; column-split chunks emit one
+        // fragment per (row, chunk) and rows reassemble below.
+        val fragments = spark.sparkContext
           .parallelize(cm.chunks, parts)
           .flatMap { rec =>
             val raf = new RandomAccessFile(path, "r")
@@ -181,15 +185,36 @@ object Hdf5 {
                 out
               } else stored
             } finally raf.close()
-            // edge chunks are stored full-size; only the valid rows count
-            val valid = math.min(chunkRows.toLong, count - rec.rowStart).toInt
-            (0 until valid).iterator.map { r =>
-              (rec.rowStart + r,
-                java.util.Arrays.copyOfRange(full, r * strideI, (r + 1) * strideI))
+            // edge chunks are stored full-size; only the valid region counts
+            val validRows = math.min(chunkRows.toLong, count - rec.rowStart).toInt
+            val validCols = math.min(chunkCols.toLong, cols - rec.colStart).toInt
+            val fragBytes = validCols * elemSize
+            val rowBytes = chunkCols * elemSize
+            (0 until validRows).iterator.map { r =>
+              (rec.rowStart + r, rec.colStart,
+                java.util.Arrays.copyOfRange(full, r * rowBytes, r * rowBytes + fragBytes))
             }
           }
         import spark.implicits._
-        spark.createDataset(rdd)(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        val rows =
+          if (fullRowChunks) fragments.map { case (id, _, frag) => (id, frag) }
+          else {
+            // reassemble each row from its column fragments: one shuffle
+            // of row-sized data keyed by row id, fragments spliced by
+            // their column offset (missing fragments would leave zeroed
+            // elements — impossible for a well-formed chunk index)
+            fragments
+              .map { case (id, colStart, frag) => (id, (colStart, frag)) }
+              .groupByKey(parts)
+              .map { case (id, frags) =>
+                val buf = new Array[Byte](strideI)
+                frags.foreach { case (colStart, frag) =>
+                  System.arraycopy(frag, 0, buf, (colStart * elemSize).toInt, frag.length)
+                }
+                (id, buf)
+              }
+          }
+        spark.createDataset(rows)(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
           .map { case (i, buf) => (i, decode(buf)) }
       case (None, Some(bytes)) => // tiny inline block: decode on the driver, parallelize
         val rows = (0L until count).map { i =>

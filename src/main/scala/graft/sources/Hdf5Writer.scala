@@ -270,15 +270,17 @@ object Hdf5Writer {
 
   // ------------------------------------------------------- chunked (+gzip)
 
-  /** Write `datasets` with CHUNKED layout (each chunk spans `chunkRows`
-    * full rows), deflate-compressed when `gzip` — the fixture half of the
-    * chunked/compressed read path ([[Hdf5]] round-trips it). Classic
-    * container, v1 chunk B-tree with one leaf node per dataset. */
+  /** Write `datasets` with CHUNKED layout — `chunkRows` rows per chunk,
+    * and (when `chunkCols` > 0) chunks that also SPLIT each row into
+    * column slices — deflate-compressed when `gzip`. The fixture half of
+    * the chunked/compressed read path ([[Hdf5]] round-trips it,
+    * including the row-reassembly shuffle for column-split shapes).
+    * Classic container, v1 chunk B-tree with one leaf node per dataset. */
   def writeChunked(path: String, datasets: Seq[(String, Matrix)],
-      chunkRows: Int, gzip: Boolean): Unit = {
+      chunkRows: Int, gzip: Boolean, chunkCols: Int = 0): Unit = {
     require(chunkRows > 0, "chunkRows must be positive")
     val sorted = datasets.sortBy(_._1)
-    val bytes = writeChunkedClassic(sorted, chunkRows, gzip)
+    val bytes = writeChunkedClassic(sorted, chunkRows, gzip, chunkCols)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     try out.write(bytes) finally out.close()
   }
@@ -294,25 +296,38 @@ object Hdf5Writer {
   }
 
   private def writeChunkedClassic(
-      datasets: Seq[(String, Matrix)], chunkRows: Int, gzip: Boolean): Array[Byte] = {
+      datasets: Seq[(String, Matrix)], chunkRows: Int, gzip: Boolean,
+      chunkCols: Int): Array[Byte] = {
     val K = 4
     require(datasets.length <= 2 * K, s"classic writer supports <= ${2 * K} datasets")
     val chunkKeySize = 8 + 3 * 8 // size, mask, offsets (row, col, elem)
+    def ccOf(m: Matrix): Int = if (chunkCols > 0) chunkCols else m.cols
 
-    // chunk payloads (full-size buffers, zero-padded tail, then deflate)
-    val chunkBlobs: Map[String, IndexedSeq[Array[Byte]]] = datasets.map { case (name, m) =>
-      val raw = rawData(m)
-      val perChunk = chunkRows * m.cols * elemSize(m)
-      val n = math.max(1, (m.rows + chunkRows - 1) / chunkRows)
-      val cs = (0 until n).map { ci =>
-        val buf = new Array[Byte](perChunk)
-        val from = ci * perChunk
-        val len = math.max(0, math.min(perChunk, raw.length - from))
-        if (len > 0) System.arraycopy(raw, from, buf, 0, len)
-        if (gzip) deflate(buf) else buf
-      }
-      (name, cs)
-    }.toMap
+    // chunk payloads over the (rows x cols) grid: full-size buffers,
+    // zero-padded at both edges, then deflate
+    val chunkBlobs: Map[String, IndexedSeq[(Long, Long, Array[Byte])]] =
+      datasets.map { case (name, m) =>
+        val elem = elemSize(m)
+        val raw = rawData(m)
+        val cc = ccOf(m)
+        val nR = math.max(1, (m.rows + chunkRows - 1) / chunkRows)
+        val nC = math.max(1, (m.cols + cc - 1) / cc)
+        val cs = for (ci <- 0 until nR; cj <- 0 until nC) yield {
+          val buf = new Array[Byte](chunkRows * cc * elem)
+          var r = 0
+          while (r < chunkRows && ci * chunkRows + r < m.rows) {
+            val srcCol = cj * cc
+            val nCols = math.max(0, math.min(cc, m.cols - srcCol))
+            if (nCols > 0) System.arraycopy(
+              raw, ((ci * chunkRows + r) * m.cols + srcCol) * elem,
+              buf, r * cc * elem, nCols * elem)
+            r += 1
+          }
+          ((ci * chunkRows).toLong, (cj * cc).toLong,
+            if (gzip) deflate(buf) else buf)
+        }
+        (name, cs.toIndexedSeq)
+      }.toMap
 
     def chunkedLayoutBody(btreeAddr: Long, m: Matrix): Array[Byte] = {
       val b = le(23)
@@ -320,7 +335,7 @@ object Hdf5Writer {
       b.put(2.toByte) // chunked
       b.put(3.toByte) // dimensionality = rank + 1 (element-size dim)
       b.putLong(btreeAddr)
-      b.putInt(chunkRows); b.putInt(m.cols); b.putInt(elemSize(m))
+      b.putInt(chunkRows); b.putInt(ccOf(m)); b.putInt(elemSize(m))
       b.array()
     }
 
@@ -373,7 +388,7 @@ object Hdf5Writer {
       (name, a)
     }.toMap
     val chunkAddrs: Map[String, IndexedSeq[Long]] = datasets.map { case (name, _) =>
-      val as = chunkBlobs(name).map { blob =>
+      val as = chunkBlobs(name).map { case (_, _, blob) =>
         val a = cursor
         cursor += pad8(blob.length)
         a
@@ -449,19 +464,19 @@ object Hdf5Writer {
       out.put(0.toByte) // level
       out.putShort(blobs.length.toShort)
       out.putLong(Undef); out.putLong(Undef)
-      blobs.zipWithIndex.foreach { case (blob, ci) =>
+      blobs.zipWithIndex.foreach { case ((rowOff, colOff, blob), ci) =>
         out.putInt(blob.length) // stored size
         out.putInt(0) // filter mask
-        out.putLong(ci.toLong * chunkRows) // row offset
-        out.putLong(0L) // col offset
+        out.putLong(rowOff)
+        out.putLong(colOff)
         out.putLong(0L) // element-dim offset
         out.putLong(addrs(ci)) // child: chunk address
       }
       // final key: first offset past the last chunk
       out.putInt(0); out.putInt(0)
-      out.putLong(blobs.length.toLong * chunkRows)
+      out.putLong(blobs.map(_._1).max + chunkRows)
       out.putLong(m.cols.toLong); out.putLong(elemSize(m).toLong)
-      blobs.zipWithIndex.foreach { case (blob, ci) =>
+      blobs.zipWithIndex.foreach { case ((_, _, blob), ci) =>
         out.position(addrs(ci).toInt)
         out.put(blob)
       }

@@ -166,6 +166,31 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     checkHdf5Chunked(gzip = true)
   }
 
+  test("HDF5 column-split chunks reassemble rows through the fragment shuffle") {
+    val (train, test, neighbors) = annFixture
+    val f = java.io.File.createTempFile("graft_ann_colsplit_", ".hdf5")
+    // 8x6-row chunks of 3 columns each: every row spans TWO chunks (the
+    // shape h5py's guess_chunk can pick for very wide rows)
+    graft.sources.Hdf5Writer.writeChunked(f.getPath, Seq(
+      "train" -> graft.sources.Hdf5Writer.FloatMatrix(train),
+      "test" -> graft.sources.Hdf5Writer.FloatMatrix(test),
+      "neighbors" -> graft.sources.Hdf5Writer.IntMatrix(neighbors)),
+      chunkRows = 8, gzip = true, chunkCols = 3)
+    val cm = graft.sources.Hdf5.datasets(f.getPath).map(d => d.name -> d).toMap
+      .apply("train").chunked.get
+    assert(cm.chunkCols === 3 && cm.chunks.length === 6) // 3 row-bands x 2 col-slices
+    assert(cm.chunks.exists(_.colStart == 3L), "column-split chunk index expected")
+    val tr = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(tr.length === 20)
+    assert(tr(7).getSeq[Float](1) === Seq(70.0f, 71.0f, 72.0f, 73.0f))
+    assert(tr(19).getSeq[Float](1) === Seq(190.0f, 191.0f, 192.0f, 193.0f))
+    // int path reassembles too (3-col rows in 2-col chunks: uneven split)
+    val nb = graft.sources.Hdf5.readNeighbors(spark, f.getPath)
+    assert(nb.count() === 15)
+    assert(nb.filter("query_id = 3 AND rank = 2").head.getLong(2) === 301L)
+  }
+
   test("HDF5 reader rejects what it cannot parse with a clear error") {
     val bad = java.io.File.createTempFile("graft_noth5_", ".hdf5")
     val out = new FileOutputStream(bad)
