@@ -185,6 +185,15 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(resultSet(lsm.compact().query(queries, 10, searchWidth = 0)) == viaLsm)
   }
 
+  test("driverless routing (batch over maxBatch) equals the broadcast probe") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350)).ingest(slice(350, 400))
+    val viaBroadcast = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    // maxBatch=2 forces the per-member queryDistributed path + merge
+    val viaShuffle = resultSet(lsm.query(queries, 10, searchWidth = 0, maxBatch = 2))
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("beam probe across generations reaches exact recall at full width") {
     val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
       .ingest(slice(300, 400))
