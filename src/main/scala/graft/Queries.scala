@@ -937,13 +937,20 @@ object Queries {
     * distance is a sequential Double fold, so the lossy pipeline is
     * bit-reproducible and has an exact SQL oracle (recall is bounded
     * separately in PqKnnSpec). */
+  // one deterministic codebook calibration per sf dir, shared by v27/v28
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Int, Int)]()
+  private def pqCodebooks(s: SparkSession, dir: String): (Array[Float], Int, Int) =
+    pqCbCache.computeIfAbsent(dir, _ =>
+      graft.operators.PqKnn.codebooks(embCorpus(s, dir), numCodewords = 16, m = 8))
+
   def v27PqKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val corpus = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("id"), col("embedding"))
-    graft.operators.PqKnn.knnJoin(queries, corpus, k = 10, m = 8, numCodewords = 16)
+    val (flat, kEff, subDim) = pqCodebooks(s, dir)
+    graft.operators.PqKnn.knnJoinWith(queries, embCorpus(s, dir), k = 10,
+      flat, kEff, subDim, m = 8)
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -998,7 +1005,9 @@ object Queries {
     val corpus = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("id"), col("embedding"))
     val k = 10
-    val pool = graft.operators.PqKnn.knnJoin(queries, corpus, k = 4 * k, m = 8, numCodewords = 16)
+    val (flat, kEff, subDim) = pqCodebooks(s, dir)
+    val pool = graft.operators.PqKnn
+      .knnJoinWith(queries, corpus, k = 4 * k, flat, kEff, subDim, m = 8)
       .select(col("query_id"), col("neighbor_id"))
     val qFull = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
