@@ -1042,6 +1042,69 @@ object Queries {
       |FROM r2 WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v29_ivfpq
+  /** IVF-PQ composition (see [[graft.operators.PqKnn.ivfKnnJoinWith]]):
+    * the coarse quantizer prunes the scan to nprobe/numCentroids of the
+    * corpus, PQ collapses each surviving candidate to 8 bytes — the two
+    * approximations multiply into the standard billion-scale ANN shape.
+    * Deterministic sampled centroids (8 cells, probe 3) + the shared
+    * v27/v28 codebook calibration keep an exact SQL oracle over the whole
+    * composed pipeline. */
+  def v29IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (flat, kEff, subDim) = pqCodebooks(s, dir)
+    graft.operators.PqKnn.ivfKnnJoinWith(queries, embCorpus(s, dir), k = 10,
+      numCentroids = 8, nprobe = 3, flat, kEff, subDim, m = 8)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v29Oracle = {
+    def l2(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
+    def l2sub(x: String, cbx: String) =
+      s"list_sum(list_transform(generate_series(1, 8), i -> (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE)) * (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE))))"
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     cstats AS (SELECT CAST((max(id) + 8) // 8 AS BIGINT) AS stride FROM corpus),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding
+      |               FROM corpus, cstats WHERE id % greatest(stride, 1) = 0),
+      |     assigned AS (SELECT id, cell FROM (
+      |                    SELECT c.id, ct.centroid_id AS cell,
+      |                      row_number() OVER (PARTITION BY c.id ORDER BY ${l2("c.embedding", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                    FROM corpus c CROSS JOIN cents ct) WHERE crank = 1),
+      |     qcells AS (SELECT query_id, cell FROM (
+      |                  SELECT q.query_id, ct.centroid_id AS cell,
+      |                    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2("q.qe", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                  FROM q CROSS JOIN cents ct) WHERE crank <= 3),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
+      |     cw AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, embedding AS cb
+      |            FROM corpus, stats WHERE id % greatest(stride, 1) = 0),
+      |     sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |     enc AS (SELECT id, s, j AS code FROM (
+      |               SELECT c.id, sp.s, cw.j,
+      |                 row_number() OVER (PARTITION BY c.id, sp.s
+      |                   ORDER BY ${l2sub("c.embedding", "cw.cb")}, cw.j) AS rn
+      |               FROM corpus c, sp, cw) WHERE rn = 1),
+      |     adc AS (SELECT qc.query_id, e.id AS neighbor_id,
+      |               list_sum(list((${l2sub("qq.qe", "cw.cb")}) ORDER BY e.s)) AS distance
+      |             FROM qcells qc
+      |             JOIN q qq ON qq.query_id = qc.query_id
+      |             JOIN assigned a ON a.cell = qc.cell
+      |             JOIN enc e ON e.id = a.id
+      |             JOIN cw ON cw.j = e.code
+      |             JOIN sp ON sp.s = e.s
+      |             GROUP BY qc.query_id, e.id),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM adc)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1340,6 +1403,7 @@ object Queries {
     "v26_sq8_beam" -> v26Oracle,
     "v27_pq_knn" -> v27Oracle,
     "v28_pq_rerank" -> v28Oracle,
+    "v29_ivfpq" -> v29Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

@@ -91,6 +91,22 @@ object IvfKnn {
       coalesce(element_at(nearestCells(col("embedding"), cs, 1), 1), lit(-1L))
         .as("cell"))
 
+  /** Query routing face for composed pipelines (e.g. IVF-PQ): one row per
+    * (query, probed cell) — `(query_id, q_embedding, cell)` for the nprobe
+    * nearest cells, from the same per-row codegen'd argmin as [[assign]]
+    * (no join, no window, no shuffle on the query side). */
+  def route(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val cs = collectCentroids(cents)
+    if (cs.ids.isEmpty)
+      queries.filter(lit(false))
+        .select(col("query_id"), col("embedding").as("q_embedding"),
+          lit(-1L).as("cell"))
+    else
+      queries.select(
+        col("query_id"), col("embedding").as("q_embedding"),
+        explode(nearestCells(col("embedding"), cs, nprobe)).as("cell"))
+  }
+
   /** IVF kNN: probe the nprobe nearest cells per query, exact top-k among
     * their members (may return fewer than k — the approximation).
     * Output (query_id, rank, neighbor_id, distance). */

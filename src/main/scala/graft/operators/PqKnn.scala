@@ -142,4 +142,45 @@ object PqKnn {
     val (flat, kEff, subDim) = codebooks(corpus, numCodewords, m)
     knnJoinWith(queries, corpus, k, flat, kEff, subDim, m)
   }
+
+  /** IVF-PQ kNN (the FAISS `IVFPQ` composition, flat-codebook flavor):
+    * the coarse quantizer prunes the scan to the `nprobe` nearest cells
+    * per query and PQ scores only those cells' members — the two
+    * approximations multiply, which is the standard billion-scale ANN
+    * architecture.
+    *
+    * Scale shape on top of the pieces it composes
+    * ([[graft.operators.IvfKnn]] cell argmin, the PQ codec here):
+    *  - corpus state after the map-only encode is `(id, cell, m bytes)`
+    *    — the float embeddings never leave their scan;
+    *  - the probe join broadcasts ONLY per-(query, cell) ADC tables
+    *    (m x k doubles, ~1 KB each — `|Q| x nprobe` of them), never the
+    *    query embeddings;
+    *  - the cell equi-join replaces v27's crossJoin: candidate volume
+    *    drops by ~numCentroids/nprobe, and the one hash exchange remains
+    *    the rank window's `query_id` partitioning.
+    *
+    * Both quantizers stay deterministic (sampled centroids, explicit
+    * codebook), so the whole composition has an exact SQL oracle
+    * (v29_ivfpq). Trained codebooks ([[trainCodebooks]]) drop into the
+    * same slot. */
+  def ivfKnnJoinWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nprobe: Int,
+      flat: Array[Float], kEff: Int, subDim: Int, m: Int): DataFrame = {
+    val cents = IvfKnn.centroids(corpus, numCentroids)
+    val codes = IvfKnn.assign(corpus, cents)
+      .select(col("id").as("neighbor_id"), col("cell"),
+        PqFunctions.encode(col("embedding"), flat, m, kEff, subDim).as("codes"))
+    val routed = IvfKnn.route(queries, cents, nprobe)
+      .select(col("query_id"), col("cell"),
+        PqFunctions.adcTable(col("q_embedding"), flat, m, kEff, subDim).as("tab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    codes.join(broadcast(routed), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        PqFunctions.adcLookup(col("tab"), col("codes"), kEff).as("distance"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+  }
 }

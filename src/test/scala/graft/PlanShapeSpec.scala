@@ -136,6 +136,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"vec_id filter not pushed to scan:\n${p.take(3000)}")
   }
 
+  test("v29 IVF-PQ: cell argmin and codes scan-side, ADC-table-only broadcast, one exchange") {
+    val p = plan("v29_ivfpq")
+    // both quantizers run as projections over the scans: the coarse cell
+    // argmin and the PQ encode on the corpus side, the ADC table on the
+    // query side — embeddings never survive past their scan's project
+    assert(p.contains("nearest_centroids") && p.contains("pq_encode")
+      && p.contains("pq_adc_table") && p.contains("pq_adc_lookup"),
+      s"quantizer expressions missing from plan:\n${p.take(3500)}")
+    // the broadcast carries (query_id, cell, ADC table) — never q_embedding
+    val bcast = p.substring(p.indexOf("BroadcastExchange"))
+    assert(!bcast.contains("q_embedding"),
+      s"query embeddings leaked into the probe broadcast:\n${p.take(4000)}")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${p.take(3000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3500)}")
+  }
+
   test("v24 filtered kNN pushes the label predicate through the custom operator") {
     // the initial AQE plan still shows the logical KnnCandidates node
     // (KnnStrategy plans it at execution — v11's oracle proves that path)

@@ -98,6 +98,31 @@ class PqKnnSpec extends AnyFunSuite with SparkSuite {
     assert(rerankRecall >= top10, "rerank must not be worse than raw PQ top-10")
   }
 
+  test("IVF-PQ equals plain PQ restricted to the probed cells' members") {
+    import graft.operators.IvfKnn
+    val (flat, kEff, subDim) = PqKnn.codebooks(corpus, numCodewords = 16, m = 8)
+    val got = PqKnn.ivfKnnJoinWith(queries, corpus, k = 10,
+        numCentroids = 8, nprobe = 3, flat, kEff, subDim, m = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // reference: all-pairs PQ distances, filtered to candidates whose
+    // assigned cell is among the query's 3 probed cells, re-ranked
+    val n = corpus.count().toInt
+    val cents = IvfKnn.centroids(corpus, 8)
+    val cellOf = IvfKnn.assign(corpus, cents).select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = IvfKnn.route(queries, cents, 3).select(col("query_id"), col("cell"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val expect = PqKnn.knnJoinWith(queries, corpus, k = n, flat, kEff, subDim, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter { case (q, id, _) => probed(q).contains(cellOf(id)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(10).zipWithIndex
+          .map { case ((_, id, d), i) => (q, i + 1, id, d) }
+      }
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+    assert(got.nonEmpty && got.map(_._1).distinct.length == 10)
+  }
+
   test("k-means-trained codebooks beat the sampled init and are deterministic") {
     val exact = Queries.v4KnnExact(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
