@@ -1105,6 +1105,92 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v30_ivfpq_residual
+  // residual-frame codebook calibration, one per sf dir (bounded collect
+  // inside PqKnn.codebooks; the residual plan itself stays lazy)
+  private val residCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Int, Int)]()
+
+  /** Residual-encoded IVF-PQ (see [[graft.operators.PqKnn.ivfPqResidualJoin]]):
+    * identical (cells, nprobe, m, codewords) budget to v29, but PQ codes
+    * the residual `x - centroid(cell(x))` and each (query, cell) pair
+    * gets its own `q - centroid` ADC table — the faithful FAISS IVFPQ,
+    * whose codewords spend their precision on the tight residual
+    * distribution instead of the global spread. Every stage stays
+    * deterministic (sampled centroids, float32 residuals, id-stride
+    * residual codebooks), so the full composition hash-matches a SQL
+    * oracle that replays it. */
+  def v30IvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = embCorpus(s, dir)
+    val cents = graft.operators.IvfKnn.centroids(corpus, 8)
+    val resid = graft.operators.PqKnn.residuals(corpus, cents)
+    val (flat, kEff, subDim) = residCbCache.computeIfAbsent(dir,
+      _ => graft.operators.PqKnn.codebooks(resid, numCodewords = 16, m = 8))
+    graft.operators.PqKnn.ivfPqResidualJoinWith(queries, corpus, k = 10,
+      cents, resid, nprobe = 3, flat, kEff, subDim, m = 8)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v30Oracle = {
+    def l2(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
+    // subspace L2 over residual lists (already FLOAT-rounded)
+    def l2sub(x: String, cbx: String) =
+      s"list_sum(list_transform(generate_series(1, 8), i -> (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE)) * (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE))))"
+    // float32 residual: exact double difference rounded to FLOAT equals
+    // the engine's single-precision zip_with subtraction
+    def fsub(x: String, c: String) =
+      s"list_transform(generate_series(1, len($x)), i -> CAST(CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE) AS FLOAT))"
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     cstats AS (SELECT CAST((max(id) + 8) // 8 AS BIGINT) AS stride FROM corpus),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding
+      |               FROM corpus, cstats WHERE id % greatest(stride, 1) = 0),
+      |     assigned AS (SELECT id, cell FROM (
+      |                    SELECT c.id, ct.centroid_id AS cell,
+      |                      row_number() OVER (PARTITION BY c.id ORDER BY ${l2("c.embedding", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                    FROM corpus c CROSS JOIN cents ct) WHERE crank = 1),
+      |     qcells AS (SELECT query_id, cell FROM (
+      |                  SELECT q.query_id, ct.centroid_id AS cell,
+      |                    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2("q.qe", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                  FROM q CROSS JOIN cents ct) WHERE crank <= 3),
+      |     rv AS (SELECT a.id, a.cell, ${fsub("c.embedding", "ct.c_embedding")} AS r
+      |            FROM assigned a
+      |            JOIN corpus c ON c.id = a.id
+      |            JOIN cents ct ON ct.centroid_id = a.cell),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
+      |     cw AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, r AS cb
+      |            FROM rv, stats WHERE id % greatest(stride, 1) = 0),
+      |     sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |     enc AS (SELECT id, s, j AS code FROM (
+      |               SELECT v.id, sp.s, cw.j,
+      |                 row_number() OVER (PARTITION BY v.id, sp.s
+      |                   ORDER BY ${l2sub("v.r", "cw.cb")}, cw.j) AS rn
+      |               FROM rv v, sp, cw) WHERE rn = 1),
+      |     qr AS (SELECT qc.query_id, qc.cell, ${fsub("qq.qe", "ct.c_embedding")} AS r
+      |            FROM qcells qc
+      |            JOIN q qq ON qq.query_id = qc.query_id
+      |            JOIN cents ct ON ct.centroid_id = qc.cell),
+      |     adc AS (SELECT qr.query_id, e.id AS neighbor_id,
+      |               list_sum(list((${l2sub("qr.r", "cw.cb")}) ORDER BY e.s)) AS distance
+      |             FROM qr
+      |             JOIN assigned a ON a.cell = qr.cell
+      |             JOIN enc e ON e.id = a.id
+      |             JOIN cw ON cw.j = e.code
+      |             JOIN sp ON sp.s = e.s
+      |             GROUP BY qr.query_id, e.id),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM adc)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1404,6 +1490,7 @@ object Queries {
     "v27_pq_knn" -> v27Oracle,
     "v28_pq_rerank" -> v28Oracle,
     "v29_ivfpq" -> v29Oracle,
+    "v30_ivfpq_residual" -> v30Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

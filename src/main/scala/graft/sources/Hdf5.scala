@@ -20,12 +20,14 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *   - simple dataspaces (rank 1/2), fixed-point and IEEE float datatypes
   *     in either byte order, CONTIGUOUS, COMPACT or CHUNKED data layout
   *   - chunked datasets may be DEFLATE-compressed (`compression="gzip"`,
-  *     the h5py default filter); chunk records come from the v1 chunk
-  *     B-tree, and each task inflates only its own chunks
+  *     the h5py default filter) and byte-SHUFFLED (`shuffle=True`, the
+  *     usual companion flag); chunk records come from the v1 chunk
+  *     B-tree, and each task undoes only its own chunks' filters, in
+  *     reverse pipeline order with per-chunk mask bits honored
   *
-  * Fractal-heap ("dense") groups, non-atomic datatypes, filters other
-  * than deflate (shuffle/fletcher32/szip), and chunk shapes that split
-  * rows across chunks are out of scope and rejected with a clear error.
+  * Fractal-heap ("dense") groups, non-atomic datatypes, and filters other
+  * than deflate + shuffle (fletcher32/szip/lzf) are out of scope and
+  * rejected with a clear error.
   * Metadata (a few KB, including the chunk index) is parsed on the
   * driver; bulk data reads are DISTRIBUTED, exactly like
   * [[BinaryVectors]]: contiguous layouts stream fixed-stride row slices,
@@ -47,10 +49,14 @@ object Hdf5 {
       storedSize: Long, filterMask: Int)
 
   /** Chunked-layout metadata: chunk shape + the flattened chunk index
-    * (driver-parsed — a few bytes per chunk) and whether the deflate
-    * filter applies. */
-  final case class ChunkedMeta(chunkRows: Int, chunkCols: Int, gzip: Boolean,
-      chunks: Seq[ChunkRec])
+    * (driver-parsed — a few bytes per chunk) and the filter pipeline as
+    * HDF5 filter ids in WRITE order (1 = deflate, 2 = shuffle); reads
+    * undo them in reverse. */
+  final case class ChunkedMeta(chunkRows: Int, chunkCols: Int,
+      filters: Seq[Int], chunks: Seq[ChunkRec]) {
+    def gzip: Boolean = filters.contains(1)
+    def shuffled: Boolean = filters.contains(2)
+  }
 
   /** One dataset's metadata: `dims` is the dataspace shape; the raw data
     * live at `dataAddress` (contiguous), inline (`compact`), or in
@@ -134,6 +140,43 @@ object Hdf5 {
     readNeighbors(spark, path, "neighbors").write.mode("overwrite").parquet(s"$outDir/neighbors")
   }
 
+  /** Inflate one deflate-compressed chunk to its full (edge-padded)
+    * size. Runs inside executor tasks. */
+  private def inflateChunk(stored: Array[Byte], outLen: Int, addr: Long): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(stored)
+    val out = new Array[Byte](outLen)
+    var off = 0
+    while (off < out.length && !inf.finished()) {
+      val n = inf.inflate(out, off, out.length - off)
+      if (n == 0 && inf.needsInput()) throw new IOException(
+        s"truncated deflate chunk at $addr")
+      off += n
+    }
+    inf.end()
+    out
+  }
+
+  /** Undo the HDF5 SHUFFLE filter (id 2): the stored chunk holds all
+    * first bytes of each element, then all second bytes, ... — transpose
+    * back to element order. Runs inside executor tasks. */
+  private def unshuffle(data: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return data
+    val n = data.length / elemSize
+    val out = new Array[Byte](data.length)
+    var j = 0
+    var src = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + j) = data(src); src += 1; i += 1 }
+      j += 1
+    }
+    // trailing bytes short of a full element pass through unshuffled
+    // (mirrors the reference C filter's leftover handling)
+    if (src < data.length) System.arraycopy(data, src, out, src, data.length - src)
+    out
+  }
+
   /** Distributed row reader over a contiguous (or small compact) layout:
     * row i of an N x d matrix lives at dataAddress + i*stride. Chunked
     * layouts partition whole chunks across tasks; each task reads and
@@ -148,7 +191,7 @@ object Hdf5 {
       case (Some(cm), _) =>
         val chunkBytes = cm.chunkRows.toLong * cm.chunkCols * info.dtype.size
         require(chunkBytes <= Int.MaxValue, s"chunk too large: $chunkBytes bytes")
-        val gzip = cm.gzip
+        val filters = cm.filters
         val chunkRows = cm.chunkRows
         val chunkCols = cm.chunkCols
         val cols = info.cols
@@ -169,21 +212,20 @@ object Hdf5 {
               val stored = new Array[Byte](rec.storedSize.toInt)
               raf.seek(rec.addr)
               raf.readFully(stored)
-              // filter mask bit 0 set = deflate skipped for this chunk
-              if (gzip && (rec.filterMask & 1) == 0) {
-                val inf = new java.util.zip.Inflater()
-                inf.setInput(stored)
-                val out = new Array[Byte](chunkBytes.toInt)
-                var off = 0
-                while (off < out.length && !inf.finished()) {
-                  val n = inf.inflate(out, off, out.length - off)
-                  if (n == 0 && inf.needsInput()) throw new IOException(
-                    s"truncated deflate chunk at ${rec.addr}")
-                  off += n
+              // undo the pipeline in REVERSE write order; filter mask
+              // bit i set = pipeline filter i skipped for this chunk
+              var data = stored
+              var fi = filters.length - 1
+              while (fi >= 0) {
+                if ((rec.filterMask & (1 << fi)) == 0) {
+                  data = filters(fi) match {
+                    case 1 => inflateChunk(data, chunkBytes.toInt, rec.addr)
+                    case 2 => unshuffle(data, elemSize)
+                  }
                 }
-                inf.end()
-                out
-              } else stored
+                fi -= 1
+              }
+              data
             } finally raf.close()
             // edge chunks are stored full-size; only the valid region counts
             val validRows = math.min(chunkRows.toLong, count - rec.rowStart).toInt
@@ -468,19 +510,21 @@ object Hdf5 {
           val rank = dims.length
           require(chunkDims.length == rank + 1,
             s"dataset '$name': chunk rank ${chunkDims.length - 1} != dataspace rank $rank")
-          val gzip = msgs.find(_._1 == 0x000B).exists(m => filterPipelineHasDeflate(m._2, name))
+          val filters = msgs.find(_._1 == 0x000B)
+            .map(m => filterPipelineIds(m._2, name)).getOrElse(Seq.empty)
           val chunks = chunkBtreeEntries(btreeAddr, rank + 1)
           val (cr, cc) =
             if (rank == 1) (chunkDims(0), 1)
             else (chunkDims(0), chunkDims(1))
           DatasetInfo(name, dims, dtype, Undef, None,
-            Some(ChunkedMeta(cr, cc, gzip, chunks)))
+            Some(ChunkedMeta(cr, cc, filters, chunks)))
       }
     }
 
-    /** True when the filter pipeline is exactly the filters this reader
-      * can undo (deflate, optionally alone); anything else rejects. */
-    private def filterPipelineHasDeflate(body: Array[Byte], name: String): Boolean = {
+    /** Filter ids in pipeline (write) order, restricted to the filters
+      * this reader can undo (1 = deflate, 2 = shuffle); anything else
+      * rejects with a clear error. */
+    private def filterPipelineIds(body: Array[Byte], name: String): Seq[Int] = {
       val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val version = b.get(0) & 0xFF
       val nFilters = b.get(1) & 0xFF
@@ -489,7 +533,7 @@ object Hdf5 {
         case 2 => 2
         case v => throw new IOException(s"dataset '$name': unsupported filter pipeline version $v")
       }
-      var sawDeflate = false
+      val ids = Seq.newBuilder[Int]
       for (_ <- 0 until nFilters) {
         val id = b.getShort(p) & 0xFFFF
         // v1 always carries a name-length field; v2 omits it for id < 256
@@ -503,14 +547,14 @@ object Hdf5 {
         q += 4 * nCd
         if (version == 1 && nCd % 2 == 1) q += 4 // v1 pads client data to 8
         id match {
-          case 1 => sawDeflate = true
+          case 1 | 2 => ids += id
           case other => throw new IOException(
             s"dataset '$name': unsupported HDF5 filter id $other " +
-              "(only deflate/gzip is supported — rewrite without shuffle/fletcher32/szip)")
+              "(only deflate/gzip and shuffle are supported — rewrite without fletcher32/szip/lzf)")
         }
         p = q
       }
-      sawDeflate
+      ids.result()
     }
 
     /** All chunk records under a v1 chunk B-tree (node type 1). Keys carry

@@ -272,15 +272,18 @@ object Hdf5Writer {
 
   /** Write `datasets` with CHUNKED layout — `chunkRows` rows per chunk,
     * and (when `chunkCols` > 0) chunks that also SPLIT each row into
-    * column slices — deflate-compressed when `gzip`. The fixture half of
-    * the chunked/compressed read path ([[Hdf5]] round-trips it,
-    * including the row-reassembly shuffle for column-split shapes).
+    * column slices — deflate-compressed when `gzip`, byte-shuffled first
+    * when `shuffle` (the h5py `shuffle=True` pipeline order). The
+    * fixture half of the chunked/compressed read path ([[Hdf5]]
+    * round-trips it, including the row-reassembly shuffle for
+    * column-split shapes).
     * Classic container, v1 chunk B-tree with one leaf node per dataset. */
   def writeChunked(path: String, datasets: Seq[(String, Matrix)],
-      chunkRows: Int, gzip: Boolean, chunkCols: Int = 0): Unit = {
+      chunkRows: Int, gzip: Boolean, chunkCols: Int = 0,
+      shuffle: Boolean = false): Unit = {
     require(chunkRows > 0, "chunkRows must be positive")
     val sorted = datasets.sortBy(_._1)
-    val bytes = writeChunkedClassic(sorted, chunkRows, gzip, chunkCols)
+    val bytes = writeChunkedClassic(sorted, chunkRows, gzip, chunkCols, shuffle)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     try out.write(bytes) finally out.close()
   }
@@ -295,9 +298,26 @@ object Hdf5Writer {
     out.toByteArray
   }
 
+  /** Forward HDF5 SHUFFLE filter (id 2): gather byte j of every element
+    * into plane j. [[Hdf5]] undoes it on read. */
+  private def shuffleBytes(data: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return data
+    val n = data.length / elemSize
+    val out = new Array[Byte](data.length)
+    var j = 0
+    var dst = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { out(dst) = data(i * elemSize + j); dst += 1; i += 1 }
+      j += 1
+    }
+    if (dst < data.length) System.arraycopy(data, dst, out, dst, data.length - dst)
+    out
+  }
+
   private def writeChunkedClassic(
       datasets: Seq[(String, Matrix)], chunkRows: Int, gzip: Boolean,
-      chunkCols: Int): Array[Byte] = {
+      chunkCols: Int, shuffle: Boolean): Array[Byte] = {
     val K = 4
     require(datasets.length <= 2 * K, s"classic writer supports <= ${2 * K} datasets")
     val chunkKeySize = 8 + 3 * 8 // size, mask, offsets (row, col, elem)
@@ -323,8 +343,9 @@ object Hdf5Writer {
               buf, r * cc * elem, nCols * elem)
             r += 1
           }
+          val filtered0 = if (shuffle) shuffleBytes(buf, elem) else buf
           ((ci * chunkRows).toLong, (cj * cc).toLong,
-            if (gzip) deflate(buf) else buf)
+            if (gzip) deflate(filtered0) else filtered0)
         }
         (name, cs.toIndexedSeq)
       }.toMap
@@ -339,16 +360,26 @@ object Hdf5Writer {
       b.array()
     }
 
-    def filterBody: Array[Byte] = {
-      val b = le(24)
-      b.put(1.toByte); b.put(1.toByte) // pipeline version 1, one filter
+    // pipeline entries in write order: shuffle (cd = element size) first,
+    // then deflate (cd = level) — the h5py shuffle+gzip ordering
+    def filterBody(m: Matrix): Array[Byte] = {
+      val entries =
+        (if (shuffle) Seq((2, Seq(elemSize(m)))) else Nil) ++
+          (if (gzip) Seq((1, Seq(6))) else Nil)
+      val size = 8 + entries.map { case (_, cd) =>
+        8 + 4 * cd.length + (if (cd.length % 2 == 1) 4 else 0)
+      }.sum
+      val b = le(size)
+      b.put(1.toByte); b.put(entries.length.toByte) // pipeline v1, nfilters
       b.put(new Array[Byte](6)) // reserved
-      b.putShort(1.toShort) // filter id: deflate
-      b.putShort(0.toShort) // name length 0
-      b.putShort(0.toShort) // flags
-      b.putShort(1.toShort) // one client value
-      b.putInt(6) // compression level
-      b.putInt(0) // v1 pads client data to 8 bytes
+      entries.foreach { case (id, cd) =>
+        b.putShort(id.toShort)
+        b.putShort(0.toShort) // name length 0
+        b.putShort(0.toShort) // flags
+        b.putShort(cd.length.toShort)
+        cd.foreach(b.putInt)
+        if (cd.length % 2 == 1) b.putInt(0) // v1 pads client data to 8 bytes
+      }
       b.array()
     }
 
@@ -356,7 +387,7 @@ object Hdf5Writer {
       Seq(
         v1Message(0x0001, dataspaceV1Body(m)),
         v1Message(0x0003, datatypeBody(m))) ++
-        (if (gzip) Seq(v1Message(0x000B, filterBody)) else Nil) :+
+        (if (gzip || shuffle) Seq(v1Message(0x000B, filterBody(m))) else Nil) :+
         v1Message(0x0008, chunkedLayoutBody(btreeAddr, m)))
 
     // --- address layout (mirrors writeClassic's fixed header region)

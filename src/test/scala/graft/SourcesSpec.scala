@@ -123,7 +123,7 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(nb.count() === 15)
   }
 
-  private def checkHdf5Chunked(gzip: Boolean): Unit = {
+  private def checkHdf5Chunked(gzip: Boolean, shuffle: Boolean = false): Unit = {
     val (train, test, neighbors) = annFixture
     val f = java.io.File.createTempFile("graft_ann_chunked_", ".hdf5")
     // chunkRows=8 over 20 train rows -> 3 chunks, last one partial (edge
@@ -132,12 +132,16 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
       "train" -> graft.sources.Hdf5Writer.FloatMatrix(train),
       "test" -> graft.sources.Hdf5Writer.FloatMatrix(test),
       "neighbors" -> graft.sources.Hdf5Writer.IntMatrix(neighbors)),
-      chunkRows = 8, gzip = gzip)
+      chunkRows = 8, gzip = gzip, shuffle = shuffle)
 
     val infos = graft.sources.Hdf5.datasets(f.getPath).map(d => d.name -> d).toMap
     assert(infos("train").chunked.isDefined, "train should parse as chunked")
     val cm = infos("train").chunked.get
     assert(cm.chunkRows === 8 && cm.chunkCols === 4 && cm.gzip === gzip)
+    assert(cm.shuffled === shuffle)
+    // write order: shuffle before deflate (read undoes in reverse)
+    val expectFilters = (if (shuffle) Seq(2) else Nil) ++ (if (gzip) Seq(1) else Nil)
+    assert(cm.filters === expectFilters)
     assert(cm.chunks.length === 3)
 
     val tr = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 2)
@@ -164,6 +168,14 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
 
   test("HDF5 chunked + gzip round-trips (deflate chunks inflated per task)") {
     checkHdf5Chunked(gzip = true)
+  }
+
+  test("HDF5 shuffle + gzip round-trips (h5py shuffle=True pipeline, undone in reverse)") {
+    checkHdf5Chunked(gzip = true, shuffle = true)
+  }
+
+  test("HDF5 shuffle-only round-trips (byte transpose without compression)") {
+    checkHdf5Chunked(gzip = false, shuffle = true)
   }
 
   test("HDF5 column-split chunks reassemble rows through the fragment shuffle") {
