@@ -153,6 +153,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3500)}")
   }
 
+  test("v30 residual IVF-PQ: residuals stay scan-side projections, corpus never shuffles, one exchange") {
+    val p = plan("v30_ivfpq_residual")
+    // residual = zip_with(x, centroid) is a projection under the encode;
+    // both quantizers and the ADC table remain scan-side expressions
+    assert(p.contains("nearest_centroids") && p.contains("pq_encode")
+      && p.contains("pq_adc_table") && p.contains("pq_adc_lookup"),
+      s"quantizer expressions missing from plan:\n${p.take(3500)}")
+    assert(p.contains("zip_with"),
+      s"residual subtraction missing from plan:\n${p.take(3500)}")
+    // the probe join's output carries only (ids, distance): embeddings
+    // and residuals never cross the top-k exchange
+    assert("Project \\[query_id#\\d+L?, neighbor_id#\\d+L?, pq_adc_lookup".r.findFirstIn(p).isDefined,
+      s"join output must carry only (ids, distance):\n${p.take(4000)}")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${p.take(3000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3500)}")
+    assert("hashpartitioning\\(id#".r.findFirstIn(p).isEmpty,
+      s"corpus side must never shuffle:\n${p.take(4000)}")
+  }
+
   test("v24 filtered kNN pushes the label predicate through the custom operator") {
     // the initial AQE plan still shows the logical KnnCandidates node
     // (KnnStrategy plans it at execution — v11's oracle proves that path)
