@@ -1191,6 +1191,49 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v31_binary_knn
+  /** Binary (1-bit) quantized kNN: corpus and queries collapse to one
+    * SIGN BIT per dimension scan-side ([[graft.functions.VecBits]] — 8 B
+    * per 64-d vector, 32x under float32), candidates rank by exact
+    * integer Hamming distance (XOR + popcount). The cheapest possible
+    * candidate-generation scan; compose with the v22/v28 rerank stage
+    * for precision like the other lossy codecs. The sign test makes the
+    * whole pipeline engine-invariant, so the oracle counts sign
+    * disagreements directly — pad bits cancel in the XOR. */
+  def v31BinaryKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryQuantFunctions
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        BinaryQuantFunctions.bits(col("embedding")).as("qb"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        BinaryQuantFunctions.bits(col("embedding")).as("cb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("distance"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v31Oracle =
+    """WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     d AS (SELECT q.query_id, c.id AS neighbor_id,
+      |             CAST(list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |               i -> CASE WHEN (qe[i] > 0) <> (c.embedding[i] > 0) THEN 1 ELSE 0 END)) AS INT) AS distance
+      |           FROM q, corpus c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1491,6 +1534,7 @@ object Queries {
     "v28_pq_rerank" -> v28Oracle,
     "v29_ivfpq" -> v29Oracle,
     "v30_ivfpq_residual" -> v30Oracle,
+    "v31_binary_knn" -> v31Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

@@ -73,6 +73,7 @@ object SparkEntry {
     "v28_pq_rerank" -> ((s, dir) => Queries.v28PqRerank(s, dir)),
     "v29_ivfpq" -> ((s, dir) => Queries.v29IvfPq(s, dir)),
     "v30_ivfpq_residual" -> ((s, dir) => Queries.v30IvfPqResidual(s, dir)),
+    "v31_binary_knn" -> ((s, dir) => Queries.v31BinaryKnn(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

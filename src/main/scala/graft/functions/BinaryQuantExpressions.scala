@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types._
+
+/** Binary (1-bit) quantization of float vectors — the extreme end of the
+  * quantization family next to SQ8 (4x, [[Sq8Expressions]]) and PQ (32x,
+  * [[PqExpressions]]): ONE bit per dimension, 32x smaller than float32
+  * and 8x smaller than SQ8. A 768-d vector becomes 96 bytes; Hamming
+  * distance over the packed bits is a handful of XOR+popcount words per
+  * candidate, making this the cheapest possible candidate-generation
+  * scan at 100 TB (compose with the v22/v28 exact-rerank stage for
+  * precision, exactly like the other lossy codecs).
+  *
+  * Determinism contract: bit i is `v[i] > 0` — a sign test, no
+  * thresholds to calibrate, identical in every engine — and the Hamming
+  * distance is an exact integer, so binary kNN is hash-comparable
+  * against a SQL oracle that counts sign disagreements directly
+  * (`(x[i] > 0) <> (y[i] > 0)`): trailing pad bits in the last byte are
+  * zero on both sides and cancel in the XOR.
+  *
+  * Both expressions are whole-stage-codegen'd primitive loops, same
+  * pattern as [[VecSq8Encode]]/[[VecSq8L2Sq]].
+  */
+case class VecBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte]((n + 7) >>> 3)
+    var i = 0
+    while (i < n) {
+      if (a.getFloat(i) > 0f) out(i >>> 3) = (out(i >>> 3) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final byte[] $out = new byte[($n + 7) >>> 3];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getFloat($i) > 0f) {
+         |    $out[$i >>> 3] = (byte) ($out[$i >>> 3] | (1 << (7 - ($i & 7))));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "vec_bits"
+}
+
+/** Hamming distance between two packed bit vectors: popcount of the
+  * bytewise XOR, an exact INT (max = dimension). */
+case class VecHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == BinaryType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two BINARY arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw VecHamming.dimMismatch(x.length, y.length)
+    var acc = 0
+    var i = 0
+    while (i < x.length) {
+      acc += Integer.bitCount((x(i) ^ y(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  throw graft.functions.VecHamming.dimMismatch($a.length, $b.length);
+         |}
+         |int $acc = 0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $acc += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_hamming"
+}
+
+object VecHamming {
+  /** Called from generated code too — keep public, Java-callable. */
+  def dimMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_hamming: mismatched packed vector lengths ($a vs $b bytes)")
+}
+
+/** Column + SQL surface for the binary codec. */
+object BinaryQuantFunctions {
+  import GraftSqlBridge.{column => toCol, expression => toExpr}
+
+  def bits(vec: Column): Column = toCol(VecBits(toExpr(vec)))
+
+  def hamming(a: Column, b: Column): Column =
+    toCol(VecHamming(toExpr(a), toExpr(b)))
+
+  def register(spark: SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "vec_bits", es => VecBits(es(0)))
+    GraftSqlBridge.registerFunction(spark, "vec_hamming", es => VecHamming(es(0), es(1)))
+  }
+}

@@ -246,5 +246,6 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(spark, "vec_ip_dist", es => InnerProductDistance(es(0), es(1)))
     GraftSqlBridge.registerFunction(spark, "vec_cos_dist", es => CosineDistance(es(0), es(1)))
     Sq8Functions.register(spark)
+    BinaryQuantFunctions.register(spark)
   }
 }

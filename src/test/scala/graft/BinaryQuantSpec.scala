@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BinaryQuantFunctions
+
+/** Binary (1-bit) quantization: packing layout, Hamming distance against
+  * a Scala reference, SQL surface, error handling, and candidate-pool
+  * usefulness vs exact search. */
+class BinaryQuantSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("vec_bits packs one SIGN bit per dimension, MSB-first (32x under float32)") {
+    val rows = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        BinaryQuantFunctions.bits(col("embedding")).as("b"))
+      .collect()
+    for (r <- rows) {
+      val v = r.getSeq[Float](1)
+      val b = r.getAs[Array[Byte]](2)
+      assert(b.length == (v.length + 7) / 8, s"vec ${r.getLong(0)} packed length")
+      for (i <- v.indices) {
+        val bit = (b(i >>> 3) >> (7 - (i & 7))) & 1
+        assert(bit == (if (v(i) > 0f) 1 else 0), s"vec ${r.getLong(0)} bit $i")
+      }
+      // pad bits in the last byte stay zero (they must cancel in the XOR)
+      for (i <- v.length until b.length * 8) {
+        assert(((b(i >>> 3) >> (7 - (i & 7))) & 1) == 0, s"pad bit $i set")
+      }
+    }
+  }
+
+  test("vec_hamming equals the sign-disagreement count (Scala reference)") {
+    val rows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("ida"), BinaryQuantFunctions.bits(col("embedding")).as("ba"))
+      .crossJoin(emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("idb"), BinaryQuantFunctions.bits(col("embedding")).as("bb")))
+      .select(col("ida"), col("idb"),
+        BinaryQuantFunctions.hamming(col("ba"), col("bb")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (((a, b), d) <- got) {
+      val expect = rows(a).zip(rows(b)).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(d == expect, s"hamming($a, $b) = $d, want $expect")
+    }
+    // self-distance is zero
+    assert((0L until 6L).forall(i => got((i, i)) == 0))
+  }
+
+  test("SQL surface: vec_bits / vec_hamming registered") {
+    graft.functions.GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("bin_emb")
+    val n = spark.sql(
+      """SELECT vec_hamming(vec_bits(a.embedding), vec_bits(b.embedding)) AS d
+        |FROM bin_emb a JOIN bin_emb b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 5""".stripMargin).collect()
+    assert(n.length == 5 && n.forall(r => r.getInt(0) >= 0))
+  }
+
+  test("vec_hamming raises on mismatched packed lengths") {
+    import spark.implicits._
+    val df = Seq((Array[Byte](1, 2, 3), Array[Byte](1, 2))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(BinaryQuantFunctions.hamming(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(t => Option(t.getMessage).exists(_.contains("mismatched"))))
+  }
+
+  test("binary pool is a useful candidate generator: recall well above chance") {
+    val exact = Queries.v4KnnExact(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusSize = emb.filter(col("vec_id") >= 10).count().toDouble
+    def recallOf(pool: Int): Double = {
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), BinaryQuantFunctions.bits(col("embedding")).as("qb"))
+      val c = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), BinaryQuantFunctions.bits(col("embedding")).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+      val got = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
+          BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("d"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= pool)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val pool40 = recallOf(40)
+    assert(pool40 > 40.0 / corpusSize * 3,
+      s"pool-40 recall $pool40 no better than chance")
+  }
+}

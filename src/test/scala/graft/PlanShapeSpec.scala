@@ -173,6 +173,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"corpus side must never shuffle:\n${p.take(4000)}")
   }
 
+  test("v31 binary kNN: sign bits packed scan-side, one bounded exchange") {
+    val p = plan("v31_binary_knn")
+    // vec_bits runs as a projection over each scan (map-only, 1 bit/dim);
+    // only (query_id, neighbor_id, int distance) cross the join and the
+    // top-k exchange — embeddings never leave their scan
+    assert(p.contains("vec_bits") && p.contains("vec_hamming"),
+      s"binary codec expressions missing from plan:\n${p.take(3000)}")
+    assert("Project \\[query_id#\\d+L?, neighbor_id#\\d+L?, vec_hamming".r.findFirstIn(p).isDefined,
+      s"join output must carry only (ids, distance):\n${p.take(3500)}")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${p.take(3000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash Exchange, got $shuffles:\n${p.take(3000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"),
+      s"vec_id filter not pushed to scan:\n${p.take(3000)}")
+  }
+
   test("v24 filtered kNN pushes the label predicate through the custom operator") {
     // the initial AQE plan still shows the logical KnnCandidates node
     // (KnnStrategy plans it at execution — v11's oracle proves that path)
