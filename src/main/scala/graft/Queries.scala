@@ -1234,6 +1234,107 @@ object Queries {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v32_binary_rerank
+  /** Two-stage retrieval with a BINARY first stage — the standard way
+    * 1-bit codes are deployed: the Hamming scan over 8-byte codes builds
+    * a 4k candidate pool per query (the cheapest possible coarse pass),
+    * and the pool re-joins the id-bucketed full-precision corpus through
+    * the forced SMJ (v22/v28's zero-corpus-Exchange stage 2) for exact
+    * Double re-ranking. Completes the codec-family symmetry: SQ8 pool →
+    * v22, PQ pool → v28, binary pool → here. Deterministic end to end
+    * (sign bits + exact integer Hamming + exact rerank), so it
+    * hash-matches an oracle that replays both stages. */
+  def v32BinaryRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryQuantFunctions
+    val emb = Tables.embeddings(s, dir)
+    val k = 10
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        BinaryQuantFunctions.bits(col("embedding")).as("qb"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        BinaryQuantFunctions.bits(col("embedding")).as("cb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("h_dist"), col("neighbor_id"))
+    val pool = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("h_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4 * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ensureRerankCorpus(s, dir)
+    val cFull = s.table(rerankTableName(dir))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    pool
+      .join(cFull.hint("merge"), col("neighbor_id") === col("id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.squaredL2(col("qe"), col("embedding")).as("distance"))
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("distance"), 6).as("distance"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v32Oracle =
+    """WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     hd AS (SELECT q.query_id, c.id AS neighbor_id,
+      |              list_sum(list_transform(generate_series(1, len(c.embedding)),
+      |                i -> CASE WHEN (qe[i] > 0) <> (c.embedding[i] > 0) THEN 1 ELSE 0 END)) AS h_dist
+      |            FROM q, corpus c),
+      |     hr AS (SELECT query_id, neighbor_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY h_dist, neighbor_id) AS rank
+      |            FROM hd),
+      |     pool AS (SELECT query_id, neighbor_id FROM hr WHERE rank <= 40),
+      |     d2 AS (SELECT p.query_id, p.neighbor_id,
+      |              list_sum(list_transform(generate_series(1, len(qq.qe)), i -> (CAST(qq.qe[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)) * (CAST(qq.qe[i] AS DOUBLE) - CAST(ce.embedding[i] AS DOUBLE)))) AS distance
+      |            FROM pool p
+      |            JOIN corpus ce ON ce.id = p.neighbor_id
+      |            JOIN q qq ON qq.query_id = p.query_id),
+      |     r2 AS (SELECT query_id, neighbor_id, distance,
+      |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |            FROM d2)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r2 WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- v33_knn_mips
+  /** Exact kNN under the INNER-PRODUCT metric (MIPS — retrieval scoring
+    * by raw dot product, the metric recommendation-model embeddings
+    * ship with). D2 is enabled end to end here, unlike the reference
+    * where the enum exists but dispatch is Euclidean-only
+    * (distance.h:178-186): `ip_dist = 1 - <q, x>`, so ascending order
+    * yields the maximum-inner-product neighbors. Sequential Double fold
+    * + round(6) keeps the oracle hash-exact. */
+  def v33KnnMips(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    ExactKnn.knnJoin(queries, corpus, k = 10, graft.functions.DistanceMetric.InnerProduct)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v33Oracle =
+    """WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     d AS (SELECT q.query_id, c.id AS neighbor_id,
+      |             1 - list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS distance
+      |           FROM q, corpus c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- v12_centroids
   /** Per-label embedding centroids (mean pooling — the class-prototype /
     * k-means-step vector aggregate), exploded to (label, dim, value).
@@ -1535,6 +1636,8 @@ object Queries {
     "v29_ivfpq" -> v29Oracle,
     "v30_ivfpq_residual" -> v30Oracle,
     "v31_binary_knn" -> v31Oracle,
+    "v32_binary_rerank" -> v32Oracle,
+    "v33_knn_mips" -> v33Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

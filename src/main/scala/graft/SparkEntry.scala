@@ -74,6 +74,8 @@ object SparkEntry {
     "v29_ivfpq" -> ((s, dir) => Queries.v29IvfPq(s, dir)),
     "v30_ivfpq_residual" -> ((s, dir) => Queries.v30IvfPqResidual(s, dir)),
     "v31_binary_knn" -> ((s, dir) => Queries.v31BinaryKnn(s, dir)),
+    "v32_binary_rerank" -> ((s, dir) => Queries.v32BinaryRerank(s, dir)),
+    "v33_knn_mips" -> ((s, dir) => Queries.v33KnnMips(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

@@ -96,5 +96,16 @@ class BinaryQuantSpec extends AnyFunSuite with SparkSuite {
     val pool40 = recallOf(40)
     assert(pool40 > 40.0 / corpusSize * 3,
       s"pool-40 recall $pool40 no better than chance")
+
+    // the composed two-stage query (v32) converts pool recall into
+    // top-10 recall: exact rerank reorders a SUPERSET of the binary
+    // top-10, so it can only surface more of the true neighbors
+    val top10 = recallOf(10)
+    val rerank = Queries.v32BinaryRerank(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = (exact intersect rerank).size.toDouble / exact.size
+    assert(rerankRecall >= top10,
+      s"rerank recall $rerankRecall fell below the raw binary top-10's $top10")
   }
 }

@@ -189,6 +189,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"vec_id filter not pushed to scan:\n${p.take(3000)}")
   }
 
+  test("v32 binary rerank: Hamming pool + bucketed SMJ rerank, corpus never shuffles") {
+    val p = plan("v32_binary_rerank")
+    assert(p.contains("vec_bits") && p.contains("vec_hamming"),
+      s"binary codec expressions missing from plan:\n${p.take(3000)}")
+    // stage 2 rides the id-bucketed corpus through a sort-merge join —
+    // not a corpus broadcast, and never a corpus-id shuffle
+    assert("SortMergeJoin \\[neighbor_id#\\d+L?\\], \\[id#".r.findFirstIn(p).isDefined,
+      s"rerank join is not an SMJ on (neighbor_id, id):\n${p.take(4500)}")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"rerank corpus scan not bucketed:\n${p.take(4500)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 3, s"expected 3 hash Exchanges, got $shuffles:\n${p.take(4500)}")
+    assert("hashpartitioning\\(id#".r.findFirstIn(p).isEmpty,
+      s"corpus side must never shuffle:\n${p.take(4500)}")
+  }
+
   test("v24 filtered kNN pushes the label predicate through the custom operator") {
     // the initial AQE plan still shows the logical KnnCandidates node
     // (KnnStrategy plans it at execution — v11's oracle proves that path)
