@@ -1303,6 +1303,70 @@ object Queries {
       |FROM r2 WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v34_binary_centered
+  // per-dimension corpus mean for sign centering, one bounded
+  // calibration per sf dir (64 doubles; rounded to 1e-6 so both engines
+  // agree past double-fold order, exactly the v12 centroid-mean gate)
+  private val binMeanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+  private def binaryMeans(s: SparkSession, dir: String): Seq[Double] =
+    binMeanCache.computeIfAbsent(dir, _ =>
+      embCorpus(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .orderBy(col("pos"))
+        .collect().map(_.getDouble(1)).toSeq)
+
+  /** Mean-centered binary kNN — the production hardening the raw sign
+    * test (v31) needs on biased corpora: one map-only calibration pass
+    * derives the per-dimension corpus mean (like v25's SQ8 range), and
+    * the sign test runs on `x - mean` in Double. Centered codes are
+    * SHIFT-INVARIANT (adding a constant to every vector moves the mean
+    * with it — spec-gated), so a corpus whose embeddings are all
+    * positive no longer collapses to a single code. The mean is rounded
+    * to 1e-6 before signing (the v12 centroid-mean parity argument), so
+    * the whole pipeline keeps an exact SQL oracle. */
+  def v34BinaryCentered(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryQuantFunctions
+    val emb = Tables.embeddings(s, dir)
+    val mLit = typedLit(binaryMeans(s, dir))
+    def centeredBits(c: Column): Column =
+      BinaryQuantFunctions.bits(zip_with(c, mLit, (x, m) => x.cast("double") - m))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), centeredBits(col("embedding")).as("qb"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), centeredBits(col("embedding")).as("cb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("distance"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v34Oracle =
+    """WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |     means AS (SELECT i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      |               FROM corpus, dims GROUP BY i),
+      |     d AS (SELECT q.query_id, c.id AS neighbor_id,
+      |             CAST(sum(CASE WHEN ((CAST(qe[mm.i] AS DOUBLE) - mm.m) > 0)
+      |                            <> ((CAST(c.embedding[mm.i] AS DOUBLE) - mm.m) > 0)
+      |                       THEN 1 ELSE 0 END) AS INT) AS distance
+      |           FROM q, corpus c, means mm
+      |           GROUP BY q.query_id, c.id),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- v33_knn_mips
   /** Exact kNN under the INNER-PRODUCT metric (MIPS — retrieval scoring
     * by raw dot product, the metric recommendation-model embeddings
@@ -1638,6 +1702,7 @@ object Queries {
     "v31_binary_knn" -> v31Oracle,
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,
+    "v34_binary_centered" -> v34Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

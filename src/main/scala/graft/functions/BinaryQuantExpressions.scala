@@ -32,19 +32,31 @@ case class VecBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
 
+  // ARRAY<FLOAT> for raw embeddings; ARRAY<DOUBLE> for centered /
+  // projected inputs (e.g. `x - mean` computed in Double upstream —
+  // signing the Double directly avoids a float cast that could alter
+  // the test near zero)
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
+      s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.simpleString}")
   }
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    val dbl = isDouble
     val out = new Array[Byte]((n + 7) >>> 3)
     var i = 0
     while (i < n) {
-      if (a.getFloat(i) > 0f) out(i >>> 3) = (out(i >>> 3) | (1 << (7 - (i & 7)))).toByte
+      val pos = if (dbl) a.getDouble(i) > 0d else a.getFloat(i) > 0f
+      if (pos) out(i >>> 3) = (out(i >>> 3) | (1 << (7 - (i & 7)))).toByte
       i += 1
     }
     out
@@ -55,11 +67,12 @@ case class VecBits(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
+      val test = if (isDouble) s"$a.getDouble($i) > 0d" else s"$a.getFloat($i) > 0f"
       s"""
          |final int $n = $a.numElements();
          |final byte[] $out = new byte[($n + 7) >>> 3];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getFloat($i) > 0f) {
+         |  if ($test) {
          |    $out[$i >>> 3] = (byte) ($out[$i >>> 3] | (1 << (7 - ($i & 7))));
          |  }
          |}

@@ -108,4 +108,46 @@ class BinaryQuantSpec extends AnyFunSuite with SparkSuite {
     assert(rerankRecall >= top10,
       s"rerank recall $rerankRecall fell below the raw binary top-10's $top10")
   }
+
+  test("mean centering rescues sign codes on a biased corpus (raw codes collapse)") {
+    import org.apache.spark.sql.DataFrame
+    // shift every embedding by +5: the corpus is now all-positive
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x + lit(5.0f)).cast("float")).as("embedding"))
+    val sCorpus = shifted.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val sQueries = shifted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // raw sign bits collapse to ONE shared code — Hamming is useless
+    val rawDistinct = sCorpus
+      .select(BinaryQuantFunctions.bits(col("embedding")).as("b")).distinct().count()
+    assert(rawDistinct == 1, s"expected a single collapsed code, got $rawDistinct")
+    // centered bits (the v34 path) keep discriminating: recall vs exact
+    // search on the SAME shifted corpus is well above chance
+    val means = sCorpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
+    val mLit = typedLit(means)
+    def centeredBits(c: org.apache.spark.sql.Column) =
+      BinaryQuantFunctions.bits(zip_with(c, mLit, (x, m) => x.cast("double") - m))
+    val exactS = graft.operators.ExactKnn.knnJoin(sQueries, sCorpus, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    val centeredTop = sCorpus
+      .select(col("id").as("neighbor_id"), centeredBits(col("embedding")).as("cb"))
+      .crossJoin(broadcast(sQueries.select(col("query_id"), centeredBits(col("embedding")).as("qb"))))
+      .select(col("query_id"), col("neighbor_id"),
+        BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 40)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactS intersect centeredTop).size.toDouble / exactS.size
+    val corpusSize = sCorpus.count().toDouble
+    assert(recall > 40.0 / corpusSize * 3,
+      s"centered pool-40 recall $recall no better than chance on the biased corpus")
+  }
 }
