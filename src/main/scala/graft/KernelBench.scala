@@ -17,6 +17,10 @@ import graft.operators.{ExactKnn, RecallEval}
   * (third arg "sparkOnly" skips the single-thread section — for corpus
   * sizes where a one-thread build is the thing being avoided)
   *
+  * Codec mode: sbt "runMain graft.KernelBench [nVectors] [dim] sparkOnly codec"
+  * runs the lossy-codec candidate scans head-to-head (float32 / SQ8 /
+  * binary Hamming) through the identical window top-k plan.
+  *
   * Soak mode: sbt "runMain graft.KernelBench [nVectors] [dim] soak [nQueries]"
   * drives the driverless shuffled probe (`queryDistributed`) with an
   * nQueries-row query set generated DISTRIBUTED via spark.range — no
@@ -86,19 +90,29 @@ object KernelBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    val codec = flags.contains("codec")
+    // a driver-built Seq arrives as a LocalTableScan; spread it so every
+    // scan below actually parallelizes
     val df = data.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
-      .toDF("id", "embedding").cache()
+      .toDF("id", "embedding").repartition(cpus.toInt).cache()
     df.count()
-    val s0 = System.nanoTime()
-    val idx = VectorIndex.build(df, params, numShards = cpus.toInt)
-    idx.rows.count()
-    println(f"spark build (shards=$cpus%s): ${(System.nanoTime() - s0) / 1e9}%.2f s wall")
     val qdf = queries.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
       .toDF("query_id", "embedding")
-    val s1 = System.nanoTime()
-    val res = idx.query(qdf, k, searchWidth = 64)
-    res.count()
-    println(f"spark probe (sw=64): ${(System.nanoTime() - s1) / 1e9}%.2f s wall for $nQueries queries")
+    // codec mode compares raw candidate scans — the graph index never
+    // enters the measurement, so skip its build entirely
+    lazy val idx = {
+      val s0 = System.nanoTime()
+      val built = VectorIndex.build(df, params, numShards = cpus.toInt)
+      built.rows.count()
+      println(f"spark build (shards=$cpus%s): ${(System.nanoTime() - s0) / 1e9}%.2f s wall")
+      built
+    }
+    if (!codec) {
+      val s1 = System.nanoTime()
+      val res = idx.query(qdf, k, searchWidth = 64)
+      res.count()
+      println(f"spark probe (sw=64): ${(System.nanoTime() - s1) / 1e9}%.2f s wall for $nQueries queries")
+    }
 
     if (soak) {
       // --- driverless shuffled-probe soak (unbounded batch path) ---
@@ -183,7 +197,56 @@ object KernelBench {
       println(f"lsm probe after compaction: ${(System.nanoTime() - tp2) / 1e9}%.2f s wall")
     }
 
-    if (!soak && !flags.contains("lsm")) {
+    if (flags.contains("codec")) {
+      // --- lossy-codec candidate scans head-to-head: same corpus, same
+      // window top-k plan, only the per-candidate representation changes
+      // (float32 4 B/dim, SQ8 1 B/dim, binary 1 bit/dim). Reproduces the
+      // BASELINE.md codec A/B. Synthetic data is uniform [0,1), so the
+      // binary rows sign (x - 0.5) — the v34 centering — to keep the
+      // codes non-degenerate.
+      import graft.functions.{Sq8Functions, BinaryQuantFunctions, VectorFunctions}
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("distance"), col("neighbor_id"))
+      def topk(scored: org.apache.spark.sql.DataFrame) =
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      def timeScan(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        mk.count() // warm
+        val best = (1 to 2).map { _ =>
+          val t = System.nanoTime(); mk.count(); (System.nanoTime() - t) / 1e9
+        }.min
+        println(f"codec scan [$name]: $best%.2f s best-of-2 ($nQueries%d queries x $n%d corpus)")
+      }
+      val qdf2 = qdf.cache(); qdf2.count()
+      val cF = df.select(col("id").as("neighbor_id"), col("embedding").as("ce")).cache(); cF.count()
+      timeScan("float32") {
+        topk(cF.crossJoin(broadcast(qdf2.select(col("query_id"), col("embedding").as("qe"))))
+          .select(col("query_id"), col("neighbor_id"),
+            VectorFunctions.squaredL2(col("qe"), col("ce")).as("distance")))
+      }
+      val c8 = df.select(col("id").as("neighbor_id"),
+        Sq8Functions.sq8(col("embedding"), 0.0, 1.0).as("cv")).cache(); c8.count()
+      val q8 = qdf2.select(col("query_id"),
+        Sq8Functions.sq8(col("embedding"), 0.0, 1.0).as("qv")).cache(); q8.count()
+      timeScan("sq8    ") {
+        topk(c8.crossJoin(broadcast(q8))
+          .select(col("query_id"), col("neighbor_id"),
+            Sq8Functions.sq8L2Sq(col("qv"), col("cv")).cast("double").as("distance")))
+      }
+      def centeredBits(c: org.apache.spark.sql.Column) =
+        BinaryQuantFunctions.bits(transform(c, x => x - lit(0.5f)))
+      val cb = df.select(col("id").as("neighbor_id"),
+        centeredBits(col("embedding")).as("cbits")).cache(); cb.count()
+      val qb = qdf2.select(col("query_id"),
+        centeredBits(col("embedding")).as("qbits")).cache(); qb.count()
+      timeScan("binary ") {
+        topk(cb.crossJoin(broadcast(qb))
+          .select(col("query_id"), col("neighbor_id"),
+            BinaryQuantFunctions.hamming(col("qbits"), col("cbits")).cast("double").as("distance")))
+      }
+    }
+
+    if (!soak && !flags.contains("lsm") && !flags.contains("codec")) {
       // --- exact kNN formulations head-to-head (same corpus, bigger batch) ---
       val bigQ = (0 until 1000).map { id =>
         (id.toLong, Array.fill(dim)(rnd.nextFloat()))
