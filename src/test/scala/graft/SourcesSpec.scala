@@ -203,6 +203,38 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(nb.filter("query_id = 3 AND rank = 2").head.getLong(2) === 301L)
   }
 
+  test("HDF5 chunked round-trips across randomized shapes x filter pipelines") {
+    // sweep (rows, cols, chunkRows, chunkCols, gzip, shuffle) with a
+    // fixed seed: edge chunks, single-column slices, full-row shapes,
+    // every filter combination — shapes the fixed fixtures don't reach
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 8) {
+      val rows = 1 + rnd.nextInt(40)
+      val cols = 1 + rnd.nextInt(9)
+      val chunkRows = 1 + rnd.nextInt(rows + 3)
+      val colSplit = rnd.nextBoolean()
+      val chunkCols = if (colSplit) 1 + rnd.nextInt(cols) else 0
+      val gzip = rnd.nextBoolean()
+      val shuffle = rnd.nextBoolean()
+      val data = Array.tabulate(rows, cols)((i, j) =>
+        (i * 1000 + j).toFloat + rnd.nextFloat())
+      val f = java.io.File.createTempFile(s"graft_rand_${trial}_", ".hdf5")
+      graft.sources.Hdf5Writer.writeChunked(f.getPath,
+        Seq("train" -> graft.sources.Hdf5Writer.FloatMatrix(data)),
+        chunkRows = chunkRows, gzip = gzip, chunkCols = chunkCols,
+        shuffle = shuffle)
+      val got = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 3)
+        .collect().sortBy(_.getLong(0))
+      val label = s"trial $trial rows=$rows cols=$cols cr=$chunkRows cc=$chunkCols gzip=$gzip shuffle=$shuffle"
+      assert(got.length == rows, label)
+      for (i <- 0 until rows) {
+        assert(got(i).getLong(0) == i.toLong, label)
+        assert(got(i).getSeq[Float](1) == data(i).toSeq, s"$label row $i")
+      }
+      f.delete()
+    }
+  }
+
   test("HDF5 reader rejects what it cannot parse with a clear error") {
     val bad = java.io.File.createTempFile("graft_noth5_", ".hdf5")
     val out = new FileOutputStream(bad)
