@@ -1367,6 +1367,58 @@ object Queries {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v35_binary_projected
+  /** Hadamard-projected binary kNN — the structured-rotation refinement
+    * for CORRELATED dimensions (the last step of the 1-bit family:
+    * raw signs v31, mean-centering v34, rotation here): each vector is
+    * projected through the orthogonal Walsh-Hadamard pattern
+    * `(-1)^popcount(i & j)` before signing, so a component shared by
+    * all dimensions lands entirely in output 0 and every other bit
+    * spends itself on the informative directions. The closed-form
+    * pattern is replayable in SQL (`bit_count(i & j) % 2`), so the
+    * whole pipeline keeps an exact hash oracle like its siblings. */
+  def v35BinaryProjected(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryQuantFunctions
+    val emb = Tables.embeddings(s, dir)
+    def projBits(c: Column): Column =
+      BinaryQuantFunctions.bits(BinaryQuantFunctions.hadamard(c))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), projBits(col("embedding")).as("qb"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), projBits(col("embedding")).as("cb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("distance"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v35Oracle = {
+    // projection j of vector x: sum_i (-1)^popcount((i-1) & j) * x_i,
+    // sequential Double fold in i order (engine parity)
+    def proj(x: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CASE WHEN bit_count(CAST(i - 1 AS BIGINT) & CAST(d.j AS BIGINT)) % 2 = 0 THEN CAST($x[i] AS DOUBLE) ELSE -CAST($x[i] AS DOUBLE) END))"
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |     d AS (SELECT unnest(generate_series(0, 63)) AS j),
+      |     cproj AS (SELECT c.id, d.j, ${proj("c.embedding")} AS p FROM corpus c, d),
+      |     qproj AS (SELECT q.query_id, d.j, ${proj("q.qe")} AS p FROM q, d),
+      |     hd AS (SELECT qp.query_id, cp.id AS neighbor_id,
+      |              CAST(sum(CASE WHEN (qp.p > 0) <> (cp.p > 0) THEN 1 ELSE 0 END) AS INT) AS distance
+      |            FROM qproj qp JOIN cproj cp ON cp.j = qp.j
+      |            GROUP BY qp.query_id, cp.id),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM hd)
+      |SELECT query_id, rank, neighbor_id, distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v33_knn_mips
   /** Exact kNN under the INNER-PRODUCT metric (MIPS — retrieval scoring
     * by raw dot product, the metric recommendation-model embeddings
@@ -1703,6 +1755,7 @@ object Queries {
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,
     "v34_binary_centered" -> v34Oracle,
+    "v35_binary_projected" -> v35Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types._
 
@@ -84,6 +84,86 @@ case class VecBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_bits"
 }
 
+/** Walsh-Hadamard sign projection: output j = sum_i (-1)^popcount(i & j)
+  * * x_i — the orthogonal STRUCTURED ROTATION the quantization
+  * literature applies before 1-bit codes when dimensions are
+  * correlated. Every Hadamard row except row 0 has an equal number of
+  * +1 and -1 entries, so a component shared by all dimensions cancels
+  * exactly and the remaining bits spend themselves on the informative
+  * directions (BinaryQuantSpec demonstrates the rescue on a corpus
+  * whose dimensions share one dominant component). Output is
+  * ARRAY<DOUBLE> (sequential Double fold per output), signed directly
+  * by [[VecBits]]; the closed form `popcount(i & j)` is replayable in
+  * SQL, so projected-code queries keep exact oracles. Requires a
+  * power-of-2 dimension (checked at eval). O(d^2) per row — at d=64
+  * that is 4096 adds, still scan-side map-only work. */
+case class VecHadamardProject(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if ((n & (n - 1)) != 0 || n == 0) throw VecHadamardProject.badDim(n)
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        acc += (if ((Integer.bitCount(i & j) & 1) == 0) x else -x)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |if (($n & ($n - 1)) != 0 || $n == 0) {
+         |  throw graft.functions.VecHadamardProject.badDim($n);
+         |}
+         |final double[] $out = new double[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = (double) $a.getFloat($i);
+         |    $acc += ((java.lang.Integer.bitCount($i & $j) & 1) == 0) ? $x : -$x;
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "vec_hadamard"
+}
+
+object VecHadamardProject {
+  /** Called from generated code too — keep public, Java-callable. */
+  def badDim(n: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_hadamard requires a power-of-2 dimension, got $n")
+}
+
 /** Hamming distance between two packed bit vectors: popcount of the
   * bytewise XOR, an exact INT (max = dimension). */
 case class VecHamming(left: Expression, right: Expression)
@@ -148,8 +228,11 @@ object BinaryQuantFunctions {
   def hamming(a: Column, b: Column): Column =
     toCol(VecHamming(toExpr(a), toExpr(b)))
 
+  def hadamard(vec: Column): Column = toCol(VecHadamardProject(toExpr(vec)))
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "vec_bits", es => VecBits(es(0)))
     GraftSqlBridge.registerFunction(spark, "vec_hamming", es => VecHamming(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_hadamard", es => VecHadamardProject(es(0)))
   }
 }

@@ -109,6 +109,59 @@ class BinaryQuantSpec extends AnyFunSuite with SparkSuite {
       s"rerank recall $rerankRecall fell below the raw binary top-10's $top10")
   }
 
+  test("Hadamard projection rescues sign codes on a correlated corpus") {
+    // every dimension shares one dominant component s = +-2 per row:
+    // raw sign bits all equal sign(s) -> exactly TWO distinct codes in
+    // the whole corpus. The Hadamard rows j > 0 have balanced +-1
+    // entries, so s cancels exactly and those 63 bits discriminate the
+    // informative noise directions.
+    import spark.implicits._
+    val dim = 64
+    def noise(id: Long, i: Int): Float =
+      ((((id * 2654435761L + i * 40503L) >>> 7) % 201L) - 100L) / 1000.0f // +-0.1
+    def shared(id: Long): Float = if (((id * 1103515245L + 12345L) >>> 16) % 2 == 0) 2f else -2f
+    val rows = (0L until 2000L).map { id =>
+      (id, Array.tabulate(dim)(i => shared(id) + noise(id, i)).toSeq)
+    }
+    val cCorpus = rows.toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+      .filter(col("id") >= 10)
+    val cQueries = rows.take(10).map { case (id, v) => (id, v.map(_ + 0.003f)) }
+      .toDF("query_id", "embedding")
+      .select(col("query_id"), col("embedding").cast("array<float>").as("embedding"))
+    val rawDistinct = cCorpus
+      .select(BinaryQuantFunctions.bits(col("embedding")).as("b")).distinct().count()
+    assert(rawDistinct <= 2, s"expected raw codes to collapse to 2, got $rawDistinct")
+    def projBits(c: org.apache.spark.sql.Column) =
+      BinaryQuantFunctions.bits(BinaryQuantFunctions.hadamard(c))
+    val projDistinct = cCorpus.select(projBits(col("embedding")).as("b")).distinct().count()
+    assert(projDistinct > 100, s"projected codes should spread, got $projDistinct distinct")
+    // recall vs exact search: projected pool-40 well above chance AND
+    // above the collapsed raw codes at the same budget
+    val exact = graft.operators.ExactKnn.knnJoin(cQueries, cCorpus, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    def poolRecall(mk: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Double = {
+      val got = cCorpus.select(col("id").as("neighbor_id"), mk(col("embedding")).as("cb"))
+        .crossJoin(broadcast(cQueries.select(col("query_id"), mk(col("embedding")).as("qb"))))
+        .select(col("query_id"), col("neighbor_id"),
+          BinaryQuantFunctions.hamming(col("qb"), col("cb")).as("d"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 40)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rawRecall = poolRecall(BinaryQuantFunctions.bits)
+    val projRecall = poolRecall(projBits)
+    val chance = 40.0 / cCorpus.count()
+    assert(projRecall > chance * 3, s"projected recall $projRecall no better than chance")
+    assert(projRecall > rawRecall,
+      s"projected recall $projRecall should beat collapsed raw codes' $rawRecall")
+  }
+
   test("mean centering rescues sign codes on a biased corpus (raw codes collapse)") {
     import org.apache.spark.sql.DataFrame
     // shift every embedding by +5: the corpus is now all-positive
