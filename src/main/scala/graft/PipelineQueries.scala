@@ -169,6 +169,34 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d8_repeated_spans
+  /** Exact-substring (repeated-passage) dedup: maximal token spans whose
+    * 6-grams all recur in >= 2 documents — the "dedup the span, not the
+    * doc" operator. The near-dup fixture docs share long pasted passages,
+    * so the oracle sees real multi-gram spans, not isolated seeds. */
+  def d8RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(Tables.documents(s, dir), n = 6, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val d8Oracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |ex AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 5, 0))) AS i FROM toks),
+      |grams AS (SELECT doc_id, i, array_to_string(ts[i:i+5], ' ') AS g FROM ex),
+      |rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |seeds AS (SELECT doc_id, CAST(i - 1 AS INT) AS s, CAST(i + 4 AS INT) AS e
+      |          FROM grams WHERE g IN (SELECT g FROM rep)),
+      |m AS (SELECT doc_id, s, e,
+      |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+      |  FROM seeds),
+      |isl AS (SELECT doc_id, s, e,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m)
+      |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+      |  max(e) - min(s) + 1 AS span_tokens
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // ---------------------------------------------------------------- t1_langid
   private val markers = Seq("the", "data", "spark")
 
@@ -623,6 +651,7 @@ object PipelineQueries {
     "d5_embed_neardup" -> ((s, dir) => d5EmbedNeardup(s, dir)),
     "d6_dup_clusters" -> ((s, dir) => d6DupClusters(s, dir)),
     "d7_embed_neardup_lsh" -> ((s, dir) => d7EmbedNeardupLsh(s, dir)),
+    "d8_repeated_spans" -> ((s, dir) => d8RepeatedSpans(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -655,6 +684,7 @@ object PipelineQueries {
     "d5_embed_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
     "d7_embed_neardup_lsh" -> d7Oracle,
+    "d8_repeated_spans" -> d8Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,

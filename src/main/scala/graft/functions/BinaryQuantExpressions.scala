@@ -92,11 +92,20 @@ case class VecBits(child: Expression) extends UnaryExpression {
   * exactly and the remaining bits spend themselves on the informative
   * directions (BinaryQuantSpec demonstrates the rescue on a corpus
   * whose dimensions share one dominant component). Output is
-  * ARRAY<DOUBLE> (sequential Double fold per output), signed directly
-  * by [[VecBits]]; the closed form `popcount(i & j)` is replayable in
-  * SQL, so projected-code queries keep exact oracles. Requires a
-  * power-of-2 dimension (checked at eval). O(d^2) per row — at d=64
-  * that is 4096 adds, still scan-side map-only work. */
+  * ARRAY<DOUBLE>, signed directly by [[VecBits]]; the closed form
+  * `popcount(i & j)` is replayable in SQL, so projected-code queries
+  * keep exact oracles. Requires a power-of-2 dimension (checked at
+  * eval).
+  *
+  * Computed via the in-place fast Walsh-Hadamard butterfly — O(d log d)
+  * per row instead of the naive O(d^2) matrix product (at 768-1024d on
+  * a 100 TB ingest that is the difference between ~10K and ~1M adds per
+  * row). Bit-identical to the naive `popcount(i & j)` fold: every
+  * output (and every butterfly intermediate) is a signed sum of
+  * distinct float32 inputs, and a double carries 29 spare mantissa bits
+  * over float32 — partial sums stay exact up to d = 2^29, so summation
+  * order cannot change a single bit (the v35 oracle replays the naive
+  * closed form and hash-matches). */
 case class VecHadamardProject(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -112,17 +121,22 @@ case class VecHadamardProject(child: Expression) extends UnaryExpression {
     val n = a.numElements()
     if ((n & (n - 1)) != 0 || n == 0) throw VecHadamardProject.badDim(n)
     val out = new Array[Double](n)
-    var j = 0
-    while (j < n) {
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val x = a.getFloat(i).toDouble
-        acc += (if ((Integer.bitCount(i & j) & 1) == 0) x else -x)
-        i += 1
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
+    var h = 1
+    while (h < n) {
+      var base = 0
+      while (base < n) {
+        var j = base
+        while (j < base + h) {
+          val u = out(j); val v = out(j + h)
+          out(j) = u + v
+          out(j + h) = u - v
+          j += 1
+        }
+        base += h << 1
       }
-      out(j) = acc
-      j += 1
+      h <<= 1
     }
     new GenericArrayData(out)
   }
@@ -132,8 +146,10 @@ case class VecHadamardProject(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val x = ctx.freshName("x")
-      val acc = ctx.freshName("acc")
+      val h = ctx.freshName("h")
+      val base = ctx.freshName("base")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
       val out = ctx.freshName("out")
       s"""
          |final int $n = $a.numElements();
@@ -141,13 +157,18 @@ case class VecHadamardProject(child: Expression) extends UnaryExpression {
          |  throw graft.functions.VecHadamardProject.badDim($n);
          |}
          |final double[] $out = new double[$n];
-         |for (int $j = 0; $j < $n; $j++) {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $x = (double) $a.getFloat($i);
-         |    $acc += ((java.lang.Integer.bitCount($i & $j) & 1) == 0) ? $x : -$x;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (double) $a.getFloat($i);
+         |}
+         |for (int $h = 1; $h < $n; $h <<= 1) {
+         |  for (int $base = 0; $base < $n; $base += $h << 1) {
+         |    for (int $j = $base; $j < $base + $h; $j++) {
+         |      final double $u = $out[$j];
+         |      final double $v = $out[$j + $h];
+         |      $out[$j] = $u + $v;
+         |      $out[$j + $h] = $u - $v;
+         |    }
          |  }
-         |  $out[$j] = $acc;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
        """.stripMargin

@@ -32,6 +32,14 @@ import org.apache.spark.sql.types._
 object PqLayout {
   /** Flat codebook offset of (subspace s, codeword j): (s*k + j)*subDim. */
   @inline def offset(s: Int, j: Int, k: Int, subDim: Int): Int = (s * k + j) * subDim
+
+  /** Called from generated code too — keep public, Java-callable. An
+    * out-of-range UnsafeArrayData read returns garbage silently, so a
+    * vector whose length disagrees with m*subDim (or an ADC table that
+    * disagrees with k*|codes|) must fail loudly — same strictness
+    * contract as vec_l2sq / vec_sq8_l2sq / vec_hamming. */
+  def dimMismatch(fn: String, got: Int, expected: Int): IllegalArgumentException =
+    new IllegalArgumentException(s"$fn: input length $got, expected $expected")
 }
 
 /** ARRAY<FLOAT> -> BINARY of `m` codes (one byte each, k <= 256). */
@@ -53,6 +61,8 @@ case class PqEncode(
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim)
+      throw PqLayout.dimMismatch(prettyName, a.numElements(), m * subDim)
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
@@ -90,6 +100,10 @@ case class PqEncode(
       val bestD = ctx.freshName("bestD")
       val bestJ = ctx.freshName("bestJ")
       s"""
+         |if ($c.numElements() != ${m * subDim}) {
+         |  throw graft.functions.PqLayout.dimMismatch(
+         |    "$prettyName", $c.numElements(), ${m * subDim});
+         |}
          |final byte[] $out = new byte[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  double $bestD = Double.POSITIVE_INFINITY;
@@ -134,6 +148,8 @@ case class PqAdcTable(
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim)
+      throw PqLayout.dimMismatch(prettyName, a.numElements(), m * subDim)
     val out = new Array[Double](m * k)
     var s = 0
     while (s < m) {
@@ -166,6 +182,10 @@ case class PqAdcTable(
       val acc = ctx.freshName("acc")
       val t = ctx.freshName("t")
       s"""
+         |if ($c.numElements() != ${m * subDim}) {
+         |  throw graft.functions.PqLayout.dimMismatch(
+         |    "$prettyName", $c.numElements(), ${m * subDim});
+         |}
          |final double[] $out = new double[${m * k}];
          |for (int $s = 0; $s < $m; $s++) {
          |  for (int $j = 0; $j < $k; $j++) {
@@ -206,6 +226,8 @@ case class PqAdcLookup(left: Expression, right: Expression, k: Int)
   override def nullSafeEval(t: Any, c: Any): Any = {
     val table = t.asInstanceOf[ArrayData]
     val codes = c.asInstanceOf[Array[Byte]]
+    if (table.numElements() != k * codes.length)
+      throw PqLayout.dimMismatch(prettyName, table.numElements(), k * codes.length)
     var acc = 0.0
     var s = 0
     while (s < codes.length) {
@@ -220,6 +242,10 @@ case class PqAdcLookup(left: Expression, right: Expression, k: Int)
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
       s"""
+         |if ($t.numElements() != $k * $c.length) {
+         |  throw graft.functions.PqLayout.dimMismatch(
+         |    "$prettyName", $t.numElements(), $k * $c.length);
+         |}
          |double $acc = 0.0;
          |for (int $s = 0; $s < $c.length; $s++) {
          |  $acc += $t.getDouble($s * $k + ($c[$s] & 0xff));

@@ -43,7 +43,15 @@ final class LsmVectorIndex private (
     val generations: Vector[VectorIndex],
     val compactThreshold: Long,
     val genShardSize: Long,
-    ownsBase: Boolean) extends Serializable with AnnProbe {
+    ownsBase: Boolean,
+    // Shared across every handle descended from the same lineage: true
+    // while a compactAsync fold is in flight. Ingest must not auto-run the
+    // SYNCHRONOUS compact() then — it would unpersist the very snapshot
+    // generations (and possibly the base) the background append is still
+    // reading, and the eventual swap would fail its base-identity require.
+    asyncPending: java.util.concurrent.atomic.AtomicBoolean =
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    extends Serializable with AnnProbe {
 
   override def probeId: String =
     (base +: generations).map(_.indexId).mkString("lsm:", "+", "")
@@ -70,8 +78,12 @@ final class LsmVectorIndex private (
     val gen = VectorIndex.build(fresh, base.params, genShards)
     fresh.unpersist() // gen rows were materialized by build's meta pass
     val next = new LsmVectorIndex(
-      base, generations :+ gen, compactThreshold, genShardSize, ownsBase)
-    if (next.freshCount >= compactThreshold) next.compact() else next
+      base, generations :+ gen, compactThreshold, genShardSize, ownsBase,
+      asyncPending)
+    // Auto-compaction is suppressed while an async fold is outstanding —
+    // the swap returned by compactAsync absorbs those generations instead.
+    if (next.freshCount >= compactThreshold && !asyncPending.get()) next.compact()
+    else next
   }
 
   /** Fold every generation into the base (one deterministic shard-scoped
@@ -88,7 +100,7 @@ final class LsmVectorIndex private (
     generations.foreach(_.unpersist())
     if (ownsBase) base.unpersist()
     new LsmVectorIndex(newBase, Vector.empty, compactThreshold, genShardSize,
-      ownsBase = true)
+      ownsBase = true, asyncPending)
   }
 
   /** Begin folding the CURRENT generations into the base on another
@@ -114,8 +126,13 @@ final class LsmVectorIndex private (
       .reduce(_ union _)
     val oldBase = base
     val owned = ownsBase
+    val pending = asyncPending
+    require(pending.compareAndSet(false, true),
+      "a compactAsync fold is already outstanding on this lineage")
     scala.concurrent.Future {
-      val newBase = oldBase.append(freshVecs) // materializes before any unpersist
+      val newBase =
+        try oldBase.append(freshVecs) // materializes before any unpersist
+        catch { case e: Throwable => pending.set(false); throw e }
       (later: LsmVectorIndex) => {
         require(later.base eq oldBase,
           "compaction swap applied to a handle with a different base " +
@@ -127,8 +144,9 @@ final class LsmVectorIndex private (
           "compaction swap applied to a handle that does not extend the snapshot")
         snapshot.foreach(_.unpersist())
         if (owned) oldBase.unpersist()
+        pending.set(false)
         new LsmVectorIndex(newBase, later.generations.drop(snapshot.length),
-          later.compactThreshold, later.genShardSize, ownsBase = true)
+          later.compactThreshold, later.genShardSize, ownsBase = true, pending)
       }
     }
   }

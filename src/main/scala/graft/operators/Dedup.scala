@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -229,6 +230,60 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simHash32(col(textCol)).as("simhash"))
 
+  /** Corpus-wide EXACT-SUBSTRING dedup — "dedup the span, not the doc":
+    * finds, for every document, the maximal token spans whose every
+    * n-gram also occurs in at least `minDocs - 1` OTHER documents (the
+    * repeated-passage remover of LLM training-data pipelines; d2/d3 flag
+    * whole near-dup documents, this extracts the shared passages
+    * themselves, e.g. boilerplate headers or licenses pasted across
+    * otherwise-distinct pages).
+    *
+    * Shape — three shuffle-friendly stages, no driver materialization:
+    *  1. posting lists: explode each doc into positioned token n-grams,
+    *     groupBy gram -> cross-doc frequency (one shuffle; map-side
+    *     partial counts);
+    *  2. seed selection: equi-join grams back to the repeated set (the
+    *     repeated-gram table is tiny relative to the corpus — broadcast
+    *     or shuffle join, Catalyst/AQE decides);
+    *  3. span assembly: per-doc sort-merge of overlapping seed intervals
+    *     (gaps-and-islands over a doc-partitioned window — state is one
+    *     doc's seeds, never the corpus).
+    *
+    * Output (doc_id, span_start, span_end, span_tokens), token positions
+    * 0-based inclusive. Deterministic (no RNG, no floats), so the DuckDB
+    * oracle replays it exactly. */
+  def repeatedSpans(
+      docs: DataFrame, n: Int, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $n), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(ts, i + 1, $n)) AS g))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+    val repeated = grams
+      .groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val seeds = grams.join(repeated, Seq("g"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + (n - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val flagged = seeds.withColumn("brk",
+      when(col("s") > coalesce(
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1)), 1).otherwise(0))
+    flagged
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation plus pointer jumping. Every doc gets
     * cluster_id = the smallest doc id reachable through dup pairs
@@ -299,46 +354,54 @@ object Dedup {
     }
 
   /** Embedding near-duplicate pairs: cosine similarity >= threshold,
-    * id_a < id_b. Fused pair scan: the table is collected + broadcast
-    * once (ids, vectors, norms), and each partition streams its rows
-    * against the broadcast side emitting only qualifying pairs — no
-    * join-row materialization (the declarative BNLJ form materializes all
-    * n^2/2 wide rows first). Math is bit-identical to the Catalyst
-    * expressions: sequential Double folds, norm computed once per row,
-    * rounding/filtering left to Catalyst `round`.
+    * id_a < id_b. EXACT all-pairs, fully distributed: rows are assigned
+    * to `blocks` hash blocks and each of the B(B+1)/2 block PAIRS becomes
+    * one equi-join key, so every task scores the cross of two blocks and
+    * nothing is ever collected to the driver (the previous formulation
+    * collected + broadcast the whole table — a 100x-scale killer on a
+    * corpus-sized input). Shuffle volume is n*(B+1) rows; compute is the
+    * inherent n^2/2 of exactness — for a full corpus, use
+    * [[embeddingNearDupPairsLsh]] (candidate-generation + verify) and pay
+    * n^2 only within buckets.
     *
-    * Scale: broadcast bounds this to tables that fit an executor
-    * (a dims/labels table); for a full corpus, generate candidates with
-    * VectorIndex/LSH and verify only those. */
+    * Math is the same Catalyst expressions the LSH path uses (sequential
+    * Double folds; dot and norms commute bitwise, so orientation cannot
+    * matter), rounding/filtering identical — results are engine-exact.
+    *
+    * @param blocks hash-block count; B(B+1)/2 join keys bound task count,
+    *   each task holds two blocks of ~n/B vectors. Raise with corpus size
+    *   so a block pair fits executor memory. */
   def embeddingNearDupPairs(
       embeddings: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val rows = embeddings.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val side: Array[(Long, Array[Float], Double)] = rows.collect()
-      .sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotD(v, v))) }
-    val bc = spark.sparkContext.broadcast(side)
-    val thr = threshold
-    val raw = rows.mapPartitions { it =>
-      val s = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = math.sqrt(dotD(va, va))
-        // round-to-6 can only pull a value over the threshold from just
-        // below it; pre-filter with a safe margin and let Catalyst round
-        // decide exactly
-        val cut = thr - 1e-6
-        s.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, vb, nb) => (ida, idb, dotD(va, vb) / (na * nb)) }
-          .filter(_._3 >= cut)
-      }
-    }.toDF("id_a", "id_b", "sim_raw")
-    raw
-      .withColumn("cosine_sim", round(col("sim_raw"), 6))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, "blocks must be positive")
+    val base = embeddings.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("e"),
+      VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol).cast("long")), lit(blocks)).cast("int").as("blk"))
+    // row in block b joins key (b, j) for j >= b on the left and (i, b)
+    // for i <= b on the right: a cross-block pair {x,y} (bx < by) meets
+    // exactly once at key (bx, by); a same-block pair meets at (b, b) in
+    // both orientations and the id_l < id_r filter keeps one
+    val lhs = base.select(
+      col("id").as("id_l"), col("e").as("el"), col("nrm").as("nl"),
+      col("blk").as("blk_l"), col("blk").as("pi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("pj"))
+    val rhs = base.select(
+      col("id").as("id_r"), col("e").as("er"), col("nrm").as("nr"),
+      col("blk").as("blk_r"), col("blk").as("pj"),
+      explode(sequence(lit(0), col("blk"))).as("pi"))
+    lhs.join(rhs, Seq("pi", "pj"))
+      .filter(col("blk_l") =!= col("blk_r") || col("id_l") < col("id_r"))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.dotProduct(col("el"), col("er")) /
+          (col("nl") * col("nr")), 6))
       .filter(col("cosine_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("cosine_sim"))
   }
 
   /** The 100 TB near-dup path for embeddings: sign-projection LSH buckets
@@ -367,12 +430,4 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
-  /** Sequential Double dot product — identical operation order to the
-    * DotProduct Catalyst expression (and the DuckDB oracle folds). */
-  @inline private def dotD(a: Array[Float], b: Array[Float]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
 }

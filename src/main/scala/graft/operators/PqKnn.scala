@@ -59,13 +59,25 @@ object PqKnn {
     *
     * Scale shape: each iteration is one map-only pass over the corpus
     * emitting ONE partial-sums row per partition (no shuffle of vectors,
-    * no per-row state on the driver). */
+    * no per-row state on the driver — the one up-front shuffle fixes the
+    * accumulation layout).
+    *
+    * The corpus is laid out ONCE into a fixed id-keyed partitioning
+    * (32 partitions, sorted by id within each) before the passes:
+    * double-sum accumulation order is then a function of the DATA alone,
+    * not of core count or file-split boundaries, so trained codebooks
+    * are bit-identical on any cluster size — what lets v36 pin an
+    * integer oracle against them. */
   def trainCodebooks(corpus: DataFrame, numCodewords: Int, m: Int,
       iterations: Int = 5): (Array[Float], Int, Int) = {
     var (flat, k, subDim) = codebooks(corpus, numCodewords, m)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    val vecs = corpus.select(col("id"), col("embedding"))
+      .repartition(32, pmod(col("id"), lit(32)))
+      .sortWithinPartitions(col("id"))
+      .select(col("embedding")).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iterations) {
       val cb = flat // stable reference for the closure
       val partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -115,6 +127,7 @@ object PqKnn {
       }
       flat = next
     }
+    vecs.unpersist()
     (flat, k, subDim)
   }
 

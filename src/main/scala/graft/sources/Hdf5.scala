@@ -144,17 +144,18 @@ object Hdf5 {
     * size. Runs inside executor tasks. */
   private def inflateChunk(stored: Array[Byte], outLen: Int, addr: Long): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(stored)
-    val out = new Array[Byte](outLen)
-    var off = 0
-    while (off < out.length && !inf.finished()) {
-      val n = inf.inflate(out, off, out.length - off)
-      if (n == 0 && inf.needsInput()) throw new IOException(
-        s"truncated deflate chunk at $addr")
-      off += n
-    }
-    inf.end()
-    out
+    try {
+      inf.setInput(stored)
+      val out = new Array[Byte](outLen)
+      var off = 0
+      while (off < out.length && !inf.finished()) {
+        val n = inf.inflate(out, off, out.length - off)
+        if (n == 0 && inf.needsInput()) throw new IOException(
+          s"truncated deflate chunk at $addr")
+        off += n
+      }
+      out
+    } finally inf.end() // native zlib memory — must release on the throw path too
   }
 
   /** Undo the HDF5 SHUFFLE filter (id 2): the stored chunk holds all

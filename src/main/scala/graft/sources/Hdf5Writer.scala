@@ -290,12 +290,13 @@ object Hdf5Writer {
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
-    out.toByteArray
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end() // release native zlib memory even if deflate throws
   }
 
   /** Forward HDF5 SHUFFLE filter (id 2): gather byte j of every element

@@ -51,6 +51,30 @@ class BinaryQuantSpec extends AnyFunSuite with SparkSuite {
     assert((0L until 6L).forall(i => got((i, i)) == 0))
   }
 
+  test("FWHT butterfly equals the naive popcount(i & j) Hadamard fold bit-for-bit") {
+    // the O(d log d) butterfly must reproduce the closed-form O(d^2)
+    // definition exactly — every output is a signed sum of float32
+    // inputs, exact in double, so order cannot change a bit
+    val rows = emb.filter(col("vec_id") < 8)
+      .select(col("embedding"), BinaryQuantFunctions.hadamard(col("embedding")).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val v = r.getSeq[Float](0).toArray
+      val got = r.getSeq[Double](1).toArray
+      val d = v.length
+      assert((d & (d - 1)) == 0, s"fixture dim $d not a power of 2")
+      for (j <- 0 until d) {
+        var acc = 0.0
+        for (i <- 0 until d) {
+          val x = v(i).toDouble
+          acc += (if ((Integer.bitCount(i & j) & 1) == 0) x else -x)
+        }
+        assert(got(j) == acc, s"output $j: fwht ${got(j)} != naive $acc")
+      }
+    }
+  }
+
   test("SQL surface: vec_bits / vec_hamming registered") {
     graft.functions.GraftFunctions.register(spark)
     emb.createOrReplaceTempView("bin_emb")

@@ -165,6 +165,29 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](swap(other))
   }
 
+  test("auto-compaction is suppressed while an async fold is outstanding") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lsm0 = LsmVectorIndex(baseIdx, compactThreshold = 60)
+      .ingest(slice(300, 350)) // 50 fresh — below threshold
+    val pending = lsm0.compactAsync()
+    // crossing the threshold mid-fold must NOT run the synchronous
+    // compact (it would unpersist the snapshot the fold is reading and
+    // break the swap); the swap absorbs the backlog instead
+    val lsm1 = lsm0.ingest(slice(350, 420)).ingest(slice(420, 440))
+    assert(lsm1.generations.size == 3 && (lsm1.base eq lsm0.base),
+      "ingest must keep stacking generations while the fold is in flight")
+    val swap = scala.concurrent.Await.result(
+      pending, scala.concurrent.duration.Duration(180, "seconds"))
+    val compacted = swap(lsm1)
+    assert(compacted.generations.size == 2)
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == flatExact(440))
+    // flag cleared: the next threshold crossing auto-compacts again
+    val resumed = compacted.ingest(slice(440, 460))
+    assert(resumed.generations.isEmpty && resumed.freshCount == 0,
+      "auto-compaction must resume once the async fold has been swapped in")
+    assert(resultSet(resumed.query(queries, 10, searchWidth = 0)) == flatExact(460))
+  }
+
   test("quantized base: generations inherit SQ8 storage and probe == quantized flat build") {
     val qParams = params.copy(quantized = true)
     val qBase = VectorIndex.build(

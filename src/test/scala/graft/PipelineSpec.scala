@@ -30,6 +30,40 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("repeatedSpans extracts planted shared passages and merges overlapping seeds") {
+    // docs 1 and 2 share an 8-token passage embedded at different
+    // offsets inside otherwise-unique text; doc 3 is all-unique
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $passage v1 v2"),           // passage at tokens 3..10
+      (2L, s"w1 $passage x1 x2 x3 x4"),           // passage at tokens 1..8
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11")) // no repeats
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // five overlapping 4-gram seeds per doc merge into ONE maximal span
+    // covering exactly the 8 planted tokens
+    assert(spans === Set((1L, 3, 10, 8), (2L, 1, 8, 8)))
+  }
+
+  test("repeatedSpans honors minDocs: a passage repeated within ONE doc only is not cross-doc") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"), // internal repeat only
+      (2L, "e f g h i j k l"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, n = 4, minDocs = 2).count() == 0)
+  }
+
+  test("embeddingNearDupPairs: block count never changes the result (pair coverage is exact)") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+    def pairs(b: Int): Set[(Long, Long, Double)] =
+      Dedup.embeddingNearDupPairs(emb, threshold = 0.3, blocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = pairs(1)
+    assert(ref.nonEmpty, "fixture should contain near-dup pairs at 0.3")
+    for (b <- Seq(2, 5, 8, 64)) assert(pairs(b) == ref, s"blocks=$b diverged")
+  }
+
   test("minHash LSH candidates include exact duplicates") {
     val docs = Seq(
       (1L, "one two three four five six seven eight"),

@@ -65,6 +65,30 @@ class PqKnnSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("PQ expressions fail loudly on length mismatches (no silent garbage reads)") {
+    val (flat, k, subDim) = PqKnn.codebooks(corpus, numCodewords = 16, m = 8)
+    val m = 8
+    // vector shorter than m*subDim: encode and adcTable must throw, not
+    // read out-of-range UnsafeArrayData
+    val short = corpus.select(slice(col("embedding"), 1, m * subDim - 1).as("embedding"))
+    val e1 = intercept[Exception](
+      short.select(PqFunctions.encode(col("embedding"), flat, m, k, subDim)).collect())
+    assert(e1.getMessage.contains("expected") || e1.getCause != null &&
+      e1.getCause.getMessage.contains("expected"))
+    val e2 = intercept[Exception](
+      short.select(PqFunctions.adcTable(col("embedding"), flat, m, k, subDim)).collect())
+    assert(e2.getMessage.contains("expected") || e2.getCause != null &&
+      e2.getCause.getMessage.contains("expected"))
+    // ADC table length must equal k * |codes|
+    val q = queries.filter(col("query_id") === 0).head.getSeq[Float](1).toArray
+    val e3 = intercept[Exception](
+      corpus.limit(5).select(PqFunctions.adcLookup(
+        slice(PqFunctions.adcTable(typedLit(q.toSeq), flat, m, k, subDim), 1, k),
+        PqFunctions.encode(col("embedding"), flat, m, k, subDim), k)).collect())
+    assert(e3.getMessage.contains("expected") || e3.getCause != null &&
+      e3.getCause.getMessage.contains("expected"))
+  }
+
   test("PQ candidate generation is useful: pool recall well above chance, more codewords help") {
     val exact = Queries.v4KnnExact(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
