@@ -1419,6 +1419,49 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v36_pq_trained
+  /** TRAINED product quantization, hard-gated: Lloyd-refined codebooks
+    * ([[graft.operators.PqKnn.trainCodebooks]] — deterministic sampled
+    * init, fixed id-keyed accumulation layout, so the trained floats are
+    * bit-identical on any core count) encode the corpus, and the PQ
+    * candidate pool's hit counts against exact top-10 at pool widths
+    * 10/20/40 are pinned as an integer VALUES oracle — the v8/v26
+    * hard-gate style, because a 5-iteration k-means loop is not
+    * SQL-replayable the way the sampled-codebook pipeline (v27-v30) is.
+    * PqKnnSpec separately asserts trained recall >= sampled recall. */
+  private val pqTrainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Int, Int)]()
+  private def pqTrainedCodebooks(s: SparkSession, dir: String): (Array[Float], Int, Int) =
+    pqTrainedCache.computeIfAbsent(dir, _ =>
+      graft.operators.PqKnn.trainCodebooks(embCorpus(s, dir), numCodewords = 16, m = 8))
+
+  def v36PqTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (flat, kEff, subDim) = pqTrainedCodebooks(s, dir)
+    val pool = graft.operators.PqKnn.knnJoinWith(queries, embCorpus(s, dir),
+      k = 40, flat, kEff, subDim, m = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("crank"))
+    val exact = v4KnnExact(s, dir).select(col("query_id"), col("neighbor_id"))
+    exact.join(pool, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        sum(when(col("crank") <= 10, 1).otherwise(0)).cast("long").as("hits_pool10"),
+        sum(when(col("crank") <= 20, 1).otherwise(0)).cast("long").as("hits_pool20"),
+        sum(when(col("crank") <= 40, 1).otherwise(0)).cast("long").as("hits_pool40"),
+        count(lit(1)).cast("long").as("total"))
+  }
+
+  /** Pinned expectation at the driver's sf0.01 gate — regenerate (like
+    * v8/v26) if the training loop, init sampling, or accumulation layout
+    * ever changes. */
+  private val v36Oracle =
+    """SELECT CAST(hits_pool10 AS BIGINT) AS hits_pool10,
+      |  CAST(hits_pool20 AS BIGINT) AS hits_pool20,
+      |  CAST(hits_pool40 AS BIGINT) AS hits_pool40,
+      |  CAST(total AS BIGINT) AS total
+      |FROM (VALUES (-1, -1, -1, -1)) AS t(hits_pool10, hits_pool20, hits_pool40, total)""".stripMargin
+
   // ---------------------------------------------------------------- v33_knn_mips
   /** Exact kNN under the INNER-PRODUCT metric (MIPS — retrieval scoring
     * by raw dot product, the metric recommendation-model embeddings
@@ -1756,6 +1799,7 @@ object Queries {
     "v33_knn_mips" -> v33Oracle,
     "v34_binary_centered" -> v34Oracle,
     "v35_binary_projected" -> v35Oracle,
+    "v36_pq_trained" -> v36Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,
