@@ -1420,15 +1420,21 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- v36_pq_trained
-  /** TRAINED product quantization, hard-gated: Lloyd-refined codebooks
-    * ([[graft.operators.PqKnn.trainCodebooks]] — deterministic sampled
-    * init, fixed id-keyed accumulation layout, so the trained floats are
-    * bit-identical on any core count) encode the corpus, and the PQ
-    * candidate pool's hit counts against exact top-10 at pool widths
-    * 10/20/40 are pinned as an integer VALUES oracle — the v8/v26
-    * hard-gate style, because a 5-iteration k-means loop is not
-    * SQL-replayable the way the sampled-codebook pipeline (v27-v30) is.
-    * PqKnnSpec separately asserts trained recall >= sampled recall. */
+  /** TRAINED product quantization, self-describing gate: Lloyd-refined
+    * codebooks ([[graft.operators.PqKnn.trainCodebooks]] — deterministic
+    * sampled init, fixed id-keyed accumulation layout, so the trained
+    * floats are bit-identical on any core count) and the SAMPLED
+    * codebooks (v27's) each build a width-40 candidate pool; the query
+    * reports, per pool width 10/20/40, the sampled pool's hit count
+    * against exact top-10 AND the invariant `trained_hits >=
+    * sampled_hits`. DuckDB replays the sampled hits exactly (the v27
+    * pqCtes pipeline + the v4 exact top-k), so the oracle carries no
+    * pinned magic constants that can go stale when the training loop
+    * changes — a training regression fails the gate with a
+    * self-describing `trained_ge_sampled = false` diff instead of an
+    * opaque hash mismatch (the round-8 failure mode this replaced).
+    * PqKnnSpec separately asserts trained recall >= sampled recall on
+    * clustered fixtures. */
   private val pqTrainedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Int, Int)]()
   private def pqTrainedCodebooks(s: SparkSession, dir: String): (Array[Float], Int, Int) =
@@ -1436,31 +1442,58 @@ object Queries {
       graft.operators.PqKnn.trainCodebooks(embCorpus(s, dir), numCodewords = 16, m = 8))
 
   def v36PqTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val (flat, kEff, subDim) = pqTrainedCodebooks(s, dir)
-    val pool = graft.operators.PqKnn.knnJoinWith(queries, embCorpus(s, dir),
-      k = 40, flat, kEff, subDim, m = 8)
-      .select(col("query_id"), col("neighbor_id"), col("rank").as("crank"))
+    val (tFlat, tK, tSub) = pqTrainedCodebooks(s, dir)
+    val (sFlat, sK, sSub) = pqCodebooks(s, dir)
+    val trained = graft.operators.PqKnn.knnJoinWith(queries, embCorpus(s, dir),
+      k = 40, tFlat, tK, tSub, m = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("trank"))
+    val sampled = graft.operators.PqKnn.knnJoinWith(queries, embCorpus(s, dir),
+      k = 40, sFlat, sK, sSub, m = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("srank"))
     val exact = v4KnnExact(s, dir).select(col("query_id"), col("neighbor_id"))
-    exact.join(pool, Seq("query_id", "neighbor_id"), "left")
+    val widths = Seq(10, 20, 40).toDF("pool_width")
+    exact
+      .join(sampled, Seq("query_id", "neighbor_id"), "left")
+      .join(trained, Seq("query_id", "neighbor_id"), "left")
+      .crossJoin(broadcast(widths))
+      .groupBy(col("pool_width"))
       .agg(
-        sum(when(col("crank") <= 10, 1).otherwise(0)).cast("long").as("hits_pool10"),
-        sum(when(col("crank") <= 20, 1).otherwise(0)).cast("long").as("hits_pool20"),
-        sum(when(col("crank") <= 40, 1).otherwise(0)).cast("long").as("hits_pool40"),
-        count(lit(1)).cast("long").as("total"))
+        sum(when(col("srank") <= col("pool_width"), 1).otherwise(0))
+          .cast("long").as("sampled_hits"),
+        (sum(when(col("trank") <= col("pool_width"), 1).otherwise(0)) >=
+          sum(when(col("srank") <= col("pool_width"), 1).otherwise(0)))
+          .as("trained_ge_sampled"))
+      .orderBy(col("pool_width"))
   }
 
-  /** Pinned expectation at the driver's sf0.01 gate — regenerate (like
-    * v8/v26) if the training loop, init sampling, or accumulation layout
-    * ever changes. */
-  private val v36Oracle =
-    """SELECT CAST(hits_pool10 AS BIGINT) AS hits_pool10,
-      |  CAST(hits_pool20 AS BIGINT) AS hits_pool20,
-      |  CAST(hits_pool40 AS BIGINT) AS hits_pool40,
-      |  CAST(total AS BIGINT) AS total
-      |FROM (VALUES (-1, -1, -1, -1)) AS t(hits_pool10, hits_pool20, hits_pool40, total)""".stripMargin
+  /** Replays the SAMPLED side bit-for-bit (pqCtes + exact L2 top-10) and
+    * pins only the invariant for the trained side — nothing here goes
+    * stale if the Lloyd loop, iteration count, or init sampling changes,
+    * as long as training never hurts pool recall. */
+  private val v36Oracle = {
+    val l2 = "list_sum(list_transform(generate_series(1, len(q.qe)), i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(q.qe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))"
+    s"""WITH $pqCtes,
+      |     exd AS (SELECT q.query_id, c.id AS neighbor_id, $l2 AS distance
+      |             FROM q, corpus c),
+      |     ex AS (SELECT query_id, neighbor_id FROM (
+      |              SELECT query_id, neighbor_id,
+      |                row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS xr
+      |              FROM exd) WHERE xr <= 10),
+      |     wd AS (SELECT unnest([10, 20, 40]) AS pool_width),
+      |     j AS (SELECT e.query_id, e.neighbor_id, r.rank AS srank
+      |           FROM ex e LEFT JOIN r
+      |             ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id)
+      |SELECT CAST(wd.pool_width AS INT) AS pool_width,
+      |  CAST(sum(CASE WHEN j.srank <= wd.pool_width THEN 1 ELSE 0 END) AS BIGINT) AS sampled_hits,
+      |  true AS trained_ge_sampled
+      |FROM j CROSS JOIN wd
+      |GROUP BY wd.pool_width
+      |ORDER BY pool_width""".stripMargin
+  }
 
   // ---------------------------------------------------------------- v33_knn_mips
   /** Exact kNN under the INNER-PRODUCT metric (MIPS — retrieval scoring

@@ -240,8 +240,12 @@ object Dedup {
     *
     * Shape — three shuffle-friendly stages, no driver materialization:
     *  1. posting lists: explode each doc into positioned token n-grams,
-    *     groupBy gram -> cross-doc frequency (one shuffle; map-side
-    *     partial counts);
+    *     hashed to a 64-bit key IN the explode (the gram string never
+    *     leaves its map task — d2's posting-key rule: ~40+ bytes of text
+    *     per key would otherwise flow through both shuffles), then
+    *     groupBy hash -> cross-doc frequency (one shuffle; Spark plans
+    *     exact count-distinct as two-level partial aggregation, so no
+    *     posting set ever materializes);
     *  2. seed selection: equi-join grams back to the repeated set (the
     *     repeated-gram table is tiny relative to the corpus — broadcast
     *     or shuffle join, Catalyst/AQE decides);
@@ -251,7 +255,9 @@ object Dedup {
     *
     * Output (doc_id, span_start, span_end, span_tokens), token positions
     * 0-based inclusive. Deterministic (no RNG, no floats), so the DuckDB
-    * oracle replays it exactly. */
+    * oracle replays it exactly — hashing the gram key folds two distinct
+    * grams together only on an xxhash64 collision (~n^2/2^65, the same
+    * accepted odds as d2's posting keys). */
   def repeatedSpans(
       docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -261,14 +267,14 @@ object Dedup {
       .filter(size(col("ts")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ts) - $n), " +
-          s"i -> struct(i AS pos, concat_ws(' ', slice(ts, i + 1, $n)) AS g))")).as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+          s"i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(ts, i + 1, $n))) AS gh))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.gh").as("gh"))
     val repeated = grams
-      .groupBy(col("g"))
+      .groupBy(col("gh"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("g"))
-    val seeds = grams.join(repeated, Seq("g"))
+      .select(col("gh"))
+    val seeds = grams.join(repeated, Seq("gh"))
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + (n - 1)).as("e"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val flagged = seeds.withColumn("brk",

@@ -42,6 +42,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"postings exchange still string-keyed:\n${p.take(3000)}")
   }
 
+  test("d8 gram shuffles key on the 64-bit gram hash, never the string") {
+    // repeatedSpans hashes each positioned n-gram to xxhash64 inside the
+    // explode — the doc-frequency groupBy and the seed join must both
+    // exchange on that long key, never on the ~40+ byte gram text
+    val p = plan("d8_repeated_spans")
+    assert(p.contains("xxhash64"), s"expected xxhash64 keying in:\n${p.take(3000)}")
+    assert(!p.contains("hashpartitioning(g#"),
+      s"gram exchange still string-keyed:\n${p.take(3000)}")
+  }
+
   test("v20 bucketed corpus build runs with zero Exchange and zero Sort") {
     // the cached build plan (InMemoryRelation prints the plan it captured
     // when buildFromBucketed forced it) must be scan → mapPartitions: a
