@@ -433,6 +433,27 @@ object PipelineQueries {
       |  round(CAST(list_sum(list_transform(generate_series(0, 11), p -> (doc_id * 13 + 3 * (16 * (p // 4) + 2 * (p % 4)) + 11) % 256)) AS DOUBLE) / 12, 6) AS mean_b
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m6_png_decode
+  /** REAL PNG decode gate (JDK ImageIO — the real-file face; PpmCodec
+    * stays the zero-dependency face): the same deterministic pixels are
+    * PNG-encoded per row, pushed through the format-sniffing
+    * [[graft.operators.Multimodal.decodeAny]], and the fingerprint covers
+    * the DECODED buffer — a palette, stride, or color-model slip in the
+    * ImageIO path changes every digest. PNG is lossless, so the oracle is
+    * m1's closed-form pixel SQL; byte_len is dropped (container size is
+    * a JDK encoder detail, not a pipeline contract). */
+  def m6PngDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractImageFeatures(
+      Multimodal.syntheticPngImages(Tables.documents(s, dir), w = 8, h = 6))
+      .drop("byte_len")
+      .orderBy(col("doc_id"))
+
+  private val m6Oracle =
+    """SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  sha256(array_to_string(list_transform(generate_series(0, 47),
+      |    p -> printf('%02x%02x%02x', (doc_id * 31 + p) % 256, (doc_id * 17 + 2 * p + 5) % 256, (doc_id * 13 + 3 * p + 11) % 256)), '')) AS rgb_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -664,6 +685,7 @@ object PipelineQueries {
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
     "m4_image_stats" -> ((s, dir) => m4ImageStats(s, dir)),
     "m5_image_resize" -> ((s, dir) => m5ImageResize(s, dir)),
+    "m6_png_decode" -> ((s, dir) => m6PngDecode(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -697,6 +719,7 @@ object PipelineQueries {
     "m3_resize" -> m3Oracle,
     "m4_image_stats" -> m4Oracle,
     "m5_image_resize" -> m5Oracle,
+    "m6_png_decode" -> m6Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

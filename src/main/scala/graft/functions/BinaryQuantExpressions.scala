@@ -100,12 +100,17 @@ case class VecBits(child: Expression) extends UnaryExpression {
   * Computed via the in-place fast Walsh-Hadamard butterfly — O(d log d)
   * per row instead of the naive O(d^2) matrix product (at 768-1024d on
   * a 100 TB ingest that is the difference between ~10K and ~1M adds per
-  * row). Bit-identical to the naive `popcount(i & j)` fold: every
-  * output (and every butterfly intermediate) is a signed sum of
-  * distinct float32 inputs, and a double carries 29 spare mantissa bits
-  * over float32 — partial sums stay exact up to d = 2^29, so summation
-  * order cannot change a single bit (the v35 oracle replays the naive
-  * closed form and hash-matches). */
+  * row). Bit-identity with the naive sequential `popcount(i & j)` fold
+  * holds exactly when NO partial sum can round: each float32 input is a
+  * multiple of 2^(e_min - 23), any signed subset sum is bounded by
+  * d * 2^(e_max + 1), so every intermediate (butterfly OR sequential)
+  * is exact iff `(e_max - e_min) + log2(d) <= 28` over the row's
+  * nonzero finite exponents — always true for normalized embeddings
+  * (spread ~ a few binades) at any practical d, but NOT for adversarial
+  * rows like [1e30f, 1f, ...]. The expression checks that bound per row
+  * and falls back to the naive sequential fold (the v35 oracle's exact
+  * arithmetic) when it fails or any element is non-finite, so the
+  * oracle hash-matches on every input, not just well-scaled ones. */
 case class VecHadamardProject(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -116,61 +121,15 @@ case class VecHadamardProject(child: Expression) extends UnaryExpression {
       s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if ((n & (n - 1)) != 0 || n == 0) throw VecHadamardProject.badDim(n)
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
-    var h = 1
-    while (h < n) {
-      var base = 0
-      while (base < n) {
-        var j = base
-        while (j < base + h) {
-          val u = out(j); val v = out(j + h)
-          out(j) = u + v
-          out(j + h) = u - v
-          j += 1
-        }
-        base += h << 1
-      }
-      h <<= 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VecHadamardProject.project(v.asInstanceOf[ArrayData]))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val base = ctx.freshName("base")
-      val u = ctx.freshName("u")
-      val v = ctx.freshName("v")
-      val out = ctx.freshName("out")
       s"""
-         |final int $n = $a.numElements();
-         |if (($n & ($n - 1)) != 0 || $n == 0) {
-         |  throw graft.functions.VecHadamardProject.badDim($n);
-         |}
-         |final double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (double) $a.getFloat($i);
-         |}
-         |for (int $h = 1; $h < $n; $h <<= 1) {
-         |  for (int $base = 0; $base < $n; $base += $h << 1) {
-         |    for (int $j = $base; $j < $base + $h; $j++) {
-         |      final double $u = $out[$j];
-         |      final double $v = $out[$j + $h];
-         |      $out[$j] = $u + $v;
-         |      $out[$j + $h] = $u - $v;
-         |    }
-         |  }
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.VecHadamardProject.project($a));
        """.stripMargin
     })
 
@@ -183,6 +142,70 @@ object VecHadamardProject {
   def badDim(n: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"vec_hadamard requires a power-of-2 dimension, got $n")
+
+  /** The ONE projection implementation, shared by interpreted eval and
+    * generated code (one static call per row — no boxing, no dispatch).
+    * Picks the O(d log d) butterfly when the per-row exactness bound
+    * holds (see the class doc: exponent spread + log2(d) <= 28 over
+    * nonzero finite elements — every subset sum of float32 inputs then
+    * fits a double exactly, so ANY summation order gives the same bits),
+    * otherwise replays the oracle's naive sequential fold. */
+  def project(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    if ((n & (n - 1)) != 0 || n == 0) throw badDim(n)
+    val out = new Array[Double](n)
+    var minE = Int.MaxValue
+    var maxE = Int.MinValue
+    var finite = true
+    var i = 0
+    while (i < n) {
+      val f = a.getFloat(i)
+      out(i) = f.toDouble
+      if (f != 0.0f) {
+        if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) finite = false
+        else {
+          val e = java.lang.Math.getExponent(f)
+          if (e < minE) minE = e
+          if (e > maxE) maxE = e
+        }
+      }
+      i += 1
+    }
+    val log2n = 31 - Integer.numberOfLeadingZeros(n)
+    if (finite && (minE > maxE || maxE - minE + log2n <= 28)) {
+      var h = 1
+      while (h < n) {
+        var base = 0
+        while (base < n) {
+          var j = base
+          while (j < base + h) {
+            val u = out(j); val v = out(j + h)
+            out(j) = u + v
+            out(j + h) = u - v
+            j += 1
+          }
+          base += h << 1
+        }
+        h <<= 1
+      }
+      out
+    } else {
+      // rounding possible: replay the sequential popcount fold exactly
+      val res = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        var acc = 0.0
+        var ii = 0
+        while (ii < n) {
+          acc += (if (Integer.bitCount(ii & j) % 2 == 0) out(ii) else -out(ii))
+          ii += 1
+        }
+        res(j) = acc
+        j += 1
+      }
+      res
+    }
+  }
 }
 
 /** Hamming distance between two packed bit vectors: popcount of the

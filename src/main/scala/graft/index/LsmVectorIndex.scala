@@ -92,6 +92,10 @@ final class LsmVectorIndex private (
     * probe. Generations this index built are unpersisted; so is the base
     * when it came from a previous compaction. */
   def compact(): LsmVectorIndex = {
+    require(!asyncPending.get(),
+      "compact() while a compactAsync fold is outstanding would unpersist " +
+        "the snapshot generations (and owned base) the background append is " +
+        "reading — apply the returned swap instead, or let it fail first")
     if (generations.isEmpty) return this
     val freshVecs = generations
       .map(_.rows.toDF().select(col("global_id").as("id"), col("embedding")))
@@ -116,7 +120,12 @@ final class LsmVectorIndex private (
     * exactly the ones ingested since this call. Exact-mode probes are
     * unaffected by WHEN the swap is applied (same vectors either way —
     * the [[compact]] invariance, spec-gated). The snapshot generations
-    * and this base (when owned) are unpersisted as part of the swap. */
+    * and this base (when owned) are unpersisted as part of the swap.
+    * Applying the swap to an INVALID handle abandons the fold: its
+    * output is dropped, the pending flag clears, and compaction can
+    * simply run again. Dropping the swap without ever applying it
+    * leaves auto-compaction disabled for the lineage — always apply
+    * (or let the future fail, which also clears the flag). */
   def compactAsync()(implicit ec: scala.concurrent.ExecutionContext)
       : scala.concurrent.Future[LsmVectorIndex => LsmVectorIndex] = {
     val snapshot = generations
@@ -133,15 +142,33 @@ final class LsmVectorIndex private (
       val newBase =
         try oldBase.append(freshVecs) // materializes before any unpersist
         catch { case e: Throwable => pending.set(false); throw e }
+      // 0 = fresh, 1 = applied, 2 = abandoned: a FIRST misapply abandons
+      // the fold (drop its output, re-enable compaction) instead of
+      // leaking asyncPending=true forever with auto-compaction silently
+      // disabled; a misapply AFTER a successful apply must not touch
+      // newBase — it is a live base by then
+      val state = new java.util.concurrent.atomic.AtomicInteger(0)
       (later: LsmVectorIndex) => {
-        require(later.base eq oldBase,
-          "compaction swap applied to a handle with a different base " +
-            "(compacted concurrently elsewhere?)")
-        require(later.generations.length >= snapshot.length &&
-          later.generations.take(snapshot.length).zip(snapshot).forall {
-            case (a, b) => a eq b
-          },
-          "compaction swap applied to a handle that does not extend the snapshot")
+        require(state.get() != 2,
+          "compaction swap was abandoned by an earlier misapply — compact again")
+        try {
+          require(later.base eq oldBase,
+            "compaction swap applied to a handle with a different base " +
+              "(compacted concurrently elsewhere?)")
+          require(later.generations.length >= snapshot.length &&
+            later.generations.take(snapshot.length).zip(snapshot).forall {
+              case (a, b) => a eq b
+            },
+            "compaction swap applied to a handle that does not extend the snapshot")
+        } catch {
+          case e: Throwable =>
+            if (state.compareAndSet(0, 2)) {
+              newBase.unpersist()
+              pending.set(false)
+            }
+            throw e
+        }
+        state.set(1)
         snapshot.foreach(_.unpersist())
         if (owned) oldBase.unpersist()
         pending.set(false)

@@ -70,18 +70,93 @@ object PpmCodec {
   }
 }
 
+/** JDK-ImageIO raster codec — the REAL-FILE face of the image path:
+  * decodes any format a registered ImageIO reader handles (PNG and JPEG
+  * ship with every JDK; no new dependency) into the same interleaved-RGB
+  * buffer contract as [[PpmCodec]]. PNG round-trips losslessly, so the
+  * PNG pipeline shares the closed-form pixel oracles; JPEG decodes
+  * through the identical path but is gated by tolerance specs only (its
+  * bytes are encoder-dependent). Instantiated per task inside
+  * mapPartitions like the PPM codec. */
+object ImageIoCodec {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+
+  /** Encode interleaved RGB to `format` ("png", "jpg", ...). */
+  def encode(w: Int, h: Int, rgb: Array[Byte], format: String): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"expected ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, bos), s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = encode(w, h, rgb, "png")
+
+  /** Decode any ImageIO-readable payload (PNG/JPEG/GIF/BMP...) to
+    * (width, height, interleaved RGB). Fails loudly on undecodable
+    * bytes — a silent null here would surface as a task NPE far from
+    * the cause. */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload not decodable by any registered ImageIO reader")
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        rgb(p) = (px >> 16).toByte
+        rgb(p + 1) = (px >> 8).toByte
+        rgb(p + 2) = px.toByte
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+}
+
 /** Multimodal column plumbing: media (image/audio/video) is carried as an
   * opaque `binary` payload column plus typed metadata, and per-batch
   * feature extraction runs in `mapPartitions` over the raw bytes — the
   * same shape a real decoder (JNI/FFI image lib) would use. The IMAGE
-  * path is real end-to-end: [[PpmCodec]] decodes P6 payloads for
-  * [[extractImageFeatures]], [[imageStats]], [[resizeImage]] and
-  * [[resizeFingerprint]] (oracle-gated: encode → decode → features /
-  * resample must match closed-form SQL over the synthetic pixel
-  * formulas). Only [[sampleFrames]] keeps a digest fingerprint — its
+  * path is real end-to-end and format-sniffing ([[decodeAny]]): P6
+  * payloads go through the zero-dependency [[PpmCodec]], everything else
+  * (PNG/JPEG/GIF/BMP) through [[ImageIoCodec]] — one operator surface
+  * ([[extractImageFeatures]], [[imageStats]], [[resizeImage]],
+  * [[resizeFingerprint]]) over any container (oracle-gated: encode →
+  * decode → features / resample must match closed-form SQL over the
+  * synthetic pixel formulas; PNG shares the same oracles because it is
+  * lossless). Only [[sampleFrames]] keeps a digest fingerprint — its
   * subject is the frame-splitting shape, not a codec.
   */
 object Multimodal {
+
+  /** Container sniff + decode: "P6" magic → [[PpmCodec]], anything else
+    * → [[ImageIoCodec]]. One decoder contract for every image operator,
+    * so a corpus can mix PPM/PNG/JPEG payloads in one binary column. */
+  def decodeAny(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
+      PpmCodec.decode(bytes)
+    else ImageIoCodec.decode(bytes)
 
   /** Frame sampling: split the payload into fixed-size frames (the
     * video-frame / audio-window analog) and fingerprint each — the
@@ -116,7 +191,7 @@ object Multimodal {
       .mapPartitions { batch =>
         val digest = MessageDigest.getInstance("SHA-256")
         batch.map { case (id, bytes) =>
-          val (w, h, rgb) = PpmCodec.decode(bytes)
+          val (w, h, rgb) = decodeAny(bytes)
           digest.reset()
           val hex = rgb.map("%02x".format(_)).mkString
           DecodedFeatures(id, w, h, bytes.length.toLong,
@@ -142,7 +217,7 @@ object Multimodal {
       .mapPartitions { batch =>
         val digest = MessageDigest.getInstance("SHA-256")
         batch.map { case (id, bytes) =>
-          val (w, h, rgb) = PpmCodec.decode(bytes)
+          val (w, h, rgb) = decodeAny(bytes)
           val resized = PpmCodec.resizeNearest(w, h, rgb, outW, outH)
           digest.reset()
           val hex = resized.map("%02x".format(_)).mkString
@@ -156,27 +231,44 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  /** The closed-form synthetic pixel buffer shared by every synthetic
+    * payload generator: r=(id*31+p)%256, g=(id*17+2p+5)%256,
+    * b=(id*13+3p+11)%256 over pixel index p. */
+  private def syntheticRgb(id: Long, n: Int): Array[Byte] = {
+    val rgb = new Array[Byte](n * 3)
+    var p = 0
+    while (p < n) {
+      rgb(p * 3) = ((id * 31 + p) % 256).toByte
+      rgb(p * 3 + 1) = ((id * 17 + 2L * p + 5) % 256).toByte
+      rgb(p * 3 + 2) = ((id * 13 + 3L * p + 11) % 256).toByte
+      p += 1
+    }
+    rgb
+  }
+
   /** Deterministic synthetic P6 payload per row — pixel channels are
     * closed-form in (doc_id, pixel index), so decoded statistics have an
-    * exact SQL oracle: r=(id*31+p)%256, g=(id*17+2p+5)%256,
-    * b=(id*13+3p+11)%256. Output (doc_id, payload BINARY). */
+    * exact SQL oracle (see [[syntheticRgb]]). Output
+    * (doc_id, payload BINARY). */
   def syntheticImages(docs: DataFrame, w: Int, h: Int,
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      val n = w * h
-      it.map { id =>
-        val rgb = new Array[Byte](n * 3)
-        var p = 0
-        while (p < n) {
-          rgb(p * 3) = ((id * 31 + p) % 256).toByte
-          rgb(p * 3 + 1) = ((id * 17 + 2L * p + 5) % 256).toByte
-          rgb(p * 3 + 2) = ((id * 13 + 3L * p + 11) % 256).toByte
-          p += 1
-        }
-        (id, PpmCodec.encode(w, h, rgb))
-      }
+      it.map(id => (id, PpmCodec.encode(w, h, syntheticRgb(id, w * h))))
+    }.toDF("doc_id", "payload")
+  }
+
+  /** [[syntheticImages]] with a PNG container (JDK ImageIO encoder):
+    * the same closed-form pixels behind real compressed-format bytes —
+    * PNG is lossless, so the decode pipeline shares the P6 oracles
+    * bit-for-bit while exercising the [[ImageIoCodec]] path. */
+  def syntheticPngImages(docs: DataFrame, w: Int, h: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => (id, ImageIoCodec.encodePng(w, h, syntheticRgb(id, w * h))))
     }.toDF("doc_id", "payload")
   }
 
@@ -201,7 +293,7 @@ object Multimodal {
     withPayload.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val (w, h, rgb) = PpmCodec.decode(bytes)
+        val (w, h, rgb) = decodeAny(bytes)
         statsOf(id, w, h, rgb)
       }).toDF()
   }
@@ -215,7 +307,7 @@ object Multimodal {
     withPayload.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val (w, h, rgb) = PpmCodec.decode(bytes)
+        val (w, h, rgb) = decodeAny(bytes)
         statsOf(id, outW, outH, PpmCodec.resizeNearest(w, h, rgb, outW, outH))
       }).toDF()
   }

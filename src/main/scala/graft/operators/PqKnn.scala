@@ -53,81 +53,107 @@ object PqKnn {
     * sampled init): the recall upgrade over [[codebooks]] — sampling keeps
     * the exact SQL oracle, training closes the recall gap. Deterministic
     * end to end: assignment uses the same strict-argmin as the encoder,
-    * per-partition partial sums fold in partition order on the driver
-    * (the whole accumulation state is m*k*subDim doubles — KBs), and an
-    * empty cluster keeps its previous codeword.
+    * partials fold in a FIXED pid-keyed hierarchy (below), and an empty
+    * cluster keeps its previous codeword. Requires an `id` column — it
+    * keys the accumulation layout.
     *
     * Scale shape: each iteration is one map-only pass over the corpus
     * emitting ONE partial-sums row per partition (no shuffle of vectors,
     * no per-row state on the driver — the one up-front shuffle fixes the
-    * accumulation layout).
+    * accumulation layout), then a deterministic hierarchical fold:
+    * partials group by pid/32, each group folds in ascending-pid order,
+    * group ids become the next level's pids — O(log_32 P) tiny shuffle
+    * rounds, and exactly ONE ~8 KB partial ever reaches the driver, at
+    * any partition count (the round-8 review flagged the per-iteration
+    * collect of all partials; at the default 32 partitions this fold is
+    * bit-identical to the old sequential one).
     *
     * The corpus is laid out ONCE into a fixed id-keyed partitioning
-    * (32 partitions, sorted by id within each) before the passes:
+    * (`numPartitions`, sorted by id within each) before the passes:
     * double-sum accumulation order is then a function of the DATA alone,
     * not of core count or file-split boundaries, so trained codebooks
-    * are bit-identical on any cluster size — what lets v36 pin an
-    * integer oracle against them. */
+    * are bit-identical on any cluster size at a given `numPartitions`. */
   def trainCodebooks(corpus: DataFrame, numCodewords: Int, m: Int,
-      iterations: Int = 5): (Array[Float], Int, Int) = {
+      iterations: Int = 5, numPartitions: Int = 32): (Array[Float], Int, Int) = {
+    require(corpus.columns.contains("id"),
+      "trainCodebooks requires an 'id' column: it keys the deterministic accumulation layout")
     var (flat, k, subDim) = codebooks(corpus, numCodewords, m)
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col("id"), col("embedding"))
-      .repartition(32, pmod(col("id"), lit(32)))
+      .repartition(numPartitions, pmod(col("id"), lit(numPartitions)))
       .sortWithinPartitions(col("id"))
       .select(col("embedding")).as[Array[Float]]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 0 until iterations) {
-      val cb = flat // stable reference for the closure
-      val partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val sums = new Array[Double](m * k * subDim)
-        val counts = new Array[Long](m * k)
-        it.foreach { v =>
-          var s = 0
-          while (s < m) {
-            var bestD = Double.PositiveInfinity
-            var bestJ = 0
-            var j = 0
-            while (j < k) {
-              val off = (s * k + j) * subDim
-              var acc = 0.0
-              var i = 0
-              while (i < subDim) {
-                val t = v(s * subDim + i).toDouble - cb(off + i).toDouble
-                acc += t * t
-                i += 1
+    try {
+      for (_ <- 0 until iterations) {
+        val cb = flat // stable reference for the closure
+        var partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val sums = new Array[Double](m * k * subDim)
+          val counts = new Array[Long](m * k)
+          it.foreach { v =>
+            var s = 0
+            while (s < m) {
+              var bestD = Double.PositiveInfinity
+              var bestJ = 0
+              var j = 0
+              while (j < k) {
+                val off = (s * k + j) * subDim
+                var acc = 0.0
+                var i = 0
+                while (i < subDim) {
+                  val t = v(s * subDim + i).toDouble - cb(off + i).toDouble
+                  acc += t * t
+                  i += 1
+                }
+                if (acc < bestD) { bestD = acc; bestJ = j }
+                j += 1
               }
-              if (acc < bestD) { bestD = acc; bestJ = j }
-              j += 1
+              val off = (s * k + bestJ) * subDim
+              var i = 0
+              while (i < subDim) { sums(off + i) += v(s * subDim + i).toDouble; i += 1 }
+              counts(s * k + bestJ) += 1
+              s += 1
             }
-            val off = (s * k + bestJ) * subDim
-            var i = 0
-            while (i < subDim) { sums(off + i) += v(s * subDim + i).toDouble; i += 1 }
-            counts(s * k + bestJ) += 1
-            s += 1
           }
+          Iterator.single((pid, (sums, counts)))
         }
-        Iterator.single((pid, sums, counts))
-      }.collect().sortBy(_._1) // deterministic driver-side fold order
-      val sums = new Array[Double](m * k * subDim)
-      val counts = new Array[Long](m * k)
-      partials.foreach { case (_, ps, pc) =>
-        var i = 0
-        while (i < sums.length) { sums(i) += ps(i); i += 1 }
-        i = 0
-        while (i < counts.length) { counts(i) += pc(i); i += 1 }
+        // deterministic hierarchical fold: group by pid/32, fold each
+        // group in ascending-pid order (groupByKey materializes the whole
+        // group before the fold, so arrival order never matters), repeat
+        // with group ids as pids until one partial remains
+        val fanIn = 32
+        var width = numPartitions
+        while (width > 1) {
+          val groups = (width + fanIn - 1) / fanIn
+          partials = partials
+            .map { case (pid, p) => (pid / fanIn, (pid, p)) }
+            .groupByKey(groups)
+            .mapValues { members =>
+              val sorted = members.toArray.sortBy(_._1)
+              val s0 = new Array[Double](m * k * subDim)
+              val c0 = new Array[Long](m * k)
+              sorted.foreach { case (_, (ps, pc)) =>
+                var i = 0
+                while (i < s0.length) { s0(i) += ps(i); i += 1 }
+                i = 0
+                while (i < c0.length) { c0(i) += pc(i); i += 1 }
+              }
+              (s0, c0)
+            }
+          width = groups
+        }
+        val (sums, counts) = partials.values.collect().head
+        val next = flat.clone()
+        for (s <- 0 until m; j <- 0 until k if counts(s * k + j) > 0) {
+          val off = (s * k + j) * subDim
+          val n = counts(s * k + j).toDouble
+          var i = 0
+          while (i < subDim) { next(off + i) = (sums(off + i) / n).toFloat; i += 1 }
+        }
+        flat = next
       }
-      val next = flat.clone()
-      for (s <- 0 until m; j <- 0 until k if counts(s * k + j) > 0) {
-        val off = (s * k + j) * subDim
-        val n = counts(s * k + j).toDouble
-        var i = 0
-        while (i < subDim) { next(off + i) = (sums(off + i) / n).toFloat; i += 1 }
-      }
-      flat = next
-    }
-    vecs.unpersist()
+    } finally vecs.unpersist() // release the cache on the throw path too
     (flat, k, subDim)
   }
 

@@ -20,14 +20,16 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *   - simple dataspaces (rank 1/2), fixed-point and IEEE float datatypes
   *     in either byte order, CONTIGUOUS, COMPACT or CHUNKED data layout
   *   - chunked datasets may be DEFLATE-compressed (`compression="gzip"`,
-  *     the h5py default filter) and byte-SHUFFLED (`shuffle=True`, the
-  *     usual companion flag); chunk records come from the v1 chunk
-  *     B-tree, and each task undoes only its own chunks' filters, in
-  *     reverse pipeline order with per-chunk mask bits honored
+  *     the h5py default filter), LZF-compressed (`compression="lzf"`,
+  *     h5py's bundled filter — [[H5Filters.lzfDecompress]]), byte-SHUFFLED
+  *     (`shuffle=True`), and fletcher32-checksummed (`fletcher32=True`,
+  *     verified and stripped per chunk); chunk records come from the v1
+  *     chunk B-tree, and each task undoes only its own chunks' filters,
+  *     in reverse pipeline order with per-chunk mask bits honored
   *
   * Fractal-heap ("dense") groups, non-atomic datatypes, and filters other
-  * than deflate + shuffle (fletcher32/szip/lzf) are out of scope and
-  * rejected with a clear error.
+  * than deflate/lzf/shuffle/fletcher32 (szip, scaleoffset) are out of
+  * scope and rejected with a clear error.
   * Metadata (a few KB, including the chunk index) is parsed on the
   * driver; bulk data reads are DISTRIBUTED, exactly like
   * [[BinaryVectors]]: contiguous layouts stream fixed-stride row slices,
@@ -222,6 +224,10 @@ object Hdf5 {
                   data = filters(fi) match {
                     case 1 => inflateChunk(data, chunkBytes.toInt, rec.addr)
                     case 2 => unshuffle(data, elemSize)
+                    case H5Filters.Fletcher32Id =>
+                      H5Filters.fletcherVerifyStrip(data, s"chunk at ${rec.addr}")
+                    case H5Filters.LzfId =>
+                      H5Filters.lzfDecompress(data, chunkBytes.toInt)
                   }
                 }
                 fi -= 1
@@ -548,10 +554,10 @@ object Hdf5 {
         q += 4 * nCd
         if (version == 1 && nCd % 2 == 1) q += 4 // v1 pads client data to 8
         id match {
-          case 1 | 2 => ids += id
+          case 1 | 2 | H5Filters.Fletcher32Id | H5Filters.LzfId => ids += id
           case other => throw new IOException(
             s"dataset '$name': unsupported HDF5 filter id $other " +
-              "(only deflate/gzip and shuffle are supported — rewrite without fletcher32/szip/lzf)")
+              "(deflate/gzip, shuffle, fletcher32, and lzf are supported — rewrite without szip/scaleoffset)")
         }
         p = q
       }

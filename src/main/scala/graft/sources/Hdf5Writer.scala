@@ -272,18 +272,23 @@ object Hdf5Writer {
 
   /** Write `datasets` with CHUNKED layout — `chunkRows` rows per chunk,
     * and (when `chunkCols` > 0) chunks that also SPLIT each row into
-    * column slices — deflate-compressed when `gzip`, byte-shuffled first
-    * when `shuffle` (the h5py `shuffle=True` pipeline order). The
+    * column slices — deflate-compressed when `gzip`, LZF-compressed when
+    * `lzf` ([[H5Filters.lzfCompress]] — h5py's `compression="lzf"`),
+    * byte-shuffled first when `shuffle` (the h5py `shuffle=True`
+    * pipeline order), and fletcher32-checksummed LAST when `fletcher32`
+    * (checksum covers the stored bytes, the h5py/HDF5 convention). The
     * fixture half of the chunked/compressed read path ([[Hdf5]]
     * round-trips it, including the row-reassembly shuffle for
     * column-split shapes).
     * Classic container, v1 chunk B-tree with one leaf node per dataset. */
   def writeChunked(path: String, datasets: Seq[(String, Matrix)],
       chunkRows: Int, gzip: Boolean, chunkCols: Int = 0,
-      shuffle: Boolean = false): Unit = {
+      shuffle: Boolean = false, lzf: Boolean = false,
+      fletcher32: Boolean = false): Unit = {
     require(chunkRows > 0, "chunkRows must be positive")
+    require(!(gzip && lzf), "pick one compressor: gzip or lzf")
     val sorted = datasets.sortBy(_._1)
-    val bytes = writeChunkedClassic(sorted, chunkRows, gzip, chunkCols, shuffle)
+    val bytes = writeChunkedClassic(sorted, chunkRows, gzip, chunkCols, shuffle, lzf, fletcher32)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     try out.write(bytes) finally out.close()
   }
@@ -318,7 +323,8 @@ object Hdf5Writer {
 
   private def writeChunkedClassic(
       datasets: Seq[(String, Matrix)], chunkRows: Int, gzip: Boolean,
-      chunkCols: Int, shuffle: Boolean): Array[Byte] = {
+      chunkCols: Int, shuffle: Boolean, lzf: Boolean = false,
+      fletcher32: Boolean = false): Array[Byte] = {
     val K = 4
     require(datasets.length <= 2 * K, s"classic writer supports <= ${2 * K} datasets")
     val chunkKeySize = 8 + 3 * 8 // size, mask, offsets (row, col, elem)
@@ -345,8 +351,12 @@ object Hdf5Writer {
             r += 1
           }
           val filtered0 = if (shuffle) shuffleBytes(buf, elem) else buf
+          val filtered1 =
+            if (gzip) deflate(filtered0)
+            else if (lzf) H5Filters.lzfCompress(filtered0)
+            else filtered0
           ((ci * chunkRows).toLong, (cj * cc).toLong,
-            if (gzip) deflate(filtered0) else filtered0)
+            if (fletcher32) H5Filters.fletcherAppend(filtered1) else filtered1)
         }
         (name, cs.toIndexedSeq)
       }.toMap
@@ -362,11 +372,15 @@ object Hdf5Writer {
     }
 
     // pipeline entries in write order: shuffle (cd = element size) first,
-    // then deflate (cd = level) — the h5py shuffle+gzip ordering
+    // then the compressor (deflate cd = level; lzf cd empty), then
+    // fletcher32 last so the checksum covers the stored bytes — the
+    // h5py shuffle+compression+fletcher32 ordering
     def filterBody(m: Matrix): Array[Byte] = {
       val entries =
         (if (shuffle) Seq((2, Seq(elemSize(m)))) else Nil) ++
-          (if (gzip) Seq((1, Seq(6))) else Nil)
+          (if (gzip) Seq((1, Seq(6))) else Nil) ++
+          (if (lzf) Seq((H5Filters.LzfId, Seq.empty[Int])) else Nil) ++
+          (if (fletcher32) Seq((H5Filters.Fletcher32Id, Seq.empty[Int])) else Nil)
       val size = 8 + entries.map { case (_, cd) =>
         8 + 4 * cd.length + (if (cd.length % 2 == 1) 4 else 0)
       }.sum
@@ -388,7 +402,7 @@ object Hdf5Writer {
       Seq(
         v1Message(0x0001, dataspaceV1Body(m)),
         v1Message(0x0003, datatypeBody(m))) ++
-        (if (gzip || shuffle) Seq(v1Message(0x000B, filterBody(m))) else Nil) :+
+        (if (gzip || shuffle || lzf || fletcher32) Seq(v1Message(0x000B, filterBody(m))) else Nil) :+
         v1Message(0x0008, chunkedLayoutBody(btreeAddr, m)))
 
     // --- address layout (mirrors writeClassic's fixed header region)

@@ -75,6 +75,41 @@ class BinaryQuantSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("wide-exponent rows fall back to the sequential fold (still == naive)") {
+    import spark.implicits._
+    // [1e30f, 1f, -1e30f, 1f]-style rows violate the butterfly's
+    // exactness bound (exponent spread + log2(d) > 28): the butterfly
+    // would round differently than the sequential definition, so the
+    // expression must detect the spread and replay the naive fold
+    val hard = Seq(
+      Seq(1e30f, 1f, -1e30f, 1f),
+      Seq(Float.MaxValue, Float.MinPositiveValue, -1f, 2f),
+      Seq(3.5e28f, -7f, 1e-20f, 0f))
+    val df = hard.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .select(BinaryQuantFunctions.hadamard(col("embedding")).as("h"),
+        col("embedding"))
+    for (r <- df.collect()) {
+      val v = r.getSeq[Float](1).toArray
+      val got = r.getSeq[Double](0).toArray
+      for (j <- v.indices) {
+        var acc = 0.0
+        for (i <- v.indices) {
+          val x = v(i).toDouble
+          acc += (if ((Integer.bitCount(i & j) & 1) == 0) x else -x)
+        }
+        assert(got(j) == acc, s"output $j: got ${got(j)} != sequential $acc")
+      }
+    }
+    // non-finite elements also take the sequential path (NaN-propagation
+    // order matches the definition rather than the butterfly's)
+    val nan = Seq((0L, Seq(Float.NaN, 1f, 2f, 3f))).toDF("vec_id", "embedding")
+      .select(BinaryQuantFunctions.hadamard(
+        col("embedding").cast("array<float>")).as("h"))
+    assert(nan.head.getSeq[Double](0).forall(_.isNaN))
+  }
+
   test("SQL surface: vec_bits / vec_hamming registered") {
     graft.functions.GraftFunctions.register(spark)
     emb.createOrReplaceTempView("bin_emb")

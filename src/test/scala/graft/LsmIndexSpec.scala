@@ -188,6 +188,36 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(resultSet(resumed.query(queries, 10, searchWidth = 0)) == flatExact(460))
   }
 
+  test("synchronous compact() refuses while an async fold is outstanding") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lsm0 = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350))
+    val pending = lsm0.compactAsync()
+    val e = intercept[IllegalArgumentException](lsm0.compact())
+    assert(e.getMessage.contains("outstanding"))
+    val swap = scala.concurrent.Await.result(
+      pending, scala.concurrent.duration.Duration(180, "seconds"))
+    val compacted = swap(lsm0)
+    compacted.compact() // flag cleared — synchronous compaction allowed again
+  }
+
+  test("a FIRST misapply abandons the fold and re-enables compaction") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lsm0 = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350))
+    val swap = scala.concurrent.Await.result(
+      lsm0.compactAsync(), scala.concurrent.duration.Duration(180, "seconds"))
+    val other = LsmVectorIndex(baseIdx, 1000000).ingest(slice(300, 320))
+    intercept[IllegalArgumentException](swap(other)) // misapply -> abandoned
+    // the pending flag must not leak true: compaction works again
+    val recompacted = lsm0.compact()
+    assert(recompacted.generations.isEmpty)
+    assert(resultSet(recompacted.query(queries, 10, searchWidth = 0)) == flatExact(350))
+    // an abandoned swap can never be applied, even to the right handle
+    val e = intercept[IllegalArgumentException](swap(lsm0))
+    assert(e.getMessage.contains("abandoned"))
+  }
+
   test("quantized base: generations inherit SQ8 storage and probe == quantized flat build") {
     val qParams = params.copy(quantized = true)
     val qBase = VectorIndex.build(

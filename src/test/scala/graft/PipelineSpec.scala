@@ -217,6 +217,48 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](PpmCodec.decode("P5\n1 1\n255\nxxx".getBytes))
   }
 
+  test("ImageIO codec: PNG round-trips pixels exactly and sniffs through decodeAny") {
+    import graft.operators.{ImageIoCodec, Multimodal}
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(9)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val png = ImageIoCodec.encodePng(w, h, rgb)
+      // PNG magic, not P6 — decodeAny must route to ImageIO
+      assert(png(0) === 0x89.toByte && png(1) === 'P'.toByte)
+      val (w2, h2, rgb2) = Multimodal.decodeAny(png)
+      assert(w2 === w); assert(h2 === h); assert(rgb2.toSeq === rgb.toSeq)
+    }
+    intercept[IllegalArgumentException](ImageIoCodec.decode(Array[Byte](1, 2, 3)))
+  }
+
+  test("PNG payloads produce the identical decoded fingerprint as P6 payloads") {
+    val docs = Seq((7L, "ignored"), (9L, "ignored")).toDF("doc_id", "text")
+    val viaPpm = Multimodal.extractImageFeatures(
+      Multimodal.syntheticImages(docs, w = 8, h = 6))
+      .select("doc_id", "width", "height", "rgb_sha256")
+    val viaPng = Multimodal.extractImageFeatures(
+      Multimodal.syntheticPngImages(docs, w = 8, h = 6))
+      .select("doc_id", "width", "height", "rgb_sha256")
+    assert(viaPpm.exceptAll(viaPng).count() === 0)
+    assert(viaPng.exceptAll(viaPpm).count() === 0)
+  }
+
+  test("JPEG decodes through the same operators within lossy tolerance") {
+    import graft.operators.ImageIoCodec
+    val docs = Seq((5L, "ignored")).toDF("doc_id", "text")
+    val w = 8; val h = 6
+    val rgb = Array.tabulate[Byte](w * h * 3)(p => ((5L * 31 + p) % 256).toByte)
+    val jpgDf = Seq((5L, ImageIoCodec.encode(w, h, rgb, "jpg"))).toDF("doc_id", "payload")
+    val row = Multimodal.imageStats(jpgDf).head
+    assert(row.getInt(1) === w && row.getInt(2) === h)
+    // lossy but bounded: channel means of the decoded JPEG stay near the
+    // source means (JDK encoder, quality default — generous bound)
+    def mean(c: Int) = (0 until w * h).map(p => rgb(p * 3 + c) & 0xff).sum.toDouble / (w * h)
+    for (c <- 0 until 3)
+      assert(math.abs(row.getDouble(3 + c) - mean(c)) < 32.0, s"channel $c drifted")
+  }
+
   test("PPM nearest-neighbor resize picks floor-mapped source pixels") {
     import graft.operators.PpmCodec
     // 2x2 image with distinct channels per pixel; upscale to 4x4 must

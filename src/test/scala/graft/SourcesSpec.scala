@@ -204,28 +204,30 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("HDF5 chunked round-trips across randomized shapes x filter pipelines") {
-    // sweep (rows, cols, chunkRows, chunkCols, gzip, shuffle) with a
-    // fixed seed: edge chunks, single-column slices, full-row shapes,
-    // every filter combination — shapes the fixed fixtures don't reach
+    // sweep (rows, cols, chunkRows, chunkCols, compressor, shuffle,
+    // fletcher32) with a fixed seed: edge chunks, single-column slices,
+    // full-row shapes, every filter combination — shapes the fixed
+    // fixtures don't reach
     val rnd = new scala.util.Random(1234)
-    for (trial <- 0 until 8) {
+    for (trial <- 0 until 12) {
       val rows = 1 + rnd.nextInt(40)
       val cols = 1 + rnd.nextInt(9)
       val chunkRows = 1 + rnd.nextInt(rows + 3)
       val colSplit = rnd.nextBoolean()
       val chunkCols = if (colSplit) 1 + rnd.nextInt(cols) else 0
-      val gzip = rnd.nextBoolean()
+      val comp = rnd.nextInt(3) // 0 = none, 1 = gzip, 2 = lzf
       val shuffle = rnd.nextBoolean()
+      val fletcher = rnd.nextBoolean()
       val data = Array.tabulate(rows, cols)((i, j) =>
         (i * 1000 + j).toFloat + rnd.nextFloat())
       val f = java.io.File.createTempFile(s"graft_rand_${trial}_", ".hdf5")
       graft.sources.Hdf5Writer.writeChunked(f.getPath,
         Seq("train" -> graft.sources.Hdf5Writer.FloatMatrix(data)),
-        chunkRows = chunkRows, gzip = gzip, chunkCols = chunkCols,
-        shuffle = shuffle)
+        chunkRows = chunkRows, gzip = comp == 1, chunkCols = chunkCols,
+        shuffle = shuffle, lzf = comp == 2, fletcher32 = fletcher)
       val got = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 3)
         .collect().sortBy(_.getLong(0))
-      val label = s"trial $trial rows=$rows cols=$cols cr=$chunkRows cc=$chunkCols gzip=$gzip shuffle=$shuffle"
+      val label = s"trial $trial rows=$rows cols=$cols cr=$chunkRows cc=$chunkCols comp=$comp shuffle=$shuffle fletcher=$fletcher"
       assert(got.length == rows, label)
       for (i <- 0 until rows) {
         assert(got(i).getLong(0) == i.toLong, label)
@@ -233,6 +235,69 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
       }
       f.delete()
     }
+  }
+
+  test("LZF codec round-trips random and structured buffers (incl. RLE overlap)") {
+    import graft.sources.H5Filters
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 30) {
+      val n = rnd.nextInt(5000)
+      val data = trial % 3 match {
+        case 0 => Array.fill[Byte](n)(rnd.nextInt(256).toByte) // incompressible
+        case 1 => Array.fill[Byte](n)((rnd.nextInt(4) + 7).toByte) // runs -> overlapping refs
+        case _ => Array.tabulate[Byte](n)(i => (i % 97).toByte) // periodic
+      }
+      val packed = H5Filters.lzfCompress(data)
+      val back = H5Filters.lzfDecompress(packed, n)
+      assert(back.toSeq === data.toSeq, s"trial $trial n=$n")
+    }
+    // truncated / corrupt streams fail loudly, never return short buffers
+    intercept[java.io.IOException](H5Filters.lzfDecompress(Array[Byte](31), 5))
+    intercept[java.io.IOException](
+      H5Filters.lzfDecompress(Array[Byte]((7 << 5).toByte, 0, 0), 100))
+  }
+
+  test("fletcher32 filter verifies, strips, and rejects corruption") {
+    import graft.sources.H5Filters
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 3, 719, 720, 721, 4096)) { // odd tails + fold-block edges
+      val data = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      val stored = H5Filters.fletcherAppend(data)
+      assert(stored.length === n + 4)
+      assert(H5Filters.fletcherVerifyStrip(stored, "spec").toSeq === data.toSeq)
+      // HDF5 also accepts the byte-reversed (pre-1.6.3) checksum encoding
+      val rev = data ++ stored.takeRight(4).reverse
+      assert(H5Filters.fletcherVerifyStrip(rev, "spec").toSeq === data.toSeq)
+      if (n > 0) {
+        val bad = stored.clone()
+        val flip = rnd.nextInt(n)
+        bad(flip) = (bad(flip) + 1).toByte
+        val e = intercept[java.io.IOException](H5Filters.fletcherVerifyStrip(bad, "spec"))
+        assert(e.getMessage.contains("fletcher32"))
+      }
+    }
+    intercept[java.io.IOException](H5Filters.fletcherVerifyStrip(Array[Byte](1, 2), "spec"))
+  }
+
+  test("HDF5 lzf + shuffle + fletcher32 pipeline round-trips (h5py lzf config)") {
+    val (train, test, neighbors) = annFixture
+    val f = java.io.File.createTempFile("graft_ann_lzf_", ".hdf5")
+    graft.sources.Hdf5Writer.writeChunked(f.getPath, Seq(
+      "train" -> graft.sources.Hdf5Writer.FloatMatrix(train),
+      "test" -> graft.sources.Hdf5Writer.FloatMatrix(test),
+      "neighbors" -> graft.sources.Hdf5Writer.IntMatrix(neighbors)),
+      chunkRows = 8, gzip = false, shuffle = true, lzf = true, fletcher32 = true)
+    val cm = graft.sources.Hdf5.datasets(f.getPath).map(d => d.name -> d).toMap
+      .apply("train").chunked.get
+    // write order: shuffle, lzf, fletcher32 (read undoes in reverse)
+    assert(cm.filters === Seq(2, graft.sources.H5Filters.LzfId,
+      graft.sources.H5Filters.Fletcher32Id))
+    val tr = graft.sources.Hdf5.readVectors(spark, f.getPath, "train", numPartitions = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(tr.length === 20)
+    assert(tr(7).getSeq[Float](1) === Seq(70.0f, 71.0f, 72.0f, 73.0f))
+    assert(tr(19).getSeq[Float](1) === Seq(190.0f, 191.0f, 192.0f, 193.0f))
+    f.delete()
   }
 
   test("HDF5 reader rejects what it cannot parse with a clear error") {
