@@ -382,6 +382,46 @@ object Queries {
       .withColumn("distance", round(col("distance"), 6))
   }
 
+  // ---------------------------------------------------------------- v37_filtered_rewrite
+  /** FILTERED ANN SQL rewrite: the same ORDER-BY-distance-LIMIT-k shape
+    * as v16, but with a residual predicate (`id % 3 = 0`) over the
+    * REGISTERED corpus. The optimizer pushes the user's filter into the
+    * corpus's own Filter, so an exact structural match can never see it;
+    * [[graft.plans.IndexCatalog.lookupFiltered]] matches modulo the
+    * extra conjunct and the rule substitutes the FUSED exact top-k
+    * operator over the pre-filtered subtree (v24's pre-filter
+    * composition — post-filtering k probe rows could under-deliver).
+    * AnnRewriteSpec asserts the plan actually contains the fused
+    * operator and no full Sort. */
+  def v37FilteredRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val corpus = embCorpus(s, dir)
+    if (!rewriteInstalled.contains(dir)) {
+      GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
+      graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
+      rewriteInstalled.add(dir)
+    }
+    val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    corpus
+      .filter(col("id") % 3 === 0)
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(10)
+      .withColumn("distance", round(col("distance"), 6))
+  }
+
+  private val v37Oracle =
+    """WITH q AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings
+      |           WHERE vec_id >= 10 AND vec_id % 3 = 0),
+      |     d AS (SELECT neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM c CROSS JOIN q)
+      |SELECT neighbor_id, round(distance, 6) AS distance
+      |FROM d ORDER BY distance, neighbor_id LIMIT 10""".stripMargin
+
   private val v16Oracle =
     """WITH q AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
       |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
@@ -1833,6 +1873,7 @@ object Queries {
     "v34_binary_centered" -> v34Oracle,
     "v35_binary_projected" -> v35Oracle,
     "v36_pq_trained" -> v36Oracle,
+    "v37_filtered_rewrite" -> v37Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

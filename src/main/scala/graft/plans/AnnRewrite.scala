@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, Expression, IntegerLiteral, Literal,
-  NamedExpression, SortOrder, Ascending}
+  Alias, And, Attribute, AttributeReference, Expression, IntegerLiteral,
+  Literal, NamedExpression, SortOrder, Ascending}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+  Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, FloatType}
@@ -98,6 +98,51 @@ object IndexCatalog {
     }
     None
   }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** [[lookup]] modulo EXTRA filter conjuncts: matches a plan whose top
+    * Filter is a registered corpus's filter PLUS residual predicates —
+    * the shape the optimizer produces when a user filters an indexed
+    * corpus further (predicate pushdown merges the user's WHERE into the
+    * corpus's own Filter, so an exact sameResult can never see it). The
+    * residual stays IN the returned plan: the caller uses `plan` itself
+    * as the pre-filtered scan, so any predicate — id ranges, metadata
+    * columns — works without this code ever interpreting it. Positions
+    * stay valid because Filter preserves its child's output. */
+  private[plans] def lookupFiltered(plan: LogicalPlan): Option[(AnnProbe, Attribute, Attribute)] =
+    plan match {
+      case Filter(cond, src) =>
+        val cs = splitConjuncts(cond)
+        if (cs.length < 1 || cs.length > 6) return None // bounded subset search
+        val it = entries.iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.index.probeSession.sparkContext.isStopped) {
+            entries.remove(e)
+          } else {
+            val targets = (e.plan, e.idPos, e.embPos) +: e.stripped.toSeq
+            // drop every nonempty conjunct subset, smallest residual
+            // first; a hit means the remainder IS the registered filter
+            var dropCount = 1
+            while (dropCount <= cs.length) {
+              for (dropped <- cs.combinations(dropCount)) {
+                val kept = cs.filterNot(c => dropped.exists(_ eq c))
+                val candidate = if (kept.isEmpty) src else Filter(kept.reduce(And), src)
+                for ((target, idPos, embPos) <- targets)
+                  if (target.sameResult(candidate))
+                    return Some((e.index, plan.output(idPos), plan.output(embPos)))
+              }
+              dropCount += 1
+            }
+          }
+        }
+        None
+      case _ => None
+    }
 }
 
 /** Optimizer rewrite: `ORDER BY vec_distance(embedding, <literal>) LIMIT k`
@@ -107,7 +152,11 @@ object IndexCatalog {
   *
   * Fires only when:
   *  - the plan is GlobalLimit(k, LocalLimit, Sort(global)) over a Project
-  *    of a corpus registered in [[IndexCatalog]] (structural sameResult);
+  *    of a corpus registered in [[IndexCatalog]] (structural sameResult) —
+  *    or of a registered corpus under EXTRA filter conjuncts
+  *    ([[IndexCatalog.lookupFiltered]]), in which case the substitution
+  *    is the fused exact top-k operator over the pre-filtered subtree
+  *    (v24's shape) rather than the prebuilt-index probe;
   *  - the primary sort key is one of the engine distance expressions over
   *    the corpus's embedding column and a foldable float-array literal,
   *    with the index built for that metric;
@@ -152,6 +201,26 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         plan
       }
     }
+
+  /** Exact top-k plan for a registered corpus under RESIDUAL predicates:
+    * the fused [[KnnCandidates]] operator over the filtered subtree
+    * itself (the v24 pre-filter composition). Always exact — the filter
+    * runs under the search, so k survivors are guaranteed and the scan
+    * only reads qualifying rows. Not memoized: the key would have to
+    * capture the whole filtered subtree, and residual-filtered shapes
+    * repeat far less than bare probes (construction is one nested
+    * optimization, no jobs). */
+  private def fusedPlanFor(
+      index: AnnProbe, child: LogicalPlan, idAttr: Attribute,
+      embAttr: Attribute, metric: DistanceMetric, qVec: Array[Float],
+      k: Int): LogicalPlan = {
+    val spark = index.probeSession
+    import spark.implicits._
+    val qDF = Seq((0L, qVec.toSeq)).toDF("query_id", "embedding")
+    val corpus = GraftSqlBridge.dataFrame(spark,
+      Project(Seq(Alias(idAttr, "id")(), Alias(embAttr, "embedding")()), child))
+    KnnJoinPlan.knnFused(qDF, corpus, k, metric).queryExecution.optimizedPlan
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case orig @ GlobalLimit(IntegerLiteral(k),
@@ -203,10 +272,14 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    val (index, idAttr, corpusEmbAttr) = IndexCatalog.lookup(child) match {
-      case Some(hit) => hit
-      case None => return None
-    }
+    val (index, idAttr, corpusEmbAttr, residualFiltered) =
+      IndexCatalog.lookup(child) match {
+        case Some((i, a, b)) => (i, a, b, false)
+        case None => IndexCatalog.lookupFiltered(child) match {
+          case Some((i, a, b)) => (i, a, b, true)
+          case None => return None
+        }
+      }
     if (index.probeMetric != metric) return None
     if (embAttr.exprId != corpusEmbAttr.exprId) return None
 
@@ -230,8 +303,15 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
 
     // the probe plan, fully optimized on its own (no jobs run here — the
     // broadcast inside the probe happens at execution time); memoized so
-    // re-optimizations of the same shape reuse one plan + broadcast
-    val probePlan = probePlanFor(index, qVec, k, width)
+    // re-optimizations of the same shape reuse one plan + broadcast.
+    // With residual predicates the prebuilt index cannot answer exactly
+    // (post-filtering k probe rows under-delivers), so the plan becomes
+    // the FUSED exact top-k custom operator over the filtered subtree —
+    // v24's pre-filter shape: the predicate stays under the search, and
+    // Catalyst still pushes it into the scan
+    val probePlan =
+      if (residualFiltered) fusedPlanFor(index, child, idAttr, corpusEmbAttr, metric, qVec, k)
+      else probePlanFor(index, qVec, k, width)
     val nbrAttr = probePlan.output.find(_.name == "neighbor_id").get
     val probeDistAttr = probePlan.output.find(_.name == "distance").get
 
@@ -258,8 +338,12 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     // <= k probe rows (keys over probe attrs), then project to the original
     // names/exprIds (Project preserves row order)
     val outOrders = orders.map(o => o.copy(child = map(o.child)))
-    logInfo(s"graft: rewrote ORDER BY ${metric.name} LIMIT $k to index probe " +
-      s"(searchWidth=$width, ${index.probeDescription})")
+    if (residualFiltered)
+      logInfo(s"graft: rewrote filtered ORDER BY ${metric.name} LIMIT $k to " +
+        s"fused exact top-k over the pre-filtered corpus (${index.probeDescription})")
+    else
+      logInfo(s"graft: rewrote ORDER BY ${metric.name} LIMIT $k to index probe " +
+        s"(searchWidth=$width, ${index.probeDescription})")
     Some(Project(newProj, Sort(outOrders, global = true, probePlan)))
   }
 }

@@ -97,17 +97,45 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
     installed() // restore the shared registration for later tests
   }
 
-  test("no rewrite for unregistered corpus, extra filters, or other sort keys") {
+  test("residual filters route to the fused pre-filtered top-k (v24 composition)") {
     installed()
-    // different corpus subtree (extra filter) — must NOT be accelerated
-    val filtered = corpus.filter(col("id") =!= 11L)
+    def filteredPlan() = corpus.filter(col("id") % 3 === 0)
       .select(col("id").as("neighbor_id"),
         VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
       .orderBy(col("distance"), col("neighbor_id"))
       .limit(10)
-    assert(!filtered.queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
-    assert(!filtered.collect().map(_.getLong(0)).contains(11L))
+    val df = filteredPlan()
+    val p = df.queryExecution.optimizedPlan.toString
+    // the substitution is the fused exact operator over the filtered
+    // subtree — NOT the prebuilt-index probe (post-filtering k probe rows
+    // could under-deliver) and NOT the full Sort
+    assert(p.contains("KnnCandidates"), s"fused operator not spliced in:\n${p.take(2000)}")
+    assert(p.contains("topk_by_distance"), s"merge aggregate missing:\n${p.take(2000)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.forall(_._1 % 3 == 0), "residual predicate must apply under the search")
+    assert(got.length === 10)
+    // bit-identical to the un-rewritten sort plan
+    IndexCatalog.clear()
+    val expected = filteredPlan().collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === expected)
+    installed()
 
+    // joining extra columns in is a different subtree — out of scope for
+    // the residual match (documents the boundary: only added FILTER
+    // conjuncts over the registered plan are recognized)
+    val emb = Tables.embeddings(spark, sfDir)
+    val byLabel = corpus
+      .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      .filter(col("label") === 3)
+    assert(!byLabel
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id")).limit(10)
+      .queryExecution.optimizedPlan.toString.contains("KnnCandidates"))
+  }
+
+  test("no rewrite for unregistered corpus or other sort keys") {
+    installed()
     // descending order — not a kNN shape
     val desc = corpus
       .select(col("id").as("neighbor_id"),
@@ -116,9 +144,15 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
       .limit(10)
     assert(!desc.queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
 
-    // unregistered catalog
+    // unregistered catalog: neither the probe nor the fused path fires
     IndexCatalog.clear()
     assert(!topKPlan(10).queryExecution.optimizedPlan.toString.contains("topk_by_distance"))
+    val filtered = corpus.filter(col("id") % 3 === 0)
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.squaredL2(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(10)
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("KnnCandidates"))
   }
 
   test("rewrite fires through SQL text (temp view + registered function)") {
