@@ -17,6 +17,12 @@ import graft.operators.{ExactKnn, RecallEval}
   * (third arg "sparkOnly" skips the single-thread section — for corpus
   * sizes where a one-thread build is the thing being avoided)
   *
+  * Dist mode: the "dist" flag generates the corpus per-id inside the
+  * executors (seeded spark.range mapPartitions — deterministic, nothing
+  * corpus-sized on the driver) and implies sparkOnly; required for the
+  * 10M-vector decade. `SPARK_GRAFT_SHARDS` overrides the shard count
+  * (defaults to SPARK_GRAFT_CPUS) to emulate a wider cluster's layout.
+  *
   * Codec mode: sbt "runMain graft.KernelBench [nVectors] [dim] sparkOnly codec"
   * runs the lossy-codec candidate scans head-to-head (float32 / SQ8 /
   * binary Hamming) through the identical window top-k plan.
@@ -41,7 +47,13 @@ object KernelBench {
     val nums = args.drop(2).filter(a => a.nonEmpty && a.forall(_.isDigit))
     val soak = flags.contains("soak")
     val quant = flags.contains("quant")
-    val sparkOnly = soak || flags.contains("sparkOnly")
+    // "dist": generate the corpus INSIDE the executors (spark.range +
+    // per-id seeded RNG, the soak-query pattern) — nothing corpus-sized
+    // ever exists on the driver. Mandatory above a few million vectors:
+    // the driver-side Array.fill + toSeq.toDF path holds two full copies
+    // of the corpus in the driver heap.
+    val dist = flags.contains("dist")
+    val sparkOnly = soak || dist || flags.contains("sparkOnly")
     val k = 100
     val nQueries = 100
     // synthetic vectors are uniform [0,1) — the quantization range must
@@ -51,7 +63,8 @@ object KernelBench {
     if (quant) println(s"SQ8 storage: ${n.toLong * dim} vector bytes/JVM vs ${4L * n * dim} float")
 
     val rnd = new scala.util.Random(42)
-    val data = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
+    val data = if (dist) Array.empty[Array[Float]]
+               else Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
     val queries = Array.fill(nQueries)(Array.fill(dim)(rnd.nextFloat()))
 
     if (!sparkOnly) {
@@ -91,10 +104,21 @@ object KernelBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val codec = flags.contains("codec")
+    // shard count defaults to thread count; override (e.g. 64/128 at 10M,
+    // emulating a wider cluster's shard layout on one node) via env
+    val numShards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", cpus).toInt
     // a driver-built Seq arrives as a LocalTableScan; spread it so every
-    // scan below actually parallelizes
-    val df = data.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
-      .toDF("id", "embedding").repartition(cpus.toInt).cache()
+    // scan below actually parallelizes. In dist mode the corpus is
+    // generated per-id inside the executors instead.
+    val df = (if (dist)
+      spark.range(n.toLong).rdd.mapPartitions { it =>
+        it.map { id =>
+          val r = new scala.util.Random(id * 2654435761L + 13)
+          (id, Array.fill(dim)(r.nextFloat()))
+        }
+      }.toDF("id", "embedding")
+    else data.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
+      .toDF("id", "embedding").repartition(cpus.toInt)).cache()
     df.count()
     val qdf = queries.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
       .toDF("query_id", "embedding")
@@ -102,9 +126,9 @@ object KernelBench {
     // enters the measurement, so skip its build entirely
     lazy val idx = {
       val s0 = System.nanoTime()
-      val built = VectorIndex.build(df, params, numShards = cpus.toInt)
+      val built = VectorIndex.build(df, params, numShards = numShards)
       built.rows.count()
-      println(f"spark build (shards=$cpus%s): ${(System.nanoTime() - s0) / 1e9}%.2f s wall")
+      println(f"spark build (shards=$numShards%d): ${(System.nanoTime() - s0) / 1e9}%.2f s wall")
       built
     }
     if (!codec) {
@@ -246,7 +270,9 @@ object KernelBench {
       }
     }
 
-    if (!soak && !flags.contains("lsm") && !flags.contains("codec")) {
+    // formulation A/B only at driver-generated scale — at dist scale the
+    // window/agg formulations are the known-slow baselines (BASELINE.md)
+    if (!soak && !dist && !flags.contains("lsm") && !flags.contains("codec")) {
       // --- exact kNN formulations head-to-head (same corpus, bigger batch) ---
       val bigQ = (0 until 1000).map { id =>
         (id.toLong, Array.fill(dim)(rnd.nextFloat()))

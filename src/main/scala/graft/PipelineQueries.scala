@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Sessionize}
+import graft.operators.{Bm25, Dedup, Multimodal, Sampling, Sessionize}
 import graft.streaming.StreamingOps
 
 /** LLM-data-pipeline query inventory (dedup / text analysis / multimodal /
@@ -196,6 +196,31 @@ object PipelineQueries {
       |  max(e) - min(s) + 1 AS span_tokens
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- d9_contamination
+  /** Benchmark-contamination check: documents with `doc_id % 10 == 7`
+    * play the held-out eval/benchmark set; every training doc sharing at
+    * least one 6-gram with an eval doc is reported with the shared
+    * distinct-gram count. The near-dup fixture's pasted passages cross
+    * the split, so the oracle sees real contaminated pairs. */
+  def d9Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationPairs(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7), n = 6)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  private val d9Oracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |ex AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 5, 0))) AS i FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+5], ' ') AS g FROM ex),
+      |t AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 10 <> 7),
+      |e AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 7)
+      |SELECT train_id, eval_id, COUNT(*) AS n_shared_grams
+      |FROM t JOIN e USING (g)
+      |GROUP BY train_id, eval_id
+      |ORDER BY train_id, eval_id""".stripMargin
 
   // ---------------------------------------------------------------- t1_langid
   private val markers = Seq("the", "data", "spark")
@@ -390,6 +415,35 @@ object PipelineQueries {
       |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t9_bm25
+  /** BM25 relevance of every document against a fixed query-term list
+    * (t1's English markers) — retrieval scoring as a corpus-scale map
+    * job. The global stats (N, avgdl, per-term df) come from one exact
+    * aggregate and broadcast; k1/b are binary-exact so the whole score
+    * is engine-deterministic up to `ln` (1 ulp, absorbed by round(6)). */
+  private val bm25Terms = Seq("the", "data", "spark")
+
+  def t9Bm25(s: SparkSession, dir: String): DataFrame =
+    Bm25.score(Tables.documents(s, dir), bm25Terms)
+      .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
+      .orderBy(col("doc_id"))
+
+  private val t9Oracle = {
+    def tf(t: String) = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
+    val termSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"(ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"((${tf(t)} * 2.5) / (${tf(t)} + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))"
+    }.mkString(" + ")
+    val dfSql = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |d AS (SELECT doc_id, ts, CAST(len(ts) AS INT) AS dl FROM toks),
+      |st AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl, $dfSql FROM d)
+      |SELECT doc_id, dl, round($termSql, 6) AS bm25
+      |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -453,6 +507,30 @@ object PipelineQueries {
       |  sha256(array_to_string(list_transform(generate_series(0, 47),
       |    p -> printf('%02x%02x%02x', (doc_id * 31 + p) % 256, (doc_id * 17 + 2 * p + 5) % 256, (doc_id * 13 + 3 * p + 11) % 256)), '')) AS rgb_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m7_wav_stats
+  /** REAL audio decode gate: synthesize a deterministic 64-sample PCM16
+    * WAV per doc, parse the RIFF container, and emit waveform features.
+    * Any chunk-walk / endianness / sign slip shifts every statistic.
+    * Mean and peak are integer-exact; RMS is one correctly-rounded sqrt
+    * of an exact ratio — round(6) absorbs nothing but formatting. */
+  def m7WavStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioStats(
+      Multimodal.syntheticWavs(Tables.documents(s, dir), nSamples = 64, sampleRate = 8000))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        round(col("mean_amp"), 6).as("mean_amp"),
+        round(col("rms"), 6).as("rms"), col("peak"))
+      .orderBy(col("doc_id"))
+
+  private val m7Oracle =
+    """WITH s AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 63), j -> (doc_id * 37 + j * 101) % 2048 - 1024) AS xs
+      |  FROM documents)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(64 AS INT) AS n_samples,
+      |  round(CAST(list_sum(xs) AS DOUBLE) / 64, 6) AS mean_amp,
+      |  round(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE) / 64), 6) AS rms,
+      |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak
+      |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
@@ -673,6 +751,7 @@ object PipelineQueries {
     "d6_dup_clusters" -> ((s, dir) => d6DupClusters(s, dir)),
     "d7_embed_neardup_lsh" -> ((s, dir) => d7EmbedNeardupLsh(s, dir)),
     "d8_repeated_spans" -> ((s, dir) => d8RepeatedSpans(s, dir)),
+    "d9_contamination" -> ((s, dir) => d9Contamination(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -680,12 +759,14 @@ object PipelineQueries {
     "t6_strings" -> ((s, dir) => t6Strings(s, dir)),
     "t7_sample" -> ((s, dir) => t7Sample(s, dir)),
     "t8_percentiles" -> ((s, dir) => t8Percentiles(s, dir)),
+    "t9_bm25" -> ((s, dir) => t9Bm25(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
     "m4_image_stats" -> ((s, dir) => m4ImageStats(s, dir)),
     "m5_image_resize" -> ((s, dir) => m5ImageResize(s, dir)),
     "m6_png_decode" -> ((s, dir) => m6PngDecode(s, dir)),
+    "m7_wav_stats" -> ((s, dir) => m7WavStats(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -707,6 +788,7 @@ object PipelineQueries {
     "d6_dup_clusters" -> d6Oracle,
     "d7_embed_neardup_lsh" -> d7Oracle,
     "d8_repeated_spans" -> d8Oracle,
+    "d9_contamination" -> d9Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,
@@ -714,12 +796,14 @@ object PipelineQueries {
     "t6_strings" -> t6Oracle,
     "t7_sample" -> t7Oracle,
     "t8_percentiles" -> t8Oracle,
+    "t9_bm25" -> t9Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,
     "m4_image_stats" -> m4Oracle,
     "m5_image_resize" -> m5Oracle,
     "m6_png_decode" -> m6Oracle,
+    "m7_wav_stats" -> m7Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

@@ -290,6 +290,36 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Benchmark-contamination check: which training documents share any
+    * word n-gram with an evaluation/benchmark set — the n-gram-overlap
+    * decontamination primitive of LLM data pipelines. One row per
+    * (train_id, eval_id) pair that shares at least one n-gram, with the
+    * count of shared DISTINCT n-grams.
+    *
+    * Scale shape: n-grams are keyed by xxhash64 the moment they are
+    * formed (8 bytes per key, the gram string never reaches a shuffle —
+    * d2's posting-key pattern); the per-doc distinct-gram reduction is a
+    * map-side-combinable aggregate; the EVAL side is broadcast — a
+    * benchmark suite is MBs while the corpus is TBs, so the corpus-sized
+    * train gram table never shuffles for the join. The only train-sized
+    * Exchanges are the per-doc distinct and the final pair count. */
+  def contaminationPairs(
+      trainDocs: DataFrame, evalDocs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    def grams(docs: DataFrame, idOut: String): DataFrame = docs
+      .select(col(idCol).as(idOut), TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col(idOut), explode(expr(
+        s"transform(sequence(0, size(ts) - $n), " +
+          s"i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $n))))")).as("gh"))
+      .distinct()
+    grams(trainDocs, "train_id")
+      .join(broadcast(grams(evalDocs, "eval_id")), Seq("gh"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation plus pointer jumping. Every doc gets
     * cluster_id = the smallest doc id reachable through dup pairs

@@ -134,6 +134,68 @@ object ImageIoCodec {
   }
 }
 
+/** Minimal pure-JVM RIFF/WAVE codec (PCM 16-bit mono, little-endian) —
+  * the AUDIO analog of [[PpmCodec]]: a real binary container parse with
+  * zero native dependencies. The decoder walks the chunk list (tolerating
+  * unknown chunks such as LIST/INFO metadata, as real-world WAV files
+  * carry), validates the fmt block, and returns the decoded samples. */
+object WavCodec {
+
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Encode PCM16 mono samples into a canonical 44-byte-header WAV. */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataLen))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1))            // PCM
+    out.write(le16(1))            // mono
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate * 2)) // byte rate
+    out.write(le16(2))            // block align
+    out.write(le16(16))           // bits/sample
+    out.write("data".getBytes("US-ASCII")); out.write(le32(dataLen))
+    samples.foreach(s => out.write(le16(s & 0xffff)))
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload; walks chunks in any order, skipping unknown
+    * ones. @return (sampleRate, samples) */
+  def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var i = 12
+    var rate = -1
+    var data: Array[Short] = null
+    while (i + 8 <= bytes.length && (rate < 0 || data == null)) {
+      val id = tag(i); val len = u32(i + 4); val body = i + 8
+      require(len >= 0 && body.toLong + len <= bytes.length, s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
+          require(u16(body) == 1, "only PCM (format 1) supported")
+          require(u16(body + 2) == 1, "only mono supported")
+          require(u16(body + 14) == 16, "only 16-bit samples supported")
+          rate = u32(body + 4)
+        case "data" =>
+          data = Array.tabulate(len / 2)(j => u16(body + j * 2).toShort)
+        case _ => // unknown chunk (LIST, fact, ...) — skip
+      }
+      i = body + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    (rate, data)
+  }
+}
+
 /** Multimodal column plumbing: media (image/audio/video) is carried as an
   * opaque `binary` payload column plus typed metadata, and per-batch
   * feature extraction runs in `mapPartitions` over the raw bytes — the
@@ -270,6 +332,55 @@ object Multimodal {
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map(id => (id, ImageIoCodec.encodePng(w, h, syntheticRgb(id, w * h))))
     }.toDF("doc_id", "payload")
+  }
+
+  case class AudioStats(
+      doc_id: Long, sample_rate: Int, n_samples: Int,
+      mean_amp: Double, rms: Double, peak: Int)
+
+  /** Closed-form synthetic PCM16 buffer shared by the WAV generators:
+    * sample j = (id*37 + j*101) % 2048 − 1024 — non-negative dividend so
+    * `%` agrees between JVM and SQL, bounded well inside int16. */
+  private def syntheticSamples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(j => (((id * 37 + j * 101L) % 2048) - 1024).toShort)
+
+  /** Deterministic synthetic WAV payload per row (PCM16 mono) — the
+    * audio analog of [[syntheticImages]]: decoded statistics have an
+    * exact SQL oracle. Output (doc_id, payload BINARY). */
+  def syntheticWavs(docs: DataFrame, nSamples: Int, sampleRate: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => (id, WavCodec.encode(sampleRate, syntheticSamples(id, nSamples))))
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode + waveform features over WAV payloads: container
+    * parse ([[WavCodec]]) then mean amplitude / RMS / peak. Mean and peak
+    * are integer-exact; RMS is one correctly-rounded IEEE sqrt over an
+    * exactly-representable ratio, so all three replay bit-identically in
+    * any engine. Map-only — scales like the image path. */
+  def audioStats(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, xs) = WavCodec.decode(bytes)
+        val n = xs.length
+        var sum = 0L; var sq = 0L; var peak = 0
+        var j = 0
+        while (j < n) {
+          val v = xs(j).toInt
+          sum += v; sq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          j += 1
+        }
+        AudioStats(id, rate, n, sum.toDouble / n,
+          math.sqrt(sq.toDouble / n), peak)
+      }).toDF()
   }
 
   private def statsOf(id: Long, w: Int, h: Int, rgb: Array[Byte]): ImageStats = {

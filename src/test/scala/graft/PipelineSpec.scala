@@ -64,6 +64,42 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     for (b <- Seq(2, 5, 8, 64)) assert(pairs(b) == ref, s"blocks=$b diverged")
   }
 
+  test("contaminationPairs counts shared distinct n-grams across the split") {
+    // train docs 1 and 2 both contain the eval doc 10's 5-token passage;
+    // doc 2 repeats it (distinct grams counted once); doc 3 shares nothing
+    val passage = "alpha beta gamma delta epsilon"
+    val train = Seq(
+      (1L, s"intro words here $passage closing words"),
+      (2L, s"$passage and then once more $passage"),
+      (3L, "totally unrelated content with zero overlap at all"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((10L, s"benchmark prompt $passage answer")).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(train, evalSet, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shared 5-grams = every window of the passage plus its overlaps with
+    // surrounding eval tokens only if those tokens also appear in train —
+    // they don't, so exactly the one in-passage 5-gram is shared
+    assert(got === Set((1L, 10L, 1L), (2L, 10L, 1L)))
+  }
+
+  test("bm25 matches the closed-form score on a hand-checked corpus") {
+    val docs = Seq(
+      (1L, "data data data pad pad pad"), // tf(data)=3, dl=6
+      (2L, "data pad"),                   // tf(data)=1, dl=2
+      (3L, "pad pad pad pad"))            // tf(data)=0, dl=4
+      .toDF("doc_id", "text")
+    val got = graft.operators.Bm25.score(docs, Seq("data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // N=3, df=2, avgdl=4; idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl / 4.0))))
+    assert(math.abs(got(1L) - s(3, 6)) < 1e-12)
+    assert(math.abs(got(2L) - s(1, 2)) < 1e-12)
+    assert(got(3L) === 0.0)
+    assert(got(1L) > got(2L), "higher tf must outrank at comparable length")
+  }
+
   test("minHash LSH candidates include exact duplicates") {
     val docs = Seq(
       (1L, "one two three four five six seven eight"),
@@ -242,6 +278,41 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .select("doc_id", "width", "height", "rgb_sha256")
     assert(viaPpm.exceptAll(viaPng).count() === 0)
     assert(viaPng.exceptAll(viaPpm).count() === 0)
+  }
+
+  test("WAV codec: round-trips PCM16, skips unknown chunks, rejects junk") {
+    import graft.operators.WavCodec
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(200)
+      val xs = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val rate = 8000 + rnd.nextInt(40000)
+      val (r2, xs2) = WavCodec.decode(WavCodec.encode(rate, xs))
+      assert(r2 === rate); assert(xs2.toSeq === xs.toSeq)
+    }
+    // real-world files carry LIST/INFO metadata chunks (odd lengths are
+    // word-padded) — splice one between the header and fmt; the chunk
+    // walk must skip it and still find fmt + data
+    val canon = WavCodec.encode(44100, Array[Short](1, -2, 3))
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = canon.take(12) ++ junk ++ canon.drop(12)
+    val (r3, xs3) = WavCodec.decode(spliced)
+    assert(r3 === 44100); assert(xs3.toSeq === Seq[Short](1, -2, 3))
+    intercept[IllegalArgumentException](WavCodec.decode("nope".getBytes))
+    intercept[IllegalArgumentException](WavCodec.decode(canon.take(20))) // truncated
+  }
+
+  test("audioStats matches hand-computed waveform features") {
+    import graft.operators.{Multimodal, WavCodec}
+    val xs = Array[Short](100, -300, 0, 200)
+    val df = Seq((3L, WavCodec.encode(16000, xs))).toDF("doc_id", "payload")
+    val row = Multimodal.audioStats(df).head
+    assert(row.getInt(1) === 16000)
+    assert(row.getInt(2) === 4)
+    assert(row.getDouble(3) === 0.0)                 // (100-300+0+200)/4
+    assert(row.getDouble(4) === math.sqrt((100.0 * 100 + 300 * 300 + 200 * 200) / 4))
+    assert(row.getInt(5) === 300)
   }
 
   test("JPEG decodes through the same operators within lossy tolerance") {

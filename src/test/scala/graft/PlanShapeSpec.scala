@@ -52,6 +52,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"gram exchange still string-keyed:\n${p.take(3000)}")
   }
 
+  test("d9 contamination broadcasts the eval grams; train grams never string-keyed") {
+    // the eval/benchmark side is MBs at any corpus scale — the join must
+    // be a broadcast hash join (no corpus-sized Exchange for the join)
+    // and every gram key must be the xxhash64 long, never the gram text
+    val p = plan("d9_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n${p.take(3000)}")
+    assert(p.contains("xxhash64"), s"expected xxhash64 gram keys in:\n${p.take(3000)}")
+    assert(!p.contains("hashpartitioning(g#"),
+      s"gram exchange string-keyed:\n${p.take(3000)}")
+  }
+
+  test("t9 bm25 broadcasts the one-row stats; scoring never shuffles the corpus") {
+    val p = plan("t9_bm25")
+    assert(p.contains("Broadcast"), s"stats row not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join in:\n${p.take(3000)}")
+  }
+
   test("v20 bucketed corpus build runs with zero Exchange and zero Sort") {
     // the cached build plan (InMemoryRelation prints the plan it captured
     // when buildFromBucketed forced it) must be scan → mapPartitions: a
