@@ -134,6 +134,81 @@ object ImageIoCodec {
   }
 }
 
+/** JDK-ImageIO animated-GIF codec — the VIDEO analog of the image path:
+  * a real multi-frame container (GIF89a frame sequence) parsed frame by
+  * frame through the JDK's reader; no new dependency. Frames are written
+  * full-rect with an explicit 256-entry palette, so a frame sequence
+  * whose pixels use palette colors round-trips bit-exactly (verified by
+  * spec and the m8 closed-form oracle); arbitrary GIFs decode through
+  * the same path with the usual palette quantization caveats. */
+object GifCodec {
+  import java.awt.image.{BufferedImage, IndexColorModel}
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.{IIOImage, ImageIO}
+
+  // 256-entry grayscale palette: index i -> rgb(i, i, i)
+  private def grayPalette: IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    new IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode gray frames (each w*h bytes, one gray level per pixel) into
+    * one animated GIF payload. */
+  def encodeFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach(f => require(f.length == w * h, s"expected ${w * h} gray bytes"))
+    val icm = grayPalette
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var p = 0
+        while (p < w * h) { raster.setSample(p % w, p / w, 0, f(p) & 0xff); p += 1 }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF payload to interleaved RGB (same buffer
+    * contract as [[ImageIoCodec.decode]], one buffer per frame).
+    * @return (width, height, frames) */
+  def decodeFrames(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      require(n >= 1, "payload has no decodable GIF frames")
+      val frames = (0 until n).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            rgb(p) = (px >> 16).toByte; rgb(p + 1) = (px >> 8).toByte; rgb(p + 2) = px.toByte
+            p += 3
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      val first = reader.read(0)
+      (first.getWidth, first.getHeight, frames)
+    } finally reader.dispose()
+  }
+}
+
 /** Minimal pure-JVM RIFF/WAVE codec (PCM 16-bit mono, little-endian) —
   * the AUDIO analog of [[PpmCodec]]: a real binary container parse with
   * zero native dependencies. The decoder walks the chunk list (tolerating
