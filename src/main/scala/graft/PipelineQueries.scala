@@ -532,6 +532,29 @@ object PipelineQueries {
       |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m8_gif_frames
+  /** REAL multi-frame (video-shape) decode gate: synthesize a 3-frame
+    * 8x6 animated GIF per doc (gray frames on the explicit 256-gray
+    * palette — index-mode LZW is lossless, so the round-trip is
+    * bit-exact), parse every frame through the JDK GIF reader, and emit
+    * one row per frame with its decoded mean gray level. The operator
+    * additionally asserts R=G=B on every decoded pixel, so a palette or
+    * compositing slip fails the task rather than skewing an average. */
+  def m8GifFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFrameStats(
+      Multimodal.syntheticGifs(Tables.documents(s, dir), w = 8, h = 6, nFrames = 3))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"), round(col("mean_gray"), 6).as("mean_gray"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val m8Oracle =
+    """SELECT doc_id, CAST(f + 1 AS INT) AS frame_idx, CAST(3 AS INT) AS n_frames,
+      |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 47),
+      |    p -> (doc_id * 29 + f * 53 + p * 7) % 256)) AS DOUBLE) / 48, 6) AS mean_gray
+      |FROM documents CROSS JOIN generate_series(0, 2) AS t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -767,6 +790,7 @@ object PipelineQueries {
     "m5_image_resize" -> ((s, dir) => m5ImageResize(s, dir)),
     "m6_png_decode" -> ((s, dir) => m6PngDecode(s, dir)),
     "m7_wav_stats" -> ((s, dir) => m7WavStats(s, dir)),
+    "m8_gif_frames" -> ((s, dir) => m8GifFrames(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -804,6 +828,7 @@ object PipelineQueries {
     "m5_image_resize" -> m5Oracle,
     "m6_png_decode" -> m6Oracle,
     "m7_wav_stats" -> m7Oracle,
+    "m8_gif_frames" -> m8Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

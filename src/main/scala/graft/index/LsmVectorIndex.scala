@@ -146,7 +146,13 @@ final class LsmVectorIndex private (
       // the fold (drop its output, re-enable compaction) instead of
       // leaking asyncPending=true forever with auto-compaction silently
       // disabled; a misapply AFTER a successful apply must not touch
-      // newBase — it is a live base by then
+      // newBase — it is a live base by then. Both outcomes CLAIM the fold
+      // by CAS from 0, so the validity checks and the state transition
+      // are effectively one atomic step: a concurrent misapply that loses
+      // the CAS race to a valid apply cannot unpersist the just-installed
+      // base (or clear pending twice), and a valid apply that loses to a
+      // misapply fails loudly instead of returning an index whose base
+      // was unpersisted under it.
       val state = new java.util.concurrent.atomic.AtomicInteger(0)
       (later: LsmVectorIndex) => {
         require(state.get() != 2,
@@ -168,7 +174,9 @@ final class LsmVectorIndex private (
             }
             throw e
         }
-        state.set(1)
+        require(state.compareAndSet(0, 1),
+          if (state.get() == 1) "compaction swap already applied"
+          else "compaction swap was abandoned by a concurrent misapply — compact again")
         snapshot.foreach(_.unpersist())
         if (owned) oldBase.unpersist()
         pending.set(false)

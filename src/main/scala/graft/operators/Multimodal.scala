@@ -164,12 +164,16 @@ object GifCodec {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      // sequential row order: the JDK writer interlaces by default, and a
+      // 3-row interlaced frame round-trips wrong through its own reader
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
       frames.foreach { f =>
         val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
         val raster = img.getRaster
         var p = 0
         while (p < w * h) { raster.setSample(p % w, p / w, 0, f(p) & 0xff); p += 1 }
-        writer.writeToSequence(new IIOImage(img, null, null), null)
+        writer.writeToSequence(new IIOImage(img, null, null), param)
       }
       writer.endWriteSequence()
     } finally { ios.close(); writer.dispose() }
@@ -177,7 +181,11 @@ object GifCodec {
   }
 
   /** Decode every frame of a GIF payload to interleaved RGB (same buffer
-    * contract as [[ImageIoCodec.decode]], one buffer per frame).
+    * contract as [[ImageIoCodec.decode]], one buffer per frame). Each
+    * frame is decoded exactly once, and every frame's rect must match
+    * frame 0's — sub-rect animated GIFs (delta frames against a composite
+    * canvas) fail loudly rather than returning buffers inconsistent with
+    * the advertised dims; [[encodeFrames]] always writes full rects.
     * @return (width, height, frames) */
   def decodeFrames(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
@@ -185,9 +193,13 @@ object GifCodec {
       reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
       val n = reader.getNumImages(true)
       require(n >= 1, "payload has no decodable GIF frames")
+      var w = -1; var h = -1
       val frames = (0 until n).map { f =>
         val img = reader.read(f)
-        val w = img.getWidth; val h = img.getHeight
+        if (f == 0) { w = img.getWidth; h = img.getHeight }
+        else require(img.getWidth == w && img.getHeight == h,
+          s"frame $f rect ${img.getWidth}x${img.getHeight} != frame 0 rect " +
+            s"${w}x$h — sub-rect delta frames need canvas compositing")
         val rgb = new Array[Byte](w * h * 3)
         var p = 0
         var y = 0
@@ -203,8 +215,7 @@ object GifCodec {
         }
         rgb
       }
-      val first = reader.read(0)
-      (first.getWidth, first.getHeight, frames)
+      (w, h, frames)
     } finally reader.dispose()
   }
 }
@@ -455,6 +466,62 @@ object Multimodal {
         }
         AudioStats(id, rate, n, sum.toDouble / n,
           math.sqrt(sq.toDouble / n), peak)
+      }).toDF()
+  }
+
+  /** Closed-form synthetic gray frame shared by the GIF generators:
+    * frame f, pixel p -> gray (id*29 + f*53 + p*7) % 256 — every frame of
+    * every doc is distinct, and the decoded per-frame mean has an exact
+    * SQL oracle. */
+  private def syntheticGray(id: Long, f: Int, n: Int): Array[Byte] =
+    Array.tabulate(n)(p => ((id * 29 + f * 53L + p * 7L) % 256).toByte)
+
+  /** Deterministic synthetic animated-GIF payload per row (nFrames gray
+    * frames on the explicit 256-gray palette, so the index-mode LZW
+    * round-trip is bit-exact) — the VIDEO analog of [[syntheticImages]].
+    * Output (doc_id, payload BINARY). */
+  def syntheticGifs(docs: DataFrame, w: Int, h: Int, nFrames: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id, GifCodec.encodeFrames(w, h,
+          (0 until nFrames).map(f => syntheticGray(id, f, w * h))))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  case class GifFrameStats(
+      doc_id: Long, frame_idx: Int, n_frames: Int, width: Int, height: Int,
+      mean_gray: Double)
+
+  /** REAL multi-frame (video-shape) decode + per-frame features over GIF
+    * payloads: one container parse fans out to one row per frame — the
+    * frame-sampling shape with a real codec instead of [[sampleFrames]]'
+    * digest stub. Asserts the decoded frames are genuinely gray (R=G=B
+    * per pixel), so a palette slip cannot hide inside a channel average.
+    * Map-side explode only — output rows = frames, no shuffle. */
+  def gifFrameStats(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, frames) = GifCodec.decodeFrames(bytes)
+        val n = w * h
+        frames.zipWithIndex.map { case (rgb, f) =>
+          var sum = 0L
+          var p = 0
+          while (p < n) {
+            val r = rgb(p * 3) & 0xff
+            require(rgb(p * 3 + 1) == rgb(p * 3) && rgb(p * 3 + 2) == rgb(p * 3),
+              s"non-gray pixel $p in frame $f of doc $id — palette slip")
+            sum += r
+            p += 1
+          }
+          GifFrameStats(id, f + 1, frames.length, w, h, sum.toDouble / n)
+        }
       }).toDF()
   }
 

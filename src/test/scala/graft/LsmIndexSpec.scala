@@ -163,6 +163,13 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     // misuse: a handle that is not a descendant of the snapshot fails loudly
     val other = LsmVectorIndex(baseIdx, 1000000).ingest(slice(300, 320))
     intercept[IllegalArgumentException](swap(other))
+    // misuse: the fold is claimed by exactly one successful apply — a
+    // second apply (even to a valid handle) fails instead of
+    // double-unpersisting the snapshot, and the compacted index it
+    // returned stays live
+    val e2 = intercept[IllegalArgumentException](swap(lsm1))
+    assert(e2.getMessage.contains("already applied"))
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == flatExact(460))
   }
 
   test("auto-compaction is suppressed while an async fold is outstanding") {

@@ -330,6 +330,37 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(row.getDouble(3 + c) - mean(c)) < 32.0, s"channel $c drifted")
   }
 
+  test("GIF codec: multi-frame gray round-trip is bit-exact, frames stay ordered") {
+    import graft.operators.GifCodec
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 10) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(9)
+      val nf = 1 + rnd.nextInt(4)
+      val frames = Seq.fill(nf)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val (w2, h2, decoded) = GifCodec.decodeFrames(GifCodec.encodeFrames(w, h, frames))
+      assert(w2 === w && h2 === h && decoded.length === nf)
+      frames.zip(decoded).zipWithIndex.foreach { case ((src, rgb), f) =>
+        for (p <- 0 until w * h; c <- 0 until 3)
+          assert((rgb(p * 3 + c) & 0xff) === (src(p) & 0xff), s"frame $f pixel $p ch $c")
+      }
+    }
+    intercept[Exception](GifCodec.decodeFrames("not a gif".getBytes))
+  }
+
+  test("gifFrameStats matches hand-computed per-frame means") {
+    import graft.operators.{GifCodec, Multimodal}
+    val w = 4; val h = 2
+    val f0 = Array.tabulate[Byte](w * h)(p => (p * 10).toByte)       // mean 35
+    val f1 = Array.tabulate[Byte](w * h)(p => (200 + p).toByte)      // mean 203.5
+    val df = Seq((7L, GifCodec.encodeFrames(w, h, Seq(f0, f1)))).toDF("doc_id", "payload")
+    val rows = Multimodal.gifFrameStats(df).orderBy("frame_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getInt(1) === 1 && rows(1).getInt(1) === 2)       // frame_idx
+    assert(rows.forall(r => r.getInt(2) === 2 && r.getInt(3) === w && r.getInt(4) === h))
+    assert(rows(0).getDouble(5) === 35.0)
+    assert(rows(1).getDouble(5) === 203.5)
+  }
+
   test("PPM nearest-neighbor resize picks floor-mapped source pixels") {
     import graft.operators.PpmCodec
     // 2x2 image with distinct channels per pixel; upscale to 4x4 must
