@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's trailing "[success] Total time: ..." off stdout: the bench
+// driver parses a JSON line from the tail of the output, and that line
+// must stay the last (and fully visible) content in the window.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ... and let the forked run JVM write to stdout directly instead of
+// through sbt's logger, which would prefix every line with "[info] ".
+run / outputStrategy := Some(StdoutOutput)
 // javac needs the incubator module for the Java SIMD kernels
 Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

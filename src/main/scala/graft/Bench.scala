@@ -66,11 +66,17 @@ object Bench {
         val secs = math.min(s1, s2)
         (name, if (ok) secs else -math.max(s1, s2), ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver records only the last ~2000 chars of output and parses the
+    // JSON line out of that window: full-precision doubles push the line to
+    // ~2400 chars and the front gets truncated (BENCH_r08-r10 all read
+    // "parsed": null). Millisecond precision keeps the line < 2000.
+    def fmt(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":[${failed.mkString(",")}],"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, Dedup, Multimodal, Sampling, Sessionize}
+import graft.operators.{Bm25, Dedup, HeavyHitters, Multimodal, Sampling, Sessionize}
 import graft.streaming.StreamingOps
 
 /** LLM-data-pipeline query inventory (dedup / text analysis / multimodal /
@@ -444,6 +444,28 @@ object PipelineQueries {
       |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t10_heavy_hitters
+  /** Vocabulary heavy hitters (corpus top-k tokens) through the bounded-
+    * memory Space-Saving aggregate (operators/HeavyHitters.scala): partial
+    * summaries per partition (<= capacity counters each), one merge — the
+    * shape that survives 100 TB where a full GROUP BY token would shuffle
+    * every token occurrence. Capacity exceeds the corpus vocabulary here,
+    * so the summary is exact and DuckDB's plain GROUP BY is the oracle. */
+  def t10HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    HeavyHitters.topItems(
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .where(col("token") =!= ""),
+      "token", capacity = 4096, k = 20)
+      .select(col("rank"), col("item").as("token"), col("n"))
+      .orderBy(col("rank"))
+
+  private val t10Oracle =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank, token, n
+      |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -783,6 +805,7 @@ object PipelineQueries {
     "t7_sample" -> ((s, dir) => t7Sample(s, dir)),
     "t8_percentiles" -> ((s, dir) => t8Percentiles(s, dir)),
     "t9_bm25" -> ((s, dir) => t9Bm25(s, dir)),
+    "t10_heavy_hitters" -> ((s, dir) => t10HeavyHitters(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -821,6 +844,7 @@ object PipelineQueries {
     "t7_sample" -> t7Oracle,
     "t8_percentiles" -> t8Oracle,
     "t9_bm25" -> t9Oracle,
+    "t10_heavy_hitters" -> t10Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

@@ -1832,6 +1832,69 @@ object Queries {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- b4_range_join
+  /** Pure range (interval-containment) join through the binned equi-join
+    * operator (operators/RangeJoin.scala): every "alert" (error event from
+    * a sentinel user cohort) collects all events within +-6 h. A naive
+    * BETWEEN join would plan as BroadcastNestedLoopJoin; the binned form is
+    * a shuffled equi-join on a 12 h time bin plus a residual filter, with
+    * interval replication bounded at 2 rows. DuckDB's native IEJoin on the
+    * same BETWEEN predicate is the oracle. */
+  def b4RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sixHoursUs = 6L * 3600 * 1000000
+    val ev = Tables.events(s, dir)
+    val alerts = ev
+      .filter(col("event_type") === "error" && col("user_id") % 23 === 0)
+      .select(col("event_id").as("alert_id"), unix_micros(col("ts")).as("ats"))
+      .withColumn("lo", col("ats") - sixHoursUs)
+      .withColumn("hi", col("ats") + sixHoursUs)
+      .drop("ats")
+    val points = ev.select(col("event_id"), col("value"),
+      unix_micros(col("ts")).as("p"))
+    graft.operators.RangeJoin
+      .binnedIntervalJoin(points, alerts, "p", "lo", "hi",
+        binWidth = 2 * sixHoursUs)
+      .groupBy(col("alert_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(dec(col("value"))).cast("double"), 4).as("total_value"))
+      .orderBy(col("alert_id"))
+  }
+
+  private val b4Oracle =
+    """WITH a AS (SELECT event_id AS alert_id, ts FROM events
+      |           WHERE event_type = 'error' AND user_id % 23 = 0)
+      |SELECT a.alert_id, COUNT(*) AS n_events,
+      |  round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+      |FROM a JOIN events e
+      |  ON e.ts BETWEEN a.ts - INTERVAL '6 hours' AND a.ts + INTERVAL '6 hours'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q9_grouping_sets
+  /** Explicit GROUPING SETS (beyond q6 rollup / q8 cube): the three-set
+    * lattice ((flag, status), (flag), ()) with grouping_id, one shuffle —
+    * Catalyst expands the sets map-side, no per-set rescan. */
+  def q9GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))).cast("double"), 4).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val q9Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -1878,9 +1941,11 @@ object Queries {
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,
     "b3_asof_join" -> b3Oracle,
+    "b4_range_join" -> b4Oracle,
     "q6_rollup" -> q6Oracle,
     "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,
+    "q9_grouping_sets" -> q9Oracle,
     "t5_json" -> t5Oracle
   )
 }

@@ -83,9 +83,11 @@ object SparkEntry {
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),
+    "b4_range_join" -> ((s, dir) => Queries.b4RangeJoin(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
+    "q9_grouping_sets" -> ((s, dir) => Queries.q9GroupingSets(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

@@ -20,15 +20,28 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * (all driver testdata values are exactly micro-aligned, and a LONG
-    * division avoids the >2^53 double-precision trap). */
+  /** events.parquet has carried its `ts` as either TIMESTAMP(NANOS)
+    * (older generator runs) or TIMESTAMP(MICROS); Spark 4 rejects nanos by
+    * default, so read nanos as long and convert (LONG division avoids the
+    * >2^53 double-precision trap), and pass a native timestamp through
+    * unchanged. Adaptive on the file's actual schema so a regenerated
+    * dataset doesn't break every events-reading query. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(load(spark, sfDir, "events"))
   }
+
+  /** ts LONG (nanos) -> TIMESTAMP (micros); ts TIMESTAMP_NTZ -> TIMESTAMP
+    * (session tz is pinned UTC, so the instant is unchanged — and
+    * watermarks/windows require the LTZ type); ts TIMESTAMP -> as-is. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -14,8 +14,8 @@ import graft.operators.Sessionize.{Event, Session}
   */
 object StreamingOps {
 
-  /** Streaming read of the events parquet (TIMESTAMP(NANOS) handled the
-    * same way as Tables.events: nanos-as-long + explicit conversion). */
+  /** Streaming read of the events parquet (ts type normalized the same
+    * way as Tables.events: nanos-as-long converted, native micros as-is). */
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   // footer-read schema inference is a Spark job — pay it once per path,
@@ -35,8 +35,7 @@ object StreamingOps {
         d.resolve("events.parquet"), java.nio.file.Paths.get(eventsPath))
       d.toString
     })
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** One-time streaming-engine warmup (untimed bench prepare): a 3-row
