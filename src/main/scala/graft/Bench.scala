@@ -70,7 +70,11 @@ object Bench {
     // JSON line out of that window: full-precision doubles push the line to
     // ~2400 chars and the front gets truncated (BENCH_r08-r10 all read
     // "parsed": null). Millisecond precision keeps the line < 2000.
-    def fmt(v: Double): String = "%.2f".format(v)
+    def fmt(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }

@@ -110,6 +110,55 @@ object PipelineQueries {
       |FROM labels GROUP BY cluster_id HAVING COUNT(*) >= 2
       |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- d10_cluster_keep
+  /** Duplicate-cluster representative retention — the decision step a real
+    * dedup pipeline runs after clustering: per near-dup cluster keep the
+    * doc with the most tokens (tie -> lowest doc_id), report what survives.
+    * Argmax is a single struct-max aggregate (partial map-side, one
+    * shuffle on cluster_id), not a window sort — the 100 TB shape. */
+  def d10ClusterKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = Dedup.duplicateClusters(docs, jaccardPairs(s, dir))
+    val withQ = labels.join(
+      docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("q")), "doc_id")
+    withQ.groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("q"), (-col("doc_id")).as("negid"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), (-col("b.negid")).as("keep_id"),
+        col("cluster_size"), col("b.q").as("keep_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val d10Oracle =
+    s"""WITH RECURSIVE $shinglesCte,
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |lab2 AS (SELECT l.doc_id, l.cluster_id,
+      |           CAST(len(string_split(d.text, ' ')) AS INT) AS q
+      |         FROM labels l JOIN documents d ON d.doc_id = l.doc_id),
+      |ranked AS (SELECT cluster_id, doc_id, q,
+      |             row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn,
+      |             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |           FROM lab2)
+      |SELECT cluster_id, doc_id AS keep_id, cluster_size, q AS keep_tokens
+      |FROM ranked WHERE rn = 1 AND cluster_size >= 2
+      |ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- d4_simhash
   def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -748,6 +797,24 @@ object PipelineQueries {
 
   private val s9Oracle = s7Oracle // LSM probe == full-corpus kNN
 
+  // ---------------------------------------------------------------- s10_stream_topk
+  /** Streaming heavy hitters: top users by event count through the
+    * Space-Saving aggregate running as a streaming global aggregation —
+    * state is ONE bounded summary (<= capacity counters), not a per-user
+    * row. Exact below capacity, so the batch GROUP BY is the oracle. */
+  def s10StreamTopk(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamHeavyHitters(s, s"$dir/events.parquet",
+      capacity = 4096, k = 10, streamStateParts)
+      .orderBy(col("rank"))
+
+  private val s10Oracle =
+    """WITH c AS (SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_key,
+      |             COUNT(*) AS n
+      |           FROM events GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, user_key) AS INT) AS rank,
+      |  user_key, n
+      |FROM c ORDER BY n DESC, user_key LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -797,6 +864,7 @@ object PipelineQueries {
     "d7_embed_neardup_lsh" -> ((s, dir) => d7EmbedNeardupLsh(s, dir)),
     "d8_repeated_spans" -> ((s, dir) => d8RepeatedSpans(s, dir)),
     "d9_contamination" -> ((s, dir) => d9Contamination(s, dir)),
+    "d10_cluster_keep" -> ((s, dir) => d10ClusterKeep(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -823,6 +891,7 @@ object PipelineQueries {
     "s7_stream_ann" -> ((s, dir) => s7StreamAnn(s, dir)),
     "s8_stream_index" -> ((s, dir) => s8StreamIndex(s, dir)),
     "s9_stream_lsm" -> ((s, dir) => s9StreamLsm(s, dir)),
+    "s10_stream_topk" -> ((s, dir) => s10StreamTopk(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -836,6 +905,7 @@ object PipelineQueries {
     "d7_embed_neardup_lsh" -> d7Oracle,
     "d8_repeated_spans" -> d8Oracle,
     "d9_contamination" -> d9Oracle,
+    "d10_cluster_keep" -> d10Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,
@@ -862,6 +932,7 @@ object PipelineQueries {
     "s7_stream_ann" -> s7Oracle,
     "s8_stream_index" -> s8Oracle,
     "s9_stream_lsm" -> s9Oracle,
+    "s10_stream_topk" -> s10Oracle,
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

@@ -1832,6 +1832,39 @@ object Queries {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- v38_maxsim
+  /** Multi-vector late-interaction retrieval (operators/MultiVector.scala):
+    * query "docs" are pairs of query vectors, corpus docs are 4-vector
+    * groups, score = per-query-token best inner product, summed. Exact
+    * scorer; DuckDB replays it with list lambdas. */
+  def v38MaxSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"),
+        col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 20)
+      .select(expr("vec_id DIV 4").as("did"), col("embedding"))
+    graft.operators.MultiVector.maxSimTopK(qv, cv, k = 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v38Oracle =
+    """WITH qv AS (SELECT vec_id // 2 AS qid, vec_id AS qvec, embedding AS qe
+      |            FROM embeddings WHERE vec_id < 20),
+      |     cv AS (SELECT vec_id // 4 AS did, embedding AS ce
+      |            FROM embeddings WHERE vec_id >= 20),
+      |     ip AS (SELECT qid, qvec, did,
+      |              list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS ip
+      |            FROM qv, cv),
+      |     best AS (SELECT qid, qvec, did, max(ip) AS best FROM ip GROUP BY 1, 2, 3),
+      |     sc AS (SELECT qid, did, SUM(best) AS score FROM best GROUP BY 1, 2),
+      |     r AS (SELECT qid, did, score,
+      |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS INT) AS rank
+      |           FROM sc)
+      |SELECT qid, rank, did, round(score, 6) AS score
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- b4_range_join
   /** Pure range (interval-containment) join through the binned equi-join
     * operator (operators/RangeJoin.scala): every "alert" (error event from
@@ -1942,6 +1975,7 @@ object Queries {
     "b2_salted_join" -> b2Oracle,
     "b3_asof_join" -> b3Oracle,
     "b4_range_join" -> b4Oracle,
+    "v38_maxsim" -> v38Oracle,
     "q6_rollup" -> q6Oracle,
     "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Multi-vector (late-interaction / ColBERT-style) retrieval: a document is
+  * a SET of vectors, a query is a SET of vectors, and
+  *
+  *   score(Q, D) = sum over q in Q of ( max over d in D of <q, d> )
+  *
+  * — each query token picks its best-matching document token, and the
+  * per-token winners sum. This is the scoring model of ColBERT (Khattab &
+  * Zaharia, SIGIR'20); the reference engine itself has no multi-vector
+  * mode, but an LLM retrieval stack over 100 TB of token embeddings does.
+  *
+  * Plan shape (exact scorer): corpus token vectors NEVER shuffle — the
+  * query set broadcasts, every corpus partition scores its own tokens, and
+  * the two aggregations (max per query-token x doc, then sum per
+  * query-doc x doc) both run partial map-side, so the exchange carries one
+  * row per (query doc, doc) pair bound, not per token pair. At cluster
+  * scale the same composition runs after an ANN candidate step (per
+  * query-token kNN via the index, union candidates, rerank with this exact
+  * scorer over the shortlist) — the gated query keeps the exact path so
+  * DuckDB can replay it. */
+object MultiVector {
+
+  /** Exact maxsim top-k.
+    *
+    * `queryVectors`:  (qid, qvec, embedding) — one row per query token,
+    *                  `qvec` a token id unique within its qid.
+    * `corpusVectors`: (did, embedding) — one row per document token.
+    * Returns (qid, rank, did, score), rank 1..k by (score desc, did asc).
+    * Scores are sequential-fold Double dot products; the final sum spans
+    * one value per query token (ulp-level error, orders below the round(6)
+    * reporting grain — same argument as the centroid aggregate). */
+  def maxSimTopK(queryVectors: DataFrame, corpusVectors: DataFrame, k: Int): DataFrame = {
+    val qv = queryVectors.select(col("qid"), col("qvec"), col("embedding").as("qe"))
+    val cv = corpusVectors.select(col("did"), col("embedding").as("ce"))
+    val perToken = cv
+      .crossJoin(broadcast(qv))
+      .select(col("qid"), col("qvec"), col("did"),
+        VectorFunctions.dotProduct(col("qe"), col("ce")).as("ip"))
+      .groupBy(col("qid"), col("qvec"), col("did"))
+      .agg(max(col("ip")).as("best"))
+    val scored = perToken
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("best")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("did"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("did"), col("score"))
+  }
+}

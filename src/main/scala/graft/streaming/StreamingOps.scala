@@ -200,6 +200,28 @@ object StreamingOps {
     runFinite(spark, dedup, "append", statePartitions)
   }
 
+  /** Streaming heavy hitters: the bounded-memory Space-Saving aggregate
+    * (operators/HeavyHitters.scala) as a streaming global aggregation in
+    * complete mode — the state store carries ONE serialized summary of at
+    * most `capacity` counters, not a per-key count row, so state size is
+    * independent of the key cardinality flowing through the stream. Exact
+    * (and batch-replayable by the SQL oracle) while distinct keys fit
+    * `capacity`; graceful eps = N/capacity degradation beyond. Keys are
+    * fixed-width (lpad) so the summary's string tie-break matches numeric
+    * order. */
+  def streamHeavyHitters(
+      spark: SparkSession, eventsPath: String, capacity: Int, k: Int,
+      statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val agg = eventsStream(spark, eventsPath)
+      .select(lpad(col("user_id").cast("string"), 6, "0").as("item"))
+      .agg(graft.operators.HeavyHitters.heavyHitters(col("item"), capacity, k).as("hh"))
+    runFinite(spark, agg, "complete", statePartitions)
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("user_key"), col("e.n").as("n"))
+  }
+
   /** Stream-stream inner join with watermarks + a time-range condition:
     * purchases joined to the same user's clicks in the preceding 30
     * minutes. Both sides carry event-time watermarks so the join state is

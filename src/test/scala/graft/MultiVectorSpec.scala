@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MultiVector
+
+class MultiVectorSpec extends AnyFunSuite with SparkSuite {
+
+  test("maxSimTopK matches a driver-side brute force on the embeddings table") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") < 8)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"),
+        col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 8)
+      .select(expr("vec_id DIV 4").as("did"), col("embedding"))
+
+    val got = MultiVector.maxSimTopK(qv, cv, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+
+    // driver-side reference: same sequential-fold dot products
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = qv.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    val c = cv.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val want = q.groupBy(_._1).toSeq.flatMap { case (qid, toks) =>
+      val scores = c.groupBy(_._1).map { case (did, dvs) =>
+        val s = toks.sortBy(_._2).map { case (_, _, qe) =>
+          dvs.map(dv => dot(qe, dv._2)).max
+        }.sum
+        (did, s)
+      }.toSeq
+      scores.sortBy { case (did, s) => (-s, did) }.take(3).zipWithIndex.map {
+        case ((did, s), i) => (qid, i + 1, did, math.round(s * 1e6))
+      }
+    }
+    assert(got.toSet === want.toSet)
+  }
+
+  test("corpus side never broadcasts or shuffles pre-aggregation (queries broadcast)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") < 4)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"), col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 4)
+      .select(expr("vec_id DIV 4").as("did"), col("embedding"))
+    val plan = MultiVector.maxSimTopK(qv, cv, k = 3)
+      .queryExecution.executedPlan.toString
+    // the query set is the broadcast side; the corpus streams map-side into
+    // a partial aggregate before any exchange
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("streaming heavy hitters equals the batch top-k") {
+    val eventsPath = s"$sfDir/events.parquet"
+    val got = graft.streaming.StreamingOps
+      .streamHeavyHitters(spark, eventsPath, capacity = 4096, k = 5)
+      .select("user_key", "n").collect()
+      .map { case Row(u: String, n: Long) => (u, n) }
+    val want = Tables.events(spark, sfDir)
+      .select(lpad(col("user_id").cast("string"), 6, "0").as("user_key"))
+      .groupBy("user_key").count()
+      .orderBy(col("count").desc, col("user_key")).limit(5)
+      .collect().map { case Row(u: String, n: Long) => (u, n) }
+    assert(got.toSeq === want.toSeq)
+  }
+}

@@ -241,6 +241,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"label filter not pushed to the parquet scan:\n${p.take(4000)}")
   }
 
+  test("t10 heavy hitters aggregates partial-then-final (bounded summaries)") {
+    // the token stream must fold into per-partition Space-Saving summaries
+    // BEFORE the exchange — the shuffle carries <= capacity counters per
+    // partition, never the exploded token stream
+    val p = plan("t10_heavy_hitters")
+    assert(p.contains("partial_heavy_hitters"),
+      s"no map-side partial summary:\n${p.take(3000)}")
+    assert(p.contains("ObjectHashAggregate"), s"not object-hash agg:\n${p.take(3000)}")
+  }
+
+  test("b4 range join plans as a binned equi-join, not a nested loop") {
+    val p = plan("b4_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian join:\n${p.take(3000)}")
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
