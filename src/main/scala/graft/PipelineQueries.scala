@@ -515,6 +515,46 @@ object PipelineQueries {
       |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank, token, n
       |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t11_unigram_lm
+  /** Corpus unigram language-model scoring (perplexity-style quality
+    * filter): token probabilities from the corpus's own frequencies, each
+    * doc scored by its mean token log-probability. Two aggregations, both
+    * shuffle-bounded: the vocab build exchanges one row per DISTINCT token
+    * (partial map-side counts), and the vocab — bounded by the tokenizer's
+    * vocabulary, ~100k entries for a BPE at 100 TB — broadcasts back for
+    * the scoring join, so token OCCURRENCES never shuffle. Per-doc sums of
+    * ~10^2 bounded logs keep cross-order ulp error far below the round(6)
+    * grain (v12's argument). */
+  def t11UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = vocab.agg(sum(col("c")).as("n"))
+    toks
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("len"),
+        sum(log(col("c").cast("double") / col("n"))).as("s"))
+      .select(col("doc_id"), col("len"),
+        round(col("s") / col("len"), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Oracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |ft AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |v AS (SELECT tok, COUNT(*) AS c FROM ft GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM v),
+      |sc AS (SELECT f.doc_id, COUNT(*) AS len,
+      |         SUM(ln(CAST(v.c AS DOUBLE) / n.n)) AS s
+      |       FROM ft f JOIN v USING (tok) CROSS JOIN n GROUP BY 1)
+      |SELECT doc_id, len, round(s / len, 6) AS avg_logprob
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -536,6 +576,30 @@ object PipelineQueries {
       |  round(CAST(list_sum(list_transform(generate_series(0, 47), p -> (doc_id * 17 + 2 * p + 5) % 256)) AS DOUBLE) / 48, 6) AS mean_g,
       |  round(CAST(list_sum(list_transform(generate_series(0, 47), p -> (doc_id * 13 + 3 * p + 11) % 256)) AS DOUBLE) / 48, 6) AS mean_b
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m9_phash
+  /** Perceptual-hash image fingerprinting (aHash) through the REAL encode
+    * -> decode -> grayscale -> threshold pipeline: any header-parse,
+    * stride, or mean-arithmetic slip flips hash bits, and the closed-form
+    * SQL oracle replays the exact bit pattern. The image-dedup primitive:
+    * at corpus scale the hash feeds the same groupBy/banding machinery as
+    * SimHash (d4). */
+  def m9Phash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePHash(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6))
+      .orderBy(col("doc_id"))
+
+  private val m9Oracle =
+    """WITH g AS (SELECT doc_id,
+      |             list_transform(generate_series(0, 47), p ->
+      |               ((doc_id * 31 + p) % 256 + (doc_id * 17 + 2 * p + 5) % 256
+      |                + (doc_id * 13 + 3 * p + 11) % 256) // 3) AS gr
+      |           FROM documents),
+      |s AS (SELECT doc_id, gr, list_sum(gr) AS sm FROM g)
+      |SELECT doc_id, CAST(48 AS INT) AS n_px,
+      |  CAST(list_sum(list_transform(generate_series(1, 48), i ->
+      |    CASE WHEN gr[i] * 48 > sm THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS phash
+      |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m5_image_resize
   /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
@@ -874,6 +938,7 @@ object PipelineQueries {
     "t8_percentiles" -> ((s, dir) => t8Percentiles(s, dir)),
     "t9_bm25" -> ((s, dir) => t9Bm25(s, dir)),
     "t10_heavy_hitters" -> ((s, dir) => t10HeavyHitters(s, dir)),
+    "t11_unigram_lm" -> ((s, dir) => t11UnigramLm(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -882,6 +947,7 @@ object PipelineQueries {
     "m6_png_decode" -> ((s, dir) => m6PngDecode(s, dir)),
     "m7_wav_stats" -> ((s, dir) => m7WavStats(s, dir)),
     "m8_gif_frames" -> ((s, dir) => m8GifFrames(s, dir)),
+    "m9_phash" -> ((s, dir) => m9Phash(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -915,6 +981,7 @@ object PipelineQueries {
     "t8_percentiles" -> t8Oracle,
     "t9_bm25" -> t9Oracle,
     "t10_heavy_hitters" -> t10Oracle,
+    "t11_unigram_lm" -> t11Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,
@@ -923,6 +990,7 @@ object PipelineQueries {
     "m6_png_decode" -> m6Oracle,
     "m7_wav_stats" -> m7Oracle,
     "m8_gif_frames" -> m8Oracle,
+    "m9_phash" -> m9Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

@@ -540,6 +540,42 @@ object Multimodal {
 
   /** REAL image decode + per-channel mean features over P6 payloads —
     * decoder instantiated per task, batch streamed through it. */
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded bytes —
+    * the classic image near-dup primitive: per-pixel integer grayscale
+    * (r+g+b)/3, one bit per pixel set iff the pixel is STRICTLY brighter
+    * than the image mean, packed little-endian into a LONG (requires
+    * w*h <= 63). The mean test is exact rational arithmetic
+    * (gray*n > sum), so the hash is bit-reproducible across engines —
+    * which is what lets a closed-form SQL oracle replay it. Map-only:
+    * scales as a pure per-row codec job. */
+  def imagePHash(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, rgb) = decodeAny(bytes)
+        val n = w * h
+        require(n <= 63, s"aHash packs into a LONG: w*h must be <= 63, got $n")
+        val gray = new Array[Int](n)
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          gray(i) = ((rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) +
+            (rgb(3 * i + 2) & 0xff)) / 3
+          sum += gray(i)
+          i += 1
+        }
+        var hash = 0L
+        i = 0
+        while (i < n) {
+          if (gray(i).toLong * n > sum) hash |= 1L << i
+          i += 1
+        }
+        (id, n, hash)
+      }).toDF("doc_id", "n_px", "phash")
+  }
+
   def imageStats(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = withPayload.sparkSession
     import spark.implicits._

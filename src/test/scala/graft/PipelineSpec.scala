@@ -280,6 +280,35 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(viaPng.exceptAll(viaPpm).count() === 0)
   }
 
+  test("imagePHash: hand-checked bits, PNG == P6 parity, similar images collide") {
+    // 1x4 image, grays 10, 10, 10, 250 -> mean 70 -> only pixel 3 above
+    val rgb = Array[Byte](10, 10, 10, 10, 10, 10, 10, 10, 10,
+      250.toByte, 250.toByte, 250.toByte)
+    val payload = graft.operators.PpmCodec.encode(4, 1, rgb)
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val row = Multimodal.imagePHash(df).collect().head
+    assert(row.getInt(1) === 4)
+    assert(row.getLong(2) === (1L << 3))
+    // container parity: the hash reads decoded pixels, so PNG == P6
+    val docs = Seq((7L, "x"), (9L, "x")).toDF("doc_id", "text")
+    val viaPpm = Multimodal.imagePHash(
+      Multimodal.syntheticImages(docs, w = 8, h = 6))
+    val viaPng = Multimodal.imagePHash(
+      Multimodal.syntheticPngImages(docs, w = 8, h = 6))
+    assert(viaPpm.exceptAll(viaPng).count() === 0)
+    assert(viaPng.exceptAll(viaPpm).count() === 0)
+    // perceptual property: a +1-brightness clone hashes identically
+    // (threshold is relative to the image's own mean)
+    val base = Array.tabulate(48 * 3)(i => (i % 97).toByte)
+    val brighter = base.map(b => math.min((b & 0xff) + 1, 255).toByte)
+    val pair = Seq(
+      (1L, graft.operators.PpmCodec.encode(8, 6, base)),
+      (2L, graft.operators.PpmCodec.encode(8, 6, brighter))).toDF("doc_id", "payload")
+    val hashes = Multimodal.imagePHash(pair).select("phash")
+      .collect().map(_.getLong(0))
+    assert(hashes(0) === hashes(1))
+  }
+
   test("WAV codec: round-trips PCM16, skips unknown chunks, rejects junk") {
     import graft.operators.WavCodec
     val rnd = new scala.util.Random(13)
