@@ -601,6 +601,36 @@ object PipelineQueries {
       |    CASE WHEN gr[i] * 48 > sm THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS phash
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d11_image_dups
+  /** Image near-duplicate groups: docs whose decoded payloads share the
+    * SAME perceptual hash (m9's aHash) collapse to one group — the
+    * multimodal analog of d1's exact text dedup; one hash-groupBy shuffle,
+    * same shape at any corpus size. (Within-distance Hamming pairs would
+    * band the 48 bits exactly as SimHash d4 does.) */
+  def d11ImageDups(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePHash(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+        max(col("doc_id")).as("max_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("phash"))
+
+  private val d11Oracle =
+    """WITH g AS (SELECT doc_id,
+      |             list_transform(generate_series(0, 47), p ->
+      |               ((doc_id * 31 + p) % 256 + (doc_id * 17 + 2 * p + 5) % 256
+      |                + (doc_id * 13 + 3 * p + 11) % 256) // 3) AS gr
+      |           FROM documents),
+      |s AS (SELECT doc_id, gr, list_sum(gr) AS sm FROM g),
+      |h AS (SELECT doc_id,
+      |        CAST(list_sum(list_transform(generate_series(1, 48), i ->
+      |          CASE WHEN gr[i] * 48 > sm THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS phash
+      |      FROM s)
+      |SELECT phash, COUNT(*) AS n_docs, min(doc_id) AS keep_id, max(doc_id) AS max_id
+      |FROM h GROUP BY phash HAVING COUNT(*) >= 2
+      |ORDER BY phash""".stripMargin
+
   // ---------------------------------------------------------------- m5_image_resize
   /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
     * resized pixels; source pixel of output (x, y) is (2x, 2y), so the
@@ -929,6 +959,7 @@ object PipelineQueries {
     "d8_repeated_spans" -> ((s, dir) => d8RepeatedSpans(s, dir)),
     "d9_contamination" -> ((s, dir) => d9Contamination(s, dir)),
     "d10_cluster_keep" -> ((s, dir) => d10ClusterKeep(s, dir)),
+    "d11_image_dups" -> ((s, dir) => d11ImageDups(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -972,6 +1003,7 @@ object PipelineQueries {
     "d8_repeated_spans" -> d8Oracle,
     "d9_contamination" -> d9Oracle,
     "d10_cluster_keep" -> d10Oracle,
+    "d11_image_dups" -> d11Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,

@@ -83,6 +83,13 @@ object ImageIoCodec {
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.ImageIO
 
+  // ImageIO's default stream cache is FILE-backed: every encode/decode
+  // creates and deletes a temp file, which under a slow or contended tmpfs
+  // multiplies per-image cost ~7x (observed: m6 0.86 s -> 6 s for 1000
+  // codec calls). All payloads here are in-memory byte arrays — use
+  // memory-backed streams.
+  ImageIO.setUseCache(false)
+
   /** Encode interleaved RGB to `format` ("png", "jpg", ...). */
   def encode(w: Int, h: Int, rgb: Array[Byte], format: String): Array[Byte] = {
     require(rgb.length == w * h * 3, s"expected ${w * h * 3} RGB bytes, got ${rgb.length}")
@@ -145,6 +152,10 @@ object GifCodec {
   import java.awt.image.{BufferedImage, IndexColorModel}
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.{IIOImage, ImageIO}
+
+  // memory-backed ImageIO streams (see ImageIoCodec) — without this every
+  // createImage{Input,Output}Stream call round-trips a temp file
+  ImageIO.setUseCache(false)
 
   // 256-entry grayscale palette: index i -> rgb(i, i, i)
   private def grayPalette: IndexColorModel = {
