@@ -72,9 +72,13 @@ object Bench {
     // "parsed": null). Two significant digits (~±5%, well inside the
     // run-to-run contention variance) keep the line under the window with
     // headroom for the query set to keep growing.
+    // <0.1 s: centisecond precision; otherwise one decimal / whole seconds
+    // — relative error stays inside the 1.4-2x run-to-run contention
+    // variance BASELINE.md documents, and the line stays ~1900 chars at
+    // 92 queries (measured 1993 with two decimals — 7 chars from the cap).
     def fmt(v: Double): String = {
       val a = math.abs(v)
-      val s = if (a < 0.995) "%.2f".format(v)
+      val s = if (a < 0.0995) "%.2f".format(v)
         else if (a < 9.95) "%.1f".format(v)
         else "%.0f".format(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse

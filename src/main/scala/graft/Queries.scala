@@ -1928,6 +1928,31 @@ object Queries {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q10_pivot
+  /** PIVOT (long -> wide conditional aggregation): event counts per user
+    * cohort, one column per event type. Explicit pivot values skip the
+    * distinct-scan job Spark otherwise runs to discover them — at 100 TB
+    * the value list is schema knowledge, not something to rediscover; the
+    * plan is a single partial/final hash aggregation, no extra shuffle
+    * over a plain groupBy. */
+  def q10Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("cohort"))
+
+  private val q10Oracle =
+    """SELECT user_id % 10 AS cohort,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -1980,6 +2005,7 @@ object Queries {
     "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,
     "q9_grouping_sets" -> q9Oracle,
+    "q10_pivot" -> q10Oracle,
     "t5_json" -> t5Oracle
   )
 }

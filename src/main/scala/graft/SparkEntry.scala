@@ -89,6 +89,7 @@ object SparkEntry {
     "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
     "q9_grouping_sets" -> ((s, dir) => Queries.q9GroupingSets(s, dir)),
+    "q10_pivot" -> ((s, dir) => Queries.q10Pivot(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

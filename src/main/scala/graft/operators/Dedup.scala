@@ -257,7 +257,15 @@ object Dedup {
     * 0-based inclusive. Deterministic (no RNG, no floats), so the DuckDB
     * oracle replays it exactly — hashing the gram key folds two distinct
     * grams together only on an xxhash64 collision (~n^2/2^65, the same
-    * accepted odds as d2's posting keys). */
+    * accepted odds as d2's posting keys).
+    *
+    * The `grams` subtree is DELIBERATELY left uncached although stages 1
+    * and 2 both consume it: the recompute is map-side tokenize+hash (pure
+    * CPU, no exchange), while persisting it would materialize a
+    * token-scale intermediate (~24 bytes x every token in the corpus) to
+    * executor storage — at 100 TB the recompute is the cheaper side of
+    * that trade, and both downstream shuffles stay keyed on the 8-byte
+    * hash either way. */
   def repeatedSpans(
       docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
