@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_sq8_l2sq"),
       new ExpressionInfo(classOf[VecSq8L2Sq].getName, "vec_sq8_l2sq"),
       es => VecSq8L2Sq(es(0), es(1))))
+    // bounded-memory heavy hitters: heavy_hitters(item, capacity, k) —
+    // the analyzer wraps a bare AggregateFunction in AggregateExpression
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.operators.HeavyHittersAgg].getName, "heavy_hitters"),
+      graft.operators.HeavyHitters.sqlBuilder))
   }
 }

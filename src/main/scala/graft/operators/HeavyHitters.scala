@@ -165,6 +165,14 @@ case class HeavyHittersAgg(
 
 object HeavyHitters {
 
+  /** SQL builder: heavy_hitters(item, capacity, k) — capacity and k must
+    * be literals (folded constants). Shared by GraftExtensions and
+    * session-local registration. */
+  def sqlBuilder(es: Seq[Expression]): Expression =
+    HeavyHittersAgg(es(0),
+      capacity = es(1).eval().asInstanceOf[Number].intValue(),
+      k = es(2).eval().asInstanceOf[Number].intValue())
+
   /** Column form. */
   def heavyHitters(item: Column, capacity: Int, k: Int): Column =
     GraftSqlBridge.column(

@@ -50,6 +50,21 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     assert(viaSketch.toSeq === exact.toSeq)
   }
 
+  test("SQL registration: heavy_hitters(item, cap, k) matches the Column form") {
+    org.apache.spark.sql.graft.GraftSqlBridge.registerFunction(
+      spark, "heavy_hitters", HeavyHitters.sqlBuilder)
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "").createOrReplaceTempView("hh_toks")
+    val viaSql = spark.sql(
+      "SELECT heavy_hitters(token, 4096, 5) AS hh FROM hh_toks")
+      .select(explode(col("hh")).as("e")).select("e.item", "e.n").collect()
+    val viaCol = spark.table("hh_toks")
+      .agg(HeavyHitters.heavyHitters(col("token"), 4096, 5).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.item", "e.n").collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("partition count does not change the result (mergeable summaries)") {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))

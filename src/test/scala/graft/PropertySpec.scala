@@ -164,4 +164,40 @@ class PropertySpec extends AnyFunSuite {
       got == want.toList
     })
   }
+
+  test("SpaceSavingBuffer: exact below capacity; overestimate bounded above it") {
+    import graft.operators.SpaceSavingBuffer
+    val streamGen = Gen.listOf(Gen.chooseNum(0, 40).map(i => s"k$i"))
+    check(Prop.forAll(streamGen, Gen.chooseNum(4, 64)) { (xs: List[String], cap: Int) =>
+      val buf = new SpaceSavingBuffer(cap)
+      xs.foreach(buf.add(_, 1L, 0L))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val entries = buf.sortedEntries
+      val sizeOk = entries.length <= cap
+      val boundOk = entries.forall { case (k, n, err) =>
+        val t = truth.getOrElse(k, 0L)
+        n >= t && n - err <= t // count overestimates, never underestimates
+      }
+      val exactOk = truth.size > cap || entries.forall { case (k, n, err) =>
+        err == 0L && n == truth(k)
+      }
+      sizeOk && boundOk && exactOk
+    })
+  }
+
+  test("SpaceSavingBuffer: any merge tree equals single-buffer ingestion (exact regime)") {
+    import graft.operators.SpaceSavingBuffer
+    val streamGen = Gen.listOf(Gen.chooseNum(0, 30).map(i => s"k$i"))
+    check(Prop.forAll(streamGen, Gen.chooseNum(1, 5)) { (xs: List[String], parts: Int) =>
+      val cap = 64 // > 31 distinct keys: exact regime
+      val chunks = if (xs.isEmpty) List(xs) else xs.grouped(
+        math.max(1, xs.length / parts)).toList
+      val merged = chunks.map { c =>
+        val b = new SpaceSavingBuffer(cap); c.foreach(b.add(_, 1L, 0L)); b
+      }.reduceLeft { (a, b) => a.merge(b); a }
+      val one = new SpaceSavingBuffer(cap)
+      xs.foreach(one.add(_, 1L, 0L))
+      merged.sortedEntries.toSeq == one.sortedEntries.toSeq
+    })
+  }
 }
