@@ -1865,6 +1865,25 @@ object Queries {
       |SELECT qid, rank, did, round(score, 6) AS score
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v39_maxsim_pruned
+  /** Two-stage maxsim (candidate generation + exact rerank — the cluster-
+    * scale composition): per-token inner-product top-100 bounds the
+    * candidate docs, the exact scorer reranks only those. m=100 against
+    * ~4-token docs makes the candidate set provably generous here, so the
+    * result equals brute force and v38's oracle gates it. */
+  def v39MaxSimPruned(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"),
+        col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 20)
+      .select(expr("vec_id DIV 4").as("did"), col("vec_id").as("tokid"),
+        col("embedding"))
+    graft.operators.MultiVector.maxSimTopKPruned(qv, cv, k = 5, m = 100)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- b4_range_join
   /** Pure range (interval-containment) join through the binned equi-join
     * operator (operators/RangeJoin.scala): every "alert" (error event from
@@ -2001,6 +2020,7 @@ object Queries {
     "b3_asof_join" -> b3Oracle,
     "b4_range_join" -> b4Oracle,
     "v38_maxsim" -> v38Oracle,
+    "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (generous m)
     "q6_rollup" -> q6Oracle,
     "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,

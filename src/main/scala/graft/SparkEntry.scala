@@ -81,6 +81,7 @@ object SparkEntry {
     "v36_pq_trained" -> ((s, dir) => Queries.v36PqTrained(s, dir)),
     "v37_filtered_rewrite" -> ((s, dir) => Queries.v37FilteredRewrite(s, dir)),
     "v38_maxsim" -> ((s, dir) => Queries.v38MaxSim(s, dir)),
+    "v39_maxsim_pruned" -> ((s, dir) => Queries.v39MaxSimPruned(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

@@ -55,4 +55,56 @@ object MultiVector {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("did"), col("score"))
   }
+
+  /** Two-stage maxsim — the composition that runs at cluster scale, where
+    * scoring every (query doc, doc) pair is off the table:
+    *
+    *  1. candidate generation: per query TOKEN, the top `m` corpus tokens
+    *     by inner product (k-bounded partial/final top-k — the same
+    *     machinery as the SQ8/PQ rerank pipelines); the docs owning those
+    *     tokens become the query doc's candidate set;
+    *  2. exact rerank: the full maxsim scorer, restricted to candidate
+    *     doc tokens only.
+    *
+    * With m generous relative to doc token counts the candidate set covers
+    * the true top-k and the result EQUALS the brute-force scorer — which
+    * is how the gated query oracles it (v39 == v38's oracle). At scale,
+    * stage 1 runs through the ANN index instead of the exact top-m; the
+    * rerank is unchanged.
+    *
+    * `corpusVectors` here needs (did, tokid, embedding) — tokid the
+    * corpus-unique token id stage 1 ranks on. */
+  def maxSimTopKPruned(
+      queryVectors: DataFrame, corpusVectors: DataFrame,
+      k: Int, m: Int): DataFrame = {
+    val qv = queryVectors.select(col("qid"), col("qvec"), col("embedding"))
+    val cv = corpusVectors.select(col("did"), col("tokid"), col("embedding"))
+    // stage 1: per query token, top-m corpus tokens by inner product
+    val perTokenTop = ExactKnn.knnJoin(
+      qv.select(col("qvec").as("query_id"), col("embedding")),
+      cv.select(col("tokid").as("id"), col("embedding")),
+      k = m, graft.functions.DistanceMetric.InnerProduct)
+    val candDocs = perTokenTop
+      .join(qv.select(col("qvec").as("query_id"), col("qid")), "query_id")
+      .join(cv.select(col("tokid").as("neighbor_id"), col("did")), "neighbor_id")
+      .select(col("qid"), col("did")).distinct()
+    // stage 2: exact maxsim over candidate docs' tokens only
+    val candTokens = cv.join(candDocs, Seq("did"))
+      .select(col("qid"), col("did"), col("embedding").as("ce"))
+    val perToken = candTokens
+      .join(broadcast(qv.select(col("qid"), col("qvec"), col("embedding").as("qe"))), Seq("qid"))
+      .select(col("qid"), col("qvec"), col("did"),
+        VectorFunctions.dotProduct(col("qe"), col("ce")).as("ip"))
+      .groupBy(col("qid"), col("qvec"), col("did"))
+      .agg(max(col("ip")).as("best"))
+    val scored = perToken
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("best")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("did"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("did"), col("score"))
+  }
 }

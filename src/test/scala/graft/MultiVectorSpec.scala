@@ -57,6 +57,27 @@ class MultiVectorSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pruned maxsim equals brute force at generous m; stays sane at tiny m") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") < 8)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"), col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 8)
+      .select(expr("vec_id DIV 4").as("did"), col("vec_id").as("tokid"), col("embedding"))
+    val exact = MultiVector.maxSimTopK(qv, cv.drop("tokid"), k = 3)
+    val pruned = MultiVector.maxSimTopKPruned(qv, cv, k = 3, m = 500)
+    assert(pruned.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(pruned).count() === 0)
+    // tiny m: k results per qid still come back, scores are true maxsim
+    // scores for whatever docs survived the pruning (a subset of exact's
+    // candidate space, so each (qid, did, score) must appear in the full
+    // scored set)
+    val tiny = MultiVector.maxSimTopKPruned(qv, cv, k = 3, m = 1)
+      .select("qid", "did", "score")
+    val allScores = MultiVector.maxSimTopK(qv, cv.drop("tokid"), k = Int.MaxValue)
+      .select("qid", "did", "score")
+    assert(tiny.exceptAll(allScores).count() === 0)
+  }
+
   test("streaming heavy hitters equals the batch top-k") {
     val eventsPath = s"$sfDir/events.parquet"
     val got = graft.streaming.StreamingOps
