@@ -720,6 +720,26 @@ object PipelineQueries {
       |FROM documents CROSS JOIN generate_series(0, 2) AS t(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m10_frame_diff
+  /** Temporal frame differencing over the real GIF decode path — the
+    * scene-change metric that drives keyframe sampling; the closed-form
+    * synthetic frames give an exact SQL oracle for every |cur - prev|
+    * pixel fold. */
+  def m10FrameDiff(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFrameDiffs(
+      Multimodal.syntheticGifs(Tables.documents(s, dir), w = 8, h = 6, nFrames = 3))
+      .select(col("doc_id"), col("pair_idx"), col("n_frames"),
+        round(col("mean_abs_diff"), 6).as("mean_abs_diff"))
+      .orderBy(col("doc_id"), col("pair_idx"))
+
+  private val m10Oracle =
+    """SELECT doc_id, CAST(f + 1 AS INT) AS pair_idx, CAST(3 AS INT) AS n_frames,
+      |  round(CAST(list_sum(list_transform(generate_series(0, 47), p ->
+      |    abs((doc_id * 29 + (f + 1) * 53 + p * 7) % 256
+      |        - (doc_id * 29 + f * 53 + p * 7) % 256))) AS DOUBLE) / 48, 6) AS mean_abs_diff
+      |FROM documents CROSS JOIN generate_series(0, 1) AS t(f)
+      |ORDER BY doc_id, pair_idx""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -979,6 +999,7 @@ object PipelineQueries {
     "m7_wav_stats" -> ((s, dir) => m7WavStats(s, dir)),
     "m8_gif_frames" -> ((s, dir) => m8GifFrames(s, dir)),
     "m9_phash" -> ((s, dir) => m9Phash(s, dir)),
+    "m10_frame_diff" -> ((s, dir) => m10FrameDiff(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -1023,6 +1044,7 @@ object PipelineQueries {
     "m7_wav_stats" -> m7Oracle,
     "m8_gif_frames" -> m8Oracle,
     "m9_phash" -> m9Oracle,
+    "m10_frame_diff" -> m10Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

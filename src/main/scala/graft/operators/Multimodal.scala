@@ -536,6 +536,37 @@ object Multimodal {
       }).toDF()
   }
 
+  case class GifFrameDiff(
+      doc_id: Long, pair_idx: Int, n_frames: Int, mean_abs_diff: Double)
+
+  /** Temporal frame differencing (the scene-change / keyframe-selection
+    * primitive of a video pipeline): mean absolute gray-level difference
+    * between each consecutive frame pair of a decoded multi-frame
+    * payload. One container parse per row, map-side flatMap — rows out =
+    * frame pairs, no shuffle; at corpus scale the diff feeds a threshold
+    * filter that picks keyframes before any expensive per-frame work. */
+  def gifFrameDiffs(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, frames) = GifCodec.decodeFrames(bytes)
+        val n = w * h
+        (1 until frames.length).map { f =>
+          val prev = frames(f - 1)
+          val cur = frames(f)
+          var sum = 0L
+          var p = 0
+          while (p < n) {
+            sum += math.abs((cur(p * 3) & 0xff) - (prev(p * 3) & 0xff))
+            p += 1
+          }
+          GifFrameDiff(id, f, frames.length, sum.toDouble / n)
+        }
+      }).toDF()
+  }
+
   private def statsOf(id: Long, w: Int, h: Int, rgb: Array[Byte]): ImageStats = {
     val n = w * h
     var sr = 0L; var sg = 0L; var sb = 0L
