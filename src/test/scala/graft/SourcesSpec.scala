@@ -323,4 +323,70 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
       assert(r === 4.0)
     } finally ()
   }
+
+  // ---- NumPy .npy source ----
+
+  private def npyFixture(rows: Seq[Array[Float]], dim: Int): String = {
+    val f = java.nio.file.Files.createTempFile("graft_npy_", ".npy")
+    graft.sources.Npy.writeVectors(f.toString, rows.iterator, dim)
+    f.toString
+  }
+
+  test("npy '<f4' v1.0 round-trips through the distributed read") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(37)(Array.fill(5)(rnd.nextFloat()))
+    val path = npyFixture(rows, 5)
+    val got = graft.sources.Npy.readVectors(spark, path, numPartitions = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(got.length === 37)
+    got.foreach { case (id, vec) => assert(vec.toSeq === rows(id.toInt).toSeq) }
+    // partition count must not change anything
+    val one = graft.sources.Npy.readVectors(spark, path, numPartitions = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    assert(one.toSeq === got.map { case (id, v) => (id, v.toSeq) }.toSeq)
+  }
+
+  test("npy '<f8' and v2.0 headers parse; fortran/bad-magic/1-D fail loudly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def write(path: String, dict: String, v2: Boolean, body: Array[Byte]): Unit = {
+      val pre = if (v2) 12 else 10
+      val pad = (64 - (pre + dict.length + 1) % 64) % 64
+      val header = dict + (" " * pad) + "\n"
+      val out = new java.io.FileOutputStream(path)
+      out.write(Array(0x93.toByte, 'N', 'U', 'M', 'P', 'Y').map(_.toByte))
+      if (v2) { out.write(2); out.write(0)
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(header.length).array())
+      } else { out.write(1); out.write(0)
+        out.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+          .putShort(header.length.toShort).array())
+      }
+      out.write(header.getBytes("US-ASCII")); out.write(body); out.close()
+    }
+    // '<f8', v2.0 header: 3 x 2 doubles
+    val vals = Array(1.5, -2.25, 3.0, 0.125, -0.5, 8.0)
+    val body = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(body.putDouble)
+    val f8 = java.nio.file.Files.createTempFile("graft_npy8_", ".npy").toString
+    write(f8, "{'descr': '<f8', 'fortran_order': False, 'shape': (3, 2), }",
+      v2 = true, body.array())
+    val got = graft.sources.Npy.readVectors(spark, f8).orderBy("id").collect()
+      .flatMap(_.getSeq[Float](1))
+    assert(got.toSeq === vals.map(_.toFloat).toSeq)
+    // fortran order rejected
+    val ff = java.nio.file.Files.createTempFile("graft_npyf_", ".npy").toString
+    write(ff, "{'descr': '<f4', 'fortran_order': True, 'shape': (2, 2), }",
+      v2 = false, new Array[Byte](16))
+    intercept[IllegalArgumentException](graft.sources.Npy.readHeader(ff))
+    // 1-D shape rejected
+    val f1 = java.nio.file.Files.createTempFile("graft_npy1_", ".npy").toString
+    write(f1, "{'descr': '<f4', 'fortran_order': False, 'shape': (4,), }",
+      v2 = false, new Array[Byte](16))
+    intercept[IllegalArgumentException](graft.sources.Npy.readHeader(f1))
+    // bad magic rejected
+    val bad = java.nio.file.Files.createTempFile("graft_npyb_", ".npy")
+    java.nio.file.Files.write(bad, "not an npy file at all".getBytes)
+    intercept[IllegalArgumentException](graft.sources.Npy.readHeader(bad.toString))
+  }
 }
