@@ -518,13 +518,22 @@ object PipelineQueries {
   // ---------------------------------------------------------------- t11_unigram_lm
   /** Corpus unigram language-model scoring (perplexity-style quality
     * filter): token probabilities from the corpus's own frequencies, each
-    * doc scored by its mean token log-probability. Two aggregations, both
-    * shuffle-bounded: the vocab build exchanges one row per DISTINCT token
-    * (partial map-side counts), and the vocab — bounded by the tokenizer's
-    * vocabulary, ~100k entries for a BPE at 100 TB — broadcasts back for
-    * the scoring join, so token OCCURRENCES never shuffle. Per-doc sums of
-    * ~10^2 bounded logs keep cross-order ulp error far below the round(6)
-    * grain (v12's argument). */
+    * doc scored by its mean token log-probability. The vocab build
+    * exchanges one row per DISTINCT token (partial map-side counts); the
+    * scoring join back to occurrences is a DISTRIBUTED equi-join on the
+    * token — deliberately NOT a broadcast: this tokenizer is a raw
+    * whitespace split, so distinct tokens over web-scale text run to
+    * billions (typos, URLs, unicode soup) and a broadcast vocab would
+    * blow the driver long before the 8 GB broadcast cap. The extra
+    * shuffle is one linear pass over token occurrences — bounded and
+    * skew-free (token-hash keys); only the genuinely scalar total-count
+    * row carries a broadcast hint. (Catalyst may still auto-broadcast the
+    * vocab when its STATS say it is small — correct at test scale and
+    * self-correcting at 100 TB, where stats exceed the threshold and the
+    * join plans as sort-merge; PlanShapeSpec pins this by disabling
+    * auto-broadcast and asserting the vocab join shuffles.) Per-doc sums
+    * of ~10^2 bounded logs keep cross-order
+    * ulp error far below the round(6) grain (v12's argument). */
   def t11UnigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -532,7 +541,7 @@ object PipelineQueries {
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val n = vocab.agg(sum(col("c")).as("n"))
     toks
-      .join(broadcast(vocab), "tok")
+      .join(vocab, "tok")
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
       .agg(

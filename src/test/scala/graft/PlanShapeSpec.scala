@@ -257,6 +257,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian join:\n${p.take(3000)}")
   }
 
+  test("t11 unigram LM never forces a broadcast of the unbounded vocab") {
+    // the whitespace-token vocab is unbounded on web-scale text, so the
+    // scoring join must not carry a broadcast HINT — with stats-based
+    // auto-broadcast disabled (what 100 TB stats do on their own), the
+    // vocab join has to plan as a distributed shuffle join; the only
+    // broadcast left is the genuinely scalar total-count row
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t11_unigram_lm")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"vocab join still broadcasts with auto-broadcast off:\n${p.take(3500)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a distributed vocab join:\n${p.take(3500)}")
+      // the scalar n row still broadcasts (nested-loop over 1 row is fine)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"scalar total-count row should broadcast:\n${p.take(3500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
