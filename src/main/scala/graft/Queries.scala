@@ -252,6 +252,7 @@ object Queries {
     ensureBucketedCorpus(s, dir)
     buildEmbIndex(s, dir)
     quantIndex(s, dir) // v23's shared quantized index (same one-time role)
+    tokenIndex(s, dir) // v40's inner-product token index (same one-time role)
     graft.streaming.StreamingOps.warmEngine(s) // streaming-engine cold init
   }
 
@@ -1866,11 +1867,14 @@ object Queries {
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------- v39_maxsim_pruned
-  /** Two-stage maxsim (candidate generation + exact rerank — the cluster-
-    * scale composition): per-token inner-product top-100 bounds the
-    * candidate docs, the exact scorer reranks only those. m=100 against
-    * ~4-token docs makes the candidate set provably generous here, so the
-    * result equals brute force and v38's oracle gates it. */
+  /** Two-stage maxsim (candidate generation + exact rerank): the gate
+    * pins the ALGEBRA — stage 1 + candidate-restricted rerank must equal
+    * the one-stage brute force — so the gated m is set to the corpus
+    * token count, which makes candidate coverage exhaustive BY
+    * CONSTRUCTION (a sum-of-max winner need not own any per-token top-m
+    * token in general, so no fixed m is provably safe as testdata
+    * grows). Non-trivial pruning behavior lives in MultiVectorSpec
+    * (m=1 subset law) and in the ANN composition's recall floor (v40). */
   def v39MaxSimPruned(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qv = emb.filter(col("vec_id") < 20)
@@ -1879,7 +1883,48 @@ object Queries {
     val cv = emb.filter(col("vec_id") >= 20)
       .select(expr("vec_id DIV 4").as("did"), col("vec_id").as("tokid"),
         col("embedding"))
-    graft.operators.MultiVector.maxSimTopKPruned(qv, cv, k = 5, m = 100)
+    val m = cv.count().toInt // exhaustive-coverage guard (see scaladoc)
+    graft.operators.MultiVector.maxSimTopKPruned(qv, cv, k = 5, m = m)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- v40_maxsim_ann
+  // The v40 token index is memoized per sf dir like the v6 index: one
+  // deterministic inner-product dehnsw build over the corpus TOKEN table
+  // (id = tokid), shared across a Verify/Bench session.
+  private val tokenIndexCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
+
+  private[graft] def tokenIndex(s: SparkSession, dir: String): VectorIndex =
+    tokenIndexCache.computeIfAbsent(dir, _ =>
+      VectorIndex.build(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("id"), col("embedding")),
+        IndexParams(metric = graft.functions.DistanceMetric.InnerProduct,
+          minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+        numShards = 4))
+
+  /** ANN-composed maxsim (MultiVector.maxSimTopKAnn): stage 1 is the
+    * dehnsw BEAM over the inner-product token index — candidate
+    * generation walks the graph, it never scans the token table — and
+    * stage 2 is the exact Double rerank. Gated at exhaustive fidelity
+    * (searchWidth >= shard size walks every reachable node of the
+    * connectivity-repaired graph; m = token count unions every surfaced
+    * doc), where the composition provably collapses to brute force and
+    * v38's SQL replays it. Realistic-width recall (the approximate
+    * regime) is pinned in MultiVectorSpec, not here — DuckDB cannot
+    * replay a beam. */
+  def v40MaxSimAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"),
+        col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 20)
+      .select(expr("vec_id DIV 4").as("did"), col("vec_id").as("tokid"),
+        col("embedding"))
+    val m = cv.count().toInt // exhaustive-fidelity gate (see scaladoc)
+    graft.operators.MultiVector.maxSimTopKAnn(
+      qv, cv, tokenIndex(s, dir), k = 5, m = m, searchWidth = 4096)
       .withColumn("score", round(col("score"), 6))
       .orderBy(col("qid"), col("rank"))
   }
@@ -2020,7 +2065,8 @@ object Queries {
     "b3_asof_join" -> b3Oracle,
     "b4_range_join" -> b4Oracle,
     "v38_maxsim" -> v38Oracle,
-    "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (generous m)
+    "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (exhaustive m)
+    "v40_maxsim_ann" -> v38Oracle, // ANN stage 1 at exhaustive fidelity == brute force
     "q6_rollup" -> q6Oracle,
     "q8_cube" -> q8Oracle,
     "q7_dates" -> q7Oracle,

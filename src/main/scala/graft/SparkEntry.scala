@@ -82,6 +82,7 @@ object SparkEntry {
     "v37_filtered_rewrite" -> ((s, dir) => Queries.v37FilteredRewrite(s, dir)),
     "v38_maxsim" -> ((s, dir) => Queries.v38MaxSim(s, dir)),
     "v39_maxsim_pruned" -> ((s, dir) => Queries.v39MaxSimPruned(s, dir)),
+    "v40_maxsim_ann" -> ((s, dir) => Queries.v40MaxSimAnn(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

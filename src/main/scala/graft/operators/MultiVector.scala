@@ -21,10 +21,11 @@ import graft.functions.VectorFunctions
   * the two aggregations (max per query-token x doc, then sum per
   * query-doc x doc) both run partial map-side, so the exchange carries one
   * row per (query doc, doc) pair bound, not per token pair. At cluster
-  * scale the same composition runs after an ANN candidate step (per
-  * query-token kNN via the index, union candidates, rerank with this exact
-  * scorer over the shortlist) — the gated query keeps the exact path so
-  * DuckDB can replay it. */
+  * scale the same composition runs after an ANN candidate step — per
+  * query-token kNN via the dehnsw index over the token table, union
+  * candidates, rerank with this exact scorer over the shortlist — which
+  * [[maxSimTopKAnn]] implements; the exact-path gated queries keep the
+  * full scorer so DuckDB can replay them. */
 object MultiVector {
 
   /** Exact maxsim top-k.
@@ -84,11 +85,56 @@ object MultiVector {
       qv.select(col("qvec").as("query_id"), col("embedding")),
       cv.select(col("tokid").as("id"), col("embedding")),
       k = m, graft.functions.DistanceMetric.InnerProduct)
-    val candDocs = perTokenTop
+    rerankCandidates(qv, cv, candidateDocs(perTokenTop, qv, cv), k)
+  }
+
+  /** ANN-candidate maxsim — the composition that actually prunes at
+    * cluster scale: stage 1 probes a dehnsw index built over the corpus
+    * TOKEN table (id = tokid, metric = inner product) with the beam
+    * search, so candidate generation touches only the beam's graph walk
+    * per shard — never a full corpus-token scan — and stage 2 is the same
+    * exact rerank as [[maxSimTopKPruned]]. This is the promise in this
+    * file's header made real: per-query-token kNN via the index, union
+    * candidates, rerank exact over the shortlist.
+    *
+    * Fidelity dial: at exhaustive `searchWidth`/`m` the candidate set
+    * covers everything and the result EQUALS the brute-force scorer
+    * (how the gated query oracles it against v38's SQL); at realistic
+    * width the result is approximate and MultiVectorSpec pins the
+    * doc-level recall floor. Stage-1 beam distances only SELECT
+    * candidates — final scores always come from the exact Double rerank,
+    * so fp32 beam arithmetic never reaches the output. */
+  def maxSimTopKAnn(
+      queryVectors: DataFrame, corpusVectors: DataFrame,
+      index: graft.index.VectorIndex,
+      k: Int, m: Int, searchWidth: Int): DataFrame = {
+    require(index.params.metric == graft.functions.DistanceMetric.InnerProduct,
+      s"maxsim stage 1 ranks by inner product; index metric is ${index.params.metric.name}")
+    val qv = queryVectors.select(col("qid"), col("qvec"), col("embedding"))
+    val cv = corpusVectors.select(col("did"), col("tokid"), col("embedding"))
+    val perTokenTop = index.query(
+      qv.select(col("qvec").as("query_id"), col("embedding")),
+      k = m, searchWidth = searchWidth)
+    rerankCandidates(qv, cv, candidateDocs(perTokenTop, qv, cv), k)
+  }
+
+  /** Stage-1 postlude shared by the pruned/ANN forms: per-query-token
+    * (query_id, neighbor_id) winners → distinct (qid, did) candidates.
+    * Both joins are slim equi-joins on ids (the probe side is bounded at
+    * queries x m rows, so Catalyst broadcasts it from stats). */
+  private def candidateDocs(
+      perTokenTop: DataFrame, qv: DataFrame, cv: DataFrame): DataFrame =
+    perTokenTop
       .join(qv.select(col("qvec").as("query_id"), col("qid")), "query_id")
       .join(cv.select(col("tokid").as("neighbor_id"), col("did")), "neighbor_id")
       .select(col("qid"), col("did")).distinct()
-    // stage 2: exact maxsim over candidate docs' tokens only
+
+  /** Stage 2 shared by the pruned/ANN forms: the exact maxsim scorer
+    * restricted to candidate docs' tokens — same partial map-side
+    * aggregation shape as [[maxSimTopK]], with the corpus side bounded by
+    * the candidate join instead of scored in full. */
+  private def rerankCandidates(
+      qv: DataFrame, cv: DataFrame, candDocs: DataFrame, k: Int): DataFrame = {
     val candTokens = cv.join(candDocs, Seq("did"))
       .select(col("qid"), col("did"), col("embedding").as("ce"))
     val perToken = candTokens

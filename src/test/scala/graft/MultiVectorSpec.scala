@@ -78,6 +78,63 @@ class MultiVectorSpec extends AnyFunSuite with SparkSuite {
     assert(tiny.exceptAll(allScores).count() === 0)
   }
 
+  private def v40Inputs = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"), col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 20)
+      .select(expr("vec_id DIV 4").as("did"), col("vec_id").as("tokid"), col("embedding"))
+    (qv, cv)
+  }
+
+  test("ANN-candidate maxsim equals brute force at exhaustive fidelity") {
+    val (qv, cv) = v40Inputs
+    val idx = Queries.tokenIndex(spark, sfDir)
+    val m = cv.count().toInt
+    val exact = MultiVector.maxSimTopK(qv, cv.drop("tokid"), k = 5)
+    val ann = MultiVector.maxSimTopKAnn(qv, cv, idx, k = 5, m = m, searchWidth = 4096)
+    assert(ann.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(ann).count() === 0)
+  }
+
+  test("ANN-candidate maxsim clears the doc-recall floor at realistic width") {
+    // the approximate regime the gate can't express: beam width 8, top-20
+    // candidate tokens per query token. Measured 1.000 on this testdata
+    // (w=4/m=10 already gives 0.90); the floor leaves headroom for
+    // graph-build evolution without letting real regressions through.
+    val (qv, cv) = v40Inputs
+    val idx = Queries.tokenIndex(spark, sfDir)
+    val exact = MultiVector.maxSimTopK(qv, cv.drop("tokid"), k = 5)
+      .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = MultiVector.maxSimTopKAnn(qv, cv, idx, k = 5, m = 20, searchWidth = 8)
+      .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"doc recall@5 = $recall < 0.95")
+  }
+
+  test("ANN stage 1 plans as an index probe, never a corpus-token scan join") {
+    // v39's exact stage 1 is a broadcast cross join (every query token x
+    // every corpus token); the ANN form must instead route candidates
+    // through the probe's partial/final top-k — no nested-loop or
+    // cartesian join anywhere in the plan
+    val (qv, cv) = v40Inputs
+    val idx = Queries.tokenIndex(spark, sfDir)
+    val p = MultiVector.maxSimTopKAnn(qv, cv, idx, k = 5, m = 20, searchWidth = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("topk_by_distance"), s"no index-probe top-k in:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"stage 1 degraded to a scan join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"stage 1 degraded to a cartesian:\n${p.take(3000)}")
+  }
+
+  test("ANN maxsim rejects an index built under the wrong metric") {
+    val (qv, cv) = v40Inputs
+    val e = intercept[IllegalArgumentException] {
+      MultiVector.maxSimTopKAnn(qv, cv, Queries.sharedEmbIndex(spark, sfDir),
+        k = 5, m = 20, searchWidth = 8)
+    }
+    assert(e.getMessage.contains("inner product"))
+  }
+
   test("streaming heavy hitters equals the batch top-k") {
     val eventsPath = s"$sfDir/events.parquet"
     val got = graft.streaming.StreamingOps
