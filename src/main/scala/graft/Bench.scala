@@ -76,11 +76,13 @@ object Bench {
     // — relative error stays inside the 1.4-2x run-to-run contention
     // variance BASELINE.md documents, and the line stays ~1900 chars at
     // 92 queries (measured 1993 with two decimals — 7 chars from the cap).
+    // Locale.ROOT: a non-English default JVM locale would print ',' as
+    // the decimal separator and silently break the JSON line
     def fmt(v: Double): String = {
       val a = math.abs(v)
-      val s = if (a < 0.0995) "%.2f".format(v)
-        else if (a < 9.95) "%.1f".format(v)
-        else "%.0f".format(v)
+      val s = if (a < 0.0995) String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        else if (a < 9.95) String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        else String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }

@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -97,9 +97,13 @@ case class HeavyHittersAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[SpaceSavingBuffer] {
+  extends TypedImperativeAggregate[SpaceSavingBuffer] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  /** Items aggregate as strings; ImplicitCastInputTypes inserts the cast
+    * for any castable input (int keys etc.) and analysis fails cleanly —
+    * not at execution — for non-castable ones. */
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -135,7 +139,11 @@ case class HeavyHittersAgg(
     val entries = buf.sortedEntries
     out.writeInt(entries.length)
     entries.foreach { case (item, n, err) =>
-      out.writeUTF(item); out.writeLong(n); out.writeLong(err)
+      // length-prefixed raw UTF-8 (writeUTF caps the encoding at 64 KiB
+      // and a generally-registered aggregate can meet longer keys)
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(n); out.writeLong(err)
     }
     out.flush()
     bos.toByteArray
@@ -147,7 +155,11 @@ case class HeavyHittersAgg(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val item = in.readUTF(); val cnt = in.readLong(); val err = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val cnt = in.readLong(); val err = in.readLong()
       buf.add(item, cnt, err); i += 1
     }
     buf
@@ -166,12 +178,28 @@ case class HeavyHittersAgg(
 object HeavyHitters {
 
   /** SQL builder: heavy_hitters(item, capacity, k) — capacity and k must
-    * be literals (folded constants). Shared by GraftExtensions and
-    * session-local registration. */
-  def sqlBuilder(es: Seq[Expression]): Expression =
-    HeavyHittersAgg(es(0),
-      capacity = es(1).eval().asInstanceOf[Number].intValue(),
-      k = es(2).eval().asInstanceOf[Number].intValue())
+    * be foldable integer literals. Shared by GraftExtensions and
+    * session-local registration; misuse fails at analysis with a real
+    * message, never as a bare cast/NPE out of function resolution. */
+  def sqlBuilder(es: Seq[Expression]): Expression = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> s"heavy_hitters: $msg"))
+    if (es.length != 3)
+      fail(s"expects 3 arguments (item, capacity, k), got ${es.length}")
+    def intArg(e: Expression, name: String): Int = {
+      if (!e.foldable) fail(s"$name must be a literal, got ${e.sql}")
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other => fail(s"$name must be an integer literal, got ${e.sql}" +
+          (if (other == null) " (NULL)" else s" of type ${e.dataType.simpleString}"))
+      }
+    }
+    val capacity = intArg(es(1), "capacity")
+    val k = intArg(es(2), "k")
+    if (capacity <= 0 || k <= 0) fail(s"capacity and k must be positive, got ($capacity, $k)")
+    HeavyHittersAgg(es(0), capacity = capacity, k = k)
+  }
 
   /** Column form. */
   def heavyHitters(item: Column, capacity: Int, k: Int): Column =

@@ -552,17 +552,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val (w, h, frames) = GifCodec.decodeFrames(bytes)
-        val n = w * h
+        // mean |delta| over ALL channel samples (3 per pixel) — on a
+        // grayscale palette (r==g==b, the gated synthetic case) this is
+        // identical to the single-channel mean, and on color GIFs it is
+        // the documented mean-absolute-difference rather than a silent
+        // red-channel-only read
+        val samples = w * h * 3
         (1 until frames.length).map { f =>
           val prev = frames(f - 1)
           val cur = frames(f)
           var sum = 0L
           var p = 0
-          while (p < n) {
-            sum += math.abs((cur(p * 3) & 0xff) - (prev(p * 3) & 0xff))
+          while (p < samples) {
+            sum += math.abs((cur(p) & 0xff) - (prev(p) & 0xff))
             p += 1
           }
-          GifFrameDiff(id, f, frames.length, sum.toDouble / n)
+          GifFrameDiff(id, f, frames.length, sum.toDouble / samples)
         }
       }).toDF()
   }

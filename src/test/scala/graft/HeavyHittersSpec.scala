@@ -65,6 +65,43 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("SQL form casts non-string items and rejects misuse at analysis") {
+    org.apache.spark.sql.graft.GraftSqlBridge.registerFunction(
+      spark, "heavy_hitters", HeavyHitters.sqlBuilder)
+    // int keys: ImplicitCastInputTypes must insert the cast (previously a
+    // runtime ClassCastException at execution)
+    Tables.events(spark, sfDir)
+      .select((col("user_id") % 7).as("key")).createOrReplaceTempView("hh_ints")
+    val top = spark.sql("SELECT heavy_hitters(key, 64, 3) AS hh FROM hh_ints")
+      .select(explode(col("hh")).as("e")).select("e.item", "e.n").collect()
+    assert(top.length === 3 && top.forall(_.getString(0).forall(_.isDigit)))
+    // misuse fails at analysis with a descriptive message, not a bare
+    // cast/NPE out of function resolution
+    def analysisMessage(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException] { spark.sql(sql) }.getMessage
+    assert(analysisMessage("SELECT heavy_hitters(key, 64) FROM hh_ints")
+      .contains("3 arguments"))
+    assert(analysisMessage("SELECT heavy_hitters(key, key, 3) FROM hh_ints")
+      .contains("literal"))
+    assert(analysisMessage("SELECT heavy_hitters(key, 'many', 3) FROM hh_ints")
+      .contains("integer literal"))
+    assert(analysisMessage("SELECT heavy_hitters(key, 0, 3) FROM hh_ints")
+      .contains("positive"))
+  }
+
+  test("summaries round-trip items longer than writeUTF's 64 KiB cap") {
+    import spark.implicits._
+    // shuffle-time serialize/deserialize used to writeUTF, which throws
+    // UTFDataFormatException beyond 65535 encoded bytes
+    val long1 = "x" * 70000
+    val long2 = "y" * 70000
+    val df = (Seq.fill(5)(long1) ++ Seq.fill(3)(long2) ++ Seq("short"))
+      .toDF("item").repartition(4)
+    val got = HeavyHitters.topItems(df, "item", 16, 3).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((long1, 5L), (long2, 3L), ("short", 1L)))
+  }
+
   test("partition count does not change the result (mergeable summaries)") {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
