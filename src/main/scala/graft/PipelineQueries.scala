@@ -640,6 +640,44 @@ object PipelineQueries {
       |FROM h GROUP BY phash HAVING COUNT(*) >= 2
       |ORDER BY phash""".stripMargin
 
+  // ---------------------------------------------------------------- d12_image_neardups
+  /** Image NEAR-duplicate pairs at Hamming <= 6 over the 48-bit aHash —
+    * the within-distance composition d11's scaladoc promised: real
+    * decode -> aHash (m9's pipeline, here over payloads with PLANTED
+    * near-dups: pairs (2k, 2k+1) share a base image, the odd one has
+    * pixel 0 saturated white), then Dedup.hammingNearDupPairs bands the
+    * 48 bits into 8 x 6-bit buckets. maxDist=6 < 8 bands makes the
+    * banding COMPLETE by pigeonhole, so DuckDB's brute-force popcount
+    * join is an exact oracle — not a recall approximation — at any data
+    * size. One banding shuffle + in-task pair emission, the d3/d7 LSH
+    * shape. */
+  def d12ImageNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingNearDupPairs(
+      Multimodal.imagePHash(
+        Multimodal.syntheticNearDupImages(Tables.documents(s, dir), w = 8, h = 6))
+        .select(col("doc_id"), col("phash")),
+      bits = 48, numBands = 8, maxDist = 6, hashCol = "phash")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val d12Oracle =
+    """WITH g AS (SELECT doc_id,
+      |             list_transform(generate_series(0, 47), p ->
+      |               (CASE WHEN doc_id % 2 = 1 AND p = 0 THEN 765
+      |                     ELSE (((doc_id // 2) * 31 + (doc_id // 2 // 256) * 97 + 7) * (p + 13)) % 256
+      |                          + (((doc_id // 2) * 17 + (doc_id // 2 // 256) * 57 + 5) * (p + 29)) % 256
+      |                          + (((doc_id // 2) * 13 + (doc_id // 2 // 256) * 41 + 11) * (p + 37)) % 256 END) // 3) AS gr
+      |           FROM documents),
+      |s AS (SELECT doc_id, gr, list_sum(gr) AS sm FROM g),
+      |h AS (SELECT doc_id,
+      |        CAST(list_sum(list_transform(generate_series(1, 48), i ->
+      |          CASE WHEN gr[i] * 48 > sm THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS ph
+      |      FROM s)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ph, b.ph)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- m5_image_resize
   /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
     * resized pixels; source pixel of output (x, y) is (2x, 2y), so the
@@ -989,6 +1027,7 @@ object PipelineQueries {
     "d9_contamination" -> ((s, dir) => d9Contamination(s, dir)),
     "d10_cluster_keep" -> ((s, dir) => d10ClusterKeep(s, dir)),
     "d11_image_dups" -> ((s, dir) => d11ImageDups(s, dir)),
+    "d12_image_neardups" -> ((s, dir) => d12ImageNearDups(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -1034,6 +1073,7 @@ object PipelineQueries {
     "d9_contamination" -> d9Oracle,
     "d10_cluster_keep" -> d10Oracle,
     "d11_image_dups" -> d11Oracle,
+    "d12_image_neardups" -> d12Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,

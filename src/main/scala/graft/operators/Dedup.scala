@@ -224,6 +224,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Within-distance Hamming pairs over integer fingerprints (SimHash,
+    * aHash, any <=63-bit code) via bit-banding — the multimodal/near-dup
+    * analog of [[minHashCandidatePairsFromShingles]]'s bucket machinery.
+    *
+    * `bits` is split into `numBands` contiguous bit bands; two ids become
+    * candidates when any band matches exactly, and candidates are then
+    * verified with the exact popcount distance. By pigeonhole the banding
+    * is COMPLETE — not approximate — for `maxDist <= numBands - 1`: a
+    * pair differing in at most numBands-1 bits leaves at least one band
+    * untouched, so every qualifying pair collides in some bucket
+    * (enforced by the require; this is what lets a brute-force SQL oracle
+    * gate the operator exactly at any data size).
+    *
+    * Shape: one explode to ids x numBands bucket rows, one groupBy
+    * shuffle on (band, bucket), in-task pair emission from the sorted id
+    * list (SortedPairs), then a slim verify join back to the (id, hash)
+    * table — candidate volume is bounded by bucket co-occupancy, the
+    * LSH contract. Output (id_a, id_b, hamming), id_a < id_b. */
+  def hammingNearDupPairs(
+      hashes: DataFrame, bits: Int, numBands: Int, maxDist: Int,
+      idCol: String = "doc_id", hashCol: String = "hash"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
+    require(bits > 0 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(bits % numBands == 0, s"bits ($bits) must be a multiple of numBands ($numBands)")
+    require(maxDist < numBands,
+      s"banding is only complete for maxDist < numBands, got maxDist=$maxDist bands=$numBands")
+    val r = bits / numBands
+    val mask = (1L << r) - 1
+    val h = hashes.select(
+      col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("h"), b * r).bitwiseAND(lit(mask)).as("bucket")).as(s"band$b")
+    }
+    val cand = h
+      .select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
+      .groupBy(col("band_idx"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(toCol(graft.functions.SortedPairs(toExpr(col("ids")))).as(Seq("id_a", "id_b")))
+      .distinct()
+    cand
+      .join(h.select(col("id").as("id_a"), col("h").as("ha")), "id_a")
+      .join(h.select(col("id").as("id_b"), col("h").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** 32-bit SimHash fingerprint per document. */
   def simHash(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -418,6 +418,41 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Synthetic images with PLANTED NEAR-DUPLICATES: consecutive doc
+    * pairs (2k, 2k+1) share a base image, and the odd member is
+    * perturbed by saturating pixel 0 to pure white — a realistic "same
+    * image, tiny edit" near-dup whose aHash lands within a few bits of
+    * its partner (the edited pixel's bit plus whatever borderline pixels
+    * the shifted mean flips). Unlike [[syntheticRgb]]'s per-base OFFSET
+    * ramp — which aHash collapses (the threshold pattern of a shifted
+    * ramp is base-independent, so every doc near-dups every doc) — each
+    * channel here is a base-dependent SLOPE times the pixel index, so
+    * distinct bases wrap mod 256 at different rates and their hashes
+    * decorrelate; the `base // 256` term keeps slopes distinct past 256
+    * bases. Closed-form in (doc_id, p), so the d12 gate replays the
+    * exact bit pattern in SQL. */
+  def syntheticNearDupImages(docs: DataFrame, w: Int, h: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val b = id / 2
+        val n = w * h
+        val rgb = new Array[Byte](n * 3)
+        var p = 0
+        while (p < n) {
+          rgb(p * 3) = (((b * 31 + (b / 256) * 97 + 7) * (p + 13)) % 256).toByte
+          rgb(p * 3 + 1) = (((b * 17 + (b / 256) * 57 + 5) * (p + 29)) % 256).toByte
+          rgb(p * 3 + 2) = (((b * 13 + (b / 256) * 41 + 11) * (p + 37)) % 256).toByte
+          p += 1
+        }
+        if (id % 2 == 1) { rgb(0) = -1; rgb(1) = -1; rgb(2) = -1 } // 0xff x3
+        (id, PpmCodec.encode(w, h, rgb))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** [[syntheticImages]] with a PNG container (JDK ImageIO encoder):
     * the same closed-form pixels behind real compressed-format bytes —
     * PNG is lossless, so the decode pipeline shares the P6 oracles

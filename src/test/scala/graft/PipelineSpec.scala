@@ -390,6 +390,50 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows(1).getDouble(5) === 203.5)
   }
 
+  test("hammingNearDupPairs equals brute force (banding complete for maxDist < bands)") {
+    // planted near-dups: (2k, 2k+1) share a base image with pixel 0
+    // saturated on the odd member — the operator must find exactly the
+    // brute-force within-6 pair set (pigeonhole: 6 flipped bits leave
+    // >= one of the 8 six-bit bands untouched), and the result must be
+    // dominated by the planted pairs, not a hash-collapse soup
+    val hashes = Multimodal.imagePHash(
+      Multimodal.syntheticNearDupImages(Tables.documents(spark, sfDir), w = 8, h = 6))
+      .select(col("doc_id"), col("phash"))
+    val got = Dedup.hammingNearDupPairs(hashes, bits = 48, numBands = 8, maxDist = 6,
+      hashCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ida, ha) <- hs; (idb, hb) <- hs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ida, idb, d)).toSet
+    assert(got === want)
+    val planted = got.filter { case (a, b, _) => a / 2 == b / 2 }
+    assert(planted.size >= hs.length / 2 * 9 / 10, s"planted pairs missing: ${planted.size}")
+    assert(got.size <= planted.size + hs.length / 10,
+      s"near-dup soup: ${got.size} pairs for ${planted.size} planted")
+  }
+
+  test("hammingNearDupPairs rejects incomplete banding configs") {
+    val hashes = Seq((1L, 3L), (2L, 5L)).toDF("doc_id", "hash")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(hashes, bits = 48, numBands = 8, maxDist = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(hashes, bits = 48, numBands = 7, maxDist = 3)
+    }
+  }
+
+  test("d12 banding shuffles on (band, bucket) and never degrades to a cross join") {
+    val p = PipelineQueries.queries("d12_image_neardups")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("sorted_pairs"), s"in-task pair emission missing:\n${p.take(3000)}")
+    assert("hashpartitioning\\(band_idx".r.findFirstIn(p).isDefined,
+      s"no banding exchange:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degraded to a cross join:\n${p.take(3000)}")
+  }
+
   test("PPM nearest-neighbor resize picks floor-mapped source pixels") {
     import graft.operators.PpmCodec
     // 2x2 image with distinct channels per pixel; upscale to 4x4 must
