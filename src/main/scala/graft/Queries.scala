@@ -997,15 +997,17 @@ object Queries {
   }
 
   /** Shared CTEs reconstructing the PQ pipeline (codebooks, encode, ADC)
-    * exactly as the engine computes it — used by v27 (plain PQ top-k) and
-    * v28 (PQ pool + exact rerank). */
-  private val pqCtes = {
+    * exactly as the engine computes it — used by v27 (plain PQ top-k),
+    * v28 (PQ pool + exact rerank), and v41 (rotated inputs). The corpus/
+    * query expressions are parameters so v41 can substitute the
+    * Hadamard-rotated embeddings while reusing the whole pipeline. */
+  private def pqCtesWith(corpusEmb: String, queryEmb: String): String = {
     // sub-distance of subspace sp.s between list x and codeword list cbx:
     // sequential Double fold over the 8 in-subspace dimensions
     def l2sub(x: String, cbx: String) =
       s"list_sum(list_transform(generate_series(1, 8), i -> (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE)) * (CAST($x[sp.s * 8 + i] AS DOUBLE) - CAST($cbx[sp.s * 8 + i] AS DOUBLE))))"
-    s"""corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10),
-      |     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    s"""corpus AS (SELECT vec_id AS id, $corpusEmb AS embedding FROM embeddings WHERE vec_id >= 10),
+      |     q AS (SELECT vec_id AS query_id, $queryEmb AS qe FROM embeddings WHERE vec_id < 10),
       |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
       |     cw AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, embedding AS cb
       |            FROM corpus, stats WHERE id % greatest(stride, 1) = 0),
@@ -1025,6 +1027,8 @@ object Queries {
       |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
       |           FROM adc)""".stripMargin
   }
+
+  private val pqCtes = pqCtesWith("embedding", "embedding")
 
   private val v27Oracle =
     s"""WITH $pqCtes
@@ -1534,6 +1538,52 @@ object Queries {
       |FROM j CROSS JOIN wd
       |GROUP BY wd.pool_width
       |ORDER BY pool_width""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- v41_opq_knn
+  /** OPQ-flavor product quantization: the corpus and queries rotate
+    * through the orthogonal Walsh-Hadamard projection (v35's
+    * VecHadamardProject — exact double arithmetic, then one float32
+    * rounding) BEFORE the v27 PQ pipeline runs on the rotated vectors.
+    * Rotation redistributes correlated-dimension energy across the PQ
+    * subspaces — the structured-rotation core of OPQ (Ge et al.,
+    * CVPR'13) with the data-independent rotation, mirroring how v35
+    * hardened the binary codes. Orthogonality (up to the uniform d
+    * scale) preserves L2 order, so the rotated ADC ranking is a drop-in
+    * retrieval answer; PqKnnSpec shows the recall win on a correlated
+    * corpus. The oracle replays rotation + codebooks + encode + ADC in
+    * closed form (pqCtesWith on the projected lists). */
+  private val opqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Int, Int)]()
+
+  private def opqRotate(c: Column): Column =
+    graft.functions.BinaryQuantFunctions.hadamard(c).cast("array<float>")
+
+  def v41OpqKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), opqRotate(col("embedding")).as("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), opqRotate(col("embedding")).as("embedding"))
+    val (flat, kEff, subDim) = opqCbCache.computeIfAbsent(dir, _ =>
+      graft.operators.PqKnn.codebooks(corpus, numCodewords = 16, m = 8))
+    graft.operators.PqKnn.knnJoinWith(queries, corpus, k = 10, flat, kEff, subDim, m = 8)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v41Oracle = {
+    // Hadamard projection of column x: output j = sum_i (-1)^popcount(i & j) x_i
+    // (exact in double under the expression's bound), rounded once to REAL
+    def rotSql(x: String) =
+      "list_transform(generate_series(0, 63), j -> CAST(" +
+        s"list_sum(list_transform(generate_series(1, 64), i -> " +
+        s"CASE WHEN bit_count(CAST(i - 1 AS BIGINT) & CAST(j AS BIGINT)) % 2 = 0 " +
+        s"THEN CAST($x[i] AS DOUBLE) ELSE -CAST($x[i] AS DOUBLE) END)) AS REAL))"
+    s"""WITH ${pqCtesWith(rotSql("embedding"), rotSql("embedding"))}
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- v33_knn_mips
@@ -2058,6 +2108,7 @@ object Queries {
     "v34_binary_centered" -> v34Oracle,
     "v35_binary_projected" -> v35Oracle,
     "v36_pq_trained" -> v36Oracle,
+    "v41_opq_knn" -> v41Oracle,
     "v37_filtered_rewrite" -> v37Oracle,
 
     "b1_bucketed_join" -> b1Oracle,

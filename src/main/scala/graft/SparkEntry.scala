@@ -83,6 +83,7 @@ object SparkEntry {
     "v38_maxsim" -> ((s, dir) => Queries.v38MaxSim(s, dir)),
     "v39_maxsim_pruned" -> ((s, dir) => Queries.v39MaxSimPruned(s, dir)),
     "v40_maxsim_ann" -> ((s, dir) => Queries.v40MaxSimAnn(s, dir)),
+    "v41_opq_knn" -> ((s, dir) => Queries.v41OpqKnn(s, dir)),
     "b1_bucketed_join" -> ((s, dir) => Queries.b1BucketedJoin(s, dir)),
     "b2_salted_join" -> ((s, dir) => Queries.b2SaltedJoin(s, dir)),
     "b3_asof_join" -> ((s, dir) => Queries.b3AsofJoin(s, dir)),

@@ -122,6 +122,60 @@ class PqKnnSpec extends AnyFunSuite with SparkSuite {
     assert(rerankRecall >= top10, "rerank must not be worse than raw PQ top-10")
   }
 
+  test("OPQ rotation: rotated PQ recall >= plain on a correlated corpus (v41 composition)") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import graft.functions.BinaryQuantFunctions
+    import spark.implicits._
+    // variance-imbalanced corpus (the rate-allocation case of OPQ, Ge
+    // et al. CVPR'13 §1): every dim independent, but the first
+    // subspace's 8 dims carry 20x the spread of the other 56 — plain PQ
+    // burns subspace 0's 16 codewords on a high-variance 8-dim signal
+    // (huge distortion) while subspaces 1-7 under-use theirs; the
+    // Hadamard rotation balances per-coordinate variance so every
+    // subspace's 4-bit budget works equally hard. (Keep the low-variance
+    // dims INDEPENDENT, not constant: with flat tails the H8 x H8
+    // Kronecker structure makes rotated PQ exactly equivalent to plain —
+    // every rotated subspace becomes a signed copy of the same signal —
+    // and the comparison degenerates to equality.)
+    def unit(seed: Long): Float = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (((z ^ (z >>> 31)) >>> 40).toDouble / (1L << 24).toDouble).toFloat
+    }
+    val dim = 64
+    def vec(row: Long): Array[Float] =
+      Array.tabulate(dim)(j =>
+        if (j < 8) unit(row * 131 + j) * 10f else unit(row * 131 + j) * 0.5f)
+    val corr = (0L until 512L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val qs = (0L until 20L).map(i => (i, vec(i + 100000L))).toDF("query_id", "embedding")
+    val exact = graft.operators.ExactKnn.knnJoin(qs, corr, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rot(c: Column): Column =
+      BinaryQuantFunctions.hadamard(c).cast("array<float>")
+    def recallOf(q: DataFrame, c: DataFrame): Double = {
+      // Lloyd-trained codebooks (the v36 trainer): with sampled-row
+      // codebooks both codes collapse to coarse row-identity and the
+      // comparison says nothing — training is what lets each subspace
+      // learn its share of the (rotated) signal
+      val (flat, kEff, subDim) = PqKnn.trainCodebooks(c, numCodewords = 16, m = 8)
+      val got = PqKnn.knnJoinWith(q, c, k = 10, flat, kEff, subDim, m = 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val plain = recallOf(qs, corr)
+    val rotated = recallOf(
+      qs.select(col("query_id"), rot(col("embedding")).as("embedding")),
+      corr.select(col("id"), rot(col("embedding")).as("embedding")))
+    // deterministic data + deterministic training ⇒ exact values are
+    // reproducible (measured 0.15 vs 0.325); the +0.1 margin asserts the
+    // win is structural, not tie-break noise
+    assert(rotated >= plain + 0.1,
+      s"rotation should win decisively here: rotated $rotated vs plain $plain")
+  }
+
   test("IVF-PQ equals plain PQ restricted to the probed cells' members") {
     import graft.operators.IvfKnn
     val (flat, kEff, subDim) = PqKnn.codebooks(corpus, numCodewords = 16, m = 8)
