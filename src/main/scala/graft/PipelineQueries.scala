@@ -976,6 +976,20 @@ object PipelineQueries {
       |  user_key, n
       |FROM c ORDER BY n DESC, user_key LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s11_stream_contamination
+  /** Streaming contamination screen (StreamingOps.streamContamination):
+    * the documents table streams through as the incoming training feed,
+    * each micro-batch screened against the broadcast eval split (doc_id
+    * % 10 == 7, d9's split) — the ingest-time production form of the
+    * contamination check. Zero streaming state; a doc's grams never
+    * cross a batch boundary, so the accumulated sink equals the batch
+    * operator and d9's oracle gates the streaming path exactly. */
+  def s11StreamContamination(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamContamination(s, s"$dir/documents.parquet",
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7), n = 6,
+      trainPred = col("doc_id") % 10 =!= 7, streamStateParts)
+      .orderBy(col("train_id"), col("eval_id"))
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -1058,6 +1072,7 @@ object PipelineQueries {
     "s8_stream_index" -> ((s, dir) => s8StreamIndex(s, dir)),
     "s9_stream_lsm" -> ((s, dir) => s9StreamLsm(s, dir)),
     "s10_stream_topk" -> ((s, dir) => s10StreamTopk(s, dir)),
+    "s11_stream_contamination" -> ((s, dir) => s11StreamContamination(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -1104,6 +1119,7 @@ object PipelineQueries {
     "s8_stream_index" -> s8Oracle,
     "s9_stream_lsm" -> s9Oracle,
     "s10_stream_topk" -> s10Oracle,
+    "s11_stream_contamination" -> d9Oracle, // streaming == batch (stateless per-doc screen)
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

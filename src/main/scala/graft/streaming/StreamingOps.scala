@@ -308,6 +308,63 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming contamination check — the ingest-time face of d9
+    * ([[graft.operators.Dedup.contaminationPairs]]): a stream of incoming
+    * training documents is screened against the (genuinely small,
+    * broadcast) eval/benchmark set per micro-batch inside foreachBatch,
+    * flagged (train_id, eval_id, n_shared_grams) rows appended to the
+    * sink. A document's n-grams live entirely in its own row, so
+    * micro-batch boundaries can never split a contamination pair — the
+    * accumulated sink equals the batch operator over the full corpus,
+    * which is what lets d9's SQL oracle gate the streaming form (s11).
+    *
+    * Scale shape: ZERO streaming state — each batch is the d9 plan
+    * (map-side gram explode, xxhash64 keys, broadcast eval join, partial
+    * count agg), so the production version of "filter the training
+    * stream against the benchmarks before it lands" runs at ingest cost,
+    * not corpus cost. */
+  def streamContamination(
+      spark: SparkSession, docsPath: String, evalDocs: DataFrame, n: Int,
+      trainPred: org.apache.spark.sql.Column, statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(docsPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(docsPath))
+      d.toString
+    })
+    val train = spark.readStream.schema(schema).parquet(srcDir).filter(trainPred)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_contam_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = train.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Dedup.contaminationPairs(batch, evalDocs, n)
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming index maintenance — the ingest face of the vector index: a
     * stream of new vectors is folded into a batch-built base index with
     * [[graft.index.VectorIndex.append]] per micro-batch (foreachBatch).

@@ -434,6 +434,21 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"pair generation degraded to a cross join:\n${p.take(3000)}")
   }
 
+  test("streaming contamination equals the batch operator (zero-state per-doc screen)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.streaming.StreamingOps.streamContamination(
+      spark, s"$sfDir/documents.parquet",
+      docs.filter(col("doc_id") % 10 === 7), n = 6,
+      trainPred = col("doc_id") % 10 =!= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.contaminationPairs(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7), n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "contamination scenario is vacuous at this sf")
+  }
+
   test("PPM nearest-neighbor resize picks floor-mapped source pixels") {
     import graft.operators.PpmCodec
     // 2x2 image with distinct channels per pixel; upscale to 4x4 must
