@@ -611,11 +611,11 @@ object PipelineQueries {
       |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d11_image_dups
-  /** Image near-duplicate groups: docs whose decoded payloads share the
+  /** Image EXACT-duplicate groups: docs whose decoded payloads share the
     * SAME perceptual hash (m9's aHash) collapse to one group — the
     * multimodal analog of d1's exact text dedup; one hash-groupBy shuffle,
-    * same shape at any corpus size. (Within-distance Hamming pairs would
-    * band the 48 bits exactly as SimHash d4 does.) */
+    * same shape at any corpus size. Within-distance Hamming pairs are
+    * d12 ([[d12ImageNearDups]] via Dedup.hammingNearDupPairs). */
   def d11ImageDups(s: SparkSession, dir: String): DataFrame =
     Multimodal.imagePHash(
       Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6))
