@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.operators.HeavyHittersAgg].getName, "heavy_hitters"),
       graft.operators.HeavyHitters.sqlBuilder))
+    // HyperLogLog distinct-count sketch: approx_distinct(item, p)
+    ext.injectFunction((FunctionIdentifier("graft_approx_distinct"),
+      new ExpressionInfo(classOf[graft.operators.HllAgg].getName, "graft_approx_distinct"),
+      graft.operators.Hll.sqlBuilder))
   }
 }

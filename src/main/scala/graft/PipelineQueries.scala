@@ -564,6 +564,36 @@ object PipelineQueries {
       |SELECT doc_id, len, round(s / len, 6) AS avg_logprob
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t12_approx_distinct
+  /** HyperLogLog distinct-token counts per source ([[graft.operators.Hll]],
+    * p=12 → 4 KiB sketch, ~1.6% standard error) cross-checked in-query
+    * against the exact distinct: the output carries the exact count plus
+    * `hll_ok` = |est - exact| <= 8% * exact (~5 sigma — deterministic,
+    * since the sketch itself is deterministic). The oracle recomputes the
+    * exact count and asserts TRUE, so the gate fails if the sketch ever
+    * drifts out of its error envelope. At 100 TB the exact column is
+    * dropped and the sketch IS the answer: per-partition 4 KiB partials,
+    * one register-max merge — no distinct-value shuffle at all. */
+  def t12ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hll
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    toks.groupBy(col("source"))
+      .agg(
+        Hll.approxDistinct(col("tok"), 12).as("est"),
+        count_distinct(col("tok")).as("exact_tokens"))
+      .select(col("source"), col("exact_tokens"),
+        (abs(col("est") - col("exact_tokens"))
+          <= col("exact_tokens").cast("double") * 0.08).as("hll_ok"))
+      .orderBy(col("source"))
+  }
+
+  private val t12Oracle =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents)
+      |SELECT source, COUNT(DISTINCT tok) AS exact_tokens, TRUE AS hll_ok
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -677,6 +707,37 @@ object PipelineQueries {
       |FROM h a JOIN h b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.ph, b.ph)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- d13_bloom_contamination
+  /** Bloom-prefiltered contamination screen
+    * ([[Dedup.contaminationPairsBloom]]): the eval split (doc_id % 10 ==
+    * 3 here — a different held-out split than d9, so the two queries gate
+    * different data paths) is folded into a 2^18-bit Bloom bitset that
+    * prefilters the train gram stream map-side before any shuffle; an
+    * exact confirm join discards the bitset's false positives. Output is
+    * bit-identical to the unfiltered exact operator — the oracle is the
+    * same brute-force SQL as d9's, only the split differs — while the
+    * train-side shuffle volume drops from corpus-sized to
+    * contamination-sized. The scale path for eval/blocklist sides too
+    * big to broadcast raw. */
+  def d13BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationPairsBloom(
+      docs.filter(col("doc_id") % 10 =!= 3),
+      docs.filter(col("doc_id") % 10 === 3), n = 6, nbits = 1 << 18)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  private val d13Oracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |ex AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 5, 0))) AS i FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+5], ' ') AS g FROM ex),
+      |t AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 10 <> 3),
+      |e AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 3)
+      |SELECT train_id, eval_id, COUNT(*) AS n_shared_grams
+      |FROM t JOIN e USING (g)
+      |GROUP BY train_id, eval_id
+      |ORDER BY train_id, eval_id""".stripMargin
 
   // ---------------------------------------------------------------- m5_image_resize
   /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
@@ -1042,6 +1103,7 @@ object PipelineQueries {
     "d10_cluster_keep" -> ((s, dir) => d10ClusterKeep(s, dir)),
     "d11_image_dups" -> ((s, dir) => d11ImageDups(s, dir)),
     "d12_image_neardups" -> ((s, dir) => d12ImageNearDups(s, dir)),
+    "d13_bloom_contamination" -> ((s, dir) => d13BloomContamination(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -1052,6 +1114,7 @@ object PipelineQueries {
     "t9_bm25" -> ((s, dir) => t9Bm25(s, dir)),
     "t10_heavy_hitters" -> ((s, dir) => t10HeavyHitters(s, dir)),
     "t11_unigram_lm" -> ((s, dir) => t11UnigramLm(s, dir)),
+    "t12_approx_distinct" -> ((s, dir) => t12ApproxDistinct(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1089,6 +1152,7 @@ object PipelineQueries {
     "d10_cluster_keep" -> d10Oracle,
     "d11_image_dups" -> d11Oracle,
     "d12_image_neardups" -> d12Oracle,
+    "d13_bloom_contamination" -> d13Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,
@@ -1099,6 +1163,7 @@ object PipelineQueries {
     "t9_bm25" -> t9Oracle,
     "t10_heavy_hitters" -> t10Oracle,
     "t11_unigram_lm" -> t11Oracle,
+    "t12_approx_distinct" -> t12Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

@@ -365,15 +365,60 @@ object Dedup {
       trainDocs: DataFrame, evalDocs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, "need n >= 1")
-    def grams(docs: DataFrame, idOut: String): DataFrame = docs
-      .select(col(idCol).as(idOut), TextFunctions.tokens(col(textCol)).as("ts"))
+    distinctGramHashes(trainDocs, n, idCol, textCol, "train_id")
+      .join(broadcast(distinctGramHashes(evalDocs, n, idCol, textCol, "eval_id")), Seq("gh"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Per-doc distinct word-n-gram xxhash64 keys: (idOut, gh). */
+  private def distinctGramHashes(
+      docs: DataFrame, n: Int, idCol: String, textCol: String, idOut: String): DataFrame = docs
+    .select(col(idCol).as(idOut), TextFunctions.tokens(col(textCol)).as("ts"))
+    .filter(size(col("ts")) >= n)
+    .select(col(idOut), explode(expr(
+      s"transform(sequence(0, size(ts) - $n), " +
+        s"i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $n))))")).as("gh"))
+    .distinct()
+
+  /** Bloom-prefiltered contamination check — identical OUTPUT to
+    * [[contaminationPairs]] (one row per contaminated (train, eval) pair
+    * with the shared distinct-gram count), different 100 TB shape: the
+    * eval grams are first folded into a fixed-size Bloom bitset
+    * ([[graft.functions.Bloom]]) which prefilters the corpus-sized train
+    * gram stream MAP-SIDE, before any shuffle. Only grams that might be
+    * contaminated (true matches + the bitset's ~0.1% false positives)
+    * reach the exact confirm join, so per-doc distinct aggregation and
+    * join traffic shrink from corpus-sized to contamination-sized.
+    *
+    * The confirm join keeps the operator exact: Bloom false positives are
+    * discarded there (no false negatives exist by construction), so the
+    * result is bit-identical to the unfiltered operator for ANY bitset
+    * size — `nbits` tunes cost, never correctness.
+    *
+    * vs d9's plain broadcast: the broadcast of raw eval gram rows grows
+    * with the eval suite; the bitset is capped at nbits/8 bytes up front
+    * (default 128 KiB), so the screen survives eval/blocklist sides far
+    * past broadcast limits. */
+  def contaminationPairsBloom(
+      trainDocs: DataFrame, evalDocs: DataFrame, n: Int,
+      nbits: Int = 1 << 20, numHashes: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val evalGrams = distinctGramHashes(evalDocs, n, idCol, textCol, "eval_id")
+    val bitset = graft.functions.Bloom.build(evalGrams.select(col("gh")), nbits, numHashes)
+    // prefilter BEFORE the per-doc distinct: the explode output is pruned
+    // map-side, so even the distinct's shuffle only carries candidates
+    val trainGrams = trainDocs
+      .select(col(idCol).as("train_id"), TextFunctions.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= n)
-      .select(col(idOut), explode(expr(
+      .select(col("train_id"), explode(expr(
         s"transform(sequence(0, size(ts) - $n), " +
           s"i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $n))))")).as("gh"))
+      .filter(graft.functions.Bloom.mightContain(col("gh"), bitset, numHashes))
       .distinct()
-    grams(trainDocs, "train_id")
-      .join(broadcast(grams(evalDocs, "eval_id")), Seq("gh"))
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gh"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
