@@ -848,6 +848,47 @@ object PipelineQueries {
       |FROM documents CROSS JOIN generate_series(0, 1) AS t(f)
       |ORDER BY doc_id, pair_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m11_audio_segments
+  /** Voice-activity segmentation over the real WAV decode path
+    * ([[graft.operators.Multimodal.audioSegments]]): 64-sample clips
+    * with silence-gated 16-sample windows fold to per-window RMS +
+    * silence flag + run-length segment id, all in one map-side pass.
+    * The closed-form sample formula gives an exact SQL oracle for every
+    * RMS, flag, and segment number. */
+  def m11AudioSegments(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSegments(
+      Multimodal.syntheticSpeechWavs(Tables.documents(s, dir),
+        nSamples = 64, sampleRate = 8000, winSize = 16),
+      winSize = 16, silenceRms = 100.0)
+      .select(col("doc_id"), col("win_idx"), col("n_wins"),
+        round(col("win_rms"), 6).as("win_rms"),
+        col("is_silence"), col("segment_id"))
+      .orderBy(col("doc_id"), col("win_idx"))
+
+  private val m11Oracle =
+    """WITH wins AS (
+      |  SELECT d.doc_id, t.wi,
+      |    list_transform(generate_series(0, 15), jj ->
+      |      CASE WHEN (t.wi + d.doc_id) % 3 = 0
+      |        THEN (d.doc_id * 7 + (t.wi * 16 + jj) * 13) % 64 - 32
+      |        ELSE (d.doc_id * 37 + (t.wi * 16 + jj) * 101) % 2048 - 1024
+      |      END) AS xs
+      |  FROM documents d CROSS JOIN generate_series(0, 3) AS t(wi)),
+      |w2 AS (
+      |  SELECT doc_id, wi,
+      |    sqrt(CAST(list_sum(list_transform(xs, x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / 16) AS rms
+      |  FROM wins),
+      |w3 AS (
+      |  SELECT doc_id, wi, rms, rms < 100.0 AS is_silence,
+      |    CASE WHEN lag(rms < 100.0) OVER (PARTITION BY doc_id ORDER BY wi)
+      |           IS DISTINCT FROM (rms < 100.0) THEN 1 ELSE 0 END AS flip
+      |  FROM w2)
+      |SELECT doc_id, CAST(wi + 1 AS INT) AS win_idx, CAST(4 AS INT) AS n_wins,
+      |  round(rms, 6) AS win_rms, is_silence,
+      |  CAST(SUM(flip) OVER (PARTITION BY doc_id ORDER BY wi
+      |       ROWS UNBOUNDED PRECEDING) AS INT) AS segment_id
+      |FROM w3 ORDER BY doc_id, win_idx""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -1051,6 +1092,26 @@ object PipelineQueries {
       trainPred = col("doc_id") % 10 =!= 7, streamStateParts)
       .orderBy(col("train_id"), col("eval_id"))
 
+  // ---------------------------------------------------------------- s12_stream_maxsim
+  /** Streaming multi-vector retrieval (StreamingOps.streamMaxSim): v38's
+    * query set streams through one-query-per-row (token embeddings
+    * nested), each micro-batch scored against the static corpus token
+    * table with the batch maxsim operator. Whole-query rows make batch
+    * boundaries unable to split a query, so the accumulated sink equals
+    * the batch operator and v38's oracle gates the streaming path
+    * exactly. Zero streaming state. */
+  def s12StreamMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"),
+        col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 20)
+      .select(expr("vec_id DIV 4").as("did"), col("embedding"))
+    StreamingOps.streamMaxSim(s, qv, cv, k = 5, streamStateParts)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -1125,6 +1186,7 @@ object PipelineQueries {
     "m8_gif_frames" -> ((s, dir) => m8GifFrames(s, dir)),
     "m9_phash" -> ((s, dir) => m9Phash(s, dir)),
     "m10_frame_diff" -> ((s, dir) => m10FrameDiff(s, dir)),
+    "m11_audio_segments" -> ((s, dir) => m11AudioSegments(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -1136,6 +1198,7 @@ object PipelineQueries {
     "s9_stream_lsm" -> ((s, dir) => s9StreamLsm(s, dir)),
     "s10_stream_topk" -> ((s, dir) => s10StreamTopk(s, dir)),
     "s11_stream_contamination" -> ((s, dir) => s11StreamContamination(s, dir)),
+    "s12_stream_maxsim" -> ((s, dir) => s12StreamMaxsim(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
   )
 
@@ -1174,6 +1237,7 @@ object PipelineQueries {
     "m8_gif_frames" -> m8Oracle,
     "m9_phash" -> m9Oracle,
     "m10_frame_diff" -> m10Oracle,
+    "m11_audio_segments" -> m11Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,
@@ -1185,6 +1249,7 @@ object PipelineQueries {
     "s9_stream_lsm" -> s9Oracle,
     "s10_stream_topk" -> s10Oracle,
     "s11_stream_contamination" -> d9Oracle, // streaming == batch (stateless per-doc screen)
+    "s12_stream_maxsim" -> Queries.v38Oracle, // streaming == batch (whole-query rows)
     "p1_dedup_pipeline" -> p1Oracle
   )
 }

@@ -1900,7 +1900,7 @@ object Queries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  private val v38Oracle =
+  private[graft] val v38Oracle =
     """WITH qv AS (SELECT vec_id // 2 AS qid, vec_id AS qvec, embedding AS qe
       |            FROM embeddings WHERE vec_id < 20),
       |     cv AS (SELECT vec_id // 4 AS did, embedding AS ce
@@ -2017,6 +2017,48 @@ object Queries {
       |  ON e.ts BETWEEN a.ts - INTERVAL '6 hours' AND a.ts + INTERVAL '6 hours'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- b5_interval_join
+  /** Interval-OVERLAP join (both sides intervals — the attribution /
+    * co-occurrence shape, distinct from b4's point-in-interval): each
+    * user's view windows pair with the same user's click windows that
+    * overlap them. Runs through
+    * [[graft.operators.RangeJoin.binnedOverlapJoin]]: both sides explode
+    * into 30-min bins, one shuffled equi-join on (user_id, bin), residual
+    * overlap filter, exactly-once pair claim at bin
+    * max(bin(v_lo), bin(c_lo)) — no BNLJ, no dedup shuffle. DuckDB's
+    * native inequality join is the oracle. */
+  def b5IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 30L * 60 * 1000000 // 30-min engagement window
+    val ev = Tables.events(s, dir)
+    def side(tpe: String, idAs: String, lo: String, hi: String) = ev
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(idAs),
+        unix_micros(col("ts")).as(lo),
+        (unix_micros(col("ts")) + winUs).as(hi))
+    val views = side("view", "view_id", "v_lo", "v_hi")
+    val clicks = side("click", "click_id", "c_lo", "c_hi")
+    graft.operators.RangeJoin
+      .binnedOverlapJoin(views, clicks, "v_lo", "v_hi", "c_lo", "c_hi",
+        binWidth = winUs, keys = Seq("user_id"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (least(col("v_hi"), col("c_hi")) - greatest(col("v_lo"), col("c_lo")))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  private val b5Oracle =
+    """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_lo,
+      |             epoch_us(ts) + 1800000000 AS v_hi
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_lo,
+      |        epoch_us(ts) + 1800000000 AS c_hi
+      |      FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id,
+      |  least(v_hi, c_hi) - greatest(v_lo, c_lo) AS overlap_us
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND v_lo <= c_hi AND c_lo <= v_hi
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- q9_grouping_sets
   /** Explicit GROUPING SETS (beyond q6 rollup / q8 cube): the three-set
     * lattice ((flag, status), (flag), ()) with grouping_id, one shuffle —
@@ -2115,6 +2157,7 @@ object Queries {
     "b2_salted_join" -> b2Oracle,
     "b3_asof_join" -> b3Oracle,
     "b4_range_join" -> b4Oracle,
+    "b5_interval_join" -> b5Oracle,
     "v38_maxsim" -> v38Oracle,
     "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (exhaustive m)
     "v40_maxsim_ann" -> v38Oracle, // ANN stage 1 at exhaustive fidelity == brute force

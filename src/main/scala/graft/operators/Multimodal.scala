@@ -515,6 +515,77 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Closed-form synthetic "speech" PCM16 buffer: windows of `winSize`
+    * samples are gated quiet (|x| <= 32) when `(window + id) % 3 == 0`
+    * and loud (roughly uniform in [-1024, 1023]) otherwise — the
+    * silent/active alternation a voice-activity detector segments. The
+    * non-alternating (mod 3, id-shifted) gate makes adjacent ACTIVE
+    * windows coalesce into one segment, so the run-length logic is
+    * actually exercised. Both branches keep non-negative `%` dividends,
+    * so the formula replays exactly in SQL. */
+  private def syntheticSpeechSamples(id: Long, n: Int, winSize: Int): Array[Short] =
+    Array.tabulate(n) { j =>
+      if ((j / winSize + id) % 3 == 0) (((id * 7 + j * 13L) % 64) - 32).toShort
+      else (((id * 37 + j * 101L) % 2048) - 1024).toShort
+    }
+
+  /** Deterministic synthetic WAV with silence-gated windows (see
+    * [[syntheticSpeechSamples]]) — the fixture behind the audio
+    * segmentation gate. Output (doc_id, payload BINARY). */
+  def syntheticSpeechWavs(docs: DataFrame, nSamples: Int, sampleRate: Int,
+      winSize: Int, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => (id, WavCodec.encode(sampleRate,
+        syntheticSpeechSamples(id, nSamples, winSize))))
+    }.toDF("doc_id", "payload")
+  }
+
+  case class AudioSegment(
+      doc_id: Long, win_idx: Int, n_wins: Int, win_rms: Double,
+      is_silence: Boolean, segment_id: Int)
+
+  /** Windowed-energy voice-activity segmentation over REAL WAV payloads —
+    * the audio keyframe primitive (the analog of [[gifFrameDiffs]] for
+    * the audio modality): decode, fold each `winSize`-sample window to
+    * its RMS energy, flag windows under `silenceRms` as silence, and
+    * run-length-number the silence/active alternation into `segment_id`
+    * (1-based, increments at every state flip). Every window of a clip
+    * lives inside its own row's payload, so the whole computation —
+    * decode, window fold, AND the segment run-length scan — happens in
+    * ONE map-side pass with zero shuffle; at corpus scale the segment
+    * table feeds silence-trimming / active-region sampling without any
+    * wide operator. RMS is one correctly-rounded sqrt of an exact
+    * integer ratio, so a closed-form SQL oracle replays every value. */
+  def audioSegments(withPayload: DataFrame, winSize: Int, silenceRms: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(winSize > 0, s"winSize must be positive, got $winSize")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (_, xs) = WavCodec.decode(bytes)
+        require(xs.length % winSize == 0,
+          s"clip length ${xs.length} not a multiple of winSize $winSize")
+        val nWins = xs.length / winSize
+        var seg = 0
+        var prevSilent = false
+        (0 until nWins).map { wi =>
+          var sq = 0L
+          var j = wi * winSize
+          val end = j + winSize
+          while (j < end) { val v = xs(j).toInt; sq += v.toLong * v; j += 1 }
+          val rms = math.sqrt(sq.toDouble / winSize)
+          val silent = rms < silenceRms
+          if (wi == 0 || silent != prevSilent) seg += 1
+          prevSilent = silent
+          AudioSegment(id, wi + 1, nWins, rms, silent, seg)
+        }
+      }).toDF()
+  }
+
   /** Closed-form synthetic gray frame shared by the GIF generators:
     * frame f, pixel p -> gray (id*29 + f*53 + p*7) % 256 — every frame of
     * every doc is distinct, and the decoded per-frame mean has an exact

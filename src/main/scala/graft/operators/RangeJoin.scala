@@ -54,4 +54,46 @@ object RangeJoin {
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join (both sides are intervals): pair every left
+    * interval `[loL, hiL]` with every right interval `[loR, hiR]` that
+    * overlaps it (`loL <= hiR AND loR <= hiL`, inclusive LONG bounds),
+    * optionally restricted to equal values of `keys` — again WITHOUT the
+    * BroadcastNestedLoopJoin a bare inequality conjunction plans as.
+    *
+    * Both sides explode into the `binWidth`-sized bins they touch and the
+    * join becomes a shuffled equi-join on `(keys..., bin)` plus the
+    * residual overlap filter. An overlapping pair shares EVERY bin in the
+    * intersection of their bin ranges, so the pair is claimed exactly
+    * once by keeping only the bin `max(bin(loL), bin(loR))` — the first
+    * bin both touch — instead of a dedup shuffle.
+    *
+    * Scale: replication per row is ceil(width / binWidth) + 1; pick
+    * binWidth on the order of the typical interval width. The shuffle is
+    * a plain hash equi-join on (keys, bin) — AQE skew-splitting applies
+    * to hot bins like any other key. */
+  def binnedOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      loL: String,
+      hiL: String,
+      loR: String,
+      hiR: String,
+      binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val lv = left.withColumn(
+      "__bin",
+      explode(sequence(floorDiv(col(loL), binWidth).cast("long"),
+        floorDiv(col(hiL), binWidth).cast("long"))))
+    val rv = right.withColumn(
+      "__bin",
+      explode(sequence(floorDiv(col(loR), binWidth).cast("long"),
+        floorDiv(col(hiR), binWidth).cast("long"))))
+    lv.join(rv, keys :+ "__bin")
+      .where(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .where(col("__bin") ===
+        greatest(floorDiv(col(loL), binWidth), floorDiv(col(loR), binWidth)).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -365,6 +365,71 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming multi-vector (maxsim) retrieval — the query-serving face
+    * of v38 ([[graft.operators.MultiVector.maxSimTopK]]): a stream of
+    * incoming queries probes the static corpus token table per
+    * micro-batch. Each streamed row carries ONE WHOLE query (its token
+    * embeddings nested in an array<struct>), so a micro-batch boundary
+    * can never split a query's tokens — per-query results are independent
+    * of the batching, the accumulated sink equals the batch operator, and
+    * v38's SQL oracle gates the streaming path exactly.
+    *
+    * Scale shape: ZERO streaming state — each batch runs the v38 plan
+    * (query tokens broadcast, corpus tokens never shuffle, both
+    * aggregations partial map-side), so query serving costs
+    * O(batch x corpus-scan) per trigger and the corpus table can be the
+    * ANN-index form (v40) when the scan itself must go. The staged feed
+    * is written grouped (one row per query) because that is the unit a
+    * retrieval front-end actually emits. */
+  def streamMaxSim(
+      spark: SparkSession, queryTokens: DataFrame, corpusTokens: DataFrame,
+      k: Int, statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val grouped = queryTokens
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("qvec"), col("embedding"))))
+        .as("toks"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_msq_").toString
+    grouped.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val queries = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // several triggers, whole queries each
+      .parquet(srcDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ms_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = queries.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val toks = batch
+              .select(col("qid"), explode(col("toks")).as("t"))
+              .select(col("qid"), col("t.qvec").as("qvec"),
+                col("t.embedding").as("embedding"))
+            graft.operators.MultiVector.maxSimTopK(toks, corpusTokens, k)
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming index maintenance — the ingest face of the vector index: a
     * stream of new vectors is folded into a batch-built base index with
     * [[graft.index.VectorIndex.append]] per micro-batch (foreachBatch).

@@ -135,6 +135,25 @@ class MultiVectorSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("inner product"))
   }
 
+  test("streaming maxsim equals the batch operator across micro-batches") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(expr("vec_id DIV 2").as("qid"), col("vec_id").as("qvec"),
+        col("embedding"))
+    val cv = emb.filter(col("vec_id") >= 20)
+      .select(expr("vec_id DIV 4").as("did"), col("embedding"))
+    // repartition the staged feed so maxFilesPerTrigger=1 actually yields
+    // several micro-batches — the boundary-safety claim under test
+    val got = graft.streaming.StreamingOps
+      .streamMaxSim(spark, qv.repartition(4), cv, k = 3)
+      .select("qid", "rank", "did").collect()
+      .map { case Row(q: Long, r: Int, d: Long) => (q, r, d) }.toSet
+    val want = MultiVector.maxSimTopK(qv, cv, k = 3)
+      .select("qid", "rank", "did").collect()
+      .map { case Row(q: Long, r: Int, d: Long) => (q, r, d) }.toSet
+    assert(got === want)
+  }
+
   test("streaming heavy hitters equals the batch top-k") {
     val eventsPath = s"$sfDir/events.parquet"
     val got = graft.streaming.StreamingOps

@@ -344,6 +344,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(row.getInt(5) === 300)
   }
 
+  test("audioSegments run-length-numbers silence/active windows map-side") {
+    import graft.operators.{Multimodal, WavCodec}
+    // 6 windows of 2 samples: S S A A S A  (silence rms < 10)
+    val xs = Array[Short](1, -1, 2, 0, 500, 300, 400, -200, 3, 1, 600, -600)
+    val df = Seq((7L, WavCodec.encode(8000, xs))).toDF("doc_id", "payload")
+    val rows = Multimodal.audioSegments(df, winSize = 2, silenceRms = 10.0)
+      .orderBy("win_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === (1 to 6))
+    assert(rows.map(_.getBoolean(4)).toSeq ===
+      Seq(true, true, false, false, true, false))
+    assert(rows.map(_.getInt(5)).toSeq === Seq(1, 1, 2, 2, 3, 4))
+    assert(rows.head.getDouble(3) === math.sqrt(1.0)) // rms of (1,-1)
+    // window 3: rms of (500,300)
+    assert(rows(2).getDouble(3) === math.sqrt((500.0 * 500 + 300 * 300) / 2))
+    // ragged clip length fails loudly rather than silently truncating
+    intercept[Exception](
+      Multimodal.audioSegments(df, winSize = 5, silenceRms = 10.0).collect())
+  }
+
   test("JPEG decodes through the same operators within lossy tolerance") {
     import graft.operators.ImageIoCodec
     val docs = Seq((5L, "ignored")).toDF("doc_id", "text")
