@@ -564,6 +564,56 @@ object PipelineQueries {
       |SELECT doc_id, len, round(s / len, 6) AS avg_logprob
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t13_tfidf
+  /** Per-document top-3 TF-IDF keywords — the keyword-extraction /
+    * doc-representation primitive. Three bounded linear passes: TF is a
+    * (doc, tok) aggregate, DF a (tok) aggregate over it, and the score
+    * join back to TF is a DISTRIBUTED equi-join on the token — like t11
+    * post-fix, deliberately NOT a broadcast (the DF table is vocab-sized,
+    * unbounded on raw web text); only the single-row corpus doc count is
+    * broadcast. Top-3 per doc is one WindowGroupLimit-able row_number
+    * window, partial-pushed before the doc shuffle. Smoothed IDF
+    * ln((N+1)/(df+1)) + 1 keeps every score a product of one ln and one
+    * integer — deterministic across engines at the round(6) grain. */
+  def t13Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok") // distributed on tok — vocab-sized side never broadcasts
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val t13Oracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |ft AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ft GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, tok,
+      |         tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1) AS score
+      |       FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |r AS (SELECT doc_id, tok, score,
+      |        row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, tok) AS rank
+      |      FROM sc)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, tok, round(score, 6) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- t12_approx_distinct
   /** HyperLogLog distinct-token counts per source ([[graft.operators.Hll]],
     * p=12 → 4 KiB sketch, ~1.6% standard error) cross-checked in-query
@@ -738,6 +788,35 @@ object PipelineQueries {
       |FROM t JOIN e USING (g)
       |GROUP BY train_id, eval_id
       |ORDER BY train_id, eval_id""".stripMargin
+
+  // ---------------------------------------------------------------- d14_containment
+  /** Asymmetric containment near-dup pairs
+    * ([[Dedup.containmentPairs]]): |A ∩ B| / |A| over 3-gram shingle
+    * sets — the quote/subset detector symmetric Jaccard structurally
+    * misses (a short doc embedded in a long one has tiny Jaccard but
+    * containment ≈ 1). Directed: both orientations of every candidate
+    * pair are scored from ONE pass over the shared pair-intersection
+    * kernel (d2's single posting shuffle), so d14 costs d2 plus a
+    * map-side explode. */
+  def d14Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold = 0.6)
+      .orderBy(col("inner_id"), col("outer_id"))
+
+  private val d14Oracle =
+    s"""WITH $shinglesCte,
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |dirs AS (
+      |  SELECT doc_a AS inner_id, doc_b AS outer_id,
+      |    round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+      |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+      |  UNION ALL
+      |  SELECT doc_b, doc_a, round(CAST(inter AS DOUBLE) / sb.sz, 6)
+      |  FROM inter JOIN sizes sb ON sb.doc_id = doc_b)
+      |SELECT inner_id, outer_id, containment FROM dirs
+      |WHERE containment >= 0.6 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- m5_image_resize
   /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
@@ -1165,6 +1244,7 @@ object PipelineQueries {
     "d11_image_dups" -> ((s, dir) => d11ImageDups(s, dir)),
     "d12_image_neardups" -> ((s, dir) => d12ImageNearDups(s, dir)),
     "d13_bloom_contamination" -> ((s, dir) => d13BloomContamination(s, dir)),
+    "d14_containment" -> ((s, dir) => d14Containment(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -1176,6 +1256,7 @@ object PipelineQueries {
     "t10_heavy_hitters" -> ((s, dir) => t10HeavyHitters(s, dir)),
     "t11_unigram_lm" -> ((s, dir) => t11UnigramLm(s, dir)),
     "t12_approx_distinct" -> ((s, dir) => t12ApproxDistinct(s, dir)),
+    "t13_tfidf" -> ((s, dir) => t13Tfidf(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1216,6 +1297,7 @@ object PipelineQueries {
     "d11_image_dups" -> d11Oracle,
     "d12_image_neardups" -> d12Oracle,
     "d13_bloom_contamination" -> d13Oracle,
+    "d14_containment" -> d14Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,
@@ -1227,6 +1309,7 @@ object PipelineQueries {
     "t10_heavy_hitters" -> t10Oracle,
     "t11_unigram_lm" -> t11Oracle,
     "t12_approx_distinct" -> t12Oracle,
+    "t13_tfidf" -> t13Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

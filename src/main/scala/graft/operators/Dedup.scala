@@ -60,9 +60,25 @@ object Dedup {
   def ngramJaccardPairsFromShingles(
       sh: DataFrame, threshold: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val inter = pairIntersections(sh, maxShingleDf)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Shared pair-intersection kernel behind the Jaccard (d2) and
+    * containment (d14) pair operators: (doc_a, doc_b, inter) with
+    * doc_a < doc_b and `inter` = |shingles(doc_a) ∩ shingles(doc_b)|,
+    * for pairs sharing at least one shingle with document frequency
+    * <= `cap`. */
+  private[operators] def pairIntersections(sh: DataFrame, cap: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     // join-free pair generation, fused: ONE shuffle co-locates postings by
     // shingle (sorted within partition so a shingle's docs are adjacent);
     // each task then walks its groups, emits the i<j pairs of each posting
@@ -71,7 +87,7 @@ object Dedup {
     // groupBy sums partials). The second shuffle therefore carries
     // near-distinct (doc_a, doc_b) partials, not one row per co-occurrence.
     // Cost is sum over shingles of m^2 — benign unless a shingle is
-    // near-universal; `maxShingleDf` is that cap.
+    // near-universal; `cap` (maxShingleDf at the callers) is that knob.
     // postings are keyed by xxhash64(shingle), not the shingle string: the
     // shuffle then moves (long, long) rows instead of string-keyed rows
     // (cheaper ser/deser + comparisons; the grouping only needs group
@@ -82,7 +98,6 @@ object Dedup {
     // duplicate entry — intersections can overcount, so Jaccard is exact
     // only up to ~n^2/2^65 collision odds (accepted; the string-keyed
     // formulation had none).
-    val cap = maxShingleDf
     val partials = sh
       .select(col("doc_id").cast("long"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
@@ -142,16 +157,42 @@ object Dedup {
         }
       }
       .toDF("doc_a", "doc_b", "partial")
-    val inter = partials
+    partials
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("partial")).as("inter"))
-    inter
+  }
+
+  /** Asymmetric CONTAINMENT near-dup pairs — the quote/subset detector
+    * Jaccard structurally misses: a short document wholly embedded in a
+    * long one has tiny Jaccard (union is dominated by the long doc) but
+    * containment |A ∩ B| / |A| ≈ 1. Emits one row per DIRECTED pair
+    * (inner_id, outer_id, containment) with containment >= threshold —
+    * both orientations of a pair are tested, so mutual near-copies
+    * produce two rows (as d2 would collapse them to one).
+    *
+    * Same scale shape as d2: the shared [[pairIntersections]] kernel
+    * (one xxhash64-keyed posting shuffle, bounded in-task pair maps),
+    * then one join against the per-doc shingle-set sizes. `maxShingleDf`
+    * caps near-universal shingles exactly as in d2. */
+  def containmentPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingled(docs, n, idCol, textCol).cache()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val inter = pairIntersections(sh, maxShingleDf)
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // both orientations from ONE pass over the pair table (a union of two
+    // selects would recompute the pair kernel per branch): map-side explode
+    inter
+      .select(explode(array(
+        struct(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+          round(col("inter") / col("sz_a"), 6).as("containment")),
+        struct(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+          round(col("inter") / col("sz_b"), 6).as("containment")))).as("p"))
+      .select(col("p.inner_id"), col("p.outer_id"), col("p.containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** MinHash signatures: numHashes independent min-hashes over distinct

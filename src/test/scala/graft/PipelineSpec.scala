@@ -30,6 +30,24 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("containmentPairs catches a quoted subset that Jaccard misses") {
+    val quote = "to be or not to be that is the question"
+    val long = "the long essay begins here " + quote +
+      " and then continues with many entirely unrelated words about " +
+      "weather mountains rivers travel cooking music history and art"
+    val docs = Seq((1L, quote), (2L, long),
+      (3L, "nothing shared with either of the other two documents at all"))
+      .toDF("doc_id", "text")
+    // the short doc's trigrams are all inside the long doc -> containment 1.0
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    assert(cont === Set((1L, 2L))) // directed: quote ⊂ essay, not vice versa
+    // symmetric Jaccard misses the same pair at any comparable threshold
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jac === Set.empty)
+  }
+
   test("repeatedSpans extracts planted shared passages and merges overlapping seeds") {
     // docs 1 and 2 share an 8-token passage embedded at different
     // offsets inside otherwise-unique text; doc 3 is all-unique

@@ -277,6 +277,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("t13 TF-IDF keeps the vocab-sized DF join distributed") {
+    // same contract as t11: the document-frequency table is vocab-sized
+    // (unbounded on raw text), so with stats-based auto-broadcast off the
+    // DF join must shuffle; only the one-row corpus count broadcasts
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t13_tfidf")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"DF join still broadcasts with auto-broadcast off:\n${p.take(3500)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a distributed DF join:\n${p.take(3500)}")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"scalar doc-count row should broadcast:\n${p.take(3500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
