@@ -818,6 +818,61 @@ object PipelineQueries {
       |SELECT inner_id, outer_id, containment FROM dirs
       |WHERE containment >= 0.6 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- d15_semdedup
+  /** SemDeDup semantic dedup ([[Dedup.semanticDedupRemovals]]): 16
+    * deterministic IVF cells, within-cell cosine >= 0.4 (d5's threshold),
+    * keep-lowest-id. The within-cell restriction is the scale win over
+    * d5's exact block-pair scan: compare cost drops from n^2/2 to
+    * sum-of-cell-sizes^2 with the cell count as the knob. The exact SQL
+    * oracle replays the stride quantizer (v14's CTEs) + the pair
+    * predicate, so the cluster assignment, pair scoring, and keep rule
+    * are all hash-gated. */
+  def d15Semdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupRemovals(Tables.embeddings(s, dir),
+      numCells = 16, threshold = 0.4)
+      .orderBy(col("removed_id"))
+
+  private val d15Oracle = {
+    def l2(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding
+      |               FROM corpus, stats WHERE id % greatest(stride, 1) = 0),
+      |     assigned AS (SELECT id, embedding, cell FROM
+      |                    (SELECT c.id, c.embedding, ct.centroid_id AS cell,
+      |                       row_number() OVER (PARTITION BY c.id ORDER BY ${l2("c.embedding", "ct.c_embedding")}, ct.centroid_id) AS crank
+      |                     FROM corpus c CROSS JOIN cents ct)
+      |                  WHERE crank = 1),
+      |     p AS (SELECT x.cell, x.id AS id_a, y.id AS id_b,
+      |             round(${dotSql("x.embedding", "y.embedding")} /
+      |               (sqrt(${dotSql("x.embedding", "x.embedding")}) * sqrt(${dotSql("y.embedding", "y.embedding")})), 6) AS cosine_sim
+      |           FROM assigned x JOIN assigned y
+      |             ON x.cell = y.cell AND x.id < y.id),
+      |     q AS (SELECT cell, id_b AS removed_id, id_a AS kept_id, cosine_sim,
+      |             row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      |           FROM p WHERE cosine_sim >= 0.4)
+      |SELECT cell, removed_id, kept_id, cosine_sim
+      |FROM q WHERE rn = 1 ORDER BY removed_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d16_norm_dedup
+  /** Normalized exact dedup ([[Dedup.normalizedDedup]]): case /
+    * punctuation / whitespace-insensitive duplicate groups — the
+    * canonical pre-hash cleanup pass that catches what byte-exact d1
+    * misses, at d1's exact plan shape (map-side normalize + digest, one
+    * digest groupBy). The normalization regex is ASCII-class only so the
+    * digest is cross-engine exact. */
+  def d16NormDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedDedup(Tables.documents(s, dir)).orderBy(col("digest"))
+
+  private val d16Oracle =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest,
+      |  min(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents
+      |GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+      |ORDER BY digest""".stripMargin
+
   // ---------------------------------------------------------------- m5_image_resize
   /** Decode + nearest-neighbor 8x6 -> 4x3 thumbnail + features of the
     * resized pixels; source pixel of output (x, y) is (2x, 2y), so the
@@ -1191,6 +1246,30 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- s13_stream_hll
+  /** Streaming approximate distinct ([[StreamingOps.streamApproxDistinct]]):
+    * t12's HyperLogLog sketch running as a stateful streaming aggregation
+    * — per-source state is ONE 4 KiB sketch, never a distinct-token set,
+    * and register maxes are batch-boundary-insensitive so the streamed
+    * estimate equals the batch sketch exactly. Gated with t12's
+    * self-describing trick: the streamed estimate is checked in-query
+    * against the exact batch count (|est - exact| <= 8% — ~5 sigma at
+    * p=12), so the oracle's TRUE column fails if the streaming path ever
+    * drifts from the sketch's envelope. */
+  def s13StreamHll(s: SparkSession, dir: String): DataFrame = {
+    val streamed = StreamingOps.streamApproxDistinct(
+      s, s"$dir/documents.parquet", p = 12, streamStateParts)
+    val exact = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("exact_tokens"))
+    streamed.join(exact, Seq("source"))
+      .select(col("source"), col("exact_tokens"),
+        (abs(col("est") - col("exact_tokens"))
+          <= col("exact_tokens").cast("double") * 0.08).as("hll_ok"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -1229,6 +1308,48 @@ object PipelineQueries {
       |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
       |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- p2_training_mix
+  /** Training-mix assembly — the other canonical end-to-end pipeline next
+    * to p1: normalized exact dedup (keep the lowest id of each
+    * [[Dedup.normalizedDedup]] group), language-ID gate (t1's marker
+    * score >= 3), token-count floor, then the per-(lang, source) corpus
+    * composition report a data-mix decision reads. Every stage is one of
+    * this library's gated operators composed declaratively: the dedup
+    * semi-join consumes d16's aggregate output directly, filters are
+    * map-side, and the final rollup is one partial-aggregated groupBy. */
+  def p2TrainingMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = Dedup.normalizedDedup(docs).select(col("keep_id").as("doc_id"))
+    val score = markers.map(m => TextFunctions.markerCount(col("text"), m))
+      .reduce(_ + _)
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .filter(score >= 3)
+      .filter(size(TextFunctions.tokens(col("text"))) >= 20)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("total_tokens"),
+        round(avg(length(col("text")).cast("double")), 6).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val p2Oracle = {
+    val score = markers
+      .map(m => s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS INT)")
+      .mkString(" + ")
+    s"""WITH norm AS (SELECT doc_id, text, lang, source,
+      |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      |       FROM documents),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY nt),
+      |surv AS (SELECT n.* FROM norm n JOIN keep k USING (doc_id)
+      |         WHERE $score >= 3
+      |           AND len(string_split(text, ' ')) >= 20)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+      |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, dir) => d1DedupExact(s, dir)),
@@ -1245,6 +1366,8 @@ object PipelineQueries {
     "d12_image_neardups" -> ((s, dir) => d12ImageNearDups(s, dir)),
     "d13_bloom_contamination" -> ((s, dir) => d13BloomContamination(s, dir)),
     "d14_containment" -> ((s, dir) => d14Containment(s, dir)),
+    "d15_semdedup" -> ((s, dir) => d15Semdedup(s, dir)),
+    "d16_norm_dedup" -> ((s, dir) => d16NormDedup(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -1280,7 +1403,9 @@ object PipelineQueries {
     "s10_stream_topk" -> ((s, dir) => s10StreamTopk(s, dir)),
     "s11_stream_contamination" -> ((s, dir) => s11StreamContamination(s, dir)),
     "s12_stream_maxsim" -> ((s, dir) => s12StreamMaxsim(s, dir)),
-    "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir))
+    "s13_stream_hll" -> ((s, dir) => s13StreamHll(s, dir)),
+    "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir)),
+    "p2_training_mix" -> ((s, dir) => p2TrainingMix(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1298,6 +1423,8 @@ object PipelineQueries {
     "d12_image_neardups" -> d12Oracle,
     "d13_bloom_contamination" -> d13Oracle,
     "d14_containment" -> d14Oracle,
+    "d15_semdedup" -> d15Oracle,
+    "d16_norm_dedup" -> d16Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,
@@ -1333,6 +1460,8 @@ object PipelineQueries {
     "s10_stream_topk" -> s10Oracle,
     "s11_stream_contamination" -> d9Oracle, // streaming == batch (stateless per-doc screen)
     "s12_stream_maxsim" -> Queries.v38Oracle, // streaming == batch (whole-query rows)
-    "p1_dedup_pipeline" -> p1Oracle
+    "s13_stream_hll" -> t12Oracle, // streamed sketch == batch sketch (register maxes)
+    "p1_dedup_pipeline" -> p1Oracle,
+    "p2_training_mix" -> p2Oracle
   )
 }

@@ -2109,6 +2109,106 @@ object Queries {
       |  COUNT(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q11_set_ops
+  /** Relational set operators (INTERSECT / EXCEPT / UNION, all DISTINCT
+    * semantics): counts of customer-key sets derived from two order
+    * predicates. Spark plans INTERSECT/EXCEPT as left-semi/anti joins
+    * over aggregated inputs — each branch is one equi-shuffle on the key,
+    * no cross product; UNION distinct is a single hash aggregate over the
+    * concatenation. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val hi = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    def counted(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("bucket"), col("n"))
+    counted("except_hi_f", hi.except(fin))
+      .union(counted("intersect", hi.intersect(fin)))
+      .union(counted("union", hi.union(fin).distinct()))
+      .orderBy(col("bucket"))
+  }
+
+  private val q11Oracle =
+    """SELECT * FROM (
+      |  SELECT 'except_hi_f' AS bucket, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  UNION ALL
+      |  SELECT 'intersect' AS bucket, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  UNION ALL
+      |  SELECT 'union' AS bucket, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- v42_hybrid_rrf
+  /** Hybrid retrieval ([[graft.operators.HybridRetrieval]]): dense leg =
+    * exact cosine kNN over the document embeddings (v13's machinery,
+    * top-20); lexical leg = shared-distinct-token overlap ranking
+    * (top-20); fused with Reciprocal Rank Fusion (c=60), top-10 per
+    * query. Query docs (doc_id < 5) retrieve from the corpus docs
+    * (doc_id >= 10) on BOTH signals — the standard production retrieval
+    * stack (BM25 + vectors) as one declarative plan. Integer lexical
+    * scores and rank-only fusion keep every ordering engine-exact. */
+  def v42HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qd = docs.filter(col("doc_id") < 5).select(col("doc_id").as("query_id"), col("text"))
+    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val qe = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ce = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val dense = ExactKnn.knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val lex = graft.operators.HybridRetrieval.lexicalTopN(qd, cd, n = 20)
+    graft.operators.HybridRetrieval.rrfFuse(dense, lex, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v42Oracle = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""WITH qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |     ce AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+      |     dd AS (SELECT query_id, doc_id,
+      |              1.0 - ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS distance
+      |            FROM qe CROSS JOIN ce),
+      |     dr AS (SELECT query_id, doc_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY distance, doc_id) AS dense_rank
+      |            FROM dd),
+      |     dtop AS (SELECT * FROM dr WHERE dense_rank <= 20),
+      |     qt AS (SELECT query_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |            FROM (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5)),
+      |     qtf AS (SELECT query_id, tok FROM qt WHERE tok <> ''),
+      |     ct AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |            FROM documents WHERE doc_id >= 10),
+      |     ctf AS (SELECT doc_id, tok FROM ct WHERE tok <> ''),
+      |     ov AS (SELECT query_id, doc_id, COUNT(*) AS n_shared
+      |            FROM qtf JOIN ctf USING (tok) GROUP BY 1, 2),
+      |     sr AS (SELECT query_id, doc_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, doc_id) AS lex_rank
+      |            FROM ov),
+      |     stop AS (SELECT * FROM sr WHERE lex_rank <= 20),
+      |     f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+      |             coalesce(d.doc_id, s.doc_id) AS doc_id,
+      |             d.dense_rank, s.lex_rank,
+      |             round(coalesce(1.0 / (60 + d.dense_rank), 0) +
+      |                   coalesce(1.0 / (60 + s.lex_rank), 0), 6) AS rrf
+      |           FROM dtop d FULL OUTER JOIN stop s
+      |             ON d.query_id = s.query_id AND d.doc_id = s.doc_id),
+      |     r AS (SELECT query_id, doc_id, rrf, dense_rank, lex_rank,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      |           FROM f)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+      |  CAST(coalesce(dense_rank, 0) AS INT) AS dense_rank,
+      |  CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -2166,6 +2266,8 @@ object Queries {
     "q7_dates" -> q7Oracle,
     "q9_grouping_sets" -> q9Oracle,
     "q10_pivot" -> q10Oracle,
+    "q11_set_ops" -> q11Oracle,
+    "v42_hybrid_rrf" -> v42Oracle,
     "t5_json" -> t5Oracle
   )
 }

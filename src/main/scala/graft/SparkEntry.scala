@@ -94,6 +94,8 @@ object SparkEntry {
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
     "q9_grouping_sets" -> ((s, dir) => Queries.q9GroupingSets(s, dir)),
     "q10_pivot" -> ((s, dir) => Queries.q10Pivot(s, dir)),
+    "q11_set_ops" -> ((s, dir) => Queries.q11SetOps(s, dir)),
+    "v42_hybrid_rrf" -> ((s, dir) => Queries.v42HybridRrf(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

@@ -33,6 +33,16 @@ object TextFunctions {
   def tokenHash28(t: Column): Column =
     conv(substring(md5(t), 1, 7), 16, 10).cast("long")
 
+  /** Canonical dedup normalization (the CCNet/Gopher-style pre-hash
+    * cleanup): lowercase, collapse every non-alphanumeric run to one
+    * space, trim. Deliberately ASCII-class only — `[^a-z0-9]+` has
+    * identical semantics in Spark's and DuckDB's regex engines, so the
+    * normalized form (and therefore its digest) is cross-engine exact.
+    * Map-only: normalization never shuffles; the dedup that consumes it
+    * inherits d1's one-hash-groupBy shape. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Occurrences of `marker` in text (padded word match), via the
     * length/replace trick — identical semantics in Spark and DuckDB. */
   def markerCount(text: Column, marker: String): Column = {

@@ -30,6 +30,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("digest"), col("keep_id"), col("n_dups"))
 
+  /** Exact dedup after canonical normalization
+    * ([[TextFunctions.normalizeText]]): catches duplicates that differ
+    * only in case, punctuation, or whitespace — the class raw exact dedup
+    * (d1) misses. Same plan shape as [[exactDedup]]: one map-side
+    * normalize + digest, one hash-groupBy shuffle on the 16-byte digest;
+    * at 100 TB the shuffle carries digests, never text. */
+  def normalizedDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(TextFunctions.normalizeText(col(textCol))).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("digest"), col("keep_id"), col("n_dups"))
+
   /** Pairs with word-n-gram Jaccard >= threshold, via inverted-index join
     * on distinct shingles. Output (doc_a, doc_b, jaccard), doc_a < doc_b.
     * The filter applies to the 6-dp-rounded value (so the oracle's rounding
@@ -608,6 +621,51 @@ object Dedup {
           (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * cluster the embedding corpus, then compare pairs ONLY within a
+    * cluster and drop every member that has a higher-similarity lower-id
+    * twin — the n^2 cosine scan shrinks to sum-of-cluster-sizes^2, the
+    * paper's whole point. Clustering reuses [[IvfKnn]]'s deterministic
+    * stride-sampled centroids + per-row codegen argmin, so the corpus
+    * never shuffles for assignment and the exact SQL oracle replays the
+    * quantizer; the keep rule (retain the minimum id of each qualifying
+    * pair) matches d10/p1's convention and stays a pure pair predicate —
+    * no transitive closure needed.
+    *
+    * Output: one row per REMOVED vector — (cell, removed_id, kept_id,
+    * cosine_sim) where kept_id is the smallest lower-id within-cell
+    * neighbor at sim >= threshold and cosine_sim is that pair's
+    * similarity. The argmin is ONE struct-min aggregate (partial
+    * map-side), not a window sort — d10's 100 TB shape.
+    *
+    * Scale: the only shuffles are the cell equi-join (key cardinality =
+    * numCells; at 100 TB pick numCells ~ sqrt(corpus) so cells stay
+    * executor-sized, and the skew knob is AQE skew-join on the cell key)
+    * and the bounded groupBy on removed_id. */
+  def semanticDedupRemovals(
+      embeddings: DataFrame, numCells: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("embedding"))
+    val assigned = IvfKnn.assign(base, IvfKnn.centroids(base, numCells))
+      .select(col("cell"), col("id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        round(VectorFunctions.dotProduct(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .groupBy(col("cell"), col("id_b").as("removed_id"))
+      .agg(min(struct(col("id_a"), col("cosine_sim"))).as("kp"))
+      .select(col("cell"), col("removed_id"),
+        col("kp.id_a").as("kept_id"), col("kp.cosine_sim").as("cosine_sim"))
   }
 
 }

@@ -222,6 +222,34 @@ object StreamingOps {
         col("e.item").as("user_key"), col("e.n").as("n"))
   }
 
+  /** Streaming approximate distinct — the streaming face of the
+    * HyperLogLog sketch ([[graft.operators.Hll]], t12): documents stream
+    * in; per-source distinct-token cardinality is maintained as ONE
+    * 2^p-byte sketch per group in the state store (4 KiB at p=12), so
+    * state is O(groups x 2^p) no matter how many distinct tokens flow
+    * through — the second bounded-memory streaming summary next to
+    * [[streamHeavyHitters]]. HLL register maxes are order- AND
+    * batch-insensitive, so the complete-mode estimate equals the batch
+    * sketch exactly regardless of micro-batch boundaries. */
+  def streamApproxDistinct(
+      spark: SparkSession, docsPath: String, p: Int,
+      statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(docsPath, pth => spark.read.parquet(pth).schema)
+    val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(docsPath))
+      d.toString
+    })
+    val agg = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(graft.operators.Hll.approxDistinct(col("tok"), p).as("est"))
+    runFinite(spark, agg, "complete", statePartitions)
+  }
+
   /** Stream-stream inner join with watermarks + a time-range condition:
     * purchases joined to the same user's clicks in the preceding 30
     * minutes. Both sides carry event-time watermarks so the join state is

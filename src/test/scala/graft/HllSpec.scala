@@ -53,6 +53,33 @@ class HllSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(expected - 7919).toDouble / 7919 < 0.08)
   }
 
+  test("streaming sketch equals the batch sketch regardless of micro-batching") {
+    import spark.implicits._
+    // write a small documents-shaped parquet; the file-stream source
+    // replays it in micro-batches and complete-mode state must converge
+    // to the identical registers (register maxes are batch-insensitive)
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream_test_")
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"tok${i % 37} tok${i % 11} shared", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val pq = dir.resolve("docs.parquet").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    // the parquet "file" path written by Spark is a directory; point the
+    // stream at a real file inside it, as the production path does
+    val part = new java.io.File(pq).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val streamed = graft.streaming.StreamingOps
+      .streamApproxDistinct(spark, part, p = 12, statePartitions = 2)
+      .select("source", "est").as[(String, Long)].collect().toMap
+    val batch = spark.read.parquet(part)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source").agg(Hll.approxDistinct(col("tok"), 12).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed.keySet === Set("src0", "src1", "src2"))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("SQL registration: graft_approx_distinct works and rejects misuse at analysis") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftSqlBridge.registerFunction(

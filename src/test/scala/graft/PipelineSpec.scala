@@ -18,6 +18,41 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(r === Set((1L, 3L), (7L, 1L)))
   }
 
+  test("normalizedDedup collapses case/punctuation/whitespace variants exactDedup keeps apart") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    // byte-exact dedup sees four distinct texts
+    assert(Dedup.exactDedup(docs).count() === 4)
+    val r = Dedup.normalizedDedup(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r === Set((1L, 3L), (4L, 1L))) // 1,2,3 collapse; keep id 1
+  }
+
+  test("semanticDedupRemovals drops within-cell near-dups, keeps lowest id") {
+    // ids 0 and 10 are centroid samples (stride (12+4)/4 = 4 -> ids 0,4,8,12);
+    // near-identical vectors land in the same cell and the higher id is removed
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f)),
+      (8L, Array(0f, 0f, 1f)),
+      (12L, Array(-1f, -1f, 0f)),
+      (5L, Array(0.01f, 0.99f, 0f)),  // near-dup of 4 (same cell)
+      (6L, Array(0.02f, 0.98f, 0f)))  // near-dup of 4 and 5
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedupRemovals(vecs, numCells = 4, threshold = 0.95)
+      .orderBy("removed_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList
+    // 5 removed against kept 4; 6 removed against its smallest qualifying twin 4
+    assert(r === List((5L, 4L), (6L, 4L)))
+    // below-threshold corpus: nothing removed
+    assert(Dedup.semanticDedupRemovals(vecs.filter(col("vec_id") % 4 === 0),
+      numCells = 4, threshold = 0.95).count() === 0)
+  }
+
   test("ngramJaccardPairs finds near-identical docs and skips unrelated ones") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
