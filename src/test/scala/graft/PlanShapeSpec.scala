@@ -305,4 +305,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(shuffles == 1,
       s"expected exactly 1 hash Exchange (final top-k window), got $shuffles:\n${p.take(3000)}")
   }
+
+  test("d15 semantic dedup: argmin assignment scan-side, keep rule has no window") {
+    val p = plan("d15_semdedup")
+    // cell assignment is the per-row codegen argmin — no window/shuffle
+    // to assign, and the keep rule is a struct-min AGGREGATE (partial
+    // map-side), never a per-cell window sort
+    assert(p.contains("nearest_centroids"), s"expected argmin assignment:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"keep rule must not be a window:\n${p.take(3000)}")
+    assert(p.contains("partial_min"), s"expected map-side partial struct-min:\n${p.take(3000)}")
+  }
+
+  test("d16 normalized dedup: one digest shuffle, no join, partial aggregate") {
+    val p = plan("d16_norm_dedup")
+    assert(!p.toLowerCase.contains("join"), s"d16 must be join-free:\n${p.take(2000)}")
+    assert(p.contains("partial_min"), s"expected partial aggregate:\n${p.take(2000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected exactly 1 hash Exchange (digest groupBy), got $shuffles:\n${p.take(2000)}")
+  }
+
+  test("v42 hybrid RRF bounds the lexical leg with a partial WindowGroupLimit") {
+    val p = plan("v42_hybrid_rrf")
+    // each leg's per-query top-N must truncate map-side before its
+    // exchange, and the lexical overlap count must partial-aggregate
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n${p.take(3000)}")
+    assert("Partial".r.findAllIn(p).nonEmpty, s"expected partial window limit:\n${p.take(3000)}")
+    assert(p.contains("partial_count"), s"expected map-side overlap counts:\n${p.take(3000)}")
+  }
 }
