@@ -1023,6 +1023,37 @@ object PipelineQueries {
       |       ROWS UNBOUNDED PRECEDING) AS INT) AS segment_id
       |FROM w3 ORDER BY doc_id, win_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m12_audio_resample
+  /** REAL decode + sample-rate conversion gate
+    * ([[Multimodal.audioResample]]): each doc's 8 kHz synthetic WAV is
+    * linearly resampled to 6 kHz (ratio 4:3 — every third output sample
+    * interpolates) and EVERY output sample is emitted, so a container
+    * slip, an off-by-one in the position arithmetic, or an interpolation
+    * weight error shifts some value and fails the hash. The oracle
+    * replays the exact integer-numerator-over-3 arithmetic in SQL. */
+  def m12AudioResample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioResample(
+      Multimodal.syntheticWavs(Tables.documents(s, dir), nSamples = 64, sampleRate = 8000),
+      outRate = 6000)
+      .select(col("doc_id"), col("out_idx"), col("n_out"),
+        round(col("value"), 6).as("value"))
+      .orderBy(col("doc_id"), col("out_idx"))
+
+  private val m12Oracle =
+    """WITH s AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 63), j -> (doc_id * 37 + j * 101) % 2048 - 1024) AS xs
+      |  FROM documents),
+      |r AS (SELECT doc_id, xs, unnest(generate_series(0, 47)) AS j FROM s),
+      |v AS (SELECT doc_id, j,
+      |  CASE WHEN (j * 4) % 3 = 0 THEN CAST(xs[(j * 4) // 3 + 1] AS DOUBLE)
+      |       ELSE CAST((3 - (j * 4) % 3) * xs[(j * 4) // 3 + 1]
+      |                 + ((j * 4) % 3) * xs[(j * 4) // 3 + 2] AS DOUBLE) / 3
+      |  END AS value
+      |  FROM r)
+      |SELECT doc_id, CAST(j + 1 AS INT) AS out_idx, CAST(48 AS INT) AS n_out,
+      |  round(value, 6) AS value
+      |FROM v ORDER BY doc_id, out_idx""".stripMargin
+
   // ---------------------------------------------------------------- s1_stream_window
   // streaming state partitions: state-store instances scale with this, so
   // size it to key cardinality (windows/users — thousands here), not to
@@ -1270,6 +1301,48 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- s14_stream_semdedup
+  /** Streaming semantic-dedup screen
+    * ([[StreamingOps.streamSemanticDedup]]): embeddings with
+    * vec_id >= 400 arrive as the ingest stream and are screened
+    * within-cell against the sealed static corpus (vec_id < 400) —
+    * d15's economics at ingest time. Zero streaming state and pairs
+    * never span a batch, so the accumulated sink equals the batch
+    * screen and the oracle replays the stride quantizer + pair
+    * predicate exactly. */
+  def s14StreamSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    StreamingOps.streamSemanticDedup(s, s"$dir/embeddings.parquet",
+      emb.filter(col("vec_id") < 400),
+      streamPred = col("vec_id") >= 400, numCells = 16, threshold = 0.4,
+      statePartitions = streamStateParts)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  private val s14Oracle = {
+    def l2(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE))))"
+    def assignCte(src: String, out: String) =
+      s"""$out AS (SELECT id, embedding, cell FROM
+        |  (SELECT c.id, c.embedding, ct.centroid_id AS cell,
+        |     row_number() OVER (PARTITION BY c.id ORDER BY ${l2("c.embedding", "ct.c_embedding")}, ct.centroid_id) AS crank
+        |   FROM $src c CROSS JOIN cents ct)
+        |  WHERE crank = 1)""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 400),
+      |     incoming AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 400),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM corpus),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding
+      |               FROM corpus, stats WHERE id % greatest(stride, 1) = 0),
+      |     ${assignCte("corpus", "ca")},
+      |     ${assignCte("incoming", "na")},
+      |     p AS (SELECT n.id AS new_id, c.id AS corpus_id, n.cell,
+      |             round(${dotSql("n.embedding", "c.embedding")} /
+      |               (sqrt(${dotSql("n.embedding", "n.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS cosine_sim
+      |           FROM na n JOIN ca c ON n.cell = c.cell)
+      |SELECT new_id, corpus_id, cell, cosine_sim
+      |FROM p WHERE cosine_sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -1391,6 +1464,7 @@ object PipelineQueries {
     "m9_phash" -> ((s, dir) => m9Phash(s, dir)),
     "m10_frame_diff" -> ((s, dir) => m10FrameDiff(s, dir)),
     "m11_audio_segments" -> ((s, dir) => m11AudioSegments(s, dir)),
+    "m12_audio_resample" -> ((s, dir) => m12AudioResample(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -1404,6 +1478,7 @@ object PipelineQueries {
     "s11_stream_contamination" -> ((s, dir) => s11StreamContamination(s, dir)),
     "s12_stream_maxsim" -> ((s, dir) => s12StreamMaxsim(s, dir)),
     "s13_stream_hll" -> ((s, dir) => s13StreamHll(s, dir)),
+    "s14_stream_semdedup" -> ((s, dir) => s14StreamSemdedup(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir)),
     "p2_training_mix" -> ((s, dir) => p2TrainingMix(s, dir))
   )
@@ -1448,6 +1523,7 @@ object PipelineQueries {
     "m9_phash" -> m9Oracle,
     "m10_frame_diff" -> m10Oracle,
     "m11_audio_segments" -> m11Oracle,
+    "m12_audio_resample" -> m12Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,
@@ -1461,6 +1537,7 @@ object PipelineQueries {
     "s11_stream_contamination" -> d9Oracle, // streaming == batch (stateless per-doc screen)
     "s12_stream_maxsim" -> Queries.v38Oracle, // streaming == batch (whole-query rows)
     "s13_stream_hll" -> t12Oracle, // streamed sketch == batch sketch (register maxes)
+    "s14_stream_semdedup" -> s14Oracle,
     "p1_dedup_pipeline" -> p1Oracle,
     "p2_training_mix" -> p2Oracle
   )

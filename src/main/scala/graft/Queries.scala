@@ -2143,6 +2143,49 @@ object Queries {
       |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q12_range_frame
+  /** Value-based (RANGE) window frames + lag + ntile — the window-frame
+    * classes q4's ROWS frame doesn't exercise: per customer, each
+    * order's trailing-30-day spend (RANGE over an integer day key — peer
+    * rows enter/leave by VALUE, so the frame is order-independent within
+    * ties and the DECIMAL sum keeps it exact), the previous order's
+    * price (lag over the fully-tiebroken ordering), and the order's
+    * quartile position (ntile). One shuffle on the partition key serves
+    * all three window specs. */
+  def q12RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1990-01-01"))
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("day", day)
+      .withColumn("spend_30d",
+        round(sum(dec(col("o_totalprice"))).over(wRange).cast("double"), 4))
+      .withColumn("prev_price",
+        round(lag(dec(col("o_totalprice")), 1).over(wOrd).cast("double"), 4))
+      .withColumn("quartile", ntile(4).over(wOrd))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("spend_30d"), col("prev_price"), col("quartile"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  private val q12Oracle =
+    """SELECT o_custkey, o_orderkey, day, spend_30d, prev_price, quartile FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS INT) AS day,
+      |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+      |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS spend_30d,
+      |    round(CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (
+      |      PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate), o_orderkey
+      |      ) AS DOUBLE), 4) AS prev_price,
+      |    CAST(ntile(4) OVER (
+      |      PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate), o_orderkey
+      |      ) AS INT) AS quartile
+      |  FROM orders)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- v42_hybrid_rrf
   /** Hybrid retrieval ([[graft.operators.HybridRetrieval]]): dense leg =
     * exact cosine kNN over the document embeddings (v13's machinery,
@@ -2267,6 +2310,7 @@ object Queries {
     "q9_grouping_sets" -> q9Oracle,
     "q10_pivot" -> q10Oracle,
     "q11_set_ops" -> q11Oracle,
+    "q12_range_frame" -> q12Oracle,
     "v42_hybrid_rrf" -> v42Oracle,
     "t5_json" -> t5Oracle
   )

@@ -95,6 +95,7 @@ object SparkEntry {
     "q9_grouping_sets" -> ((s, dir) => Queries.q9GroupingSets(s, dir)),
     "q10_pivot" -> ((s, dir) => Queries.q10Pivot(s, dir)),
     "q11_set_ops" -> ((s, dir) => Queries.q11SetOps(s, dir)),
+    "q12_range_frame" -> ((s, dir) => Queries.q12RangeFrame(s, dir)),
     "v42_hybrid_rrf" -> ((s, dir) => Queries.v42HybridRrf(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries

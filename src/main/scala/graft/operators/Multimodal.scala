@@ -542,6 +542,46 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  case class ResampledSample(
+      doc_id: Long, out_idx: Int, n_out: Int, value: Double)
+
+  /** Linear-interpolation sample-rate conversion over REAL WAV payloads —
+    * the audio preprocessing step every speech pipeline runs before
+    * feature extraction (16 kHz model in, arbitrary source rates out in
+    * the wild). Output sample j sits at source position j*in/out; with
+    * the rate ratio reduced to num/den, position = (i, r) where
+    * i = j*num/den and r = (j*num)%den, and the interpolated value is
+    * ((den-r)*x[i] + r*x[i+1]) / den — an exact integer numerator over a
+    * small constant denominator, so ONE IEEE division per sample and the
+    * closed-form SQL oracle replays it bit-for-bit. n_out is chosen so
+    * the last position lands inside the clip (no edge clamp to disagree
+    * on). Decode + resample run in one map-side pass, zero shuffle —
+    * the same scale shape as every decode operator here. */
+  def audioResample(withPayload: DataFrame, outRate: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(outRate > 0, s"outRate must be positive, got $outRate")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (inRate, xs) = WavCodec.decode(bytes)
+        val g = BigInt(inRate).gcd(BigInt(outRate)).toInt
+        val num = inRate / g
+        val den = outRate / g
+        val nOut = ((xs.length - 1).toLong * den / num).toInt + 1
+        (0 until nOut).map { j =>
+          val p = j.toLong * num
+          val i = (p / den).toInt
+          val r = (p % den).toInt
+          val v =
+            if (r == 0) xs(i).toDouble
+            else ((den - r).toLong * xs(i) + r.toLong * xs(i + 1)).toDouble / den
+          ResampledSample(id, j + 1, nOut, v)
+        }
+      }).toDF()
+  }
+
   case class AudioSegment(
       doc_id: Long, win_idx: Int, n_wins: Int, win_rms: Double,
       is_silence: Boolean, segment_id: Int)

@@ -336,6 +336,96 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming semantic-dedup screen — the ingest-time face of d15
+    * ([[graft.operators.Dedup.semanticDedupRemovals]]): a stream of
+    * incoming embeddings is screened per micro-batch against the sealed
+    * static corpus, within-cell only. Cells come from the STATIC
+    * corpus's deterministic stride centroids (computed once, reused by
+    * every batch); batch rows are assigned by the same per-row codegen
+    * argmin, so neither side shuffles to be assigned and the only
+    * shuffle is the cell equi-join against the (cached) assigned
+    * corpus. ZERO streaming state, and each (new, corpus) pair lives
+    * entirely in the new row's batch — batch boundaries cannot split a
+    * pair, so the accumulated sink equals the batch screen and an exact
+    * SQL oracle applies. At 100 TB/day this is "reject near-dup
+    * ingests before they land": cost scales with ingest volume times
+    * cell occupancy, never with corpus^2. */
+  def streamSemanticDedup(
+      spark: SparkSession, embPath: String, staticCorpus: DataFrame,
+      streamPred: org.apache.spark.sql.Column, numCells: Int, threshold: Double,
+      statePartitions: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.IvfKnn
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(embPath))
+      d.toString
+    })
+    val base = staticCorpus.select(
+      col("vec_id").cast("long").as("id"), col("embedding"))
+    val cents = IvfKnn.centroids(base, numCells)
+    val corpusAssigned = IvfKnn.assign(base, cents)
+      .select(col("cell"), col("id").as("corpus_id"),
+        col("embedding").as("ce"),
+        VectorFunctions.l2Norm(col("embedding")).as("cn"))
+      .cache()
+    corpusAssigned.count()
+    val stream = spark.readStream.schema(schema).parquet(srcDir).filter(streamPred)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_semdedup_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val incoming = IvfKnn.assign(
+              batch.select(col("vec_id").cast("long").as("id"), col("embedding")), cents)
+              .select(col("cell"), col("id").as("new_id"),
+                col("embedding").as("ne"),
+                VectorFunctions.l2Norm(col("embedding")).as("nn"))
+            incoming.join(corpusAssigned, Seq("cell"))
+              .withColumn("cosine_sim",
+                round(graft.functions.VectorFunctions.dotProduct(col("ne"), col("ce")) /
+                  (col("nn") * col("cn")), 6))
+              .filter(col("cosine_sim") >= threshold)
+              .select(col("new_id"), col("corpus_id"), col("cell"), col("cosine_sim"))
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      corpusAssigned.unpersist()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    // a clean stream may flag nothing — return an empty, correctly-typed
+    // frame instead of failing parquet schema inference on an empty sink
+    val produced = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (produced) spark.read.parquet(outDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("new_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine_sim", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Streaming contamination check — the ingest-time face of d9
     * ([[graft.operators.Dedup.contaminationPairs]]): a stream of incoming
     * training documents is screened against the (genuinely small,

@@ -53,6 +53,56 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       numCells = 4, threshold = 0.95).count() === 0)
   }
 
+  test("streamSemanticDedup screens incoming rows against the static corpus cells") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_stream_test_")
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f)),
+      (8L, Array(0f, 0f, 1f)),
+      (12L, Array(-1f, -1f, 0f)),
+      (5L, Array(0.01f, 0.99f, 0f)),
+      (6L, Array(0.02f, 0.98f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pq = dir.resolve("emb.parquet").toString
+    vecs.coalesce(1).write.mode("overwrite").parquet(pq)
+    val part = new java.io.File(pq).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val r = graft.streaming.StreamingOps.streamSemanticDedup(
+      spark, part, vecs.filter(col("vec_id") <= 4),
+      streamPred = col("vec_id") >= 5, numCells = 2, threshold = 0.95,
+      statePartitions = 2)
+      .orderBy("new_id").select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toList
+    // centroids from static {0,4}: stride (4+2)/2=3 -> ids {0}? 0%3=0 only
+    // -> all static in cell 0; stream 5,6 assign to cell 0; only 4 is
+    // cosine>=0.95 to them
+    assert(r === List((5L, 4L), (6L, 4L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("audioResample: identity ratio is lossless, 2:1 decimates, 4:3 interpolates") {
+    import graft.operators.{Multimodal, WavCodec}
+    val xs = Array[Short](0, 300, -600, 900, -1200, 150, 0, 30)
+    val payload = Seq((1L, WavCodec.encode(8000, xs))).toDF("doc_id", "payload")
+    // identity: every sample back, exactly
+    val id = Multimodal.audioResample(payload, outRate = 8000)
+      .orderBy("out_idx").select("value").as[Double].collect()
+    assert(id.toList === xs.map(_.toDouble).toList)
+    // 2:1 decimation: every other sample (r always 0)
+    val half = Multimodal.audioResample(payload, outRate = 4000)
+      .orderBy("out_idx").select("value").as[Double].collect()
+    assert(half.toList === List(0.0, -600.0, -1200.0, 0.0))
+    // 4:3: output 5 lands between sources — ((3-r)*x[i] + r*x[i+1])/3
+    val up = Multimodal.audioResample(payload, outRate = 6000)
+      .orderBy("out_idx").select("out_idx", "n_out", "value")
+      .as[(Int, Int, Double)].collect()
+    assert(up.head._2 === 6) // (8-1)*3/4 + 1
+    // j=1: p=4/3 -> i=1, r=1: (2*300 + 1*(-600))/3 = 0
+    assert(up(1)._3 === 0.0)
+    // j=2: p=8/3 -> i=2, r=2: (1*(-600) + 2*900)/3 = 400
+    assert(up(2)._3 === 400.0)
+  }
+
   test("ngramJaccardPairs finds near-identical docs and skips unrelated ones") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
