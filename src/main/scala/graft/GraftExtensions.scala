@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_approx_distinct"),
       new ExpressionInfo(classOf[graft.operators.HllAgg].getName, "graft_approx_distinct"),
       graft.operators.Hll.sqlBuilder))
+    // fixed-grid histogram sketch: histogram_sketch(value, lo, hi, bins)
+    ext.injectFunction((FunctionIdentifier("histogram_sketch"),
+      new ExpressionInfo(classOf[graft.operators.HistogramSketchAgg].getName, "histogram_sketch"),
+      graft.operators.HistogramSketch.sqlBuilder))
   }
 }

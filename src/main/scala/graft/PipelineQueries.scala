@@ -644,6 +644,50 @@ object PipelineQueries {
       |SELECT source, COUNT(DISTINCT tok) AS exact_tokens, TRUE AS hll_ok
       |FROM toks GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t14_hist_quantiles
+  /** Per-source token-count quantiles from the fixed-grid histogram
+    * sketch ([[graft.operators.HistogramSketch]]) — the third mergeable
+    * summary (rank queries) next to t10's frequency and t12's
+    * cardinality. State is 64 longs per source regardless of corpus
+    * size; merge is elementwise addition (order-insensitive, lossless),
+    * so at 100 TB the shuffle carries bins, not values — Spark's exact
+    * percentile shuffles every value. Bin counts are deterministic
+    * integers, so the quantile estimates (bin upper edges at the ceil
+    * rank targets) are HASH-gated by the oracle, not error-enveloped. */
+  def t14HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistogramSketch
+    val docs = Tables.documents(s, dir).select(col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("v"))
+    val sk = docs.groupBy(col("source"))
+      .agg(HistogramSketch.sketch(col("v"), lo = 0L, hi = 512L, bins = 64).as("counts"),
+        count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+    def est(name: String, num: Int, den: Int) =
+      min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) DIV $den"),
+        (col("bin") + 1) * 8)).cast("int").as(name)
+    sk.select(col("source"), col("n"), posexplode(col("counts")).as(Seq("bin", "c")))
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("source"), col("n"))
+      .agg(est("p50", 1, 2), est("p90", 9, 10), est("p99", 99, 100))
+      .orderBy(col("source"))
+  }
+
+  private val t14Oracle =
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+      |b AS (SELECT source,
+      |        CAST(CASE WHEN v < 0 THEN 0 WHEN v >= 512 THEN 63 ELSE v * 64 // 512 END AS INT) AS bin
+      |      FROM d),
+      |c AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+      |cum AS (SELECT source, bin, SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum FROM c),
+      |j AS (SELECT cum.source, bin, cum, n.n FROM cum JOIN n USING (source))
+      |SELECT source, n,
+      |  CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN (bin + 1) * 8 END) AS INT) AS p50,
+      |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN (bin + 1) * 8 END) AS INT) AS p90,
+      |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN (bin + 1) * 8 END) AS INT) AS p99
+      |FROM j GROUP BY source, n ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -1343,6 +1387,29 @@ object PipelineQueries {
       |FROM p WHERE cosine_sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s15_stream_quantiles
+  /** Streaming per-source token-count quantiles
+    * ([[StreamingOps.streamHistogram]]): t14's fixed-grid sketch as a
+    * stateful streaming aggregation — per-source state is 64 long
+    * counters, and elementwise-add merges make the complete-mode result
+    * identical to the batch sketch under any micro-batching, so t14's
+    * hash-exact oracle gates the streaming path directly. */
+  def s15StreamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val sk = StreamingOps.streamHistogram(
+      s, s"$dir/documents.parquet", lo = 0L, hi = 512L, bins = 64,
+      statePartitions = streamStateParts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+    def est(name: String, num: Int, den: Int) =
+      min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) DIV $den"),
+        (col("bin") + 1) * 8)).cast("int").as(name)
+    sk.select(col("source"), col("n"), posexplode(col("counts")).as(Seq("bin", "c")))
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("source"), col("n"))
+      .agg(est("p50", 1, 2), est("p90", 9, 10), est("p99", 99, 100))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- p1_dedup_pipeline
   /** Composed cleaning pipeline — the engine's primary use-case end to
     * end: near-dup removal (3-gram Jaccard >= 0.8, keep the lower id of
@@ -1453,6 +1520,7 @@ object PipelineQueries {
     "t11_unigram_lm" -> ((s, dir) => t11UnigramLm(s, dir)),
     "t12_approx_distinct" -> ((s, dir) => t12ApproxDistinct(s, dir)),
     "t13_tfidf" -> ((s, dir) => t13Tfidf(s, dir)),
+    "t14_hist_quantiles" -> ((s, dir) => t14HistQuantiles(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1479,6 +1547,7 @@ object PipelineQueries {
     "s12_stream_maxsim" -> ((s, dir) => s12StreamMaxsim(s, dir)),
     "s13_stream_hll" -> ((s, dir) => s13StreamHll(s, dir)),
     "s14_stream_semdedup" -> ((s, dir) => s14StreamSemdedup(s, dir)),
+    "s15_stream_quantiles" -> ((s, dir) => s15StreamQuantiles(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir)),
     "p2_training_mix" -> ((s, dir) => p2TrainingMix(s, dir))
   )
@@ -1512,6 +1581,7 @@ object PipelineQueries {
     "t11_unigram_lm" -> t11Oracle,
     "t12_approx_distinct" -> t12Oracle,
     "t13_tfidf" -> t13Oracle,
+    "t14_hist_quantiles" -> t14Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,
@@ -1538,6 +1608,7 @@ object PipelineQueries {
     "s12_stream_maxsim" -> Queries.v38Oracle, // streaming == batch (whole-query rows)
     "s13_stream_hll" -> t12Oracle, // streamed sketch == batch sketch (register maxes)
     "s14_stream_semdedup" -> s14Oracle,
+    "s15_stream_quantiles" -> t14Oracle, // streamed sketch == batch sketch (vector adds)
     "p1_dedup_pipeline" -> p1Oracle,
     "p2_training_mix" -> p2Oracle
   )

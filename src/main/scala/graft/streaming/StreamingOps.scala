@@ -336,6 +336,32 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming histogram sketch — the streaming face of the fixed-grid
+    * quantile summary ([[graft.operators.HistogramSketch]], t14):
+    * per-group state is `bins` long counters; the merge is elementwise
+    * addition, so the complete-mode result is identical to the batch
+    * sketch no matter how the stream is micro-batched. Returns
+    * (source, counts, n). */
+  def streamHistogram(
+      spark: SparkSession, docsPath: String, lo: Long, hi: Long, bins: Int,
+      statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(docsPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(docsPath))
+      d.toString
+    })
+    val agg = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("v"))
+      .groupBy(col("source"))
+      .agg(graft.operators.HistogramSketch.sketch(col("v"), lo, hi, bins).as("counts"),
+        count(lit(1)).as("n"))
+    runFinite(spark, agg, "complete", statePartitions)
+  }
+
   /** Streaming semantic-dedup screen — the ingest-time face of d15
     * ([[graft.operators.Dedup.semanticDedupRemovals]]): a stream of
     * incoming embeddings is screened per micro-batch against the sealed
