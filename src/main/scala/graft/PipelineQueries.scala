@@ -862,6 +862,30 @@ object PipelineQueries {
       |SELECT inner_id, outer_id, containment FROM dirs
       |WHERE containment >= 0.6 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- d17_fuzzy_pairs
+  /** Fuzzy prefix matching ([[Dedup.fuzzyPrefixPairs]]): candidate pairs
+    * from the shared word-trigram posting kernel (d2's single shuffle),
+    * verified by exact Levenshtein distance over 48-char prefixes at
+    * threshold 8 — the record-linkage class (leading-content edits,
+    * transpositions) that set-based similarity misses. Edit distance is
+    * an integer DP with identical semantics in Spark and DuckDB, so the
+    * gate is hash-exact. */
+  def d17FuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPrefixPairsFromShingles(docShingles(s, dir),
+      Tables.documents(s, dir), prefixLen = 48, maxDist = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val d17Oracle =
+    s"""WITH $shinglesCte,
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |p AS (SELECT doc_id, substr(text, 1, 48) AS pre FROM documents)
+      |SELECT doc_a, doc_b, CAST(levenshtein(pa.pre, pb.pre) AS INT) AS edit_dist
+      |FROM inter JOIN p pa ON pa.doc_id = doc_a JOIN p pb ON pb.doc_id = doc_b
+      |WHERE levenshtein(pa.pre, pb.pre) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- d15_semdedup
   /** SemDeDup semantic dedup ([[Dedup.semanticDedupRemovals]]): 16
     * deterministic IVF cells, within-cell cosine >= 0.4 (d5's threshold),
@@ -1508,6 +1532,7 @@ object PipelineQueries {
     "d14_containment" -> ((s, dir) => d14Containment(s, dir)),
     "d15_semdedup" -> ((s, dir) => d15Semdedup(s, dir)),
     "d16_norm_dedup" -> ((s, dir) => d16NormDedup(s, dir)),
+    "d17_fuzzy_pairs" -> ((s, dir) => d17FuzzyPairs(s, dir)),
     "t1_langid" -> ((s, dir) => t1Langid(s, dir)),
     "t2_quality" -> ((s, dir) => t2Quality(s, dir)),
     "t3_tokens" -> ((s, dir) => t3Tokens(s, dir)),
@@ -1569,6 +1594,7 @@ object PipelineQueries {
     "d14_containment" -> d14Oracle,
     "d15_semdedup" -> d15Oracle,
     "d16_norm_dedup" -> d16Oracle,
+    "d17_fuzzy_pairs" -> d17Oracle,
     "t1_langid" -> t1Oracle,
     "t2_quality" -> t2Oracle,
     "t3_tokens" -> t3Oracle,

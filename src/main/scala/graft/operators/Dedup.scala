@@ -84,6 +84,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Fuzzy near-match pairs by EDIT DISTANCE over a bounded prefix —
+    * the record-linkage face (titles, leading content) that set-based
+    * Jaccard can't express: transpositions, single-char edits, and
+    * insertions all count as unit distance. Candidate generation reuses
+    * the shared posting kernel ([[pairIntersections]] — only pairs
+    * sharing a word n-gram are ever scored, never the n^2 cross join);
+    * verification is one Levenshtein DP over `prefixLen`-char prefixes
+    * per candidate — integer, exact, engine-identical, and O(prefixLen^2)
+    * BOUNDED per pair regardless of document length (running edit
+    * distance on full web documents would be quadratic in doc size;
+    * bounding to the prefix is what makes the verify affordable at
+    * corpus scale). Output (doc_a, doc_b, edit_dist), doc_a < doc_b. */
+  def fuzzyPrefixPairs(
+      docs: DataFrame, n: Int, prefixLen: Int, maxDist: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDf: Int = Int.MaxValue): DataFrame =
+    fuzzyPrefixPairsFromShingles(
+      shingled(docs, n, idCol, textCol), docs, prefixLen, maxDist,
+      idCol, textCol, maxShingleDf)
+
+  /** [[fuzzyPrefixPairs]] over a precomputed (doc_id, shingles) table —
+    * callers already running d2/d3 share ONE shingling + posting pass. */
+  def fuzzyPrefixPairsFromShingles(
+      sh: DataFrame, docs: DataFrame, prefixLen: Int, maxDist: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0, s"bad params ($prefixLen, $maxDist)")
+    val pre = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("pre"))
+    pairIntersections(sh, maxShingleDf)
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
   /** Shared pair-intersection kernel behind the Jaccard (d2) and
     * containment (d14) pair operators: (doc_a, doc_b, inter) with
     * doc_a < doc_b and `inter` = |shingles(doc_a) ∩ shingles(doc_b)|,

@@ -115,6 +115,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("fuzzyPrefixPairs finds edit-distance near-matches Jaccard scores low") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // one transposition + one substitution inside the 48-char prefix
+    val b = "the quick brwon fox jumps over the lazy dog near the river bank today"
+    val c = "entirely different content with no overlap whatsoever in any shingle"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = Dedup.fuzzyPrefixPairs(docs, n = 3, prefixLen = 48, maxDist = 4)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Int)].collect().toList
+    assert(r === List((1L, 2L, 2))) // "brown" -> "brwon" = 2 unit edits
+    // tight threshold excludes the pair
+    assert(Dedup.fuzzyPrefixPairs(docs, n = 3, prefixLen = 48, maxDist = 1).count() === 0)
+  }
+
   test("containmentPairs catches a quoted subset that Jaccard misses") {
     val quote = "to be or not to be that is the question"
     val long = "the long essay begins here " + quote +
