@@ -2143,6 +2143,50 @@ object Queries {
       |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- v43_lsm_delete
+  /** Index DELETE support ([[graft.index.LsmVectorIndex.delete]]) — the
+    * lifecycle face the reference has no answer to (its API stops at
+    * insert/query/optimize/save, dehnswpy.cpp:12-35): base ids 20-29 and
+    * freshly-ingested ids 310-314 are tombstoned, and the exact probe
+    * must equal brute-force kNN over the LIVE corpus — deleted vectors
+    * gone immediately (probe-time overfetch + filter, exact by the
+    * bounded-overfetch argument), physical removal deferred to the next
+    * compaction's shard-scoped rebuild. LsmIndexSpec gates the
+    * compaction invariance and physical-purge side. */
+  def v43LsmDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.{IndexParams, LsmVectorIndex, VectorIndex}
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val baseIdx = VectorIndex.build(base,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+    val fresh = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = Long.MaxValue / 2)
+      .ingest(fresh)
+      .delete((20L to 29L) ++ (310L to 314L))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    lsm.query(queries, k = 10, searchWidth = 0)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v43Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings
+      |           WHERE vec_id >= 10 AND vec_id NOT BETWEEN 20 AND 29
+      |             AND vec_id NOT BETWEEN 310 AND 314),
+      |     d AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS distance
+      |           FROM q CROSS JOIN c),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM d)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q12_range_frame
   /** Value-based (RANGE) window frames + lag + ntile — the window-frame
     * classes q4's ROWS frame doesn't exercise: per customer, each
@@ -2312,6 +2356,7 @@ object Queries {
     "q11_set_ops" -> q11Oracle,
     "q12_range_frame" -> q12Oracle,
     "v42_hybrid_rrf" -> v42Oracle,
+    "v43_lsm_delete" -> v43Oracle,
     "t5_json" -> t5Oracle
   )
 }

@@ -97,6 +97,7 @@ object SparkEntry {
     "q11_set_ops" -> ((s, dir) => Queries.q11SetOps(s, dir)),
     "q12_range_frame" -> ((s, dir) => Queries.q12RangeFrame(s, dir)),
     "v42_hybrid_rrf" -> ((s, dir) => Queries.v42HybridRrf(s, dir)),
+    "v43_lsm_delete" -> ((s, dir) => Queries.v43LsmDelete(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

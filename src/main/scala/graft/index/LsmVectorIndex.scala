@@ -44,6 +44,13 @@ final class LsmVectorIndex private (
     val compactThreshold: Long,
     val genShardSize: Long,
     ownsBase: Boolean,
+    // logically-deleted ids (LSM tombstones): probes overfetch by
+    // |tombstones| per member and filter, which is exact (a member's
+    // top-(k+t) minus <=t dead rows still contains its live top-k);
+    // compaction physically removes them via the shard-scoped
+    // VectorIndex.remove. Bounded by deleteThreshold auto-purge.
+    val tombstones: Set[Long] = Set.empty,
+    val deleteThreshold: Long = Long.MaxValue,
     // Shared across every handle descended from the same lineage: true
     // while a compactAsync fold is in flight. Ingest must not auto-run the
     // SYNCHRONOUS compact() then — it would unpersist the very snapshot
@@ -54,7 +61,11 @@ final class LsmVectorIndex private (
     extends Serializable with AnnProbe {
 
   override def probeId: String =
-    (base +: generations).map(_.indexId).mkString("lsm:", "+", "")
+    (base +: generations).map(_.indexId).mkString("lsm:", "+", "") +
+      // tombstones change probe RESULTS without changing any member, so
+      // they must change the identity too (rewrite/catalog cache safety)
+      (if (tombstones.isEmpty) ""
+       else s":t${tombstones.size}:${tombstones.toSeq.sorted.hashCode()}")
   override def probeMetric: graft.functions.DistanceMetric = base.params.metric
   override def probeSession: org.apache.spark.sql.SparkSession = base.rows.sparkSession
   override def probeDescription: String =
@@ -79,7 +90,7 @@ final class LsmVectorIndex private (
     fresh.unpersist() // gen rows were materialized by build's meta pass
     val next = new LsmVectorIndex(
       base, generations :+ gen, compactThreshold, genShardSize, ownsBase,
-      asyncPending)
+      tombstones, deleteThreshold, asyncPending)
     // Auto-compaction is suppressed while an async fold is outstanding —
     // the swap returned by compactAsync absorbs those generations instead.
     if (next.freshCount >= compactThreshold && !asyncPending.get()) next.compact()
@@ -96,15 +107,52 @@ final class LsmVectorIndex private (
       "compact() while a compactAsync fold is outstanding would unpersist " +
         "the snapshot generations (and owned base) the background append is " +
         "reading — apply the returned swap instead, or let it fail first")
-    if (generations.isEmpty) return this
-    val freshVecs = generations
-      .map(_.rows.toDF().select(col("global_id").as("id"), col("embedding")))
-      .reduce(_ union _)
-    val newBase = base.append(freshVecs) // materializes before we unpersist
+    if (generations.isEmpty && tombstones.isEmpty) return this
+    val spark = base.rows.sparkSession
+    import spark.implicits._
+    // physical delete first: tombstoned base ids leave via the
+    // shard-scoped remove; tombstoned FRESH ids simply don't ride the
+    // append. After the fold no tombstone survives — probes stop paying
+    // the overfetch.
+    val purgedBase =
+      if (tombstones.isEmpty) base
+      else base.remove(tombstones.toSeq.toDF("id"))
+    val newBase =
+      if (generations.isEmpty) { purgedBase.optimize(); purgedBase }
+      else {
+        val freshVecs = generations
+          .map(_.rows.toDF().select(col("global_id").as("id"), col("embedding")))
+          .reduce(_ union _)
+          .filter(if (tombstones.isEmpty) lit(true)
+                  else !col("id").isInCollection(tombstones))
+        purgedBase.append(freshVecs) // materializes before we unpersist
+      }
     generations.foreach(_.unpersist())
     if (ownsBase) base.unpersist()
+    if ((purgedBase ne base) && (newBase ne purgedBase)) purgedBase.unpersist()
     new LsmVectorIndex(newBase, Vector.empty, compactThreshold, genShardSize,
-      ownsBase = true, asyncPending)
+      ownsBase = true, Set.empty, deleteThreshold, asyncPending)
+  }
+
+  /** Logical DELETE (tombstoning) — the index-lifecycle face the
+    * reference has no answer to: ids stop appearing in any probe result
+    * immediately (exactness via bounded overfetch — see the tombstone
+    * field note), and the NEXT compaction removes them physically
+    * through [[VectorIndex.remove]]'s shard-scoped rebuild. Deleting an
+    * id that was never inserted is a harmless no-op (idempotent), so
+    * callers can replay delete feeds. Auto-purges (compacts) when the
+    * tombstone set reaches `deleteThreshold` — the knob that bounds both
+    * probe overfetch and the filter broadcast. */
+  def delete(ids: Iterable[Long]): LsmVectorIndex = {
+    val ts = tombstones ++ ids
+    if (ts.size == tombstones.size) return this
+    require(ts.size <= (1 << 20),
+      s"${ts.size} tombstones exceed the 2^20 probe-overfetch bound — " +
+        "compact() (or lower deleteThreshold) to purge physically")
+    val next = new LsmVectorIndex(base, generations, compactThreshold,
+      genShardSize, ownsBase, ts, deleteThreshold, asyncPending)
+    if (ts.size >= deleteThreshold && !asyncPending.get()) next.compact()
+    else next
   }
 
   /** Begin folding the CURRENT generations into the base on another
@@ -181,7 +229,8 @@ final class LsmVectorIndex private (
         if (owned) oldBase.unpersist()
         pending.set(false)
         new LsmVectorIndex(newBase, later.generations.drop(snapshot.length),
-          later.compactThreshold, later.genShardSize, ownsBase = true, pending)
+          later.compactThreshold, later.genShardSize, ownsBase = true,
+          later.tombstones, later.deleteThreshold, pending)
       }
     }
   }
@@ -200,14 +249,21 @@ final class LsmVectorIndex private (
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "distance")
     }
-    if (members.size == 1) return members.head.query(queries, k, searchWidth, maxBatch)
+    if (members.size == 1 && tombstones.isEmpty)
+      return members.head.query(queries, k, searchWidth, maxBatch)
     val qds = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     val probeCount = qds.select(col("query_id")).limit(maxBatch + 1).count()
     if (probeCount <= maxBatch)
       queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
-    else mergeMembers(members.map(_.queryDistributed(queries, k, searchWidth)), k)
+    else {
+      // overfetch per member by the (bounded) tombstone count, filter
+      // dead ids, then merge top-k — exact: top-(k+t) minus <=t dead
+      // rows still contains the member's live top-k
+      val kProbe = k + tombstones.size
+      mergeMembers(members.map(_.queryDistributed(queries, kProbe, searchWidth)), k)
+    }
   }
 
   /** Probe with an already-materialized query batch (broadcast path) —
@@ -228,11 +284,16 @@ final class LsmVectorIndex private (
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "distance")
     }
-    if (members.size == 1) return members.head.queryBatch(batch, k, searchWidth, maxBatch)
+    if (members.size == 1 && tombstones.isEmpty)
+      return members.head.queryBatch(batch, k, searchWidth, maxBatch)
     if (batch.isEmpty) {
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "distance")
     }
+    // tombstone overfetch (see query()) — kernels return top-kProbe per
+    // shard, dead ids are filtered from the candidate stream, and the
+    // final merge takes the true live top-k
+    val kProbe = k + tombstones.size
     // member m owns union partitions [offsets(m), offsets(m+1))
     val offsets = members.map(_.numShards).scanLeft(0)(_ + _).toArray
     val memberInfo = members.map(m =>
@@ -248,22 +309,26 @@ final class LsmVectorIndex private (
         while (m + 1 < offs.length && offs(m + 1) <= pid) m += 1
         val (iid, params, metaMap) = info(m)
         VectorIndex.probePartition(
-          rit, iid, pid - offs(m), params, metaMap, bcQueries.value, k, searchWidth)
+          rit, iid, pid - offs(m), params, metaMap, bcQueries.value, kProbe, searchWidth)
       }
       spark.createDataset(rdd).toDF("query_id", "distance", "neighbor_id")
     }.toSeq
-    TopK.topKMerge(candidateChunks.reduce(_ union _), k)
+    mergeMembers(candidateChunks, k)
   }
 
   override def probeBatch(
       batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
     queryBatch(batch, k, searchWidth)
 
-  private def mergeMembers(perMember: Seq[DataFrame], k: Int): DataFrame =
-    TopK.topKMerge(
-      perMember
-        .map(_.select(col("query_id"), col("distance"), col("neighbor_id")))
-        .reduce(_ union _), k)
+  private def mergeMembers(perMember: Seq[DataFrame], k: Int): DataFrame = {
+    val union = perMember
+      .map(_.select(col("query_id"), col("distance"), col("neighbor_id")))
+      .reduce(_ union _)
+    val live =
+      if (tombstones.isEmpty) union
+      else union.filter(!col("neighbor_id").isInCollection(tombstones))
+    TopK.topKMerge(live, k)
+  }
 
   /** Total vectors across base + generations. */
   def vectorCount: Long = base.meta.map(_.n_vectors).sum + freshCount
@@ -284,7 +349,8 @@ final class LsmVectorIndex private (
     generations.zipWithIndex.foreach { case (g, i) => g.save(s"$path/gen-$i") }
     VectorIndex.writeSmallFile(base.rows.sparkSession, s"$path/lsm.json",
       s"""{"generations":${generations.length},"compactThreshold":$compactThreshold,""" +
-        s""""genShardSize":$genShardSize}""")
+        s""""genShardSize":$genShardSize,"deleteThreshold":$deleteThreshold,""" +
+        s""""tombstones":[${tombstones.toSeq.sorted.mkString(",")}]}""")
   }
 }
 
@@ -296,11 +362,13 @@ object LsmVectorIndex {
     * @param genShardSize     max vectors per generation shard (a
     *                         micro-batch usually fits one shard) */
   def apply(base: VectorIndex, compactThreshold: Long,
-      genShardSize: Long = 65536L): LsmVectorIndex = {
+      genShardSize: Long = 65536L,
+      deleteThreshold: Long = Long.MaxValue): LsmVectorIndex = {
     require(compactThreshold > 0, "compactThreshold must be positive")
     require(genShardSize > 0, "genShardSize must be positive")
+    require(deleteThreshold > 0, "deleteThreshold must be positive")
     new LsmVectorIndex(base, Vector.empty, compactThreshold, genShardSize,
-      ownsBase = false)
+      ownsBase = false, Set.empty, deleteThreshold)
   }
 
   /** Restore a [[LsmVectorIndex.save]]d generational index. The loaded
@@ -314,7 +382,13 @@ object LsmVectorIndex {
     val nGens = field("generations").toInt
     val base = VectorIndex.load(spark, s"$path/base")
     val gens = (0 until nGens).map(i => VectorIndex.load(spark, s"$path/gen-$i")).toVector
+    // optional fields: absent in manifests written before delete support
+    val ts = """"tombstones":\s*\[([^\]]*)\]""".r.findFirstMatchIn(manifest)
+      .map(_.group(1).split(',').filter(_.trim.nonEmpty).map(_.trim.toLong).toSet)
+      .getOrElse(Set.empty[Long])
+    val delThresh = """"deleteThreshold":\s*(-?\d+)""".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong).getOrElse(Long.MaxValue)
     new LsmVectorIndex(base, gens, field("compactThreshold"),
-      field("genShardSize"), ownsBase = true)
+      field("genShardSize"), ownsBase = true, ts, delThresh)
   }
 }

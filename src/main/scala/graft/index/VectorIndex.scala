@@ -384,6 +384,44 @@ class VectorIndex private (
       java.util.UUID.randomUUID().toString)
   }
 
+  /** Shard-scoped physical DELETE — the lifecycle face the reference
+    * lacks entirely (its API stops at insert/query/optimize/save):
+    * rebuild ONLY the shards owning a removed id, exactly [[append]]'s
+    * economics in reverse. Ids are routed to shards by the same pure
+    * id->shard hash, so survivors keep their shard and untouched shards
+    * keep rows AND meta verbatim; a shard emptied by removal simply
+    * drops out of meta (probes of an empty shard return nothing by
+    * construction). Removing an id that is not in the index is a no-op
+    * for that id — deletes are idempotent, the LSM contract upstream
+    * relies on it. Input: one `id LONG` column. */
+  def remove(removeIds: DataFrame): VectorIndex = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val ids = removeIds.select(col("id").cast("long")).distinct().cache()
+    val affected = ids
+      .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
+      .distinct().as[Int].collect().toSet
+    if (affected.isEmpty) { ids.unpersist(); return this }
+    val affectedSeq = affected.toSeq
+    val surviving = rows
+      .filter(col("sub_index_id").isin(affectedSeq: _*))
+      .select(col("global_id").as("id"), col("embedding"))
+      .join(ids, Seq("id"), "left_anti")
+      .cache()
+    val rebuilt = VectorIndex.buildRows(surviving, params, numShards)
+    val kept = rows.filter(!col("sub_index_id").isin(affectedSeq: _*))
+    val cached = kept.union(rebuilt).cache()
+    val rebuiltMeta = VectorIndex.computeMeta(
+      cached.filter(col("sub_index_id").isin(affectedSeq: _*)))
+    cached.count() // materialize before dropping inputs
+    val meta2 = (meta.filterNot(m => affected(m.sub_index_id)) ++ rebuiltMeta)
+      .sortBy(_.sub_index_id)
+    ids.unpersist()
+    surviving.unpersist()
+    new VectorIndex(params, numShards, cached, meta2,
+      java.util.UUID.randomUUID().toString)
+  }
+
   /** Drop this index's cached data (rows + probe layout). Call on a
     * superseded generation after [[append]] — each generation caches the
     * full row set, so long ingest loops must release old ones. */

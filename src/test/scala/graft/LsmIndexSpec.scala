@@ -264,4 +264,65 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     val recall = (exact intersect beam).size.toDouble / exact.size
     assert(recall >= 0.9, s"beam recall across generations = $recall")
   }
+
+  /** Ground truth over [10, hi) minus a deleted id set. */
+  private def flatExactMinus(hi: Int, deleted: Set[Long]): Set[(Long, Int, Long)] = {
+    val flat = VectorIndex.build(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < hi &&
+          !col("vec_id").isInCollection(deleted))
+        .select(col("vec_id").as("id"), col("embedding")),
+      params, numShards = 4)
+    resultSet(flat.query(queries, 10, searchWidth = 0))
+  }
+
+  test("delete: tombstoned ids vanish from probes immediately and exactly") {
+    val deleted = ((20L to 29L) ++ (310L to 314L)).toSet
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 400))
+      .delete(deleted)
+    val got = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    assert(got == flatExactMinus(400, deleted))
+    assert(!got.exists(t => deleted(t._3)), "a deleted id surfaced in a probe")
+  }
+
+  test("delete: compaction purges physically and preserves probe results") {
+    val deleted = ((20L to 29L) ++ (310L to 314L)).toSet
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 400))
+      .delete(deleted)
+    val before = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    val compacted = lsm.compact()
+    assert(compacted.tombstones.isEmpty, "compaction must clear tombstones")
+    assert(compacted.generations.isEmpty)
+    // physically gone: the folded base holds exactly the live vectors
+    assert(compacted.vectorCount == 390 - deleted.size)
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == before)
+  }
+
+  test("delete: idempotent, unknown ids are no-ops, auto-purge at threshold") {
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000,
+      deleteThreshold = 8)
+    val l2 = lsm.delete(Seq(20L, 21L)).delete(Seq(20L, 21L)) // re-delete: no-op
+    assert(l2.tombstones == Set(20L, 21L))
+    val l3 = l2.delete(Seq(999999L)) // never inserted: harmless
+    val probe = resultSet(l3.query(queries, 10, searchWidth = 0))
+    assert(probe == flatExactMinus(300, Set(20L, 21L)))
+    // crossing deleteThreshold auto-compacts: tombstones purge physically
+    val l4 = l3.delete(30L to 36L)
+    assert(l4.tombstones.isEmpty, "auto-purge must fire at deleteThreshold")
+    assert(l4.vectorCount == 290 - 9) // 999999 was never there
+  }
+
+  test("delete: save/load round-trips tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("lsm_del_save_").toString
+    val deleted = (20L to 24L).toSet
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 1000000)
+      .ingest(slice(300, 350)).delete(deleted)
+    lsm.save(dir)
+    val back = LsmVectorIndex.load(spark, dir)
+    assert(back.tombstones == deleted)
+    assert(resultSet(back.query(queries, 10, searchWidth = 0)) ==
+      resultSet(lsm.query(queries, 10, searchWidth = 0)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
