@@ -1411,6 +1411,34 @@ object PipelineQueries {
       |FROM p WHERE cosine_sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s16_stream_delete
+  /** Streaming index delete ([[StreamingOps.streamIndexDelete]]): v43's
+    * lifecycle op driven by a streaming delete feed — ids 20-29 and
+    * 310-314 arrive as commands (their embeddings rows stand in for the
+    * feed), each micro-batch tombstones on the live LSM handle, and the
+    * final exact probe equals brute force over the live corpus. Set
+    * unions are idempotent and batch-order-insensitive, so v43's oracle
+    * gates the streaming path exactly. */
+  def s16StreamDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.{IndexParams, LsmVectorIndex, VectorIndex}
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val baseIdx = VectorIndex.build(base,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+    val fresh = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = Long.MaxValue / 2)
+      .ingest(fresh)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    StreamingOps.streamIndexDelete(s, s"$dir/embeddings.parquet", lsm, queries,
+      deletePred = (col("vec_id") >= 20 && col("vec_id") < 30) ||
+        (col("vec_id") >= 310 && col("vec_id") < 315), k = 10)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- s15_stream_quantiles
   /** Streaming per-source token-count quantiles
     * ([[StreamingOps.streamHistogram]]): t14's fixed-grid sketch as a
@@ -1573,6 +1601,7 @@ object PipelineQueries {
     "s13_stream_hll" -> ((s, dir) => s13StreamHll(s, dir)),
     "s14_stream_semdedup" -> ((s, dir) => s14StreamSemdedup(s, dir)),
     "s15_stream_quantiles" -> ((s, dir) => s15StreamQuantiles(s, dir)),
+    "s16_stream_delete" -> ((s, dir) => s16StreamDelete(s, dir)),
     "p1_dedup_pipeline" -> ((s, dir) => p1DedupPipeline(s, dir)),
     "p2_training_mix" -> ((s, dir) => p2TrainingMix(s, dir))
   )
@@ -1635,6 +1664,7 @@ object PipelineQueries {
     "s13_stream_hll" -> t12Oracle, // streamed sketch == batch sketch (register maxes)
     "s14_stream_semdedup" -> s14Oracle,
     "s15_stream_quantiles" -> t14Oracle, // streamed sketch == batch sketch (vector adds)
+    "s16_stream_delete" -> Queries.oracles("v43_lsm_delete"), // tombstone unions are batch-insensitive
     "p1_dedup_pipeline" -> p1Oracle,
     "p2_training_mix" -> p2Oracle
   )

@@ -623,6 +623,55 @@ object StreamingOps {
     current.query(queries, k, searchWidth = 0)
   }
 
+  /** Streaming index DELETE — the unsubscribe/GDPR-takedown face of the
+    * index lifecycle (v43): delete commands arrive as a stream of ids;
+    * each micro-batch tombstones them on the live [[graft.index.LsmVectorIndex]]
+    * handle (bounded driver fold — a delete feed is command-sized by
+    * contract, never corpus-sized), and the final exact probe equals
+    * brute force over the LIVE corpus. Tombstoning is idempotent and
+    * order-insensitive across batches (a set union), so the result is
+    * invariant to how the feed was micro-batched — the property that
+    * lets v43's oracle shape gate the streaming path exactly. */
+  def streamIndexDelete(
+      spark: SparkSession, embPath: String,
+      lsm0: graft.index.LsmVectorIndex, queries: DataFrame,
+      deletePred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(embPath))
+      d.toString
+    })
+    val deletes = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(deletePred)
+      .select(col("vec_id").cast("long").as("id"))
+    @volatile var current = lsm0
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    try {
+      val q = deletes.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ids = batch.collect().map(_.getLong(0))
+          if (ids.nonEmpty) current = current.delete(ids)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    current.query(queries, k, searchWidth = 0)
+  }
+
   /** LSM-generational streaming index maintenance — the scale-safe form of
     * [[streamIndexAppend]]: each micro-batch becomes a small FRESH
     * generation ([[graft.index.LsmVectorIndex.ingest]], O(batch) work —
