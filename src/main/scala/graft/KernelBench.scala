@@ -110,7 +110,12 @@ object KernelBench {
     // a driver-built Seq arrives as a LocalTableScan; spread it so every
     // scan below actually parallelizes. In dist mode the corpus is
     // generated per-id inside the executors instead.
-    val df = (if (dist)
+    // dist corpora are deterministic per-id regenerations — caching them
+    // is a pure storage liability at decade scale (the 100M float run
+    // died ENOSPC: corpus cache + serialized index rows overflow the
+    // storage pool and MEMORY_AND_DISK eviction + live shuffle writes
+    // exceed the node's local disk; regenerating a row costs microseconds)
+    val df0 = if (dist)
       spark.range(n.toLong).rdd.mapPartitions { it =>
         it.map { id =>
           val r = new scala.util.Random(id * 2654435761L + 13)
@@ -118,7 +123,8 @@ object KernelBench {
         }
       }.toDF("id", "embedding")
     else data.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
-      .toDF("id", "embedding").repartition(cpus.toInt)).cache()
+      .toDF("id", "embedding").repartition(cpus.toInt)
+    val df = if (dist) df0 else df0.cache()
     df.count()
     val qdf = queries.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toSeq
       .toDF("query_id", "embedding")
