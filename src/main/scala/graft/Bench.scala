@@ -55,7 +55,12 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args: run only the named queries (exact names or prefixes)
+    // — isolates one query's steady-state cost from the full suite's
+    // accumulated cache/heap context when chasing a per-query regression
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = if (args.isEmpty) all
+      else all.filter { case (n, _) => args.exists(n.startsWith) }
     val pass1 = ordered.map { case (name, fn) => timeOnce(name, fn) }
     val pass2 = ordered.map { case (name, fn) => timeOnce(name, fn) }
     val results = ordered.zip(pass1.zip(pass2)).map {
@@ -94,7 +99,17 @@ object Bench {
     // omit the errors array when clean — every byte of the line competes
     // with the consumer's 2000-char tail window
     val errs = if (failed.isEmpty) "" else s""","errors":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}""")
+    // TWO lines, per-query detail FIRST and the total LAST: the consumer
+    // records only the last ~2000 chars of output and parses a JSON line
+    // out of that window. At 119+ queries the full per-query line outgrew
+    // the window and BENCH_r12 lost the total entirely (front-truncated,
+    // parsed=null). The final line is short (total + the slowest queries),
+    // so it ALWAYS survives the tail intact and parses, while the big
+    // detail line keeps as much of its end in the window as fits.
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val slow = results.filter(_._3).sortBy(-_._2).take(8)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow$errs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
