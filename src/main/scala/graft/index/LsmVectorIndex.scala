@@ -65,7 +65,17 @@ final class LsmVectorIndex private (
       // tombstones change probe RESULTS without changing any member, so
       // they must change the identity too (rewrite/catalog cache safety)
       (if (tombstones.isEmpty) ""
-       else s":t${tombstones.size}:${tombstones.toSeq.sorted.hashCode()}")
+       // md5 of the sorted id list, not hashCode: probeId exists so
+       // rewrite/catalog caches never serve results for the WRONG deleted
+       // set, and a 32-bit hash of two same-size sets can collide
+       else {
+         val md = java.security.MessageDigest.getInstance("MD5")
+         val bb = java.nio.ByteBuffer.allocate(8)
+         tombstones.toSeq.sorted.foreach { id =>
+           bb.clear(); bb.putLong(id); md.update(bb.array())
+         }
+         s":t${tombstones.size}:${md.digest().map("%02x".format(_)).mkString}"
+       })
   override def probeMetric: graft.functions.DistanceMetric = base.params.metric
   override def probeSession: org.apache.spark.sql.SparkSession = base.rows.sparkSession
   override def probeDescription: String =

@@ -398,7 +398,13 @@ class VectorIndex private (
     val spark = rows.sparkSession
     import spark.implicits._
     val ids = removeIds.select(col("id").cast("long")).distinct().cache()
-    val affected = ids
+    // only ids actually PRESENT can change a shard: hashing the raw
+    // request set would rebuild shards that lose nothing (e.g. LSM
+    // tombstones for fresh-generation ids that never reached this base —
+    // deletes are idempotent, so absent ids are legal and common). One
+    // broadcast semi-join over the cached rows, then shards of the hits.
+    val affected = rows.toDF().select(col("global_id").as("id"))
+      .join(broadcast(ids), Seq("id"), "left_semi")
       .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet
     if (affected.isEmpty) { ids.unpersist(); return this }

@@ -34,13 +34,28 @@ final class HistogramBuffer(val lo: Long, val hi: Long, val bins: Int)
     extends Serializable {
   require(bins >= 1 && bins <= (1 << 20), s"bins must be in [1, 2^20], got $bins")
   require(hi > lo, s"range must be non-empty, got [$lo, $hi)")
+  // given hi > lo, a wrapped (negative) hi - lo means the true width
+  // exceeds Long.MaxValue — then v - lo below could wrap too and index
+  // garbage bins; reject the shape instead of mis-binning silently
+  require(hi - lo > 0,
+    s"range width (hi - lo) must fit in a signed 64-bit long, got [$lo, $hi)")
+  private val width = hi - lo
+  // (v - lo) * bins overflows Long once v - lo > Long.MaxValue / bins
+  // (legal for wide ranges, e.g. hi near Long.MaxValue with bins=1024);
+  // past that threshold fall back to exact wide multiplication — same
+  // floor((d * bins) / width) value, no wrap into a negative index
+  private val mulSafeMax = Long.MaxValue / bins
   val counts = new Array[Long](bins)
 
   def add(v: Long): Unit = {
     val idx =
       if (v < lo) 0
       else if (v >= hi) bins - 1
-      else ((v - lo) * bins / (hi - lo)).toInt
+      else {
+        val d = v - lo // in [0, width), no wrap: width fits in a Long
+        if (d <= mulSafeMax) (d * bins / width).toInt
+        else (BigInt(d) * bins / width).toInt
+      }
     counts(idx) += 1
   }
 
@@ -130,6 +145,8 @@ object HistogramSketch {
     }
     val (lo, hi, bins) = (lit(1, "lo"), lit(2, "hi"), lit(3, "bins"))
     if (hi <= lo) fail(s"range must be non-empty, got [$lo, $hi)")
+    if (hi - lo <= 0) // wrapped: true width exceeds Long.MaxValue
+      fail(s"range width (hi - lo) must fit in a signed 64-bit long, got [$lo, $hi)")
     if (bins < 1 || bins > (1 << 20)) fail(s"bins must be in [1, 2^20], got $bins")
     HistogramSketchAgg(es(0), lo, hi, bins.toInt)
   }

@@ -569,6 +569,10 @@ object Multimodal {
         val g = BigInt(inRate).gcd(BigInt(outRate)).toInt
         val num = inRate / g
         val den = outRate / g
+        // a zero-length clip has no position to interpolate at — emit no
+        // rows (without the guard, (-1)*den/num+1 is 1 when den<num and
+        // xs(0) throws; 0 when den>=num — inconsistent edge behavior)
+        if (xs.isEmpty) Seq.empty[ResampledSample] else {
         val nOut = ((xs.length - 1).toLong * den / num).toInt + 1
         (0 until nOut).map { j =>
           val p = j.toLong * num
@@ -578,6 +582,7 @@ object Multimodal {
             if (r == 0) xs(i).toDouble
             else ((den - r).toLong * xs(i) + r.toLong * xs(i + 1)).toDouble / den
           ResampledSample(id, j + 1, nOut, v)
+        }
         }
       }).toDF()
   }

@@ -21,6 +21,30 @@ class HistogramSketchSpec extends AnyFunSuite with SparkSuite {
     assert(b.counts.sum === 8)
   }
 
+  test("wide-but-legal ranges bin correctly (no Long overflow) and wrapped widths are rejected") {
+    // (v - lo) * bins would overflow Long here; the exact wide-product
+    // fallback must land each value in its true bin, never a negative index
+    val b = new HistogramBuffer(0, Long.MaxValue, 1024)
+    b.add(0L)
+    b.add(Long.MaxValue - 1) // last bin
+    b.add(Long.MaxValue / 2) // middle bin
+    assert(b.counts(0) === 1)
+    assert(b.counts(1023) === 1)
+    assert(b.counts(511) === 1)
+    assert(b.counts.sum === 3)
+    // negative lo with the same wide fallback
+    val c = new HistogramBuffer(-1000, Long.MaxValue - 1000, 4)
+    c.add(Long.MaxValue - 1001)
+    assert(c.counts(3) === 1)
+    // hi > lo but hi - lo wraps past Long.MaxValue: rejected, not mis-binned
+    assertThrows[IllegalArgumentException] {
+      new HistogramBuffer(Long.MinValue, Long.MaxValue, 16)
+    }
+    assertThrows[IllegalArgumentException] {
+      new HistogramBuffer(-2, Long.MaxValue, 16)
+    }
+  }
+
   test("merge is lossless vector addition (property)") {
     val gen = Gen.listOf(Gen.chooseNum(-50L, 150L))
     val prop = Prop.forAll(gen, gen) { (a, b) =>

@@ -313,6 +313,47 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(l4.vectorCount == 290 - 9) // 999999 was never there
   }
 
+  test("interleaved ingest+delete across micro-batches probes like brute force over the live corpus") {
+    import spark.implicits._
+    // a CDC-shaped feed: appends and deletes interleave, auto-compaction
+    // fires mid-stream (threshold 120 crossed by the second append, so
+    // the outstanding tombstones purge physically there), and more
+    // deletes land AFTER the fold. The invariance a real feed needs:
+    // the final probe equals brute force over the live corpus no matter
+    // where the compaction boundary fell.
+    val deleted = ((20L to 24L) ++ Seq(310L, 311L, 355L, 30L)).toSet
+    val lsm = LsmVectorIndex(baseIdx, compactThreshold = 120)
+      .ingest(slice(300, 350))      // gen1: 50 fresh
+      .delete(20L to 24L)           // base ids
+      .delete(Seq(310L, 311L))      // fresh-generation ids
+      .ingest(slice(350, 420))      // freshCount 120 -> auto-compacts, purges
+      .delete(Seq(355L, 30L))       // post-compaction deletes (one ex-fresh, one base)
+      .ingest(slice(420, 440))      // gen after the fold
+    assert(lsm.tombstones == Set(355L, 30L),
+      "pre-compaction tombstones must have purged in the auto-fold")
+    val got = resultSet(lsm.query(queries, 10, searchWidth = 0))
+    assert(got == flatExactMinus(440, deleted))
+    // a final compact preserves the probe and goes fully physical
+    val compacted = lsm.compact()
+    assert(compacted.tombstones.isEmpty && compacted.generations.isEmpty)
+    assert(resultSet(compacted.query(queries, 10, searchWidth = 0)) == got)
+    assert(compacted.vectorCount == 430 - deleted.size)
+  }
+
+  test("remove: ids absent from the index rebuild NOTHING (shard-scope economics)") {
+    import spark.implicits._
+    val idx = baseIdx
+    // every requested id is absent -> the index is returned untouched,
+    // not a rebuilt copy (before round 13, absent ids still forced full
+    // graph rebuilds of the shards their HASHES landed on)
+    assert(idx.remove(Seq(999999L, 123456L).toDF("id")) eq idx,
+      "removing only absent ids must be the identity")
+    // mixed present+absent: result equals removing just the present ones
+    val a = resultSet(idx.remove(Seq(20L, 999999L).toDF("id"))
+      .query(queries, 10, searchWidth = 0))
+    assert(a == flatExactMinus(300, Set(20L)))
+  }
+
   test("delete: save/load round-trips tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("lsm_del_save_").toString
     val deleted = (20L to 24L).toSet
