@@ -98,6 +98,8 @@ object SparkEntry {
     "q12_range_frame" -> ((s, dir) => Queries.q12RangeFrame(s, dir)),
     "v42_hybrid_rrf" -> ((s, dir) => Queries.v42HybridRrf(s, dir)),
     "v43_lsm_delete" -> ((s, dir) => Queries.v43LsmDelete(s, dir)),
+    "v44_hybrid_ann" -> ((s, dir) => Queries.v44HybridAnn(s, dir)),
+    "v45_residual_trained" -> ((s, dir) => Queries.v45ResidualTrained(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

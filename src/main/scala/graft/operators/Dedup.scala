@@ -680,7 +680,15 @@ object Dedup {
     * Scale: the only shuffles are the cell equi-join (key cardinality =
     * numCells; at 100 TB pick numCells ~ sqrt(corpus) so cells stay
     * executor-sized, and the skew knob is AQE skew-join on the cell key)
-    * and the bounded groupBy on removed_id. */
+    * and the bounded groupBy on removed_id. The skew knob is MEASURED to
+    * engage (PlanShapeSpec "d15 hot-cell skew"): with one deliberately
+    * hot cell the join re-plans to SortMergeJoin(skew=true), both sides
+    * sub-split and cross-paired. One config caveat: because the keep-rule
+    * aggregate legally reuses the join's cell partitioning (no post-join
+    * exchange), the conservative AQE default declines the split — set
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin=true` when a corpus has
+    * pathological cells; the extra exchange it buys is exactly the
+    * straggler trade you want there. */
   def semanticDedupRemovals(
       embeddings: DataFrame, numCells: Int, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -32,15 +32,38 @@ object HybridRetrieval {
     *
     * @param queries (query_id, text)
     * @param corpus (doc_id, text)
+    * @param maxTokenDf drop tokens whose CORPUS document frequency
+    *   exceeds this ceiling before the posting join — the 100 TB knob
+    *   (d2's `maxShingleDf` applied to tokens). Without it one stopword
+    *   in a query matches essentially every document and the
+    *   pre-aggregation pair stream approaches q x corpus. An
+    *   overlap count over df-capped tokens is still a valid ranking —
+    *   a near-universal token carries no discriminative signal — but it
+    *   IS a different ranking from the uncapped one (deliberate,
+    *   documented semantics; the default keeps exact overlap).
+    *   Scale shape: with the ceiling a fixed fraction f of the corpus,
+    *   at most avg_doc_len/f tokens can exceed it — a corpus-size-
+    *   independent set, computed by one token groupBy and removed via a
+    *   BROADCAST anti-join, so the cap never adds a corpus-sized shuffle.
     * @return (query_id, doc_id, n_shared, lex_rank), lex_rank <= n
     */
-  def lexicalTopN(queries: DataFrame, corpus: DataFrame, n: Int): DataFrame = {
+  def lexicalTopN(queries: DataFrame, corpus: DataFrame, n: Int,
+      maxTokenDf: Long = Long.MaxValue): DataFrame = {
     def toks(df: DataFrame, idAs: String, idFrom: String) = df.select(
       col(idFrom).as(idAs),
       explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
     val qt = toks(queries, "query_id", "query_id")
-    val ct = toks(corpus, "doc_id", "doc_id")
+    val ct0 = toks(corpus, "doc_id", "doc_id")
+    val ct =
+      if (maxTokenDf == Long.MaxValue) ct0
+      else {
+        val hot = ct0.groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTokenDf)
+          .select(col("tok"))
+        ct0.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
     val overlap = ct.join(broadcast(qt), Seq("tok"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -32,6 +32,30 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(r === Set(10L, 11L)) // rank 3 (doc 12) cut by n=2
   }
 
+  test("lexicalTopN maxTokenDf prunes high-df tokens before pair emission") {
+    // 'stop' appears in EVERY corpus doc (the stopword failure class);
+    // 'rare' in one. Cap df at 2 of 3 docs.
+    val q = Seq((1L, "stop rare")).toDF("query_id", "text")
+    val c = Seq(
+      (10L, "stop rare x"), (11L, "stop y"), (12L, "stop z"))
+      .toDF("doc_id", "text")
+    val r = HybridRetrieval.lexicalTopN(q, c, n = 10, maxTokenDf = 2)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toList
+    // 'stop' (df=3 > 2) must not reach the posting join: only doc 10
+    // surfaces, via 'rare' alone — docs 11/12 share NOTHING after the cap
+    assert(r === List((10L, 1L)))
+
+    // plan shape: the capped leg removes hot tokens via a BROADCAST
+    // anti-join (the corpus-size-independent hot set is the build side),
+    // so the cap itself never adds a corpus-sized shuffle
+    val plan = HybridRetrieval.lexicalTopN(q, c, n = 10, maxTokenDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join in:\n$plan")
+    assert(!HybridRetrieval.lexicalTopN(q, c, n = 10)
+      .queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "uncapped leg must not pay the anti-join")
+  }
+
   test("rrfFuse sums reciprocal ranks and reports 0 for a missing leg") {
     val dense = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "dense_rank")
     val lex = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "lex_rank")
@@ -44,6 +68,39 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(r(0)._2 === math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
     assert(r(1) === ((10L, math.rint(1.0 / 61 * 1e6) / 1e6, 1, 0)))
     assert(r(2) === ((12L, math.rint(1.0 / 62 * 1e6) / 1e6, 0, 2)))
+  }
+
+  private def v44Inputs = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val qe = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    (qd, cd, qe)
+  }
+
+  private def v44Hybrid(searchWidth: Int): Set[(Long, Long)] = {
+    val (qd, cd, qe) = v44Inputs
+    val idx = Queries.cosineEmbIndex(spark, sfDir)
+    val dense = idx.query(qe, k = 20, searchWidth = searchWidth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val maxDf = cd.count() * 78L / 100L
+    val lex = HybridRetrieval.lexicalTopN(qd, cd, n = 20, maxTokenDf = maxDf)
+    HybridRetrieval.rrfFuse(dense, lex, k = 10)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("index-served hybrid (v44) clears the fused-recall floor at realistic beam width") {
+    // exhaustive width == the gated equality (v44's oracle is v42's SQL);
+    // here the approximate regime the gate can't express: beam width 4.
+    val exact = v44Hybrid(searchWidth = 4096)
+    val ann = v44Hybrid(searchWidth = 4)
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"fused recall@10 = $recall < 0.9")
   }
 
   test("rrfFuse equal-score ties break by doc_id and k truncates") {

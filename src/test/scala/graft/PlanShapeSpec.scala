@@ -325,6 +325,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       s"expected exactly 1 hash Exchange (digest groupBy), got $shuffles:\n${p.take(2000)}")
   }
 
+  test("d15 hot-cell skew: AQE actually splits the skewed cell self-join") {
+    // Dedup.semanticDedupRemovals names AQE skew-join as the hot-cell
+    // knob; this is the evidence it ENGAGES. One deliberately hot cell:
+    // 95% of vectors sit in a tight ball at the origin, the id-stride
+    // centroids all land in the far cold ball, so every hot vector
+    // argmin-routes to ONE cell. Thresholds are scaled down to the
+    // fixture; the one production delta is forceOptimizeSkewedJoin=true,
+    // required because the keep-rule aggregate legally reuses the join's
+    // cell partitioning (no post-join exchange), so the conservative
+    // default would decline the split — documented in the scaladoc.
+    val s = spark
+    import s.implicits._
+    // centroid sample ids are 0,500,...,3500 (id-stride (3999+8)/8=500);
+    // id 500 sits IN the hot ball, so all 3993 hot vectors argmin-route
+    // to cell 500 while the 7 cold outliers spread over the other cells
+    val emb = s.range(4000).map { i =>
+      val r = new scala.util.Random(i)
+      val cold = i % 500 == 0 && i != 500
+      val base = if (cold) 10f else 0f
+      (i, Array.fill(8)(base + r.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val conf = s.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Dedup.semanticDedupRemovals(
+        emb, numCells = 8, threshold = 0.9999)
+      // collect, not count: count() plans a NEW query, and AQE finalizes
+      // (and skew-splits) only the execution actually run
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n${p.take(2000)}")
+      assert(p.contains("skew=true"),
+        s"expected the hot cell join to split (skew=true) in:\n${p.take(4000)}")
+      // both sides of the self-join split: Spark pairs left sub-splits
+      // with right duplicates, so a both-sides-hot partition still divides
+      assert(p.contains("skewed"), s"expected skewed AQEShuffleRead:\n${p.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("v42 hybrid RRF bounds the lexical leg with a partial WindowGroupLimit") {
     val p = plan("v42_hybrid_rrf")
     // each leg's per-query top-N must truncate map-side before its

@@ -278,4 +278,28 @@ class PqKnnSpec extends AnyFunSuite with SparkSuite {
     val (trained2, _, _) = PqKnn.trainCodebooks(corpus, numCodewords = 16, m = 8)
     assert(trained2.sameElements(trained), "training must be deterministic")
   }
+
+  test("trained RESIDUAL codebooks: pool recall >= sampled through the full IVF-PQ residual pipeline (v45)") {
+    import graft.operators.IvfKnn
+    val cents = IvfKnn.centroids(corpus, 8)
+    val resid = PqKnn.residuals(corpus, cents)
+    val exact = Queries.v4KnnExact(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitsOf(flat: Array[Float], kEff: Int, subDim: Int): Int = {
+      val pool = PqKnn.ivfPqResidualJoinWith(queries, corpus, k = 40,
+        cents, resid, nprobe = 3, flat, kEff, subDim, m = 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect pool).size
+    }
+    val (sampled, k0, sd0) = PqKnn.codebooks(resid, numCodewords = 16, m = 8)
+    val (trained, k1, sd1) = PqKnn.trainCodebooks(resid, numCodewords = 16, m = 8)
+    assert(k1 == k0 && sd1 == sd0)
+    assert(!trained.sameElements(sampled), "training should move the residual codebook")
+    val hS = hitsOf(sampled, k0, sd0)
+    val hT = hitsOf(trained, k1, sd1)
+    assert(hT >= hS, s"trained residual pool-40 hits $hT < sampled $hS")
+    assert(hS > 0, "sampled residual pool found nothing — fixture degenerate")
+  }
 }
