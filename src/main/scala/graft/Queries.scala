@@ -2384,6 +2384,86 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v46_hybrid_bm25
+  /** Hybrid retrieval with the PRODUCTION lexical leg: BM25 scoring
+    * ([[graft.operators.HybridRetrieval.bm25TopN]] — per-query-doc Okapi
+    * BM25 with t9's binary-exact k1/b, df-capped postings, distributed
+    * vocab join) fused with the exact cosine dense leg by RRF. This is
+    * the endpoint the overlap-count leg (v42) approximates: idf weighs
+    * informative terms, tf saturates, length normalizes — what
+    * BM25+vectors stacks actually deploy. The oracle replays the whole
+    * pipeline (postings, df cap, stats, score, both rankings, fusion)
+    * in closed form. */
+  def v46HybridBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qd = docs.filter(col("doc_id") < 5).select(col("doc_id").as("query_id"), col("text"))
+    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val qe = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ce = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val dense = ExactKnn.knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val maxDf = cd.count() * 78L / 100L
+    val lex = graft.operators.HybridRetrieval.bm25TopN(qd, cd, n = 20,
+      maxTokenDf = maxDf)
+    graft.operators.HybridRetrieval.rrfFuse(dense, lex, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v46Oracle = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""WITH qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |     ce AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+      |     dd AS (SELECT query_id, doc_id,
+      |              1.0 - ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS distance
+      |            FROM qe CROSS JOIN ce),
+      |     dr AS (SELECT query_id, doc_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY distance, doc_id) AS dense_rank
+      |            FROM dd),
+      |     dtop AS (SELECT * FROM dr WHERE dense_rank <= 20),
+      |     cd2 AS (SELECT doc_id, string_split(text, ' ') AS ts,
+      |               CAST(len(string_split(text, ' ')) AS INT) AS dl
+      |             FROM documents WHERE doc_id >= 10),
+      |     post AS (SELECT doc_id, dl, tok,
+      |               CAST(len(list_filter(ts, x -> x = tok)) AS DOUBLE) AS tf
+      |             FROM (SELECT doc_id, dl, ts, unnest(list_distinct(ts)) AS tok FROM cd2)
+      |             WHERE tok <> ''),
+      |     cap AS (SELECT count(*) * 78 // 100 AS max_df FROM cd2),
+      |     kept AS (SELECT tok, df FROM (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok), cap
+      |              WHERE df <= max_df),
+      |     st AS (SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM cd2),
+      |     qt2 AS (SELECT query_id, tok FROM (
+      |               SELECT doc_id AS query_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |               FROM documents WHERE doc_id < 5) WHERE tok <> ''),
+      |     sc AS (SELECT q2.query_id, p.doc_id,
+      |              round(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - k.df + 0.5) / (k.df + 0.5)) *
+      |                ((p.tf * 2.5) / (p.tf + 1.5 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / avgdl))))), 6) AS bm25
+      |            FROM post p JOIN kept k USING (tok) JOIN qt2 q2 USING (tok) CROSS JOIN st
+      |            GROUP BY q2.query_id, p.doc_id),
+      |     sr AS (SELECT query_id, doc_id,
+      |              row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+      |            FROM sc),
+      |     stop AS (SELECT * FROM sr WHERE lex_rank <= 20),
+      |     f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+      |             coalesce(d.doc_id, s.doc_id) AS doc_id,
+      |             d.dense_rank, s.lex_rank,
+      |             round(coalesce(1.0 / (60 + d.dense_rank), 0) +
+      |                   coalesce(1.0 / (60 + s.lex_rank), 0), 6) AS rrf
+      |           FROM dtop d FULL OUTER JOIN stop s
+      |             ON d.query_id = s.query_id AND d.doc_id = s.doc_id),
+      |     r AS (SELECT query_id, doc_id, rrf, dense_rank, lex_rank,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      |           FROM f)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+      |  CAST(coalesce(dense_rank, 0) AS INT) AS dense_rank,
+      |  CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v45_residual_trained
   // trained residual codebooks, one per sf dir (same memoization role as
   // pqTrainedCache; the Lloyd loop is deterministic, so the floats are
@@ -2501,6 +2581,7 @@ object Queries {
     "v43_lsm_delete" -> v43Oracle,
     "v44_hybrid_ann" -> v42Oracle, // dense beam at exhaustive width == exact scan
     "v45_residual_trained" -> v45Oracle,
+    "v46_hybrid_bm25" -> v46Oracle,
     "t5_json" -> t5Oracle
   )
 }

@@ -100,6 +100,7 @@ object SparkEntry {
     "v43_lsm_delete" -> ((s, dir) => Queries.v43LsmDelete(s, dir)),
     "v44_hybrid_ann" -> ((s, dir) => Queries.v44HybridAnn(s, dir)),
     "v45_residual_trained" -> ((s, dir) => Queries.v45ResidualTrained(s, dir)),
+    "v46_hybrid_bm25" -> ((s, dir) => Queries.v46HybridBm25(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

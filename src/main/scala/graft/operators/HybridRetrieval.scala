@@ -74,6 +74,71 @@ object HybridRetrieval {
       .filter(col("lex_rank") <= n)
   }
 
+  /** BM25-scored lexical leg — what retrieval stacks actually deploy
+    * (Okapi BM25, Robertson & Walker SIGIR'94; same formula and
+    * binary-exact k1/b constants as [[Bm25.score]], here per QUERY DOC
+    * against the corpus instead of a fixed term list).
+    *
+    * Plan shape, stage by stage:
+    *  - per-doc term frequencies are computed MAP-SIDE with higher-order
+    *    functions (array_distinct + filter-count per distinct token) —
+    *    postings need no (doc, token) shuffle to build;
+    *  - the document-frequency table is vocab-sized, so the postings-df
+    *    join stays DISTRIBUTED on the token key (the t11 lesson: a raw
+    *    tokenizer's vocab runs to billions at web scale — never a
+    *    broadcast); only the one-row (N, avgdl) stats broadcast;
+    *  - `maxTokenDf` drops tokens above the df ceiling before pair
+    *    emission — BM25's idf DISCOUNTS stopwords smoothly but does not
+    *    bound the join output; the cap does (and costs those tokens only
+    *    their near-zero idf contribution);
+    *  - query tokens broadcast (bounded batch), pairs aggregate
+    *    partially map-side, one per-query WindowGroupLimit.
+    *
+    * Scores are rounded to 6 decimals BEFORE ranking (ulp-level float
+    * wobble stays under the reporting grain — the v38 argument), ties
+    * break by doc_id.
+    *
+    * @return (query_id, doc_id, bm25, lex_rank), lex_rank <= n
+    */
+  def bm25TopN(queries: DataFrame, corpus: DataFrame, n: Int,
+      maxTokenDf: Long = Long.MaxValue,
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val ct = corpus.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("ts"))
+      .withColumn("dl", size(col("ts")))
+    val postings = ct.select(col("doc_id"), col("dl"),
+        explode(transform(array_distinct(col("ts")),
+          t => struct(t.as("tok"),
+            size(filter(col("ts"), x => x === t)).as("tf")))).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.tok").as("tok"), col("p.tf").as("tf"))
+      .filter(col("tok") =!= "")
+    val stats = ct.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfKept = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTokenDf)
+    val qt = queries.select(col("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val dlNorm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))
+    val tfD = col("tf").cast("double")
+    postings
+      .join(dfKept, Seq("tok"))
+      .join(broadcast(qt), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (idf * ((tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * dlNorm))).as("ts_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("ts_score")), 6).as("bm25"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .filter(col("lex_rank") <= n)
+  }
+
   /** RRF fusion of two per-query rankings. Inputs carry
     * (query_id, doc_id, <rankCol>); docs absent from a leg contribute 0
     * to the fused score and surface with that leg's rank reported as 0

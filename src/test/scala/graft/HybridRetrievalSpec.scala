@@ -70,6 +70,31 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(r(2) === ((12L, math.rint(1.0 / 62 * 1e6) / 1e6, 0, 2)))
   }
 
+  test("bm25TopN ranks by Okapi BM25 and the df cap drops stopword postings") {
+    val q = Seq((1L, "apple banana")).toDF("query_id", "text")
+    val c = Seq(
+      (10L, "apple apple banana"), // both terms, tf(apple)=2
+      (11L, "apple kiwi"),         // one shared term
+      (12L, "kiwi melon"))         // no shared term -> absent
+      .toDF("doc_id", "text")
+    val r = HybridRetrieval.bm25TopN(q, c, n = 10)
+      .orderBy("lex_rank")
+      .select("doc_id", "lex_rank").as[(Long, Int)].collect().toList
+    assert(r === List((10L, 1), (11L, 2)))
+    // hand-check doc 11's single-term score: idf(apple)=ln(1+1.5/2.5),
+    // tf=1, dl=2, avgdl=7/3 -> tf term = 2.5/(1+1.5*(0.25+0.75*6/7))
+    val s11 = HybridRetrieval.bm25TopN(q, c, n = 10)
+      .filter(col("doc_id") === 11L).select("bm25").as[Double].head()
+    val expected = math.log(1.0 + 1.5 / 2.5) *
+      (2.5 / (1.0 + 1.5 * (0.25 + 0.75 * (2.0 / (7.0 / 3.0)))))
+    assert(math.abs(s11 - math.rint(expected * 1e6) / 1e6) < 1e-9)
+    // df cap at 1: 'apple' (df=2) never reaches pair emission — doc 11
+    // drops out entirely, doc 10 survives on 'banana' alone
+    val capped = HybridRetrieval.bm25TopN(q, c, n = 10, maxTokenDf = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped === Set(10L))
+  }
+
   private def v44Inputs = {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
