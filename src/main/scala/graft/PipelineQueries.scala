@@ -688,6 +688,75 @@ object PipelineQueries {
       |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN (bin + 1) * 8 END) AS INT) AS p99
       |FROM j GROUP BY source, n ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t15_pii_scrub
+  /** PII redaction (emails + phone numbers → typed placeholder tags) —
+    * the compliance pass a training-data pipeline runs before anything
+    * else sees the text. The testdata corpus carries no PII, so each doc
+    * gets a DETERMINISTIC synthetic contact line derived from its id
+    * (the m4/m7 synthesize-from-id pattern — both engines construct the
+    * identical string), then the scrub chain runs for real: per-doc
+    * match counts plus the md5 of the scrubbed text, so a single
+    * off-by-one in either regex fails the hash. Patterns live in the
+    * Spark/DuckDB regex intersection ([[TextFunctions.emailRe]]). Whole
+    * operator is map-side regexp work — zero shuffle at any corpus
+    * size. */
+  def t15PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+    withPii.select(col("doc_id"),
+        TextFunctions.matchCount(col("text"), TextFunctions.emailRe).as("n_emails"),
+        TextFunctions.matchCount(col("text"), TextFunctions.phoneRe).as("n_phones"),
+        md5(TextFunctions.scrubPii(col("text"))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t15Oracle = {
+    // the patterns interpolate verbatim: they use no chars that a DuckDB
+    // single-quoted literal would re-interpret (backslashes pass through)
+    val email = TextFunctions.emailRe
+    val phone = TextFunctions.phoneRe
+    s"""WITH p AS (SELECT doc_id,
+      |             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-01' ||
+      |               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+      |      '$phone', '<PHONE>', 'g')) AS scrubbed_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t16_chunks
+  /** Sliding-window token chunking (32-token windows every 24 tokens) —
+    * the context-window packing step that turns documents into training
+    * rows. [[TextFunctions.tokenChunks]] builds the windows with
+    * sequence + slice (codegen'd) so chunking is ONE map-side explode,
+    * zero shuffle; every chunk is gated by md5 of its joined tokens, so
+    * any boundary slip in either engine fails the hash. Output volume is
+    * input x ~len/stride rows — the operator that runs immediately
+    * before tokenizer/packing at 100 TB, where a shuffle here would
+    * dominate the pipeline. */
+  def t16Chunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenChunks(col("text"), size = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        size(col("c.toks")).as("n_tokens"),
+        md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("start"))
+
+  private val t16Oracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |st AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS start FROM d)
+      |SELECT doc_id, CAST(start AS INT) AS start,
+      |  CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens,
+      |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
+      |FROM st ORDER BY doc_id, start""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -1574,6 +1643,8 @@ object PipelineQueries {
     "t12_approx_distinct" -> ((s, dir) => t12ApproxDistinct(s, dir)),
     "t13_tfidf" -> ((s, dir) => t13Tfidf(s, dir)),
     "t14_hist_quantiles" -> ((s, dir) => t14HistQuantiles(s, dir)),
+    "t15_pii_scrub" -> ((s, dir) => t15PiiScrub(s, dir)),
+    "t16_chunks" -> ((s, dir) => t16Chunks(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1637,6 +1708,8 @@ object PipelineQueries {
     "t12_approx_distinct" -> t12Oracle,
     "t13_tfidf" -> t13Oracle,
     "t14_hist_quantiles" -> t14Oracle,
+    "t15_pii_scrub" -> t15Oracle,
+    "t16_chunks" -> t16Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

@@ -61,6 +61,47 @@ object TextFunctions {
       lit(7L),
       (acc, x) => pmod(acc * lit(31L) + x, lit(2147483647L)))
 
+  /** PII patterns shared by the scrubber and its oracle. Deliberately
+    * written in the regex intersection both Spark (java.util.regex) and
+    * DuckDB (RE2) execute identically: explicit classes ([0-9], not \d),
+    * no backrefs, no lookaround. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+  /** PII scrubbing (emails then phone numbers → typed placeholder
+    * tags) — the redaction pass every compliant training-data pipeline
+    * runs before anything else sees the text. Pure map-side
+    * regexp_replace chain, zero shuffle; DuckDB replays it with the same
+    * patterns and the 'g' flag. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of `re` matches (Spark's codegen'd regexp_count; DuckDB:
+    * len(regexp_extract_all(...))). */
+  def matchCount(text: Column, re: String): Column =
+    regexp_count(text, lit(re)).cast("long")
+
+  /** Sliding-window token chunking: (chunk_idx, tokens) windows of
+    * `size` tokens every `stride` tokens — the context-window packing
+    * step for training corpora. Windows start at 1, 1+stride, ...; the
+    * last window may be short but never empty; a document shorter than
+    * one window yields exactly one chunk. Built from sequence + slice
+    * (codegen'd), so chunking is one map-side explode — zero shuffle —
+    * and DuckDB replays it with generate_series + list slicing. */
+  def tokenChunks(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1, got $size/$stride")
+    val ts = tokens(text)
+    val n = greatest(org.apache.spark.sql.functions.size(ts), lit(1))
+    // starts: 1, 1+stride, ..., last start <= n (so every token is covered
+    // once size >= stride; the final short window is kept)
+    val starts = sequence(lit(1), n, lit(stride))
+    transform(starts, st => struct(
+      st.as("start"),
+      slice(ts, st, lit(size)).as("toks")))
+  }
+
   /** SimHash-32: per-bit vote over token hashes; bit b of the result is 1
     * when more tokens have bit b set than clear. Computed per-document from
     * the token-hash array (no shuffle). */

@@ -598,4 +598,44 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val down = PpmCodec.resizeNearest(4, 4, up, 2, 2)
     assert(down.toSeq === rgb.toSeq)
   }
+
+  test("scrubPii redacts emails and phones, leaves clean text untouched") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "mail me at a.b+c@sub.example.org today"),
+      (2L, "call +1-555-0100 or +44-207-946-0958"),
+      (3L, "no pii here at all"),
+      (4L, "two mails x@y.io and z@w.co plus +1-555-0199"))
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("t"),
+        TextFunctions.matchCount(col("text"), TextFunctions.emailRe).as("ne"),
+        TextFunctions.matchCount(col("text"), TextFunctions.phoneRe).as("np"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toList.sortBy(_._1)
+    assert(r(0) === ((1L, "mail me at <EMAIL> today", 1L, 0L)))
+    assert(r(1) === ((2L, "call <PHONE> or <PHONE>", 0L, 2L)))
+    assert(r(2) === ((3L, "no pii here at all", 0L, 0L)))
+    assert(r(3) === ((4L, "two mails <EMAIL> and <EMAIL> plus <PHONE>", 2L, 1L)))
+  }
+
+  test("tokenChunks windows cover every token; short docs yield one chunk") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // size 3, stride 2 -> starts 1,3,5,7
+      (2L, "a"),                    // one 1-token chunk
+      (3L, ""))                     // split("") = [""] -> one chunk of the empty token
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        explode(TextFunctions.tokenChunks(col("text"), size = 3, stride = 2)).as("c"))
+      .select(col("doc_id"), col("c.start"), col("c.toks"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2).toList)).toList
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2) === List(1, 3, 5, 7))
+    assert(d1.head._3 === List("t1", "t2", "t3"))
+    assert(d1.last._3 === List("t7")) // trailing short window kept
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_._3).toSet === (1 to 7).map("t" + _).toSet)
+    assert(r.filter(_._1 == 2L) === List((2L, 1, List("a"))))
+    assert(r.filter(_._1 == 3L) === List((3L, 1, List(""))))
+  }
 }
