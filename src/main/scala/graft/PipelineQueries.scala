@@ -757,6 +757,79 @@ object PipelineQueries {
       |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
       |FROM st ORDER BY doc_id, start""".stripMargin
 
+  // ---------------------------------------------------------------- t17_repetition
+  /** Within-document repetition ratios — the Gopher-class quality rule
+    * (Rae et al., arXiv:2112.11446 §A1.1: docs dominated by repeated
+    * n-grams are boilerplate/spam and get filtered): per doc, the
+    * fraction of duplicate tokens and of duplicate word trigrams,
+    * computed entirely from per-row arrays (distinct count vs total
+    * count — exact integers, one rounded division). Map-only, zero
+    * shuffle; the flag column applies the paper-style threshold. */
+  def t17Repetition(s: SparkSession, dir: String): DataFrame = {
+    val ts = TextFunctions.tokens(col("text"))
+    val n = size(ts)
+    val dupTok = lit(1.0) - size(array_distinct(ts)).cast("double") / n.cast("double")
+    // NB: guard short docs BEFORE sequence — Spark's sequence(1, 0)
+    // defaults to step -1 and counts DOWN (then slice(.., 0, ..) throws);
+    // DuckDB's generate_series(1, 0) is empty. The CASE keeps both empty.
+    val grams = expr(
+      "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+        "transform(sequence(1, size(split(text, ' ')) - 2, 1), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) " +
+        "ELSE array() END")
+    val nG = size(grams)
+    val dupG = when(nG === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / nG.cast("double"))
+    Tables.documents(s, dir).select(col("doc_id"),
+        round(dupTok, 6).as("dup_token_ratio"),
+        round(dupG, 6).as("dup_trigram_ratio"))
+      .withColumn("flagged",
+        col("dup_token_ratio") > 0.7 || col("dup_trigram_ratio") > 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t17Oracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, ts,
+      |        list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+      |          i -> array_to_string(list_slice(ts, i, i + 2), ' ')) AS grams
+      |      FROM d),
+      |r AS (SELECT doc_id,
+      |        round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS dup_token_ratio,
+      |        CASE WHEN len(grams) = 0 THEN 0.0
+      |             ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+      |        END AS dup_trigram_ratio
+      |      FROM g)
+      |SELECT doc_id, dup_token_ratio, dup_trigram_ratio,
+      |  (dup_token_ratio > 0.7 OR dup_trigram_ratio > 0.3) AS flagged
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t18_stratified
+  /** Stratified deterministic sampling ([[Sampling.stratifiedSample]]):
+    * per-language accept rates over the shared md5 buckets — the
+    * training-mix rebalance (down-sample the dominant 'en', keep more of
+    * the rare languages) as a pure per-row predicate: no RNG, no join,
+    * no shuffle, exact per-stratum fractions, identical row set on any
+    * engine/partitioning. The report aggregates kept counts per lang so
+    * the gate pins both the membership AND the rates. */
+  private val t18Rates = Map("en" -> 2, "zh" -> 8)
+
+  def t18Stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        buckets = 10, rates = t18Rates, defaultAccept = 5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+
+  private val t18Oracle =
+    """WITH b AS (SELECT doc_id, lang,
+      |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10 AS bucket
+      |           FROM documents),
+      |k AS (SELECT * FROM b WHERE bucket < (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 8 ELSE 5 END))
+      |SELECT lang, COUNT(*) AS kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -1645,6 +1718,8 @@ object PipelineQueries {
     "t14_hist_quantiles" -> ((s, dir) => t14HistQuantiles(s, dir)),
     "t15_pii_scrub" -> ((s, dir) => t15PiiScrub(s, dir)),
     "t16_chunks" -> ((s, dir) => t16Chunks(s, dir)),
+    "t17_repetition" -> ((s, dir) => t17Repetition(s, dir)),
+    "t18_stratified" -> ((s, dir) => t18Stratified(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1710,6 +1785,8 @@ object PipelineQueries {
     "t14_hist_quantiles" -> t14Oracle,
     "t15_pii_scrub" -> t15Oracle,
     "t16_chunks" -> t16Oracle,
+    "t17_repetition" -> t17Oracle,
+    "t18_stratified" -> t18Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

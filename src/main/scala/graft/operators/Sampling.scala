@@ -39,4 +39,24 @@ object Sampling {
     val b = hashBucket(col(idCol), buckets)
     (df.filter(b >= testBuckets), df.filter(b < testBuckets))
   }
+
+  /** Stratified deterministic sample: each stratum keeps its own
+    * accept-count of the shared hash buckets — the training-mix move
+    * (down-sample the over-represented stratum, keep more of the rare
+    * ones). `rates` maps stratum value -> accepted buckets in
+    * [0, buckets]; strata absent from the map keep `defaultAccept`.
+    * Still a pure per-row predicate (the bounded rates map inlines as a
+    * CASE chain — no join, no shuffle, no RNG), so the kept row set is
+    * identical on any engine or partitioning, and per-stratum fractions
+    * are exact multiples of 1/buckets by construction. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      buckets: Int, rates: Map[String, Int], defaultAccept: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    (rates.values.toSeq :+ defaultAccept).foreach(a =>
+      require(a >= 0 && a <= buckets, s"accept $a outside [0, $buckets]"))
+    val accept = rates.foldLeft(lit(defaultAccept)) { case (acc, (k, a)) =>
+      when(col(stratumCol) === k, lit(a)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < accept)
+  }
 }

@@ -599,6 +599,50 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(down.toSeq === rgb.toSeq)
   }
 
+  test("stratifiedSample: per-stratum rates, disjoint from nothing, default applies") {
+    import graft.operators.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(df, "doc_id", "lang",
+      buckets = 10, rates = Map("en" -> 0), defaultAccept = 10)
+      .select("lang").as[String].collect()
+    assert(!kept.contains("en"), "rate 0 must drop the whole stratum")
+    assert(kept.count(_ == "fr") === 1000, "accept == buckets keeps everything")
+    // membership is exactly the per-stratum restriction of the flat sample
+    val flat = Sampling.deterministicSample(df, "doc_id", buckets = 10, accept = 3)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val strat = Sampling.stratifiedSample(df, "doc_id", "lang",
+      buckets = 10, rates = Map("en" -> 3), defaultAccept = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strat === flat)
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "doc_id", "lang", 10, Map("en" -> 11), 5)
+    }
+  }
+
+  test("repetition ratios: hand-computed duplicate token/trigram fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),       // 4 tokens 1 distinct -> 0.75; trigrams: "a a a" x2 -> 0.5
+      (2L, "w x y z"),       // all unique -> 0, trigrams unique -> 0
+      (3L, "a b"))           // no trigram -> ratio 0
+      .toDF("doc_id", "text")
+    // reuse the gated query's column logic through a temp dir-free path:
+    // recompute with the same expressions the query uses
+    import graft.functions.TextFunctions
+    val ts = TextFunctions.tokens(col("text"))
+    val grams = expr(
+      "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+        "transform(sequence(1, size(split(text, ' ')) - 2, 1), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) " +
+        "ELSE array() END")
+    val r = docs.select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts).cast("double"), 6).as("dt"),
+        when(size(grams) === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6)).as("dg"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList.sortBy(_._1)
+    assert(r === List((1L, 0.75, 0.5), (2L, 0.0, 0.0), (3L, 0.0, 0.0)))
+  }
+
   test("scrubPii redacts emails and phones, leaves clean text untouched") {
     import graft.functions.TextFunctions
     val docs = Seq(
