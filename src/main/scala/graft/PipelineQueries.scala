@@ -700,12 +700,18 @@ object PipelineQueries {
     * Spark/DuckDB regex intersection ([[TextFunctions.emailRe]]). Whole
     * operator is map-side regexp work — zero shuffle at any corpus
     * size. */
-  def t15PiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val withPii = Tables.documents(s, dir).select(col("doc_id"),
+  /** Deterministic synthetic contact line per doc id (testdata carries no
+    * PII; both engines construct the identical string) — shared by t15
+    * and the streaming sanitize pass. */
+  private[graft] def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(col("text"),
         lit(" contact u"), col("doc_id").cast("string"),
         lit("@example.com or +1-555-01"),
         lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+
+  def t15PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = withSyntheticPii(Tables.documents(s, dir))
     withPii.select(col("doc_id"),
         TextFunctions.matchCount(col("text"), TextFunctions.emailRe).as("n_emails"),
         TextFunctions.matchCount(col("text"), TextFunctions.phoneRe).as("n_phones"),
@@ -756,6 +762,40 @@ object PipelineQueries {
       |  CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens,
       |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
       |FROM st ORDER BY doc_id, start""".stripMargin
+
+  // ---------------------------------------------------------------- s17_stream_sanitize
+  /** Streaming ingest-time sanitize + pack
+    * ([[graft.streaming.StreamingOps.streamSanitize]]): the corpus feed
+    * streams through PII scrubbing then 32/24 token chunking per
+    * micro-batch — the text stage that runs before anything persists in
+    * a live pipeline. Both passes are per-row map work (zero streaming
+    * state), so the accumulated sink equals the batch composition for
+    * ANY batching, and a t16-shaped oracle over the scrubbed t15
+    * construction gates it hash-exactly. */
+  def s17StreamSanitize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamSanitize(
+      s, s"$dir/documents.parquet", withSyntheticPii,
+      chunkSize = 32, stride = 24, streamStateParts)
+      .orderBy(col("doc_id"), col("start"))
+
+  private val s17Oracle = {
+    val email = TextFunctions.emailRe
+    val phone = TextFunctions.phoneRe
+    s"""WITH p AS (SELECT doc_id,
+      |             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-01' ||
+      |               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+      |           FROM documents),
+      |sc AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+      |           '$phone', '<PHONE>', 'g') AS text
+      |       FROM p),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM sc),
+      |st AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS start FROM d)
+      |SELECT doc_id, CAST(start AS INT) AS start,
+      |  CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens,
+      |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
+      |FROM st ORDER BY doc_id, start""".stripMargin
+  }
 
   // ---------------------------------------------------------------- t17_repetition
   /** Within-document repetition ratios — the Gopher-class quality rule
@@ -1718,6 +1758,7 @@ object PipelineQueries {
     "t14_hist_quantiles" -> ((s, dir) => t14HistQuantiles(s, dir)),
     "t15_pii_scrub" -> ((s, dir) => t15PiiScrub(s, dir)),
     "t16_chunks" -> ((s, dir) => t16Chunks(s, dir)),
+    "s17_stream_sanitize" -> ((s, dir) => s17StreamSanitize(s, dir)),
     "t17_repetition" -> ((s, dir) => t17Repetition(s, dir)),
     "t18_stratified" -> ((s, dir) => t18Stratified(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
@@ -1785,6 +1826,7 @@ object PipelineQueries {
     "t14_hist_quantiles" -> t14Oracle,
     "t15_pii_scrub" -> t15Oracle,
     "t16_chunks" -> t16Oracle,
+    "s17_stream_sanitize" -> s17Oracle,
     "t17_repetition" -> t17Oracle,
     "t18_stratified" -> t18Oracle,
     "m1_multimodal" -> m1Oracle,

@@ -574,6 +574,68 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming ingest-time sanitize + pack — the text stage a live corpus
+    * feed runs before anything persists: PII scrubbing
+    * ([[graft.functions.TextFunctions.scrubPii]]) then sliding-window
+    * token chunking ([[TextFunctions.tokenChunks]]) per micro-batch.
+    * Both passes are per-row map work, so the op keeps ZERO streaming
+    * state and the accumulated sink equals the batch composition no
+    * matter how the feed is batched — which is exactly how the gated
+    * query oracles it. `transform` maps each raw document row to the
+    * (doc_id, text) the sanitize sees (the gate injects its synthetic
+    * PII line there). */
+  def streamSanitize(
+      spark: SparkSession, docsPath: String,
+      transform: DataFrame => DataFrame,
+      chunkSize: Int, stride: Int, statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(docsPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(docsPath))
+      d.toString
+    })
+    val docs = spark.readStream.schema(schema).parquet(srcDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_san_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            import graft.functions.TextFunctions
+            transform(batch)
+              .select(col("doc_id"),
+                TextFunctions.scrubPii(col("text")).as("text"))
+              .select(col("doc_id"),
+                explode(TextFunctions.tokenChunks(col("text"), chunkSize, stride)).as("c"))
+              .select(col("doc_id"), col("c.start").as("start"),
+                size(col("c.toks")).as("n_tokens"),
+                md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming index maintenance — the ingest face of the vector index: a
     * stream of new vectors is folded into a batch-built base index with
     * [[graft.index.VectorIndex.append]] per micro-batch (foreachBatch).
