@@ -2264,6 +2264,42 @@ object Queries {
       |  FROM orders)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q13_subqueries
+  /** Correlated subqueries — the §2.5 class q5's flat semi/anti joins
+    * don't exercise: two correlated SCALAR aggregate subqueries in the
+    * SELECT list plus a predicated correlated EXISTS, written as literal
+    * SQL against registered views. Catalyst decorrelates all three into
+    * aggregate-then-join plans (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery), so the executed plan is ordinary
+    * shuffled joins — no per-row re-execution anywhere, the property
+    * that makes correlated SQL survivable at scale. max/count aggregates
+    * only (order-independent), so the gate is exact. */
+  def q13Subqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q13_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q13_orders")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment,
+        (SELECT COUNT(*) FROM q13_orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT round(max(o_totalprice), 4) FROM q13_orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_price
+      FROM q13_customer c
+      WHERE c_acctbal > 0 AND EXISTS (
+        SELECT 1 FROM q13_orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  }
+
+  private val q13Oracle =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT round(max(o_totalprice), 4) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE c_acctbal > 0 AND EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- v42_hybrid_rrf
   /** Hybrid retrieval ([[graft.operators.HybridRetrieval]]): dense leg =
     * exact cosine kNN over the document embeddings (v13's machinery,
@@ -2577,6 +2613,7 @@ object Queries {
     "q10_pivot" -> q10Oracle,
     "q11_set_ops" -> q11Oracle,
     "q12_range_frame" -> q12Oracle,
+    "q13_subqueries" -> q13Oracle,
     "v42_hybrid_rrf" -> v42Oracle,
     "v43_lsm_delete" -> v43Oracle,
     "v44_hybrid_ann" -> v42Oracle, // dense beam at exhaustive width == exact scan
