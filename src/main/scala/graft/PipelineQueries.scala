@@ -1144,6 +1144,36 @@ object PipelineQueries {
       |  round(CAST(list_sum(list_transform(generate_series(0, 11), p -> (doc_id * 13 + 3 * (16 * (p // 4) + 2 * (p % 4)) + 11) % 256)) AS DOUBLE) / 12, 6) AS mean_b
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m13_center_crop
+  /** REAL decode -> center crop -> per-channel means
+    * ([[Multimodal.centerCrop]]): the crop-to-focal-region step before
+    * resize. 8x6 synthetic payloads cropped to 4x4 (offsets x0=2, y0=1 —
+    * floor midpoints), so the oracle enumerates exactly the cropped
+    * pixel indices (1+p/4)*8 + 2 + p%4 through the shared synthetic
+    * formulas — an off-by-one in either crop axis shifts every mean. */
+  def m13CenterCrop(s: SparkSession, dir: String): DataFrame =
+    Multimodal.centerCrop(
+      Multimodal.syntheticImages(Tables.documents(s, dir), w = 8, h = 6),
+      cropW = 4, cropH = 4)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("doc_id"))
+
+  private val m13Oracle = {
+    def mean(f: String) =
+      s"round(CAST(list_sum(list_transform(generate_series(0, 15), p -> $f)) AS DOUBLE) / 16, 6)"
+    val idx = "((1 + p // 4) * 8 + 2 + p % 4)"
+    s"""SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(4 AS INT) AS out_width, CAST(4 AS INT) AS out_height,
+      |  ${mean(s"(doc_id * 31 + $idx) % 256")} AS mean_r,
+      |  ${mean(s"(doc_id * 17 + 2 * $idx + 5) % 256")} AS mean_g,
+      |  ${mean(s"(doc_id * 13 + 3 * $idx + 11) % 256")} AS mean_b
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m6_png_decode
   /** REAL PNG decode gate (JDK ImageIO — the real-file face; PpmCodec
     * stays the zero-dependency face): the same deterministic pixels are
@@ -1773,6 +1803,7 @@ object PipelineQueries {
     "m10_frame_diff" -> ((s, dir) => m10FrameDiff(s, dir)),
     "m11_audio_segments" -> ((s, dir) => m11AudioSegments(s, dir)),
     "m12_audio_resample" -> ((s, dir) => m12AudioResample(s, dir)),
+    "m13_center_crop" -> ((s, dir) => m13CenterCrop(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -1841,6 +1872,7 @@ object PipelineQueries {
     "m10_frame_diff" -> m10Oracle,
     "m11_audio_segments" -> m11Oracle,
     "m12_audio_resample" -> m12Oracle,
+    "m13_center_crop" -> m13Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

@@ -390,6 +390,47 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  case class CroppedStats(
+      doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL decode -> CENTER CROP -> per-channel means — the
+    * crop-to-square / focal-region step training pipelines run before
+    * resize (a resize alone distorts aspect ratio; crop-then-resize is
+    * the standard normalization). Offsets are the floor midpoints
+    * ((w-cw)/2, (h-ch)/2) — deterministic integers, so a closed-form SQL
+    * oracle replays every cropped pixel; crops larger than the image
+    * clamp to the full axis. One map-side pass, zero shuffle (the d12
+    * family's scale shape). */
+  def centerCrop(withPayload: DataFrame, cropW: Int, cropH: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cropW >= 1 && cropH >= 1, s"crop must be >= 1x1, got ${cropW}x$cropH")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, rgb) = decodeAny(bytes)
+        val cw = math.min(cropW, w)
+        val ch = math.min(cropH, h)
+        val x0 = (w - cw) / 2
+        val y0 = (h - ch) / 2
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            val p = ((y0 + y) * w + x0 + x) * 3
+            sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff; sb += rgb(p + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = cw.toDouble * ch
+        CroppedStats(id, w, h, cw, ch, sr / n, sg / n, sb / n)
+      }).toDF()
+  }
+
   /** The closed-form synthetic pixel buffer shared by every synthetic
     * payload generator: r=(id*31+p)%256, g=(id*17+2p+5)%256,
     * b=(id*13+3p+11)%256 over pixel index p. */

@@ -599,6 +599,26 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(down.toSeq === rgb.toSeq)
   }
 
+  test("centerCrop: floor-midpoint offsets, oversize crops clamp to the image") {
+    // 3x3 image with a distinct center pixel: crop 1x1 must pick (1,1)
+    val rgb = new Array[Byte](27)
+    rgb((1 * 3 + 1) * 3) = 100; rgb((1 * 3 + 1) * 3 + 1) = 101; rgb((1 * 3 + 1) * 3 + 2) = 102
+    val payload = graft.operators.PpmCodec.encode(3, 3, rgb)
+    val df = Seq((7L, payload)).toDF("doc_id", "payload")
+    val c1 = Multimodal.centerCrop(df, 1, 1).select("out_width", "out_height", "mean_r", "mean_g", "mean_b")
+      .collect().head
+    assert((c1.getInt(0), c1.getInt(1)) === ((1, 1)))
+    assert((c1.getDouble(2), c1.getDouble(3), c1.getDouble(4)) === ((100.0, 101.0, 102.0)))
+    // even crop of an odd image: floor midpoint offset (3-2)/2 = 0 -> rows/cols 0..1
+    val c2 = Multimodal.centerCrop(df, 2, 2).select("mean_r").collect().head.getDouble(0)
+    assert(c2 === 100.0 / 4) // only the center pixel is nonzero among (0,0),(1,0),(0,1),(1,1)
+    // oversize crop clamps to the whole image
+    val c3 = Multimodal.centerCrop(df, 10, 10)
+      .select("out_width", "out_height", "mean_r").collect().head
+    assert((c3.getInt(0), c3.getInt(1)) === ((3, 3)))
+    assert(c3.getDouble(2) === 100.0 / 9)
+  }
+
   test("stratifiedSample: per-stratum rates, disjoint from nothing, default applies") {
     import graft.operators.Sampling
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
