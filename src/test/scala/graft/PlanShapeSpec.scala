@@ -294,6 +294,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("v46 BM25 leg: vocab-df join distributed, query tokens and stats broadcast") {
+    // the t11/t13 contract applied to BM25: the df table is vocab-sized
+    // (unbounded on raw text), so with stats-based auto-broadcast off the
+    // postings-df join must shuffle; the bounded query-token set and the
+    // one-row (N, avgdl) stats keep their explicit broadcast hints
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("v46_hybrid_bm25")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a distributed df join:\n${p.take(3500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"query-token set should keep its broadcast hint:\n${p.take(3500)}")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"one-row stats should broadcast:\n${p.take(3500)}")
+      // the per-query top-N truncates map-side before the exchange
+      assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n${p.take(3500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("v14 IVF assigns cells without shuffling the corpus") {
     val p = plan("v14_ivf_ann")
     // one row_number window (final per-query top-k) — assignment and
