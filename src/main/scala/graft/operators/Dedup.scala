@@ -116,8 +116,12 @@ object Dedup {
     pairIntersections(sh, maxShingleDf)
       .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), "doc_a")
       .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), "doc_b")
-      .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b")))
-      .filter(col("edit_dist") <= maxDist)
+      // thresholded (banded) Levenshtein: O(prefixLen x maxDist) per pair
+      // instead of the full O(prefixLen^2) DP, with -1 for pairs over the
+      // bound — exact for every kept pair, so results are identical and
+      // the verify stage stops dominating when candidates are dense
+      .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b"), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
   }
 
