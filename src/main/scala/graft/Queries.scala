@@ -2264,6 +2264,65 @@ object Queries {
       |  FROM orders)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- v47_mrl_knn
+  /** Matryoshka-style truncated-dimension retrieval (Kusupati et al.,
+    * NeurIPS'22): stage 1 ranks candidates on the FIRST 16 of 64
+    * dimensions (nested-prefix embeddings are trained so prefixes are
+    * usable sub-embeddings — the scan stage then reads/computes 4x less),
+    * stage 2 reranks the width-40 pool with exact full-dimension L2.
+    * Same two-stage economics as v22/v28 with dimension truncation as
+    * the cheap metric; the whole composition is deterministic (both
+    * stages tie-break by id), so the oracle replays truncated ranking +
+    * full rerank in closed form — the gate pins the PIPELINE, not a
+    * coverage claim. */
+  def v47MrlKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val k = 10
+    val pool = 4 * k
+    val dTrunc = 16
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = embCorpus(s, dir)
+    val candidates = ExactKnn.knnJoin(
+      queries.select(col("query_id"), slice(col("embedding"), 1, dTrunc).as("embedding")),
+      corpus.select(col("id"), slice(col("embedding"), 1, dTrunc).as("embedding")),
+      k = pool)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    candidates
+      .join(corpus.select(col("id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("qe"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.squaredL2(col("qe"), col("ce")).as("distance"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("distance"), 6).as("distance"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v47Oracle = {
+    def l2(n: String) =
+      s"list_sum(list_transform(generate_series(1, $n), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))))"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     td AS (SELECT query_id, neighbor_id, ${l2("16")} AS tdist
+      |            FROM q CROSS JOIN c),
+      |     cand AS (SELECT query_id, neighbor_id FROM (
+      |                SELECT query_id, neighbor_id,
+      |                  row_number() OVER (PARTITION BY query_id ORDER BY tdist, neighbor_id) AS crank
+      |                FROM td) WHERE crank <= 40),
+      |     fd AS (SELECT cand.query_id, cand.neighbor_id, ${l2("len(ea)")} AS distance
+      |            FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM fd)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q13_subqueries
   /** Correlated subqueries — the §2.5 class q5's flat semi/anti joins
     * don't exercise: two correlated SCALAR aggregate subqueries in the
@@ -2614,6 +2673,7 @@ object Queries {
     "q11_set_ops" -> q11Oracle,
     "q12_range_frame" -> q12Oracle,
     "q13_subqueries" -> q13Oracle,
+    "v47_mrl_knn" -> v47Oracle,
     "v42_hybrid_rrf" -> v42Oracle,
     "v43_lsm_delete" -> v43Oracle,
     "v44_hybrid_ann" -> v42Oracle, // dense beam at exhaustive width == exact scan

@@ -30,6 +30,39 @@ class ExactKnnSpec extends AnyFunSuite with SparkSuite {
     res.unpersist()
   }
 
+  test("MRL truncated-prefix retrieval: near-exact recall when prefixes carry the energy (v47 regime)") {
+    // Matryoshka-trained embeddings concentrate information in the
+    // leading dims; emulate that structure (dims 1-16 dominant, 17-64
+    // small noise) and show the v47 two-stage pipeline recovers the exact
+    // top-10 almost perfectly — on structureless uniform vectors the same
+    // pipeline sits near pool/corpus (0.44 measured at sf0.01), which is
+    // the documented regime contrast, not a defect.
+    import org.apache.spark.sql.functions.slice
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 500L).map { i =>
+      val r = new scala.util.Random(i)
+      val v = Array.tabulate(64)(d =>
+        if (d < 16) r.nextFloat() else r.nextFloat() * 0.05f)
+      (i, v)
+    }
+    val df = rows.toDF("id", "embedding")
+    val queries = df.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("embedding"))
+    val corpus = df.filter(col("id") >= 10)
+    val exact = ExactKnn.knnJoin(queries, corpus, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = ExactKnn.knnJoin(
+      queries.select(col("query_id"), slice(col("embedding"), 1, 16).as("embedding")),
+      corpus.select(col("id"), slice(col("embedding"), 1, 16).as("embedding")),
+      k = 40)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"prefix-pool recall $recall < 0.9 on prefix-heavy vectors")
+  }
+
   test("rank 1 neighbor is the true argmin (brute force cross-check)") {
     val queries = emb.filter(col("vec_id") === 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
