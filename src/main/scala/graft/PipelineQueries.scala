@@ -870,6 +870,37 @@ object PipelineQueries {
       |SELECT lang, COUNT(*) AS kept, min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t19_weighted_sample
+  /** Weight-proportional deterministic sampling
+    * ([[Sampling.weightedSample]] — Efraimidis-Spirakis top-k keys over
+    * the md5 uniform): 50 documents sampled proportionally to token
+    * count, without replacement, no RNG anywhere — the quality/length-
+    * weighted corpus-mixing step, reproducible bit-for-bit on any
+    * engine. Keys round(6) before ranking (the v46 ulp argument);
+    * DuckDB replays hash, uniform, key, and ranking in closed form. */
+  def t19WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(TextFunctions.tokens(col("text"))), lit(1)).as("w"))
+    Sampling.weightedSample(docs, "doc_id", "w", k = 50)
+      .select(col("sample_rank"), col("doc_id"), col("lang"), col("w"),
+        col("sample_key"))
+      .orderBy(col("sample_rank"))
+  }
+
+  private val t19Oracle =
+    """WITH d AS (SELECT doc_id, lang,
+      |             greatest(len(string_split(text, ' ')), 1) AS w
+      |           FROM documents),
+      |k AS (SELECT doc_id, lang, w,
+      |        round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1.0) / 268435457.0) / w, 6) AS sample_key
+      |      FROM d),
+      |r AS (SELECT CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT) AS sample_rank,
+      |        doc_id, lang, CAST(w AS INT) AS w, sample_key
+      |      FROM k)
+      |SELECT sample_rank, doc_id, lang, w, sample_key
+      |FROM r WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -1791,6 +1822,7 @@ object PipelineQueries {
     "s17_stream_sanitize" -> ((s, dir) => s17StreamSanitize(s, dir)),
     "t17_repetition" -> ((s, dir) => t17Repetition(s, dir)),
     "t18_stratified" -> ((s, dir) => t18Stratified(s, dir)),
+    "t19_weighted_sample" -> ((s, dir) => t19WeightedSample(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1860,6 +1892,7 @@ object PipelineQueries {
     "s17_stream_sanitize" -> s17Oracle,
     "t17_repetition" -> t17Oracle,
     "t18_stratified" -> t18Oracle,
+    "t19_weighted_sample" -> t19Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

@@ -40,6 +40,35 @@ object Sampling {
     (df.filter(b >= testBuckets), df.filter(b < testBuckets))
   }
 
+  /** Weight-proportional deterministic sample (Efraimidis & Spirakis,
+    * IPL 2006 top-k form): each row gets the deterministic uniform
+    * u = (md5_28(id) + 1) / (2^28 + 1) in (0, 1) and the key
+    * ln(u) / w — the k LARGEST keys are a weight-proportional
+    * without-replacement sample. No RNG (reproducible on any engine /
+    * partitioning / run), and top-k-by-key is the bounded partial/final
+    * aggregation shape, so the whole sample is one scan + one k-bounded
+    * exchange at any corpus size — the quality-weighted corpus-mixing
+    * primitive. Keys round to 6 decimals before ranking (ulp-level ln
+    * wobble below the grain; ties break by id). Weights must be > 0. */
+  def weightedSampleKey(id: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("double") + 1.0) /
+      lit((1 << 28) + 1.0)
+    round(log(u) / weight.cast("double"), 6)
+  }
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // orderBy + limit plans as TakeOrderedAndProject (per-partition
+    // partial top-k, never a global sort); the rank window then touches
+    // only the k survivors — a global Window BEFORE the cut would drag
+    // the whole corpus into one partition
+    val top = df
+      .withColumn("sample_key", weightedSampleKey(col(idCol), col(weightCol)))
+      .orderBy(col("sample_key").desc, col(idCol)).limit(k)
+    top.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("sample_key").desc, col(idCol))).cast("int"))
+  }
+
   /** Stratified deterministic sample: each stratum keeps its own
     * accept-count of the shared hash buckets — the training-mix move
     * (down-sample the over-represented stratum, keep more of the rare

@@ -599,6 +599,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(down.toSeq === rgb.toSeq)
   }
 
+  test("weightedSample favors heavy rows and is partitioning-invariant") {
+    import graft.operators.Sampling
+    // 250 heavy (w=100) and 250 light (w=1) rows: a weight-proportional
+    // sample of 50 should be dominated by heavy rows (deterministic
+    // given the md5 uniforms — no flakiness)
+    val df = (0L until 500L).map(i => (i, if (i < 250) 100 else 1)).toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(df, "doc_id", "w", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.size === 50)
+    val heavy = picked.count(_ < 250)
+    assert(heavy >= 45, s"only $heavy/50 heavy rows sampled")
+    // identical sample under a different physical layout
+    val repicked = Sampling.weightedSample(df.repartition(7), "doc_id", "w", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(repicked === picked)
+  }
+
   test("centerCrop: floor-midpoint offsets, oversize crops clamp to the image") {
     // 3x3 image with a distinct center pixel: crop 1x1 must pick (1,1)
     val rgb = new Array[Byte](27)
