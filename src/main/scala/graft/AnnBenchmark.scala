@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{IndexParams, VectorIndex}
 import graft.operators.RecallEval
-import graft.sources.{Hdf5, Hdf5Writer, Npy}
+import graft.sources.{Fvecs, Hdf5, Hdf5Writer, Npy}
 
 /** End-to-end ann-benchmarks protocol replay — the reference's E7 main as
   * ONE chained run (reference: example/dehnsw_example.cpp:132-230):
@@ -60,7 +60,8 @@ object AnnBenchmark {
       results_invariant: Boolean, npy_train_parity: Boolean, npy_test_parity: Boolean)
 
   /** Write the synthesized dataset as `<dir>/data.hdf5` plus
-    * train/test `.npy` twins; returns the three paths. */
+    * train/test `.npy` AND texmex `.fvecs`/`.ivecs` twins; returns the
+    * (hdf5, npyTrain, npyTest) paths (texmex twins live alongside). */
   def writeDataset(dir: String, train: Array[Array[Float]],
       test: Array[Array[Float]], neighbors: Array[Array[Int]]): (String, String, String) = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -70,6 +71,9 @@ object AnnBenchmark {
     val npyTest = s"$dir/test.npy"
     Npy.writeVectors(npyTrain, train.iterator, train(0).length)
     Npy.writeVectors(npyTest, test.iterator, test(0).length)
+    Fvecs.writeVectors(s"$dir/train.fvecs", train.iterator)
+    Fvecs.writeVectors(s"$dir/test.fvecs", test.iterator)
+    Fvecs.writeNeighbors(s"$dir/neighbors.ivecs", neighbors.iterator)
     (h5, npyTrain, npyTest)
   }
 
@@ -77,8 +81,9 @@ object AnnBenchmark {
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
   /** The full protocol over an already-written dataset. `source` picks the
-    * ingestion path for train/test ("hdf5" or "npy" — ground-truth
-    * neighbors always read from the HDF5 file, the only int dataset). */
+    * ingestion path for train/test ("hdf5", "npy", or "fvecs" —
+    * ground-truth neighbors read from the matching int source: the HDF5
+    * dataset, except the fvecs face which reads the .ivecs twin). */
   def runProtocol(spark: SparkSession, dir: String, source: String,
       k: Int, searchWidth: Int): ProtocolReport = {
     val h5 = s"$dir/data.hdf5"
@@ -86,15 +91,26 @@ object AnnBenchmark {
     val h5Test = Hdf5.readVectors(spark, h5, "test")
     val npyTrain = Npy.readVectors(spark, s"$dir/train.npy")
     val npyTest = Npy.readVectors(spark, s"$dir/test.npy")
-    // the .npy twins must carry byte-identical vectors (both formats are
-    // raw little-endian float32 under different headers)
-    val trainParity = contentParity(h5Train, npyTrain)
-    val testParity = contentParity(h5Test, npyTest)
+    val fvTrain = Fvecs.readVectors(spark, s"$dir/train.fvecs")
+    val fvTest = Fvecs.readVectors(spark, s"$dir/test.fvecs")
+    // every twin must carry byte-identical vectors (all three formats are
+    // raw little-endian float32 under different framing)
+    val trainParity = contentParity(h5Train, npyTrain) && contentParity(h5Train, fvTrain)
+    val testParity = contentParity(h5Test, npyTest) && contentParity(h5Test, fvTest)
 
-    val corpus = (if (source == "npy") npyTrain else h5Train)
-    val queries = (if (source == "npy") npyTest else h5Test)
-      .select(col("id").as("query_id"), col("embedding"))
-    val gt = Hdf5.readNeighbors(spark, h5, "neighbors")
+    val corpus = source match {
+      case "npy" => npyTrain
+      case "fvecs" => fvTrain
+      case _ => h5Train
+    }
+    val queries = (source match {
+      case "npy" => npyTest
+      case "fvecs" => fvTest
+      case _ => h5Test
+    }).select(col("id").as("query_id"), col("embedding"))
+    val gt =
+      if (source == "fvecs") Fvecs.readNeighbors(spark, s"$dir/neighbors.ivecs")
+      else Hdf5.readNeighbors(spark, h5, "neighbors")
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
 
     // E1: exact distances to the ground-truth neighbors
@@ -143,7 +159,8 @@ object AnnBenchmark {
     writeDataset(dir, train, test, neighbors)
     val reports = Seq(
       runProtocol(spark, dir, "hdf5", k = 10, searchWidth = 64),
-      runProtocol(spark, dir, "npy", k = 10, searchWidth = 64))
+      runProtocol(spark, dir, "npy", k = 10, searchWidth = 64),
+      runProtocol(spark, dir, "fvecs", k = 10, searchWidth = 64))
     reports.foreach { r =>
       println(
         s"""{"protocol":"ann-benchmarks","source":"${r.source}","n_train":${r.n_train},""" +
@@ -153,7 +170,7 @@ object AnnBenchmark {
         s""""results_invariant":${r.results_invariant},""" +
         s""""npy_parity":${r.npy_train_parity && r.npy_test_parity}}""")
       require(r.results_invariant, "save/load round trip changed probe results")
-      require(r.npy_train_parity && r.npy_test_parity, "npy twin diverged from HDF5")
+      require(r.npy_train_parity && r.npy_test_parity, "a format twin diverged from HDF5")
     }
     spark.stop()
   }

@@ -30,18 +30,23 @@ class AnnProtocolSpec extends AnyFunSuite with SparkSuite {
     assert(r.npy_train_parity && r.npy_test_parity, "npy twins diverged from HDF5")
   }
 
-  test("beam probe: recall above floor and identical across save/load, on both formats") {
+  test("beam probe: recall above floor and identical across save/load, on all three formats") {
     val h5 = AnnBenchmark.runProtocol(spark, dir, "hdf5", k = 10, searchWidth = 16)
     val npy = AnnBenchmark.runProtocol(spark, dir, "npy", k = 10, searchWidth = 16)
-    for (r <- Seq(h5, npy)) {
+    val fv = AnnBenchmark.runProtocol(spark, dir, "fvecs", k = 10, searchWidth = 16)
+    for (r <- Seq(h5, npy, fv)) {
       assert(r.mean_recall >= 0.9, s"${r.source}: beam recall ${r.mean_recall} < 0.9")
       assert(r.results_invariant, s"${r.source}: reloaded index answered differently")
       assert(r.mean_recall_reloaded === r.mean_recall,
         s"${r.source}: recall drifted across save/load")
     }
-    // byte-identical inputs + deterministic build ⇒ the two ingestion
-    // paths must produce the same recall, not merely similar
+    // byte-identical inputs + deterministic build ⇒ every ingestion
+    // path must produce the same recall, not merely similar (the fvecs
+    // face also reads ground truth from the .ivecs twin, so its
+    // agreement covers that file too)
     assert(h5.mean_recall === npy.mean_recall,
       s"hdf5 (${h5.mean_recall}) vs npy (${npy.mean_recall}) recall diverged")
+    assert(h5.mean_recall === fv.mean_recall,
+      s"hdf5 (${h5.mean_recall}) vs fvecs (${fv.mean_recall}) recall diverged")
   }
 }

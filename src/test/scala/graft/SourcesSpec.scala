@@ -347,6 +347,65 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(one.toSeq === got.map { case (id, v) => (id, v.toSeq) }.toSeq)
   }
 
+  test("texmex .fvecs/.bvecs/.ivecs round-trip through the distributed read") {
+    import graft.sources.Fvecs
+    val rnd = new scala.util.Random(11)
+    // fvecs
+    val fRows = Seq.fill(29)(Array.fill(6)(rnd.nextFloat()))
+    val f = java.nio.file.Files.createTempFile("graft_tex_", ".fvecs").toString
+    assert(Fvecs.writeVectors(f, fRows.iterator) === 29L)
+    val fGot = Fvecs.readVectors(spark, f, numPartitions = 4).orderBy("id").collect()
+      .map(r => r.getSeq[Float](1).toSeq)
+    assert(fGot.length === 29)
+    fGot.zip(fRows).foreach { case (g, w) => assert(g === w.toSeq) }
+    // partition count must not change anything
+    assert(Fvecs.readVectors(spark, f, numPartitions = 1).orderBy("id").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq === fGot.toSeq)
+    // bvecs: uint8 components incl. the signed-byte wrap range
+    val bRows = Seq.fill(17)(Array.fill(5)(rnd.nextInt(256)))
+    val b = java.nio.file.Files.createTempFile("graft_tex_", ".bvecs").toString
+    assert(Fvecs.writeByteVectors(b, bRows.iterator) === 17L)
+    val bGot = Fvecs.readByteVectors(spark, b, numPartitions = 3).orderBy("id").collect()
+      .map(r => r.getSeq[Float](1).map(_.toInt).toSeq)
+    bGot.zip(bRows).foreach { case (g, w) => assert(g === w.toSeq) }
+    intercept[IllegalArgumentException](
+      Fvecs.writeByteVectors(b, Iterator(Array(256))))
+    // ivecs -> the BinaryVectors.readNeighbors shape
+    val nRows = Seq(Array(5, 2, 9), Array(1, 0, 3))
+    val iv = java.nio.file.Files.createTempFile("graft_tex_", ".ivecs").toString
+    assert(Fvecs.writeNeighbors(iv, nRows.iterator) === 2L)
+    val nGot = Fvecs.readNeighbors(spark, iv).orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    assert(nGot === List((0L, 1, 5L), (0L, 2, 2L), (0L, 3, 9L),
+      (1L, 1, 1L), (1L, 2, 0L), (1L, 3, 3L)))
+  }
+
+  test("texmex reader rejects mixed-dim and size-mismatched files loudly") {
+    import graft.sources.Fvecs
+    import java.nio.{ByteBuffer, ByteOrder}
+    // two records with DIFFERENT dims: size is not a multiple of the
+    // first record's stride -> rejected at planning, never silent garbage
+    val p = java.nio.file.Files.createTempFile("graft_texbad_", ".fvecs").toString
+    val out = new java.io.FileOutputStream(p)
+    def rec(dim: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + dim * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(dim); (0 until dim).foreach(i => bb.putFloat(i.toFloat)); bb.array()
+    }
+    out.write(rec(3)); out.write(rec(5)); out.close()
+    intercept[IllegalArgumentException](Fvecs.readVectors(spark, p).count())
+    // same total size, dims swapped mid-file so strides collide: the
+    // per-record dim check catches it at read time
+    val p2 = java.nio.file.Files.createTempFile("graft_texbad2_", ".fvecs").toString
+    val out2 = new java.io.FileOutputStream(p2)
+    out2.write(rec(3)); out2.write(rec(3)); out2.close()
+    // corrupt the second record's dim header in place (same file size)
+    val raf = new java.io.RandomAccessFile(p2, "rw")
+    raf.seek(16); raf.write(Array[Byte](4, 0, 0, 0)); raf.close()
+    val ex = intercept[org.apache.spark.SparkException](
+      Fvecs.readVectors(spark, p2).collect())
+    assert(ex.getMessage.contains("dim") || ex.getCause != null)
+  }
+
   test("npy '<f8' and v2.0 headers parse; fortran/bad-magic/1-D fail loudly") {
     import java.nio.{ByteBuffer, ByteOrder}
     def write(path: String, dict: String, v2: Boolean, body: Array[Byte]): Unit = {
