@@ -901,6 +901,177 @@ object PipelineQueries {
       |SELECT sample_rank, doc_id, lang, w, sample_key
       |FROM r WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin
 
+  // ---------------------------------------------------------------- s18_stream_sample
+  /** Streaming weight-proportional sampling
+    * ([[graft.streaming.StreamingOps.streamWeightedSample]]) — the
+    * reservoir: deterministic sample keys make top-k associative over
+    * any batching, so each micro-batch ships only its own k winners and
+    * the final fold re-cuts. No state store, k-bounded sink; the result
+    * equals batch t19 for ANY batching, so t19's oracle gates the
+    * streamed path hash-exactly. */
+  def s18StreamSample(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamWeightedSample(
+      s, s"$dir/documents.parquet",
+      weigh = b => b.select(col("doc_id"), col("lang"),
+        greatest(size(TextFunctions.tokens(col("text"))), lit(1)).as("w")),
+      idCol = "doc_id", weightCol = "w", k = 50, streamStateParts)
+      .select(col("sample_rank"), col("doc_id"), col("lang"), col("w"),
+        col("sample_key"))
+      .orderBy(col("sample_rank"))
+
+  // ---------------------------------------------------------------- s19_stream_bm25
+  /** Streaming BM25 query serving
+    * ([[graft.streaming.StreamingOps.streamBm25Serve]]): the v46 lexical
+    * leg as a live query feed — the df-capped posting index and corpus
+    * stats are built ONCE and cached, each micro-batch runs only the
+    * bounded query-side join + score + window limit. Per-query
+    * independence makes the accumulated sink equal the batch operator
+    * for any batching, so the oracle replays the batch BM25 ranking in
+    * closed form (v46's CTEs, lexical portion). */
+  def s19StreamBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val maxDf = cd.count() * 78L / 100L
+    graft.streaming.StreamingOps.streamBm25Serve(
+      s, qd, cd, n = 20, maxTokenDf = maxDf, streamStateParts)
+      .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+      .orderBy(col("query_id"), col("lex_rank"))
+  }
+
+  private val s19Oracle =
+    """WITH cd2 AS (SELECT doc_id, string_split(text, ' ') AS ts,
+      |               CAST(len(string_split(text, ' ')) AS INT) AS dl
+      |             FROM documents WHERE doc_id >= 10),
+      |post AS (SELECT doc_id, dl, tok,
+      |          CAST(len(list_filter(ts, x -> x = tok)) AS DOUBLE) AS tf
+      |        FROM (SELECT doc_id, dl, ts, unnest(list_distinct(ts)) AS tok FROM cd2)
+      |        WHERE tok <> ''),
+      |cap AS (SELECT count(*) * 78 // 100 AS max_df FROM cd2),
+      |kept AS (SELECT tok, df FROM (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok), cap
+      |         WHERE df <= max_df),
+      |st AS (SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM cd2),
+      |qt2 AS (SELECT query_id, tok FROM (
+      |          SELECT doc_id AS query_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |          FROM documents WHERE doc_id < 5) WHERE tok <> ''),
+      |sc AS (SELECT q2.query_id, p.doc_id,
+      |         round(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - k.df + 0.5) / (k.df + 0.5)) *
+      |           ((p.tf * 2.5) / (p.tf + 1.5 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / avgdl))))), 6) AS bm25
+      |       FROM post p JOIN kept k USING (tok) JOIN qt2 q2 USING (tok) CROSS JOIN st
+      |       GROUP BY q2.query_id, p.doc_id),
+      |sr AS (SELECT query_id, doc_id, bm25,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+      |       FROM sc)
+      |SELECT query_id, lex_rank, doc_id, bm25
+      |FROM sr WHERE lex_rank <= 20 ORDER BY query_id, lex_rank""".stripMargin
+
+  // ---------------------------------------------------------------- t20_source_cap
+  /** Per-source document cap — the C4/RefinedWeb "max N pages per
+    * domain" rule (here `source` is the domain key): within each source
+    * keep the top 25 documents by length (ties by doc_id), dropping the
+    * long tail a hot domain would otherwise flood the mix with.
+    * Plan shape: rank-filter windows plan with WindowGroupLimit —
+    * each map task pre-cuts its partition to 25 rows per source BEFORE
+    * the shuffle, so the exchange carries at most sources x 25 x tasks
+    * rows, never the corpus; the post-shuffle window then ranks only
+    * survivors. Per-group top-N at 100 TB without a global sort. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= cap)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  def t20SourceCap(s: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(s, dir), cap = 25)
+
+  private val t20Oracle =
+    """SELECT source, rank, doc_id, n_chars FROM (
+      |  SELECT source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank,
+      |    doc_id, n_chars
+      |  FROM documents)
+      |WHERE rank <= 25 ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------- t21_bigram_lm
+  /** Interpolated bigram language-model scoring (the CCNet/KenLM-style
+    * perplexity filter, one order up from t11's unigram): each adjacent
+    * token pair scores ln(0.9 * cb(w1,w2)/cu(w1) + 0.1 * cu(w2)/N) —
+    * bigram MLE backed off to the unigram distribution — and a doc's
+    * quality signal is its mean bigram log-probability. cu is the
+    * corpus occurrence count (the standard MLE denominator up to
+    * final-token mass, documented), N the total token count.
+    *
+    * Scale shape: bigrams are built MAP-SIDE from the token array
+    * (guarded sequence — Spark's sequence(2,1) counts DOWN, so short
+    * docs case to empty, the t17 lesson); the bigram-count and BOTH
+    * unigram-count joins are DISTRIBUTED equi-joins on vocab-sized keys
+    * (the t11 lesson — raw-tokenizer vocabularies run to billions at
+    * web scale; only the single-row N broadcasts). Per-doc sums of
+    * bounded logs stay under the round(6) grain (v12's argument);
+    * the 0.1 back-off weight is a shared literal in both engines, never
+    * computed as 1 - 0.9 (which is 0.09999999999999998 in binary). */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        filter(TextFunctions.tokens(col("text")), x => x =!= lit("")).as("ts"))
+    val uni = base
+      .select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum(col("cu")).as("n"))
+    val bi = base
+      .select(col("doc_id"), explode(
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(2), size(col("ts"))),
+            i => struct(element_at(col("ts"), i - 1).as("w1"),
+              element_at(col("ts"), i).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val p = lit(0.9) * (col("cb").cast("double") / col("cu1")) +
+      lit(0.1) * (col("cu2").cast("double") / col("n"))
+    bi
+      .join(bc, Seq("w1", "w2")) // distributed: bigram table is vocab^2-sized
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(n)) // the only broadcast: one scalar row
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(log(p)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams"), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t21BigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmScores(Tables.documents(s, dir))
+
+  private val t21Oracle =
+    """WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |              FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS cu
+      |        FROM (SELECT unnest(ts) AS w FROM base) GROUP BY 1),
+      |n AS (SELECT SUM(cu) AS n FROM uni),
+      |ix AS (SELECT doc_id, ts, unnest(generate_series(2, len(ts))) AS i
+      |       FROM base WHERE len(ts) >= 2),
+      |bi AS (SELECT doc_id, ts[i-1] AS w1, ts[i] AS w2 FROM ix),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+      |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |         SUM(ln(0.9 * (CAST(bc.cb AS DOUBLE) / u1.cu)
+      |               + 0.1 * (CAST(u2.cu AS DOUBLE) / n.n))) AS s
+      |       FROM bi b
+      |       JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      |       JOIN uni u1 ON b.w1 = u1.w
+      |       JOIN uni u2 ON b.w2 = u2.w
+      |       CROSS JOIN n
+      |       GROUP BY 1)
+      |SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logprob
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- m4_image_stats
   /** REAL image decode gate: synthesize a deterministic 8x6 P6 payload per
     * doc, push it through the pure-JVM decoder, and emit per-channel
@@ -1249,6 +1420,35 @@ object PipelineQueries {
       |  round(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE) / 64), 6) AS rms,
       |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m14_audio_frames
+  /** Frame-level waveform features over the real WAV decode path
+    * ([[Multimodal.audioFrameFeatures]]): 64-sample clips framed into
+    * 16-sample windows, each emitting energy (sum of squares), the
+    * zero-crossing count, and peak |x| — the MFCC-precursor framing
+    * stage, all exact integers so the gate is hash-exact with no float
+    * anywhere. One map-side pass; the oracle replays the synthetic
+    * sample formula per window in closed form. */
+  def m14AudioFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameFeatures(
+      Multimodal.syntheticWavs(Tables.documents(s, dir), nSamples = 64, sampleRate = 8000),
+      winSize = 16)
+      .select(col("doc_id"), col("win_idx"), col("n_wins"),
+        col("energy"), col("zero_crossings"), col("peak"))
+      .orderBy(col("doc_id"), col("win_idx"))
+
+  private val m14Oracle =
+    """WITH wins AS (
+      |  SELECT d.doc_id, t.wi,
+      |    list_transform(generate_series(0, 15), jj ->
+      |      (d.doc_id * 37 + (t.wi * 16 + jj) * 101) % 2048 - 1024) AS xs
+      |  FROM documents d CROSS JOIN generate_series(0, 3) AS t(wi))
+      |SELECT doc_id, CAST(wi + 1 AS INT) AS win_idx, CAST(4 AS INT) AS n_wins,
+      |  CAST(list_sum(list_transform(xs, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+      |  CAST(list_sum(list_transform(generate_series(2, 16), j ->
+      |    CASE WHEN (xs[j] < 0) <> (xs[j-1] < 0) THEN 1 ELSE 0 END)) AS INT) AS zero_crossings,
+      |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak
+      |FROM wins ORDER BY doc_id, win_idx""".stripMargin
 
   // ---------------------------------------------------------------- m8_gif_frames
   /** REAL multi-frame (video-shape) decode gate: synthesize a 3-frame
@@ -1823,6 +2023,10 @@ object PipelineQueries {
     "t17_repetition" -> ((s, dir) => t17Repetition(s, dir)),
     "t18_stratified" -> ((s, dir) => t18Stratified(s, dir)),
     "t19_weighted_sample" -> ((s, dir) => t19WeightedSample(s, dir)),
+    "s18_stream_sample" -> ((s, dir) => s18StreamSample(s, dir)),
+    "t20_source_cap" -> ((s, dir) => t20SourceCap(s, dir)),
+    "t21_bigram_lm" -> ((s, dir) => t21BigramLm(s, dir)),
+    "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -1836,6 +2040,7 @@ object PipelineQueries {
     "m11_audio_segments" -> ((s, dir) => m11AudioSegments(s, dir)),
     "m12_audio_resample" -> ((s, dir) => m12AudioResample(s, dir)),
     "m13_center_crop" -> ((s, dir) => m13CenterCrop(s, dir)),
+    "m14_audio_frames" -> ((s, dir) => m14AudioFrames(s, dir)),
     "s1_stream_window" -> ((s, dir) => s1StreamWindow(s, dir)),
     "s2_sessionize" -> ((s, dir) => s2Sessionize(s, dir)),
     "s3_stream_sliding" -> ((s, dir) => s3StreamSliding(s, dir)),
@@ -1893,6 +2098,10 @@ object PipelineQueries {
     "t17_repetition" -> t17Oracle,
     "t18_stratified" -> t18Oracle,
     "t19_weighted_sample" -> t19Oracle,
+    "s18_stream_sample" -> t19Oracle, // streaming == batch (associative top-k fold)
+    "t20_source_cap" -> t20Oracle,
+    "t21_bigram_lm" -> t21Oracle,
+    "s19_stream_bm25" -> s19Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,
@@ -1906,6 +2115,7 @@ object PipelineQueries {
     "m11_audio_segments" -> m11Oracle,
     "m12_audio_resample" -> m12Oracle,
     "m13_center_crop" -> m13Oracle,
+    "m14_audio_frames" -> m14Oracle,
     "s1_stream_window" -> s1Oracle,
     "s2_sessionize" -> s2Oracle,
     "s3_stream_sliding" -> s3Oracle,

@@ -2093,6 +2093,36 @@ object Queries {
       |  AND v_lo <= c_hi AND c_lo <= v_hi
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- b6_zorder
+  /** Z-order clustering key ([[graft.operators.ZOrder]]): orders get a
+    * Morton key interleaving 8 bits of customer bucket with 8 bits of
+    * order-day bucket; the gate pins the per-row bit arithmetic and the
+    * key ordering (top 120 by key) exactly — all integers, replayed in
+    * SQL with the same shift/mask formula. The layout claim itself
+    * (both dimensions' per-file min/max spans stay bounded under
+    * zkey range partitioning, so 2-D predicates prune files at 100 TB)
+    * is measured in LayoutSpec; see ZOrder scaladoc + PLANS.md. */
+  def b6Zorder(s: SparkSession, dir: String): DataFrame = {
+    val xb = col("o_custkey") % 256
+    val yb = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") % 256
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), xb.as("xb"), yb.as("yb"))
+      .withColumn("zkey", graft.operators.ZOrder.zkey(col("xb"), col("yb"), bits = 8))
+      .orderBy(col("zkey"), col("o_orderkey"))
+      .limit(120)
+  }
+
+  private val b6Oracle =
+    """WITH b AS (SELECT o_orderkey, o_custkey % 256 AS xb,
+      |             CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) % 256 AS yb
+      |           FROM orders),
+      |z AS (SELECT o_orderkey, xb, yb,
+      |        CAST(list_sum(list_transform(generate_series(0, 7), i ->
+      |          (((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+      |      FROM b)
+      |SELECT o_orderkey, xb, yb, zkey FROM z
+      |ORDER BY zkey, o_orderkey LIMIT 120""".stripMargin
+
   // ---------------------------------------------------------------- q9_grouping_sets
   /** Explicit GROUPING SETS (beyond q6 rollup / q8 cube): the three-set
     * lattice ((flag, status), (flag), ()) with grouping_id, one shuffle —
@@ -2662,6 +2692,7 @@ object Queries {
     "b3_asof_join" -> b3Oracle,
     "b4_range_join" -> b4Oracle,
     "b5_interval_join" -> b5Oracle,
+    "b6_zorder" -> b6Oracle,
     "v38_maxsim" -> v38Oracle,
     "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (exhaustive m)
     "v40_maxsim_ann" -> v38Oracle, // ANN stage 1 at exhaustive fidelity == brute force

@@ -103,6 +103,18 @@ object HybridRetrieval {
   def bm25TopN(queries: DataFrame, corpus: DataFrame, n: Int,
       maxTokenDf: Long = Long.MaxValue,
       k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val (index, stats) = bm25Index(corpus, maxTokenDf)
+    bm25Serve(queries, index, stats, n, k1, b)
+  }
+
+  /** Query-independent half of [[bm25TopN]]: the df-capped posting index
+    * (tok, doc_id, dl, tf, df) and the one-row (n_docs, avgdl) stats.
+    * A serving deployment computes these ONCE per corpus snapshot and
+    * reuses them for every query batch (the streaming face caches both
+    * across micro-batches); splitting them out is what makes that reuse
+    * possible without re-deriving the corpus side per batch. */
+  def bm25Index(corpus: DataFrame, maxTokenDf: Long = Long.MaxValue)
+      : (DataFrame, DataFrame) = {
     val ct = corpus.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("ts"))
       .withColumn("dl", size(col("ts")))
@@ -117,6 +129,17 @@ object HybridRetrieval {
     val dfKept = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTokenDf)
+    // distributed on tok (vocab-sized — the t11 lesson: never broadcast)
+    (postings.join(dfKept, Seq("tok")), stats)
+  }
+
+  /** Query-dependent half of [[bm25TopN]]: join the (bounded, broadcast)
+    * batch's distinct query tokens against the posting index, score, and
+    * per-query window-limit. Per-query independent, so any partition of
+    * the query set through this (the streaming serve path) accumulates
+    * to exactly the single-batch result. */
+  def bm25Serve(queries: DataFrame, index: DataFrame, stats: DataFrame,
+      n: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
     val qt = queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
@@ -125,8 +148,7 @@ object HybridRetrieval {
         (col("df") + lit(0.5)))
     val dlNorm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))
     val tfD = col("tf").cast("double")
-    postings
-      .join(dfKept, Seq("tok"))
+    index
       .join(broadcast(qt), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

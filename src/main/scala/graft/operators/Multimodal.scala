@@ -672,6 +672,47 @@ object Multimodal {
       }).toDF()
   }
 
+  case class AudioFrame(
+      doc_id: Long, win_idx: Int, n_wins: Int, energy: Long,
+      zero_crossings: Int, peak: Int)
+
+  /** Frame-level waveform features over REAL WAV payloads — the framing
+    * stage every speech feature extractor (MFCC / filterbank) runs
+    * first: per `winSize`-sample window, total energy (sum of squares),
+    * zero-crossing count (sign flips between ADJACENT samples inside
+    * the window; 0 counts as non-negative), and peak |x|. All three are
+    * exact integers, so the SQL oracle is hash-exact with no float
+    * argument anywhere. Decode + framing run in one map-side pass, zero
+    * shuffle — the scale shape of every decode operator here. */
+  def audioFrameFeatures(withPayload: DataFrame, winSize: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(winSize > 0, s"winSize must be positive, got $winSize")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (_, xs) = WavCodec.decode(bytes)
+        require(xs.length % winSize == 0,
+          s"clip length ${xs.length} not a multiple of winSize $winSize")
+        val nWins = xs.length / winSize
+        (0 until nWins).map { wi =>
+          var sq = 0L; var zc = 0; var peak = 0
+          var j = wi * winSize
+          val end = j + winSize
+          while (j < end) {
+            val v = xs(j).toInt
+            sq += v.toLong * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (j > wi * winSize && (xs(j) < 0) != (xs(j - 1) < 0)) zc += 1
+            j += 1
+          }
+          AudioFrame(id, wi + 1, nWins, sq, zc, peak)
+        }
+      }).toDF()
+  }
+
   /** Closed-form synthetic gray frame shared by the GIF generators:
     * frame f, pixel p -> gray (id*29 + f*53 + p*7) % 256 — every frame of
     * every doc is distinct, and the decoded per-frame mean has an exact

@@ -636,6 +636,123 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming BM25 serving — the query-serving face of the lexical
+    * retrieval leg ([[graft.operators.HybridRetrieval]]): a live feed of
+    * text queries is ranked per micro-batch against a STATIC corpus
+    * snapshot. The corpus side (df-capped posting index + one-row
+    * stats) is query-independent, so it is computed ONCE via
+    * `bm25Index` and CACHED across batches — per batch only the
+    * bounded query-token broadcast join, the partial-aggregated score,
+    * and the per-query window limit run. Scoring is per-query
+    * independent, so the accumulated sink equals the batch `bm25TopN`
+    * for ANY batching — which is how the gated query oracles it
+    * (zero streaming state; a query's row is never split). */
+  def streamBm25Serve(
+      spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      n: Int, maxTokenDf: Long, statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (index0, stats0) = graft.operators.HybridRetrieval.bm25Index(corpus, maxTokenDf)
+    val index = index0.cache()
+    val stats = stats0.cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_bmq_").toString
+    queries.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // several triggers, whole queries each
+      .parquet(srcDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_bm_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = feed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.HybridRetrieval.bm25Serve(batch, index, stats, n)
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      index.unpersist(); stats.unpersist()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.read.parquet(outDir)
+  }
+
+  /** Streaming weight-proportional sampling — the reservoir shape:
+    * because the Efraimidis-Spirakis sample is "k largest deterministic
+    * keys", top-k is ASSOCIATIVE over any stream batching (top-k of a
+    * union == top-k of the per-batch top-k union), so each micro-batch
+    * contributes only its own k best rows (TakeOrderedAndProject —
+    * per-partition partial top-k inside the batch too) and the final
+    * fold re-cuts the accumulated ≤ k x batches candidates. No state
+    * store at all; the sink is bounded at k rows per batch regardless of
+    * stream volume, and the result equals the batch operator for ANY
+    * batching — which is how the gated query oracles it. `weigh` maps a
+    * raw micro-batch to (idCol, weightCol) rows. */
+  def streamWeightedSample(
+      spark: SparkSession, docsPath: String,
+      weigh: DataFrame => DataFrame,
+      idCol: String, weightCol: String, k: Int,
+      statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(docsPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(docsPath))
+      d.toString
+    })
+    val docs = spark.readStream.schema(schema).parquet(srcDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_wsamp_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Sampling.weightedSample(weigh(batch), idCol, weightCol, k)
+              .drop("sample_rank") // ranks are only meaningful after the final fold
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    // final fold: re-cut the accumulated per-batch winners
+    val acc = spark.read.parquet(outDir)
+    val top = acc.orderBy(col("sample_key").desc, col(idCol)).limit(k)
+    top.withColumn("sample_rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sample_key").desc, col(idCol))).cast("int"))
+  }
+
   /** Streaming index maintenance — the ingest face of the vector index: a
     * stream of new vectors is folded into a batch-built base index with
     * [[graft.index.VectorIndex.append]] per micro-batch (foreachBatch).

@@ -139,4 +139,23 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     // 20 and 21 both score 1/61 + 1/62; tie -> lower doc_id first
     assert(top2 === List(20L, 21L))
   }
+
+  test("bm25Serve over any query split unions to bm25TopN (the s19 invariance)") {
+    val c = Seq(
+      (10L, "alpha beta gamma delta"), (11L, "alpha beta epsilon"),
+      (12L, "gamma gamma delta"), (13L, "zeta eta theta"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "alpha gamma"), (2L, "beta"), (3L, "theta delta"))
+      .toDF("query_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "bm25", "lex_rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val whole = key(HybridRetrieval.bm25TopN(q, c, n = 3))
+    val (index, stats) = HybridRetrieval.bm25Index(c)
+    val split = Seq(
+      q.filter(col("query_id") === 1), q.filter(col("query_id") > 1))
+      .map(b => key(HybridRetrieval.bm25Serve(b, index, stats, n = 3)))
+      .reduce(_ ++ _)
+    assert(split === whole)
+  }
 }

@@ -616,6 +616,67 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(repicked === picked)
   }
 
+  test("weighted sample top-k is associative over any split (the s18 invariance)") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 600L).map(i => (i, (i % 97 + 1).toInt)).toDF("doc_id", "w")
+    val whole = Sampling.weightedSample(df, "doc_id", "w", k = 25)
+      .select("doc_id").as[Long].collect().toList
+    // three arbitrary disjoint slices -> per-slice top-25 -> re-cut
+    val parts = Seq(
+      df.filter(col("doc_id") % 3 === 0),
+      df.filter(col("doc_id") % 3 === 1),
+      df.filter(col("doc_id") % 3 === 2))
+    val acc = parts.map(Sampling.weightedSample(_, "doc_id", "w", k = 25)
+      .drop("sample_rank")).reduce(_ union _)
+    val folded = acc.orderBy(col("sample_key").desc, col("doc_id")).limit(25)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("sample_key").desc, col("doc_id"))))
+      .select("doc_id").as[Long].collect().toList
+    assert(folded === whole)
+  }
+
+  test("sourceCap keeps the longest `cap` docs per source, ties by id") {
+    val docs = Seq(
+      (1L, "s1", 10L), (2L, "s1", 30L), (3L, "s1", 30L), (4L, "s1", 5L),
+      (9L, "s2", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = PipelineQueries.sourceCap(docs, cap = 2)
+      .select("source", "rank", "doc_id").as[(String, Int, Long)].collect().toList
+    // s1: the two 30-char docs win, lower id first; the 10/5-char tail drops
+    assert(r === List(("s1", 1, 2L), ("s1", 2, 3L), ("s2", 1, 9L)))
+  }
+
+  test("bigramLmScores: hand-computed interpolated bigram log-probs; short docs drop") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = PipelineQueries.bigramLmScores(docs)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().toList
+    // uni: a=3, b=2, x=1, N=6; bigrams doc1=(a,b),(b,a) doc2=(b,a)
+    // cb: (a,b)=1, (b,a)=2
+    val pAB = 0.9 * 1.0 / 3 + 0.1 * 2.0 / 6 // P(b|a) interp
+    val pBA = 0.9 * 2.0 / 2 + 0.1 * 3.0 / 6 // P(a|b) interp
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === List(
+      (1L, 2L, r6((math.log(pAB) + math.log(pBA)) / 2)),
+      (2L, 1L, r6(math.log(pBA)))))
+  }
+
+  test("audioFrameFeatures: hand-computed energy/ZCR/peak; crossings only inside a window") {
+    import graft.operators.{Multimodal, WavCodec}
+    val xs = Array[Short](1, -1, 2, -2)
+    val df = Seq((5L, WavCodec.encode(8000, xs))).toDF("doc_id", "payload")
+    val r = Multimodal.audioFrameFeatures(df, winSize = 2)
+      .select("win_idx", "energy", "zero_crossings", "peak")
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1).toList
+    // win 1 = [1,-1]: energy 2, one flip, peak 1
+    // win 2 = [2,-2]: energy 8, one flip, peak 2 — the (-1 -> 2) boundary
+    // flip between windows is NOT counted
+    assert(r === List((1, 2L, 1, 1), (2, 8L, 1, 2)))
+  }
+
   test("centerCrop: floor-midpoint offsets, oversize crops clamp to the image") {
     // 3x3 image with a distinct center pixel: crop 1x1 must pick (1,1)
     val rgb = new Array[Byte](27)
