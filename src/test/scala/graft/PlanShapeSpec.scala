@@ -409,4 +409,70 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert("Partial".r.findAllIn(p).nonEmpty, s"expected partial window limit:\n${p.take(3000)}")
     assert(p.contains("partial_count"), s"expected map-side overlap counts:\n${p.take(3000)}")
   }
+
+  test("t20 source cap pre-cuts each map task with a partial WindowGroupLimit") {
+    // the C4 per-domain cap must never sort globally: the rank<=cap
+    // filter has to plan as a Partial WindowGroupLimit BEFORE the
+    // source-keyed exchange, so the shuffle carries <= sources x cap x
+    // tasks rows at any corpus size
+    val p = plan("t20_source_cap")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n${p.take(3000)}")
+    assert(p.contains("Partial"), s"expected the map-side partial cut:\n${p.take(3000)}")
+  }
+
+  test("t21 bigram LM keeps all three vocab-sized joins distributed") {
+    // the t11/t13 contract, one order up: bigram counts AND both unigram
+    // count joins are vocab-sized (unbounded on raw text) — with
+    // stats-based auto-broadcast off every one of them must shuffle;
+    // the only broadcast left is the scalar total-count row
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t21_bigram_lm")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a vocab-sized join still broadcasts with auto-broadcast off:\n${p.take(3500)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected distributed count joins:\n${p.take(3500)}")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"scalar total-count row should broadcast:\n${p.take(3500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("dynamic partition pruning engages on a partitioned fact scan") {
+    // the 100 TB read-path move the testdata can't show (it ships flat
+    // files): a fact table PARTITIONED on a key joined to a filtered dim
+    // must prune fact partitions at RUNTIME from the dim-side filter —
+    // scanning 4 of 100 date partitions, not all of them. Written here
+    // as a real partitioned parquet table so the plan carries
+    // dynamicpruning subqueries instead of a full scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.range(2000)
+      .select(col("id"), (col("id") % 20).as("pk"), (col("id") * 3).as("v"))
+      .write.mode("overwrite").partitionBy("pk").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP inserts the pruning subquery only when the dim side carries a
+    // SELECTIVE predicate over a real scan (a local relation folds the
+    // filter away and never qualifies), and the key types must line up
+    // with the partition column (read back as int) so the join key is
+    // the partition attribute itself, not a cast
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim_").toString
+    Seq((3, "keep"), (7, "keep"), (9, "drop")).toDF("pk", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(org.apache.spark.sql.functions.col("tag") === "keep")
+    val saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      val q = fact.join(dim, "pk").agg(org.apache.spark.sql.functions.sum("v"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected a dynamicpruning subquery on the fact scan:\n${p.take(3000)}")
+      // and the pruned result is still correct
+      val expect = (0L until 2000L).filter(i => i % 20 == 3 || i % 20 == 7).map(_ * 3).sum
+      assert(q.as[Long].head() === expect)
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)
+  }
 }
