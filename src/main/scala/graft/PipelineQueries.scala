@@ -919,6 +919,28 @@ object PipelineQueries {
         col("sample_key"))
       .orderBy(col("sample_rank"))
 
+  // ---------------------------------------------------------------- p3_profile
+  /** One-pass column profiling ([[graft.operators.Profiler]]): null
+    * counts, distinct cardinalities (HLL sketch cross-checked in-query
+    * against the exact count — t12's pattern per column), and min/max
+    * over four document columns, all in a single aggregate scan. The
+    * oracle replays every exact metric and asserts the sketch flag. */
+  def p3Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(
+      Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+
+  private val p3Oracle = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT $c) AS n_distinct, TRUE AS hll_ok,
+        |  CAST(MIN($c) AS VARCHAR) AS min_str,
+        |  CAST(MAX($c) AS VARCHAR) AS max_str
+        |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   // ---------------------------------------------------------------- s19_stream_bm25
   /** Streaming BM25 query serving
     * ([[graft.streaming.StreamingOps.streamBm25Serve]]): the v46 lexical
@@ -2027,6 +2049,7 @@ object PipelineQueries {
     "t20_source_cap" -> ((s, dir) => t20SourceCap(s, dir)),
     "t21_bigram_lm" -> ((s, dir) => t21BigramLm(s, dir)),
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
+    "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -2102,6 +2125,7 @@ object PipelineQueries {
     "t20_source_cap" -> t20Oracle,
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
+    "p3_profile" -> p3Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

@@ -664,6 +664,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (2L, 1L, r6(math.log(pBA)))))
   }
 
+  test("Profiler.profile: one-pass nulls/distincts/min-max per column, nulls excluded from distinct") {
+    import graft.operators.Profiler
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(2L), Some("a")), (None, Some("a")))
+      .toDF("id", "s")
+    val r = Profiler.profile(df, Seq("id", "s"))
+      .select("column", "n_rows", "n_nulls", "n_distinct", "hll_ok", "min_str", "max_str")
+      .as[(String, Long, Long, Long, Boolean, String, String)].collect().toList
+    assert(r === List(
+      ("id", 4L, 1L, 2L, true, "1", "2"),
+      ("s", 4L, 1L, 2L, true, "a", "b")))
+  }
+
   test("audioFrameFeatures: hand-computed energy/ZCR/peak; crossings only inside a window") {
     import graft.operators.{Multimodal, WavCodec}
     val xs = Array[Short](1, -1, 2, -2)
