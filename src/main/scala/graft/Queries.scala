@@ -2123,6 +2123,50 @@ object Queries {
       |SELECT o_orderkey, xb, yb, zkey FROM z
       |ORDER BY zkey, o_orderkey LIMIT 120""".stripMargin
 
+  // ---------------------------------------------------------------- v48_knn_graph
+  /** kNN-graph construction + reciprocal-NN pairs — the graph primitive
+    * clustering / graph-dedup pipelines build first (each item's top-k
+    * neighbors; mutual pairs are the high-precision dup/cluster signal).
+    * The graph is INDEX-SERVED: the corpus itself is the query batch
+    * against the shared dehnsw index (the v40/v44 pattern), probed at
+    * k+1 with self filtered out (self sits in any top-(k+1) at distance
+    * 0 absent k+1 exact duplicates — the contract that makes the cut
+    * exact). Exact-mode probe (searchWidth=0) makes the oracle a
+    * closed-form brute-force replay. The reciprocal step is one
+    * equi-join of the kN-row edge list with its own swap on (a, b) —
+    * linear in corpus, never all-pairs; L2sq is symmetric bit-for-bit
+    * (same fold either direction), so either edge's distance hashes
+    * identically. */
+  def v48KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val queries = corpus.select(col("id").as("query_id"), col("embedding"))
+    val knn = buildEmbIndex(s, dir).query(queries, k = 4, searchWidth = 0)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val edges = knn.select(col("query_id").as("a"),
+      col("neighbor_id").as("b"), col("distance"))
+    edges.join(edges.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        round(col("distance"), 6).as("distance"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val v48Oracle =
+    """WITH c AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 10),
+      |d AS (SELECT a.id AS qa, b.id AS qb,
+      |        list_sum(list_transform(generate_series(1, len(a.e)),
+      |          i -> (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE))
+      |             * (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE)))) AS dist
+      |      FROM c a JOIN c b ON a.id <> b.id),
+      |r AS (SELECT qa, qb, dist,
+      |        row_number() OVER (PARTITION BY qa ORDER BY dist, qb) AS rnk
+      |      FROM d),
+      |e AS (SELECT qa, qb, dist FROM r WHERE rnk <= 3)
+      |SELECT e1.qa AS id_a, e1.qb AS id_b, round(e1.dist, 6) AS distance
+      |FROM e e1 JOIN e e2 ON e1.qa = e2.qb AND e1.qb = e2.qa
+      |WHERE e1.qa < e1.qb
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q9_grouping_sets
   /** Explicit GROUPING SETS (beyond q6 rollup / q8 cube): the three-set
     * lattice ((flag, status), (flag), ()) with grouping_id, one shuffle —
@@ -2693,6 +2737,7 @@ object Queries {
     "b4_range_join" -> b4Oracle,
     "b5_interval_join" -> b5Oracle,
     "b6_zorder" -> b6Oracle,
+    "v48_knn_graph" -> v48Oracle,
     "v38_maxsim" -> v38Oracle,
     "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (exhaustive m)
     "v40_maxsim_ann" -> v38Oracle, // ANN stage 1 at exhaustive fidelity == brute force
