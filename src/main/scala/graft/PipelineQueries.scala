@@ -919,6 +919,39 @@ object PipelineQueries {
         col("sample_key"))
       .orderBy(col("sample_rank"))
 
+  // ---------------------------------------------------------------- s20_stream_minhash
+  /** Streaming MinHash-LSH ingest screen
+    * ([[graft.streaming.StreamingOps.streamMinHashScreen]]): incoming
+    * docs (doc_id < 10) probed per micro-batch for d3-style LSH bucket
+    * collisions against the static corpus (doc_id >= 10), whose
+    * band-bucket table is built once and cached. Per-doc independence
+    * makes streaming == batch, so the oracle replays the asymmetric
+    * bucket join in closed form (d3's md5-slice MinHash SQL). */
+  def s20StreamMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    graft.streaming.StreamingOps.streamMinHashScreen(
+      s, sh.filter(col("doc_id") < 10), sh.filter(col("doc_id") >= 10),
+      numHashes = 6, bandSize = 2, streamStateParts)
+      .orderBy(col("in_id"), col("corpus_id"))
+  }
+
+  private val s20Oracle = {
+    val sigCols = (0 until 6)
+      .map(i => s"list_min(list_transform(shingles, x -> substr(md5(x), ${1 + i * 5}, 5))) AS mh$i")
+      .mkString(", ")
+    val bandSelects = (0 until 3)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+      |sig AS (SELECT doc_id, $sigCols FROM sh),
+      |bands AS ($bandSelects)
+      |SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corpus_id
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+      |WHERE a.doc_id < 10 AND b.doc_id >= 10
+      |ORDER BY in_id, corpus_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- p3_profile
   /** One-pass column profiling ([[graft.operators.Profiler]]): null
     * counts, distinct cardinalities (HLL sketch cross-checked in-query
@@ -2050,6 +2083,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> ((s, dir) => t21BigramLm(s, dir)),
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
+    "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -2126,6 +2160,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
     "p3_profile" -> p3Oracle,
+    "s20_stream_minhash" -> s20Oracle,
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

@@ -298,9 +298,12 @@ object Dedup {
     * bucket rows; pairs only materialize inside each bucket, which is
     * the LSH contract), so the 100 TB story is the same — fewer
     * shuffles, no join build side. */
-  def minHashCandidatePairsFromShingles(
-      sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
-    import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
+  /** (doc_id, band_idx, bucket) LSH band buckets of the MinHash
+    * signature — the reusable half of the candidate machinery: a static
+    * corpus computes (and caches) its bucket table once, and any other
+    * doc set (a micro-batch of ingests, another corpus) probes it with
+    * one equi-join on (band_idx, bucket). Map-side per doc. */
+  def minHashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be a multiple of bandSize")
     val numBands = numHashes / bandSize
     val sigs = minHashSliceArray(sh, numHashes).filter(col("mhs").isNotNull)
@@ -308,10 +311,15 @@ object Dedup {
       val parts = (0 until bandSize).map(j => element_at(col("mhs"), b * bandSize + j + 1))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band$b")
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
-    banded
+  }
+
+  def minHashCandidatePairsFromShingles(
+      sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}
+    minHashBands(sh, numHashes, bandSize)
       .groupBy(col("band_idx"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)

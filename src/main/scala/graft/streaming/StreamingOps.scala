@@ -636,6 +636,70 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming MinHash-LSH ingest screen — the lexical near-dup analog
+    * of the s14 semantic screen: a live feed of incoming documents is
+    * checked per micro-batch against a STATIC corpus for LSH bucket
+    * collisions (the d3 candidate semantics, asymmetric). The corpus's
+    * band-bucket table is computed ONCE ([[graft.operators.Dedup
+    * .minHashBands]]) and CACHED across batches; each batch computes its
+    * own bands map-side and probes with one equi-join on
+    * (band_idx, bucket) — the bounded batch side broadcasts, the
+    * corpus-sized bucket table stays distributed. Per-doc independence
+    * (a doc's whole shingle set rides one row) makes the accumulated
+    * sink equal the batch screen for any batching — zero streaming
+    * state. Incoming docs arrive as (doc_id, shingles). */
+  def streamMinHashScreen(
+      spark: SparkSession, incomingShingles: DataFrame,
+      corpusShingles: DataFrame, numHashes: Int, bandSize: Int,
+      statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val corpusBands = graft.operators.Dedup
+      .minHashBands(corpusShingles, numHashes, bandSize)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("bucket"))
+      .cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_mhq_").toString
+    incomingShingles.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_mh_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = feed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val inBands = graft.operators.Dedup
+              .minHashBands(batch, numHashes, bandSize)
+              .select(col("doc_id").as("in_id"), col("band_idx"), col("bucket"))
+            corpusBands.join(broadcast(inBands), Seq("band_idx", "bucket"))
+              .select(col("in_id"), col("corpus_id"))
+              .distinct() // an in-doc's rows all sit in THIS batch
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      corpusBands.unpersist()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming BM25 serving — the query-serving face of the lexical
     * retrieval leg ([[graft.operators.HybridRetrieval]]): a live feed of
     * text queries is ranked per micro-batch against a STATIC corpus

@@ -664,6 +664,26 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (2L, 1L, r6(math.log(pBA)))))
   }
 
+  test("streamMinHashScreen flags a planted near-dup ingest, passes clean docs") {
+    val mk = (id: Long, text: String) => (id, text)
+    val corpus = Seq(
+      mk(10L, "the quick brown fox jumps over the lazy dog today"),
+      mk(11L, "completely different content about spark query planning"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 10
+      mk(2L, "unrelated fresh material nothing shared with anything here"))
+      .toDF("doc_id", "text")
+    val r = graft.streaming.StreamingOps.streamMinHashScreen(
+      spark,
+      graft.operators.Dedup.shingled(incoming, n = 3),
+      graft.operators.Dedup.shingled(corpus, n = 3),
+      numHashes = 6, bandSize = 2)
+      .select("in_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 10L)), s"planted dup not flagged: $r")
+    assert(!r.exists(_._1 == 2L), s"clean doc flagged: $r")
+  }
+
   test("Profiler.profile: one-pass nulls/distincts/min-max per column, nulls excluded from distinct") {
     import graft.operators.Profiler
     val df = Seq(
