@@ -448,27 +448,8 @@ class VectorIndex private (
     * dehnsw_example.cpp:208-228). */
   def save(path: String): Unit = {
     rows.write.mode("overwrite").parquet(s"$path/rows")
-    // meta is numShards tiny records — one small file write through the
-    // Hadoop FS API (works for hdfs://, s3a://, file:, ...), not a Spark
-    // job (the parquet write above is the only cluster work here)
-    VectorIndex.writeSmallFile(rows.sparkSession, s"$path/meta.json",
-      meta.map(m => s"""{"sub_index_id":${m.sub_index_id},"n_vectors":${m.n_vectors},""" +
-        s""""layer_count":${m.layer_count},"entry_offset":${m.entry_offset}}""")
-        .mkString("", "\n", "\n"))
-    val p = params
-    // schedule as from:M:RM triples — build provenance AND an append
-    // contract (append rebuilds shards with the same schedule)
-    val sched = p.schedule
-      .map(s => s"${s.fromCount}:${s.minimumConnect}:${s.relaxedMonotonicity}")
-      .mkString(";")
-    val json =
-      s"""{"metric":"${p.metric.name}","minimumConnect":${p.minimumConnect},
-         |"relaxedMonotonicity":${p.relaxedMonotonicity},"step":${p.step},
-         |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
-         |"schedule":"$sched",
-         |"quantized":${p.quantized},"quantLo":${p.quantLo},"quantHi":${p.quantHi},
-         |"indexId":"$indexId"}""".stripMargin
-    VectorIndex.writeSmallFile(rows.sparkSession, s"$path/params.json", json)
+    VectorIndex.writeMetaAndParams(
+      rows.sparkSession, path, meta, params, numShards, indexId)
   }
 }
 
@@ -654,6 +635,57 @@ object VectorIndex {
     val meta = computeMeta(cached)
     new VectorIndex(params, numShards, cached, meta,
       java.util.UUID.randomUUID().toString)
+  }
+
+  /** Build STRAIGHT TO STORAGE: index rows stream from the build tasks
+    * directly into compressed parquet — no cluster-wide cache, no
+    * serialized eviction spill; exactly one on-disk copy. Returns the
+    * LOADED index over that parquet (lazy cache, rehydrated per probe).
+    *
+    * This is the decade-scale disk mitigation measured in SCALE.md: at
+    * 100M x 64d the MEMORY_AND_DISK cache spill of a cached build
+    * (Kryo-serialized rows evicted wholesale) is several times the
+    * compressed parquet footprint and can exhaust a single node's local
+    * disk before the first probe runs. On a cluster the same call is
+    * simply "build and publish the index snapshot" — the handle every
+    * OTHER job probes. */
+  def buildTo(df: DataFrame, params: IndexParams, numShards: Int,
+      path: String): VectorIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    buildRows(df, params, numShards)
+      .write.mode("overwrite").parquet(s"$path/rows")
+    val rowsDisk = spark.read.parquet(s"$path/rows").as[IndexRow]
+    val meta = computeMeta(rowsDisk) // one (shard, layer, offset) scan of the parquet
+    writeMetaAndParams(spark, path, meta, params, numShards,
+      java.util.UUID.randomUUID().toString)
+    load(spark, path)
+  }
+
+  /** Meta + params sidecars next to an already-written `rows` parquet.
+    * meta is numShards tiny records — one small file write through the
+    * Hadoop FS API (works for hdfs://, s3a://, file:, ...), not a Spark
+    * job. */
+  private[index] def writeMetaAndParams(
+      spark: SparkSession, path: String, meta: Array[ShardMeta],
+      p: IndexParams, numShards: Int, indexId: String): Unit = {
+    writeSmallFile(spark, s"$path/meta.json",
+      meta.map(m => s"""{"sub_index_id":${m.sub_index_id},"n_vectors":${m.n_vectors},""" +
+        s""""layer_count":${m.layer_count},"entry_offset":${m.entry_offset}}""")
+        .mkString("", "\n", "\n"))
+    // schedule as from:M:RM triples — build provenance AND an append
+    // contract (append rebuilds shards with the same schedule)
+    val sched = p.schedule
+      .map(s => s"${s.fromCount}:${s.minimumConnect}:${s.relaxedMonotonicity}")
+      .mkString(";")
+    val json =
+      s"""{"metric":"${p.metric.name}","minimumConnect":${p.minimumConnect},
+         |"relaxedMonotonicity":${p.relaxedMonotonicity},"step":${p.step},
+         |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
+         |"schedule":"$sched",
+         |"quantized":${p.quantized},"quantLo":${p.quantLo},"quantHi":${p.quantHi},
+         |"indexId":"$indexId"}""".stripMargin
+    writeSmallFile(spark, s"$path/params.json", json)
   }
 
   /** One-time write of a shard-bucketed corpus table: rows land in

@@ -80,6 +80,23 @@ class DehnswSpec extends AnyFunSuite with SparkSuite {
     assert(after.exceptAll(before).count() === 0)
   }
 
+  test("buildTo (straight-to-parquet build) answers queries identically to a cached build") {
+    // the decade-scale disk path: rows stream directly to parquet, the
+    // handle is the LOADED index — results must equal the cached build's
+    // bit for bit (the kernel is deterministic, so the graphs are equal)
+    val path = java.nio.file.Files.createTempDirectory("graft_buildto_").toString
+    val p = IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2)
+    val direct = VectorIndex.buildTo(corpus, p, numShards = 4, path)
+    assert(direct.indexId !== index.indexId) // fresh cache identity (load path)
+    val a = index.query(queries, k = 5, searchWidth = 8)
+    val b = direct.query(queries, k = 5, searchWidth = 8)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // and the sidecars make it independently loadable
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.numShards === 4)
+  }
+
   test("append rebuilds only affected shards and equals a full rebuild exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = emb.filter(col("vec_id") >= 50 && col("vec_id") < 400)
