@@ -438,6 +438,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("b6 z-order top-k plans as TakeOrderedAndProject, key is pure projection") {
+    // the clustering key must be map-side arithmetic and the cut a
+    // partial top-k — a global Sort or a Window here would drag the
+    // whole table through one partition
+    val p = plan("b6_zorder")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no window should appear:\n${p.take(3000)}")
+  }
+
+  test("p3 profiler reads the table once and partial-aggregates") {
+    // the one-pass claim: a single parquet scan feeds one partial+final
+    // aggregate; per-column metrics must not each rescan the table
+    val p = plan("p3_profile")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected exactly one scan, got $scans:\n${p.take(3000)}")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n${p.take(3000)}")
+  }
+
   test("dynamic partition pruning engages on a partitioned fact scan") {
     // the 100 TB read-path move the testdata can't show (it ships flat
     // files): a fact table PARTITIONED on a key joined to a filtered dim
