@@ -2167,6 +2167,39 @@ object Queries {
       |WHERE e1.qa < e1.qb
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- v49_knn_graph_ann
+  /** The PRODUCTION face of v48: the kNN graph built at realistic beam
+    * width (searchWidth=8) instead of exact-mode — what a 100 TB graph
+    * build actually runs, since the probe cost is the whole bill.
+    * Self-describing gate (the v45 pattern): the query computes edge
+    * recall of the approximate graph against the exact graph IN-QUERY
+    * and emits (n_exact, recall_ok >= 0.85); the oracle replays n_exact
+    * closed-form and pins recall_ok TRUE, so a beam regression fails
+    * the hash without the oracle ever needing to model the beam. */
+  def v49KnnGraphAnn(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val queries = corpus.select(col("id").as("query_id"), col("embedding"))
+    def edges(sw: Int) = buildEmbIndex(s, dir).query(queries, k = 4, searchWidth = sw)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val nExact = edges(0).count()
+    val nHit = edges(8).join(edges(0), Seq("a", "b"), "left_semi").count()
+    import s.implicits._
+    Seq((nExact, nHit.toDouble / nExact >= 0.85)).toDF("n_exact", "recall_ok")
+  }
+
+  private val v49Oracle =
+    """WITH c AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 10),
+      |d AS (SELECT a.id AS qa, b.id AS qb,
+      |        list_sum(list_transform(generate_series(1, len(a.e)),
+      |          i -> (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE))
+      |             * (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE)))) AS dist
+      |      FROM c a JOIN c b ON a.id <> b.id),
+      |r AS (SELECT qa, qb,
+      |        row_number() OVER (PARTITION BY qa ORDER BY dist, qb) AS rnk
+      |      FROM d)
+      |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM r WHERE rnk <= 3""".stripMargin
+
   // ---------------------------------------------------------------- q9_grouping_sets
   /** Explicit GROUPING SETS (beyond q6 rollup / q8 cube): the three-set
     * lattice ((flag, status), (flag), ()) with grouping_id, one shuffle —
@@ -2738,6 +2771,7 @@ object Queries {
     "b5_interval_join" -> b5Oracle,
     "b6_zorder" -> b6Oracle,
     "v48_knn_graph" -> v48Oracle,
+    "v49_knn_graph_ann" -> v49Oracle,
     "v38_maxsim" -> v38Oracle,
     "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (exhaustive m)
     "v40_maxsim_ann" -> v38Oracle, // ANN stage 1 at exhaustive fidelity == brute force

@@ -91,6 +91,7 @@ object SparkEntry {
     "b5_interval_join" -> ((s, dir) => Queries.b5IntervalJoin(s, dir)),
     "b6_zorder" -> ((s, dir) => Queries.b6Zorder(s, dir)),
     "v48_knn_graph" -> ((s, dir) => Queries.v48KnnGraph(s, dir)),
+    "v49_knn_graph_ann" -> ((s, dir) => Queries.v49KnnGraphAnn(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
