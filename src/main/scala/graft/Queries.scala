@@ -2200,6 +2200,53 @@ object Queries {
       |      FROM d)
       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM r WHERE rnk <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- v50_graph_clusters
+  /** Embedding clustering at scale, end to end: the index-served
+    * reciprocal-NN graph (v48) fed into iterative pointer-jumping
+    * connected components ([[graft.operators.Dedup.duplicateClusters]]
+    * — d6's kernel) and summarized per non-trivial cluster. This is the
+    * composition a 100 TB semantic-clustering pass actually runs:
+    * corpus-size index probes build the edge list (never all-pairs),
+    * mutual-kNN edges give high-precision links, and CC costs
+    * O(log diameter) bounded join rounds. Reciprocal-NN edges make the
+    * graph sparse and symmetric, so the unique min-label fixpoint is
+    * engine-independent; the oracle replays edges + components with a
+    * recursive CTE. */
+  def v50GraphClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val pairs = v48KnnGraph(s, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.operators.Dedup
+      .duplicateClusters(corpus.select(col("id").as("doc_id")), pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("doc_id")).as("max_id"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy(col("cluster_id"))
+  }
+
+  private val v50Oracle =
+    """WITH RECURSIVE c AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 10),
+      |d AS (SELECT a.id AS qa, b.id AS qb,
+      |        list_sum(list_transform(generate_series(1, len(a.e)),
+      |          i -> (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE))
+      |             * (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE)))) AS dist
+      |      FROM c a JOIN c b ON a.id <> b.id),
+      |r AS (SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY dist, qb) AS rnk
+      |      FROM d),
+      |e AS (SELECT qa, qb FROM r WHERE rnk <= 3),
+      |rp AS (SELECT e1.qa AS a, e1.qb AS b
+      |       FROM e e1 JOIN e e2 ON e1.qa = e2.qb AND e1.qb = e2.qa
+      |       WHERE e1.qa < e1.qb),
+      |edges AS (SELECT a AS src, b AS dst FROM rp UNION ALL SELECT b, a FROM rp),
+      |reach(id, root) AS (
+      |  SELECT id, id FROM c
+      |  UNION
+      |  SELECT e.src, reach.root FROM edges e JOIN reach ON e.dst = reach.id),
+      |labels AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS cluster_size, max(doc_id) AS max_id
+      |FROM labels GROUP BY cluster_id HAVING COUNT(*) >= 2
+      |ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- q9_grouping_sets
   /** Explicit GROUPING SETS (beyond q6 rollup / q8 cube): the three-set
     * lattice ((flag, status), (flag), ()) with grouping_id, one shuffle —
@@ -2772,6 +2819,7 @@ object Queries {
     "b6_zorder" -> b6Oracle,
     "v48_knn_graph" -> v48Oracle,
     "v49_knn_graph_ann" -> v49Oracle,
+    "v50_graph_clusters" -> v50Oracle,
     "v38_maxsim" -> v38Oracle,
     "v39_maxsim_pruned" -> v38Oracle, // pruned == brute force (exhaustive m)
     "v40_maxsim_ann" -> v38Oracle, // ANN stage 1 at exhaustive fidelity == brute force

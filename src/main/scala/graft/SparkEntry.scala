@@ -92,6 +92,7 @@ object SparkEntry {
     "b6_zorder" -> ((s, dir) => Queries.b6Zorder(s, dir)),
     "v48_knn_graph" -> ((s, dir) => Queries.v48KnnGraph(s, dir)),
     "v49_knn_graph_ann" -> ((s, dir) => Queries.v49KnnGraphAnn(s, dir)),
+    "v50_graph_clusters" -> ((s, dir) => Queries.v50GraphClusters(s, dir)),
     "q6_rollup" -> ((s, dir) => Queries.q6Rollup(s, dir)),
     "q8_cube" -> ((s, dir) => Queries.q8Cube(s, dir)),
     "q7_dates" -> ((s, dir) => Queries.q7Dates(s, dir)),
