@@ -2137,19 +2137,28 @@ object Queries {
     * linear in corpus, never all-pairs; L2sq is symmetric bit-for-bit
     * (same fold either direction), so either edge's distance hashes
     * identically. */
-  def v48KnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val corpus = embCorpus(s, dir)
-    val queries = corpus.select(col("id").as("query_id"), col("embedding"))
-    val knn = buildEmbIndex(s, dir).query(queries, k = 4, searchWidth = 0)
-      .filter(col("neighbor_id") =!= col("query_id"))
-    val edges = knn.select(col("query_id").as("a"),
-      col("neighbor_id").as("b"), col("distance"))
-    edges.join(edges.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("id_a"), col("b").as("id_b"),
-        round(col("distance"), 6).as("distance"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  // the reciprocal edge list is shared by v48 (the gate) and v50 (the
+  // clustering composition) — memoize per sf dir like shingleCache /
+  // pairsCache so one session pays the exact probe + reciprocal join once
+  private val rnnPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def reciprocalNnPairs(s: SparkSession, dir: String): DataFrame =
+    rnnPairsCache.computeIfAbsent(dir, _ => {
+      val corpus = embCorpus(s, dir)
+      val queries = corpus.select(col("id").as("query_id"), col("embedding"))
+      val knn = buildEmbIndex(s, dir).query(queries, k = 4, searchWidth = 0)
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val edges = knn.select(col("query_id").as("a"),
+        col("neighbor_id").as("b"), col("distance"))
+      edges.join(edges.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          round(col("distance"), 6).as("distance"))
+        .cache()
+    })
+
+  def v48KnnGraph(s: SparkSession, dir: String): DataFrame =
+    reciprocalNnPairs(s, dir).orderBy(col("id_a"), col("id_b"))
 
   private val v48Oracle =
     """WITH c AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 10),
@@ -2182,10 +2191,15 @@ object Queries {
     def edges(sw: Int) = buildEmbIndex(s, dir).query(queries, k = 4, searchWidth = sw)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id").as("a"), col("neighbor_id").as("b"))
-    val nExact = edges(0).count()
-    val nHit = edges(8).join(edges(0), Seq("a", "b"), "left_semi").count()
-    import s.implicits._
-    Seq((nExact, nHit.toDouble / nExact >= 0.85)).toDF("n_exact", "recall_ok")
+    // the exact probe is the dominant cost — cache it across its two
+    // actions (count + semi-join input) instead of brute-forcing twice
+    val exactE = edges(0).cache()
+    try {
+      val nExact = exactE.count()
+      val nHit = edges(8).join(exactE, Seq("a", "b"), "left_semi").count()
+      import s.implicits._
+      Seq((nExact, nHit.toDouble / nExact >= 0.85)).toDF("n_exact", "recall_ok")
+    } finally exactE.unpersist()
   }
 
   private val v49Oracle =
@@ -2214,7 +2228,7 @@ object Queries {
     * recursive CTE. */
   def v50GraphClusters(s: SparkSession, dir: String): DataFrame = {
     val corpus = embCorpus(s, dir)
-    val pairs = v48KnnGraph(s, dir)
+    val pairs = reciprocalNnPairs(s, dir)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     graft.operators.Dedup
       .duplicateClusters(corpus.select(col("id").as("doc_id")), pairs)

@@ -287,17 +287,6 @@ object Dedup {
     minHashCandidatePairsFromShingles(
       shingled(docs, n, idCol, textCol), numHashes, bandSize)
 
-  /** Candidate pairs over a precomputed (doc_id, shingles) table.
-    *
-    * Shape: band the signature, bucket docs by (band, md5(band hashes)),
-    * then emit each bucket's pairs IN-TASK from the grouped sorted id
-    * list ([[graft.functions.SortedPairs]]) — one groupBy shuffle of
-    * docs x bands *bucket rows* plus the distinct, instead of the
-    * previous self-equi-join (two shuffled join branches over the same
-    * exploded table). Candidate volume is unchanged (O(docs x bands)
-    * bucket rows; pairs only materialize inside each bucket, which is
-    * the LSH contract), so the 100 TB story is the same — fewer
-    * shuffles, no join build side. */
   /** (doc_id, band_idx, bucket) LSH band buckets of the MinHash
     * signature — the reusable half of the candidate machinery: a static
     * corpus computes (and caches) its bucket table once, and any other
@@ -316,6 +305,18 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
   }
 
+  /** Candidate pairs over a precomputed (doc_id, shingles) table.
+    *
+    * Shape: band the signature ([[minHashBands]]), bucket docs by
+    * (band, md5(band hashes)), then emit each bucket's pairs IN-TASK
+    * from the grouped sorted id list ([[graft.functions.SortedPairs]])
+    * — one groupBy shuffle of docs x bands *bucket rows* plus the
+    * distinct, instead of the previous self-equi-join (two shuffled
+    * join branches over the same exploded table). Candidate volume is
+    * unchanged (O(docs x bands) bucket rows; pairs only materialize
+    * inside each bucket, which is the LSH contract), so the 100 TB
+    * story is the same — fewer shuffles, no join build side.
+    * Output distinct (doc_a, doc_b), doc_a < doc_b. */
   def minHashCandidatePairsFromShingles(
       sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge.{column => toCol, expression => toExpr}

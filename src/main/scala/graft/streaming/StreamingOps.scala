@@ -636,6 +636,55 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Shared foreachBatch-to-parquet scaffolding for the zero-state
+    * streaming faces (s18/s19/s20): temp checkpoint (tmpfs when
+    * writable), optional shuffle-partition override restored afterward,
+    * per-batch `body` appending to the sink dir, and an empty-feed
+    * contract — when no batch ever writes, the result is `seed.limit(0)`
+    * (the correct empty schema) instead of a parquet schema-inference
+    * failure. */
+  private def runBatchSink(spark: SparkSession, feed: DataFrame,
+      statePartitions: Int, seed: => DataFrame)(
+      body: (DataFrame, String) => Unit): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink_").toString
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = feed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) body(batch, outDir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    val wrote = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (wrote) spark.read.parquet(outDir) else seed.limit(0)
+  }
+
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => }
+
   /** Streaming MinHash-LSH ingest screen — the lexical near-dup analog
     * of the s14 semantic screen: a live feed of incoming documents is
     * checked per micro-batch against a STATIC corpus for LSH bucket
@@ -652,7 +701,6 @@ object StreamingOps {
       spark: SparkSession, incomingShingles: DataFrame,
       corpusShingles: DataFrame, numHashes: Int, bandSize: Int,
       statePartitions: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val corpusBands = graft.operators.Dedup
       .minHashBands(corpusShingles, numHashes, bandSize)
       .select(col("doc_id").as("corpus_id"), col("band_idx"), col("bucket"))
@@ -663,41 +711,20 @@ object StreamingOps {
     val feed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_mh_").toString
-    val ckptRoot =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = feed.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val inBands = graft.operators.Dedup
-              .minHashBands(batch, numHashes, bandSize)
-              .select(col("doc_id").as("in_id"), col("band_idx"), col("bucket"))
-            corpusBands.join(broadcast(inBands), Seq("band_idx", "bucket"))
-              .select(col("in_id"), col("corpus_id"))
-              .distinct() // an in-doc's rows all sit in THIS batch
-              .write.mode("append").parquet(outDir)
-          }
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      corpusBands.unpersist()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => }
+    def screen(in: DataFrame) = {
+      val inBands = graft.operators.Dedup
+        .minHashBands(in, numHashes, bandSize)
+        .select(col("doc_id").as("in_id"), col("band_idx"), col("bucket"))
+      corpusBands.join(broadcast(inBands), Seq("band_idx", "bucket"))
+        .select(col("in_id"), col("corpus_id"))
+        .distinct() // an in-doc's rows all sit in THIS batch
     }
-    spark.read.parquet(outDir)
+    try runBatchSink(spark, feed, statePartitions, seed = screen(incomingShingles)) {
+      (batch, outDir) => screen(batch).write.mode("append").parquet(outDir)
+    } finally {
+      corpusBands.unpersist()
+      deleteRecursively(srcDir)
+    }
   }
 
   /** Streaming BM25 serving — the query-serving face of the lexical
@@ -714,7 +741,6 @@ object StreamingOps {
   def streamBm25Serve(
       spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       n: Int, maxTokenDf: Long, statePartitions: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val (index0, stats0) = graft.operators.HybridRetrieval.bm25Index(corpus, maxTokenDf)
     val index = index0.cache()
     val stats = stats0.cache()
@@ -724,35 +750,15 @@ object StreamingOps {
     val feed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // several triggers, whole queries each
       .parquet(srcDir)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_bm_").toString
-    val ckptRoot =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = feed.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.HybridRetrieval.bm25Serve(batch, index, stats, n)
-              .write.mode("append").parquet(outDir)
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    try runBatchSink(spark, feed, statePartitions,
+      seed = graft.operators.HybridRetrieval.bm25Serve(queries, index, stats, n)) {
+      (batch, outDir) =>
+        graft.operators.HybridRetrieval.bm25Serve(batch, index, stats, n)
+          .write.mode("append").parquet(outDir)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       index.unpersist(); stats.unpersist()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => }
+      deleteRecursively(srcDir)
     }
-    spark.read.parquet(outDir)
   }
 
   /** Streaming weight-proportional sampling — the reservoir shape:
@@ -771,7 +777,6 @@ object StreamingOps {
       weigh: DataFrame => DataFrame,
       idCol: String, weightCol: String, k: Int,
       statePartitions: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = schemaCache.computeIfAbsent(docsPath, p => spark.read.parquet(p).schema)
     val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
@@ -780,36 +785,15 @@ object StreamingOps {
       d.toString
     })
     val docs = spark.readStream.schema(schema).parquet(srcDir)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_wsamp_").toString
-    val ckptRoot =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = docs.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            graft.operators.Sampling.weightedSample(weigh(batch), idCol, weightCol, k)
-              .drop("sample_rank") // ranks are only meaningful after the final fold
-              .write.mode("append").parquet(outDir)
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => }
+    def batchSample(b: DataFrame) =
+      graft.operators.Sampling.weightedSample(weigh(b), idCol, weightCol, k)
+        .drop("sample_rank") // ranks are only meaningful after the final fold
+    val acc = runBatchSink(spark, docs, statePartitions,
+      seed = batchSample(spark.read.schema(schema).parquet(srcDir))) {
+      (batch, outDir) =>
+        batchSample(batch).write.mode("append").parquet(outDir)
     }
     // final fold: re-cut the accumulated per-batch winners
-    val acc = spark.read.parquet(outDir)
     val top = acc.orderBy(col("sample_key").desc, col(idCol)).limit(k)
     top.withColumn("sample_rank",
       org.apache.spark.sql.functions.row_number().over(

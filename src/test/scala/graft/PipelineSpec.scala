@@ -664,6 +664,15 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (2L, 1L, r6(math.log(pBA)))))
   }
 
+  test("streaming serve faces return an empty, schema-correct result on an empty feed") {
+    val corpus = Seq((10L, "alpha beta")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("query_id", "text")
+    val r = graft.streaming.StreamingOps.streamBm25Serve(
+      spark, empty, corpus, n = 5, maxTokenDf = Long.MaxValue)
+    assert(r.count() === 0)
+    assert(r.columns.toSet === Set("query_id", "doc_id", "bm25", "lex_rank"))
+  }
+
   test("streamMinHashScreen flags a planted near-dup ingest, passes clean docs") {
     val mk = (id: Long, text: String) => (id, text)
     val corpus = Seq(
