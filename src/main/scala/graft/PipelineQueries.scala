@@ -689,6 +689,16 @@ object PipelineQueries {
       |FROM j GROUP BY source, n ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- t15_pii_scrub
+  /** Deterministic synthetic contact line per doc id (testdata carries no
+    * PII; both engines construct the identical string) — shared by t15
+    * and the streaming sanitize pass. */
+  private[graft] def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+
   /** PII redaction (emails + phone numbers → typed placeholder tags) —
     * the compliance pass a training-data pipeline runs before anything
     * else sees the text. The testdata corpus carries no PII, so each doc
@@ -700,16 +710,6 @@ object PipelineQueries {
     * Spark/DuckDB regex intersection ([[TextFunctions.emailRe]]). Whole
     * operator is map-side regexp work — zero shuffle at any corpus
     * size. */
-  /** Deterministic synthetic contact line per doc id (testdata carries no
-    * PII; both engines construct the identical string) — shared by t15
-    * and the streaming sanitize pass. */
-  private[graft] def withSyntheticPii(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(col("text"),
-        lit(" contact u"), col("doc_id").cast("string"),
-        lit("@example.com or +1-555-01"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
-
   def t15PiiScrub(s: SparkSession, dir: String): DataFrame = {
     val withPii = withSyntheticPii(Tables.documents(s, dir))
     withPii.select(col("doc_id"),
@@ -719,22 +719,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val t15Oracle = {
-    // the patterns interpolate verbatim: they use no chars that a DuckDB
-    // single-quoted literal would re-interpret (backslashes pass through)
-    val email = TextFunctions.emailRe
-    val phone = TextFunctions.phoneRe
-    s"""WITH p AS (SELECT doc_id,
+  // shared SQL fragments kept in lockstep across t15/t16/s17 (the Scala
+  // side already shares withSyntheticPii / tokenChunks — a one-sided edit
+  // to a copied fragment would make the gates silently diverge).
+  // The regex patterns interpolate verbatim: they use no chars a DuckDB
+  // single-quoted literal would re-interpret (backslashes pass through).
+  private val syntheticPiiCte =
+    """p AS (SELECT doc_id,
       |             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-01' ||
       |               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
-      |           FROM documents)
+      |           FROM documents)""".stripMargin
+  private def scrubSql(textExpr: String) =
+    s"""regexp_replace(regexp_replace($textExpr, '${TextFunctions.emailRe}', '<EMAIL>', 'g'),
+      |      '${TextFunctions.phoneRe}', '<PHONE>', 'g')""".stripMargin
+  private def chunkTail(fromCte: String) =
+    s"""st AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS start FROM $fromCte)
+      |SELECT doc_id, CAST(start AS INT) AS start,
+      |  CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens,
+      |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
+      |FROM st ORDER BY doc_id, start""".stripMargin
+
+  private val t15Oracle =
+    s"""WITH $syntheticPiiCte
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
-      |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
-      |      '$phone', '<PHONE>', 'g')) AS scrubbed_md5
+      |  CAST(len(regexp_extract_all(text, '${TextFunctions.emailRe}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '${TextFunctions.phoneRe}')) AS BIGINT) AS n_phones,
+      |  md5(${scrubSql("text")}) AS scrubbed_md5
       |FROM p ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- t16_chunks
   /** Sliding-window token chunking (32-token windows every 24 tokens) —
@@ -756,12 +767,8 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("start"))
 
   private val t16Oracle =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |st AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS start FROM d)
-      |SELECT doc_id, CAST(start AS INT) AS start,
-      |  CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens,
-      |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
-      |FROM st ORDER BY doc_id, start""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |${chunkTail("d")}""".stripMargin
 
   // ---------------------------------------------------------------- s17_stream_sanitize
   /** Streaming ingest-time sanitize + pack
@@ -778,24 +785,11 @@ object PipelineQueries {
       chunkSize = 32, stride = 24, streamStateParts)
       .orderBy(col("doc_id"), col("start"))
 
-  private val s17Oracle = {
-    val email = TextFunctions.emailRe
-    val phone = TextFunctions.phoneRe
-    s"""WITH p AS (SELECT doc_id,
-      |             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-01' ||
-      |               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
-      |           FROM documents),
-      |sc AS (SELECT doc_id,
-      |         regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
-      |           '$phone', '<PHONE>', 'g') AS text
-      |       FROM p),
+  private val s17Oracle =
+    s"""WITH $syntheticPiiCte,
+      |sc AS (SELECT doc_id, ${scrubSql("text")} AS text FROM p),
       |d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM sc),
-      |st AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS start FROM d)
-      |SELECT doc_id, CAST(start AS INT) AS start,
-      |  CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens,
-      |  md5(array_to_string(list_slice(ts, start, start + 31), ' ')) AS chunk_md5
-      |FROM st ORDER BY doc_id, start""".stripMargin
-  }
+      |${chunkTail("d")}""".stripMargin
 
   // ---------------------------------------------------------------- t17_repetition
   /** Within-document repetition ratios — the Gopher-class quality rule

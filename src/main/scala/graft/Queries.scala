@@ -2536,25 +2536,37 @@ object Queries {
     * (doc_id >= 10) on BOTH signals — the standard production retrieval
     * stack (BM25 + vectors) as one declarative plan. Integer lexical
     * scores and rank-only fusion keep every ordering engine-exact. */
-  def v42HybridRrf(s: SparkSession, dir: String): DataFrame = {
+  // shared hybrid-retrieval legs (v42/v44/v46): query docs (doc_id < 5),
+  // corpus docs (>= 10), query embeddings, and the 78%-of-corpus df cap.
+  // The cap is an EAGER count — memoize it per sf dir so the three query
+  // builders (and the bench, which constructs each twice) pay the corpus
+  // scan once, not per construction.
+  private val hybridCapCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private[graft] def hybridInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val docs = Tables.documents(s, dir)
-    val emb = Tables.embeddings(s, dir)
     val qd = docs.filter(col("doc_id") < 5).select(col("doc_id").as("query_id"), col("text"))
     val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
-    val qe = emb.filter(col("vec_id") < 5)
+    val qe = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val ce = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("id"), col("embedding"))
-    val dense = ExactKnn.knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("dense_rank"))
+    val maxDf = hybridCapCache.computeIfAbsent(dir, _ => cd.count() * 78L / 100L)
+    (qd, cd, qe, maxDf)
+  }
+
+  def v42HybridRrf(s: SparkSession, dir: String): DataFrame = {
     // document-frequency cap at 78% of the corpus (integer arithmetic so
     // DuckDB replays it): near-universal tokens are dropped BEFORE the
     // posting join — without the cap one stopword makes the pair stream
     // approach q x corpus at web scale (the t11/t13 token-cardinality
     // class). On this testdata the cap genuinely bites: roughly half of
     // the ~30-token synthetic vocabulary sits above 78% df.
-    val maxDf = cd.count() * 78L / 100L
+    val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
+    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val dense = ExactKnn.knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
     val lex = graft.operators.HybridRetrieval.lexicalTopN(qd, cd, n = 20,
       maxTokenDf = maxDf)
     graft.operators.HybridRetrieval.rrfFuse(dense, lex, k = 10)
@@ -2631,16 +2643,10 @@ object Queries {
     * pinned by HybridRetrievalSpec's fused-recall floor — DuckDB cannot
     * replay a beam. */
   def v44HybridAnn(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val qd = docs.filter(col("doc_id") < 5).select(col("doc_id").as("query_id"), col("text"))
-    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
-    val qe = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
     val dense = cosineEmbIndex(s, dir).query(qe, k = 20, searchWidth = 4096)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    val maxDf = cd.count() * 78L / 100L
     val lex = graft.operators.HybridRetrieval.lexicalTopN(qd, cd, n = 20,
       maxTokenDf = maxDf)
     graft.operators.HybridRetrieval.rrfFuse(dense, lex, k = 10)
@@ -2658,18 +2664,12 @@ object Queries {
     * pipeline (postings, df cap, stats, score, both rankings, fusion)
     * in closed form. */
   def v46HybridBm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val qd = docs.filter(col("doc_id") < 5).select(col("doc_id").as("query_id"), col("text"))
-    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
-    val qe = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val ce = emb.filter(col("vec_id") >= 10)
+    val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
+    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id").as("id"), col("embedding"))
     val dense = ExactKnn.knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    val maxDf = cd.count() * 78L / 100L
     val lex = graft.operators.HybridRetrieval.bm25TopN(qd, cd, n = 20,
       maxTokenDf = maxDf)
     graft.operators.HybridRetrieval.rrfFuse(dense, lex, k = 10)

@@ -58,12 +58,21 @@ object Sampling {
 
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fail LOUDLY on a non-positive weight instead of corrupting the
+    // sample silently: ln(u)/w flips sign for w < 0 (the bad row would
+    // deterministically win rank 1) and -Inf for w = 0 (silently never
+    // sampled). The guard is a per-row branch that never fires on legal
+    // input, so the oracle (which replays only the key formula) is
+    // unaffected.
+    val w = when(col(weightCol) > lit(0), col(weightCol)).otherwise(
+      raise_error(concat(lit(s"weightedSample: non-positive $weightCol for $idCol="),
+        col(idCol).cast("string"))))
     // orderBy + limit plans as TakeOrderedAndProject (per-partition
     // partial top-k, never a global sort); the rank window then touches
     // only the k survivors — a global Window BEFORE the cut would drag
     // the whole corpus into one partition
     val top = df
-      .withColumn("sample_key", weightedSampleKey(col(idCol), col(weightCol)))
+      .withColumn("sample_key", weightedSampleKey(col(idCol), w))
       .orderBy(col("sample_key").desc, col(idCol)).limit(k)
     top.withColumn("sample_rank",
       row_number().over(Window.orderBy(col("sample_key").desc, col(idCol))).cast("int"))

@@ -588,7 +588,6 @@ object StreamingOps {
       spark: SparkSession, docsPath: String,
       transform: DataFrame => DataFrame,
       chunkSize: Int, stride: Int, statePartitions: Int = 0): DataFrame = {
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = schemaCache.computeIfAbsent(docsPath, p => spark.read.parquet(p).schema)
     val srcDir = stagedSources.computeIfAbsent(docsPath, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
@@ -597,47 +596,25 @@ object StreamingOps {
       d.toString
     })
     val docs = spark.readStream.schema(schema).parquet(srcDir)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_san_").toString
-    val ckptRoot =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (statePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = docs.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            import graft.functions.TextFunctions
-            transform(batch)
-              .select(col("doc_id"),
-                TextFunctions.scrubPii(col("text")).as("text"))
-              .select(col("doc_id"),
-                explode(TextFunctions.tokenChunks(col("text"), chunkSize, stride)).as("c"))
-              .select(col("doc_id"), col("c.start").as("start"),
-                size(col("c.toks")).as("n_tokens"),
-                md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
-              .write.mode("append").parquet(outDir)
-          }
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => }
+    def sanitize(b: DataFrame) = {
+      import graft.functions.TextFunctions
+      transform(b)
+        .select(col("doc_id"),
+          TextFunctions.scrubPii(col("text")).as("text"))
+        .select(col("doc_id"),
+          explode(TextFunctions.tokenChunks(col("text"), chunkSize, stride)).as("c"))
+        .select(col("doc_id"), col("c.start").as("start"),
+          size(col("c.toks")).as("n_tokens"),
+          md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
     }
-    spark.read.parquet(outDir)
+    runBatchSink(spark, docs, statePartitions,
+      seed = sanitize(spark.read.schema(schema).parquet(srcDir))) {
+      (batch, outDir) => sanitize(batch).write.mode("append").parquet(outDir)
+    }
   }
 
   /** Shared foreachBatch-to-parquet scaffolding for the zero-state
-    * streaming faces (s18/s19/s20): temp checkpoint (tmpfs when
+    * streaming faces (s17-s20): temp checkpoint (tmpfs when
     * writable), optional shuffle-partition override restored afterward,
     * per-batch `body` appending to the sink dir, and an empty-feed
     * contract — when no batch ever writes, the result is `seed.limit(0)`

@@ -616,6 +616,18 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(repicked === picked)
   }
 
+  test("weightedSample fails loudly on a non-positive weight") {
+    // ln(u)/w flips sign for w < 0 (bad row deterministically wins) and
+    // -Inf for w = 0 (silently never sampled) — the guard must raise
+    val df = Seq((1L, 5), (2L, 0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      graft.operators.Sampling.weightedSample(df, "doc_id", "w", 2).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("non-positive"), s"unexpected error: ${messages(e)}")
+  }
+
   test("weighted sample top-k is associative over any split (the s18 invariance)") {
     import graft.operators.Sampling
     import org.apache.spark.sql.expressions.Window
