@@ -946,6 +946,24 @@ object PipelineQueries {
       |ORDER BY in_id, corpus_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s21_stream_zorder
+  /** Streaming z-order clustered ingest
+    * ([[graft.streaming.StreamingOps.streamZorderIngest]]): the orders
+    * feed lands with its Morton key (b6's bucketing), batch-sorted for
+    * ingest-time 2-D file stats. The key is per-row, so the sink
+    * CONTENT equals the batch computation for any batching — b6's
+    * closed-form SQL gates the top-120 by key exactly. */
+  def s21StreamZorder(s: SparkSession, dir: String): DataFrame = {
+    val xb = col("o_custkey") % 256
+    val yb = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") % 256
+    val rows = Tables.orders(s, dir)
+      .select(col("o_orderkey"), xb.as("xb"), yb.as("yb"))
+    graft.streaming.StreamingOps.streamZorderIngest(
+      s, rows, "xb", "yb", bits = 8, streamStateParts)
+      .orderBy(col("zkey"), col("o_orderkey"))
+      .limit(120)
+  }
+
   // ---------------------------------------------------------------- p3_profile
   /** One-pass column profiling ([[graft.operators.Profiler]]): null
     * counts, distinct cardinalities (HLL sketch cross-checked in-query
@@ -2078,6 +2096,7 @@ object PipelineQueries {
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
+    "s21_stream_zorder" -> ((s, dir) => s21StreamZorder(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
     "m2_frames" -> ((s, dir) => m2Frames(s, dir)),
     "m3_resize" -> ((s, dir) => m3Resize(s, dir)),
@@ -2155,6 +2174,8 @@ object PipelineQueries {
     "s19_stream_bm25" -> s19Oracle,
     "p3_profile" -> p3Oracle,
     "s20_stream_minhash" -> s20Oracle,
+    "s21_stream_zorder" -> Queries.b6Oracle, // per-row key => sink == batch; b6's exact SQL
+
     "m1_multimodal" -> m1Oracle,
     "m2_frames" -> m2Oracle,
     "m3_resize" -> m3Oracle,

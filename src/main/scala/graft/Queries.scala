@@ -2112,7 +2112,7 @@ object Queries {
       .limit(120)
   }
 
-  private val b6Oracle =
+  private[graft] val b6Oracle =
     """WITH b AS (SELECT o_orderkey, o_custkey % 256 AS xb,
       |             CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) % 256 AS yb
       |           FROM orders),

@@ -662,6 +662,36 @@ object StreamingOps {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => }
 
+  /** Streaming z-order clustered ingest — the WRITE-path face of
+    * [[graft.operators.ZOrder]]: each micro-batch lands in the sink
+    * carrying its Morton clustering key and sorted by it within batch
+    * partitions, so files written at ingest time already have narrow
+    * parquet min/max stats in BOTH bucketed dimensions (2-D predicate
+    * file-skipping from the moment data arrives — what auto-clustering
+    * lakehouse sinks do). The key is a per-row projection, so the
+    * accumulated sink CONTENT equals the batch computation for any
+    * batching (zero streaming state); a periodic compaction
+    * (`clusterBy2d` over the accumulated files) restores global
+    * clustering when batch-level locality degrades — the standard
+    * ingest-then-compact layout lifecycle. */
+  def streamZorderIngest(
+      spark: SparkSession, rows: DataFrame, xCol: String, yCol: String,
+      bits: Int, statePartitions: Int = 0): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_zq_").toString
+    rows.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    def keyed(b: DataFrame) = b.withColumn("zkey",
+      graft.operators.ZOrder.zkey(col(xCol), col(yCol), bits))
+    try runBatchSink(spark, feed, statePartitions, seed = keyed(rows)) {
+      (batch, outDir) =>
+        keyed(batch).sortWithinPartitions(col("zkey"))
+          .write.mode("append").parquet(outDir)
+    } finally deleteRecursively(srcDir)
+  }
+
   /** Streaming MinHash-LSH ingest screen — the lexical near-dup analog
     * of the s14 semantic screen: a live feed of incoming documents is
     * checked per micro-batch against a STATIC corpus for LSH bucket

@@ -20,6 +20,20 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(m === 108L)
   }
 
+  test("streamZorderIngest lands every batch file sorted by the clustering key") {
+    val rows = spark.range(512).select(col("id").as("o_orderkey"),
+      (col("id") * 7 % 256).as("xb"), (col("id") * 13 % 256).as("yb"))
+    val sink = graft.streaming.StreamingOps.streamZorderIngest(
+      spark, rows, "xb", "yb", bits = 8)
+    assert(sink.count() === 512)
+    val files = sink.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f).select("zkey").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"file $f not zkey-sorted")
+    }
+  }
+
   test("z-order layout bounds BOTH dimensions' per-file spans; linear sort only the leading one") {
     // pseudo-uniform independent 8-bit dims over 8k rows
     val df = spark.range(8192)
