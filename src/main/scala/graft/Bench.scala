@@ -99,17 +99,31 @@ object Bench {
     // omit the errors array when clean — every byte of the line competes
     // with the consumer's 2000-char tail window
     val errs = if (failed.isEmpty) "" else s""","errors":[${failed.mkString(",")}]"""
-    // TWO lines, per-query detail FIRST and the total LAST: the consumer
-    // records only the last ~2000 chars of output and parses a JSON line
-    // out of that window. At 119+ queries the full per-query line outgrew
-    // the window and BENCH_r12 lost the total entirely (front-truncated,
-    // parsed=null). The final line is short (total + the slowest queries),
-    // so it ALWAYS survives the tail intact and parses, while the big
-    // detail line keeps as much of its end in the window as fits.
+    // THREE lines, the total LAST: the consumer records only the last
+    // ~2000 chars of output and parses a JSON line out of that window.
+    // At 119+ queries the full-name per-query line outgrew the window
+    // (BENCH_r12 lost the total; BENCH_r13 kept the total but lost every
+    // query alphabetically before s17). So:
+    //   line 1: full-name detail — complete in a local log, may
+    //           front-truncate in the consumer's window; human reference.
+    //   line 2: compact detail — the SAME per-query map keyed by the
+    //           short family code ("v44_hybrid_ann" -> "v44"; codes are
+    //           unique by construction), ~10 chars/query so the WHOLE
+    //           surface fits the window even as the set grows.
+    //   line 3: total + the slowest queries (field "slowest", NOT
+    //           "queries" — it is a partial map and consumers diffing
+    //           rounds by "queries" must fail loudly, not mis-read).
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val shortKey = results.map { case (k, _, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val compact =
+      if (shortKey.values.toSet.size == results.size)
+        results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+      else qs // a short-code collision would shadow a timing; fall back
+    println(s"""{"metric":"detail_short","unit":"sec","queries":$compact,"sf":"$sfName"}""")
     val slow = results.filter(_._3).sortBy(-_._2).take(8)
       .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","slowest":$slow$errs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -770,6 +770,45 @@ object PipelineQueries {
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |${chunkTail("d")}""".stripMargin
 
+  // ---------------------------------------------------------------- t22_packing
+  /** Sequence packing ([[graft.operators.Packing.packChunks]]): t16's
+    * sliding-window chunks binned into a 100-token training budget via
+    * harmonic-class packing — map-side class/group assignment, one
+    * (class, group)-partitioned window, no global sort. The oracle
+    * replays the closed-form class/bin arithmetic in SQL over the same
+    * chunk construction, so any boundary slip (class edge, bin split,
+    * group hash) fails the hash. PipelineSpec pins the edge cases
+    * (oversize chunk, exact fit, empty doc) and the ≤-budget invariant
+    * on every non-oversize bin. */
+  def t22Packing(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokenChunks(
+          col("text"), size = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        size(col("c.toks")).as("n_tokens"))
+    graft.operators.Packing.packChunks(chunks, budget = 100, numGroups = 8)
+  }
+
+  private val t22Oracle =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |st AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts), 1), 24)) AS start FROM d),
+      |ch AS (SELECT doc_id, CAST(start AS INT) AS start,
+      |         CAST(len(list_slice(ts, start, start + 31)) AS INT) AS n_tokens
+      |       FROM st),
+      |cl AS (SELECT doc_id, start, n_tokens,
+      |         CAST(greatest(100 // n_tokens, 1) AS INT) AS "class",
+      |         CAST(doc_id % 8 AS INT) AS grp
+      |       FROM ch),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY "class", grp
+      |         ORDER BY n_tokens DESC, doc_id, start) AS rn FROM cl)
+      |SELECT "class", grp, CAST((rn - 1) // "class" AS INT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      |  bool_or(n_tokens > 100) AS oversize
+      |FROM r GROUP BY "class", grp, bin
+      |ORDER BY "class", grp, bin""".stripMargin
+
   // ---------------------------------------------------------------- s17_stream_sanitize
   /** Streaming ingest-time sanitize + pack
     * ([[graft.streaming.StreamingOps.streamSanitize]]): the corpus feed
@@ -979,6 +1018,44 @@ object PipelineQueries {
       s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |  COUNT(DISTINCT $c) AS n_distinct, TRUE AS hll_ok,
+        |  CAST(MIN($c) AS VARCHAR) AS min_str,
+        |  CAST(MAX($c) AS VARCHAR) AS max_str
+        |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  // ---------------------------------------------------------------- p4_profile_sketch
+  /** Sketch-only profiling — [[graft.operators.Profiler.profile]] with
+    * `exact = false`, the shape you point at 100 TB: the per-column
+    * exact `count_distinct` (and the k+1-row Expand Spark plans it
+    * through) is GONE from the plan (PlanShapeSpec asserts no Expand);
+    * `n_distinct` is the 4 KiB-state HLL estimate. The gate is
+    * self-describing: exact distincts are recomputed OUTSIDE profile()
+    * as verification-only scaffolding and the output pins
+    * `est_ok` = |estimate − exact| ≤ 8 % per column, which DuckDB
+    * replays as TRUE. */
+  def p4ProfileSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val sketch = graft.operators.Profiler.profile(docs, cols, exact = false)
+    val exact = cols.map { c =>
+      docs.agg(count_distinct(col(c)).as("n_exact"))
+        .select(lit(c).as("column"), col("n_exact"))
+    }.reduce(_ unionByName _)
+    sketch.join(broadcast(exact), "column")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        (abs(col("n_distinct") - col("n_exact"))
+          <= col("n_exact").cast("double") * 0.08).as("est_ok"),
+        col("min_str"), col("max_str"))
+      .orderBy(col("column"))
+  }
+
+  private val p4Oracle = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  TRUE AS est_ok,
         |  CAST(MIN($c) AS VARCHAR) AS min_str,
         |  CAST(MAX($c) AS VARCHAR) AS max_str
         |FROM documents""".stripMargin
@@ -2086,6 +2163,7 @@ object PipelineQueries {
     "t14_hist_quantiles" -> ((s, dir) => t14HistQuantiles(s, dir)),
     "t15_pii_scrub" -> ((s, dir) => t15PiiScrub(s, dir)),
     "t16_chunks" -> ((s, dir) => t16Chunks(s, dir)),
+    "t22_packing" -> ((s, dir) => t22Packing(s, dir)),
     "s17_stream_sanitize" -> ((s, dir) => s17StreamSanitize(s, dir)),
     "t17_repetition" -> ((s, dir) => t17Repetition(s, dir)),
     "t18_stratified" -> ((s, dir) => t18Stratified(s, dir)),
@@ -2095,6 +2173,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> ((s, dir) => t21BigramLm(s, dir)),
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
+    "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
     "s21_stream_zorder" -> ((s, dir) => s21StreamZorder(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
@@ -2164,6 +2243,7 @@ object PipelineQueries {
     "t14_hist_quantiles" -> t14Oracle,
     "t15_pii_scrub" -> t15Oracle,
     "t16_chunks" -> t16Oracle,
+    "t22_packing" -> t22Oracle,
     "s17_stream_sanitize" -> s17Oracle,
     "t17_repetition" -> t17Oracle,
     "t18_stratified" -> t18Oracle,
@@ -2173,6 +2253,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
     "p3_profile" -> p3Oracle,
+    "p4_profile_sketch" -> p4Oracle,
     "s20_stream_minhash" -> s20Oracle,
     "s21_stream_zorder" -> Queries.b6Oracle, // per-row key => sink == batch; b6's exact SQL
 

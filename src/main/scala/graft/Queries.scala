@@ -708,6 +708,66 @@ object Queries {
       |FROM (VALUES (2, 67, 100), (4, 71, 100), (8, 84, 100), (16, 92, 100)) AS t(search_width, hits, total)
       |ORDER BY search_width""".stripMargin
 
+  // ---------------------------------------------------------------- v51_sq8_cosine
+  // the shared SQ8 COSINE index (normalizeForCosine + auto-calibrated
+  // quantization over the normalized corpus), one per sf dir
+  private val cosQuantIdxCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
+  private[graft] def cosQuantIndex(s: SparkSession, dir: String): VectorIndex =
+    cosQuantIdxCache.computeIfAbsent(dir, _ =>
+      VectorIndex.buildAutoQuantized(embCorpus(s, dir),
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+          normalizeForCosine = true), numShards = 4))
+
+  /** SQ8-quantized COSINE index — the production embedding-retrieval
+    * combination (cosine metric + 4x-compressed storage) the byte kernel
+    * alone cannot express: `normalizeForCosine` L2-normalizes every
+    * corpus vector at ingest and every query at probe, making the
+    * integer Euclidean2 kernel rank EXACTLY like cosine (on unit vectors
+    * L2² = 2·(1−cos)). Gate: multi-width beam + exact-mode probe of the
+    * quantized-cosine index, hits counted by SET overlap against the
+    * FLOAT-exact cosine brute-force top-10 (v13 semantics, computed
+    * in-query). Build, normalization, and beam are all deterministic, so
+    * the (search_width, hits, total) integers are bit-reproducible and
+    * pinned as a VALUES oracle — width 0 is the quantization ceiling
+    * (how much SQ8+normalization itself costs vs float cosine), the beam
+    * widths converge toward that ceiling. QuantizedIndexSpec holds the
+    * sf-independent invariants (exact-probe == quantized-normalized
+    * brute force, save/load round-trip, monotone recall). */
+  def v51Sq8Cosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = cosQuantIndex(s, dir)
+    val qb = embQueries(s, dir)
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val res = idx.queryBatchMultiWidth(qb, k = 10, widths = 0 +: v8Widths)
+      .select(col("search_width"), col("query_id"), col("neighbor_id"))
+    val q = embQueries(s, dir).select(col("query_id"), col("embedding").as("qe"))
+    val c = embCorpus(s, dir).select(col("id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("gt_dist"), col("neighbor_id"))
+    val gt = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineDistance(col("qe"), col("ce")).as("gt_dist"))
+      .withColumn("grank", row_number().over(w))
+      .filter(col("grank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    res.join(gt, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("search_width"))
+      .agg(
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+        count(lit(1)).cast("long").as("total"))
+      .orderBy(col("search_width"))
+  }
+
+  /** Pinned expectation at the driver's sf0.01 gate (regenerate like
+    * v8's/v26's if the kernel, normalization, or calibration changes).
+    * Width 0 = exact probe of the quantized-cosine index: its hits
+    * against FLOAT cosine measure pure quantization loss. */
+  private val v51Oracle =
+    """SELECT search_width, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+      |FROM (VALUES (0, 99, 100), (2, 87, 100), (4, 94, 100), (8, 96, 100), (16, 98, 100)) AS t(search_width, hits, total)
+      |ORDER BY search_width""".stripMargin
+
   // ---------------------------------------------------------------- v22_sq8_rerank
   /** Two-stage retrieval — the standard architecture for quantized
     * corpora: stage 1 scans the SQ8 bytes (4x less I/O) and keeps a
@@ -2812,6 +2872,7 @@ object Queries {
     "v24_filtered_knn" -> v24Oracle,
     "v25_sq8_calibrated" -> v25Oracle,
     "v26_sq8_beam" -> v26Oracle,
+    "v51_sq8_cosine" -> v51Oracle,
     "v27_pq_knn" -> v27Oracle,
     "v28_pq_rerank" -> v28Oracle,
     "v29_ivfpq" -> v29Oracle,

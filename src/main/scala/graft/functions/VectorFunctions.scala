@@ -86,6 +86,25 @@ object VectorFunctions {
   def cosineDistanceFold(a: Column, b: Column): Column =
     lit(1.0) - dotProductFold(a, b) / (sqrt(dotProductFold(a, a)) * sqrt(dotProductFold(b, b)))
 
+  /** JVM-side L2 normalization of one vector — the single arithmetic
+    * every [[graft.index.IndexParams.normalizeForCosine]] ingest and
+    * probe path shares (double accumulation left-to-right, double
+    * division, round-to-float), so corpus vectors normalized on
+    * executors and query vectors normalized on the driver produce
+    * bit-identical floats for identical input. A zero vector has no
+    * direction — it is returned unchanged (deterministic, never NaN). */
+  def l2NormalizeArray(v: Array[Float]): Array[Float] = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (acc == 0.0) return v
+    val n = Math.sqrt(acc)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i).toDouble / n).toFloat; i += 1 }
+    out
+  }
+
   /** Distance column for a metric — engine-side analog of
     * `get_distance_calculation_function` (reference: source/distance.h:174-187),
     * with all metrics dispatchable. */

@@ -43,6 +43,25 @@ object ParamStep {
   *                             rehydration re-quantizes to the identical
   *                             bytes. Euclidean2 only.
   * @param quantLo / quantHi    quantization range (values are clamped)
+  * @param normalizeForCosine   L2-normalize every corpus vector at ingest
+  *                             and every query vector at probe time (at
+  *                             the INDEX API boundary — internally
+  *                             recovered rows are never re-normalized, so
+  *                             append/remove rebuilds and save/load stay
+  *                             bit-identical to a full rebuild). On unit
+  *                             vectors squared L2 = 2·(1 − cos), so an
+  *                             Euclidean2 index over normalized vectors
+  *                             ranks EXACTLY like cosine — this is how the
+  *                             SQ8/quantized index (whose integer kernel
+  *                             is Euclidean2-only) serves cosine
+  *                             retrieval, the dominant production
+  *                             embedding metric. Returned distances are in
+  *                             the normalized-L2² domain (cosine distance
+  *                             = value / 2 for a float index). Euclidean2
+  *                             only: under the native cosine metric
+  *                             normalization is a semantic no-op, and
+  *                             under inner product it would CHANGE the
+  *                             ranking — both are rejected.
   */
 case class IndexParams(
     metric: DistanceMetric = DistanceMetric.Euclidean2,
@@ -53,13 +72,17 @@ case class IndexParams(
     schedule: Seq[ParamStep] = Nil,
     quantized: Boolean = false,
     quantLo: Float = -0.5f,
-    quantHi: Float = 0.5f) {
+    quantHi: Float = 0.5f,
+    normalizeForCosine: Boolean = false) {
   require(schedule.sliding(2).forall(w => w.size < 2 || w(0).fromCount < w(1).fromCount),
     "schedule fromCount thresholds must be strictly ascending")
   require(!quantized || metric == DistanceMetric.Euclidean2,
     "quantized (SQ8) storage supports the Euclidean2 metric only")
   require(!quantized || quantHi > quantLo,
     s"quantization range is empty: [$quantLo, $quantHi]")
+  require(!normalizeForCosine || metric == DistanceMetric.Euclidean2,
+    "normalizeForCosine expresses cosine through the Euclidean2 metric; " +
+      s"it cannot combine with ${metric.name}")
 }
 
 /** Ascending (dist, nbr) edge list over primitive parallel arrays — the

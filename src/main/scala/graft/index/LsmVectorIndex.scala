@@ -300,6 +300,17 @@ final class LsmVectorIndex private (
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "distance")
     }
+    // the fused path broadcasts the raw chunk straight into
+    // probePartition, bypassing VectorIndex.queryBatch's normalization —
+    // apply the cosine-index query normalization here (members all share
+    // base.params; the single-member shortcut above delegates and must
+    // NOT be pre-normalized or the vector would be normalized twice)
+    val normBatch =
+      if (base.params.normalizeForCosine)
+        batch.map { case (id, v) =>
+          (id, graft.functions.VectorFunctions.l2NormalizeArray(v))
+        }
+      else batch
     // tombstone overfetch (see query()) — kernels return top-kProbe per
     // shard, dead ids are filtered from the candidate stream, and the
     // final merge takes the true live top-k
@@ -310,7 +321,7 @@ final class LsmVectorIndex private (
       (m.indexId, m.params, m.meta.map(x => x.sub_index_id -> x).toMap)).toArray
     val bcInfo = spark.sparkContext.broadcast((offsets, memberInfo))
     val union = members.map(_.probeLayout).reduce(_ union _)
-    val candidateChunks = batch.grouped(math.max(maxBatch, 1)).map { chunk =>
+    val candidateChunks = normBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
       val bcQueries = spark.sparkContext.broadcast(chunk)
       val rdd = union.mapPartitions { rit =>
         val pid = org.apache.spark.TaskContext.getPartitionId()

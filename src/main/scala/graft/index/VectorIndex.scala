@@ -127,6 +127,14 @@ class VectorIndex private (
     else queryDistributed(queries, k, searchWidth)
   }
 
+  /** Query vectors normalized iff the index is a normalizeForCosine
+    * index — the probe-side half of the API-boundary contract (corpus
+    * rows were normalized once at build/append ingest). */
+  @inline private def normalizeQuery(v: Array[Float]): Array[Float] =
+    if (params.normalizeForCosine)
+      graft.functions.VectorFunctions.l2NormalizeArray(v)
+    else v
+
   /** Probe with an already-materialized query batch (no collect) — used by
     * the optimizer rewrite, where the query vector is a plan literal. */
   def queryBatch(
@@ -141,8 +149,9 @@ class VectorIndex private (
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
     val iid = indexId
+    val normBatch = queryBatch.map { case (id, v) => (id, normalizeQuery(v)) }
 
-    val candidateChunks = queryBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
+    val candidateChunks = normBatch.grouped(math.max(maxBatch, 1)).map { chunk =>
       val bcQueries = spark.sparkContext.broadcast(chunk)
       val rdd = probeLayout.mapPartitions { rit =>
         // partition index == shard id; when the shard's graph is already
@@ -181,9 +190,10 @@ class VectorIndex private (
     val p = params
     val iid = indexId
     val widthArr = widths.toArray
+    val normed = batch.map { case (id, v) => (id, normalizeQuery(v)) }
     // width index rides in the low bits of a synthetic query id so the
     // per-(query, width) top-k merge reuses the scalar machinery
-    val candidateChunks = batch.grouped(math.max(maxBatch, 1)).map { chunk =>
+    val candidateChunks = normed.grouped(math.max(maxBatch, 1)).map { chunk =>
       val bcQueries = spark.sparkContext.broadcast(chunk)
       val rdd = probeLayout.mapPartitions { rit =>
         val shardId = org.apache.spark.TaskContext.getPartitionId()
@@ -250,9 +260,13 @@ class VectorIndex private (
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
     val iid = indexId
+    val normalize = params.normalizeForCosine
     val qPairs = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].rdd
+      .map { case (id, v) =>
+        (id, if (normalize) graft.functions.VectorFunctions.l2NormalizeArray(v) else v)
+      }
       .flatMap(q => Iterator.range(0, n).map(s => (s, q)))
       .partitionBy(new VectorIndex.ShardPartitioner(n))
       .map(_._2)
@@ -341,8 +355,10 @@ class VectorIndex private (
     import spark.implicits._
     // pin the batch: it is evaluated for shard discovery AND the rebuild —
     // a nondeterministic source re-evaluating differently would corrupt
-    // the shard/row bookkeeping
-    val fresh = newVectors.select(col("id").cast("long"), col("embedding")).cache()
+    // the shard/row bookkeeping. Fresh API input is normalized here (once);
+    // `existing` below is recovered from index rows and must NOT be.
+    val fresh = VectorIndex.normalizeInput(
+      newVectors.select(col("id").cast("long"), col("embedding")), params).cache()
     val affected = fresh
       .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet
@@ -401,10 +417,15 @@ class VectorIndex private (
     // only ids actually PRESENT can change a shard: hashing the raw
     // request set would rebuild shards that lose nothing (e.g. LSM
     // tombstones for fresh-generation ids that never reached this base —
-    // deletes are idempotent, so absent ids are legal and common). One
-    // broadcast semi-join over the cached rows, then shards of the hits.
+    // deletes are idempotent, so absent ids are legal and common).
+    // Command-sized delete batches broadcast (one semi-join, no corpus
+    // shuffle); a corpus-scale removal set would blow the broadcast /
+    // driver heap, so above the threshold the semi-join is left to plan
+    // as a shuffle — 8 bytes/id keys exchange, never the vectors.
+    val nIds = ids.count()
+    val idsSide = if (nIds <= 1000000L) broadcast(ids) else ids
     val affected = rows.toDF().select(col("global_id").as("id"))
-      .join(broadcast(ids), Seq("id"), "left_semi")
+      .join(idsSide, Seq("id"), "left_semi")
       .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet
     if (affected.isEmpty) { ids.unpersist(); return this }
@@ -624,14 +645,36 @@ object VectorIndex {
     * probes quantize identically. */
   def buildAutoQuantized(
       df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
-    val (lo, hi) = calibrateQuantRange(df)
+    // calibrate over what the index will STORE: for a cosine index that
+    // is the normalized vectors (range ⊆ [-1, 1], usually much tighter —
+    // calibrating raw values would waste quantization resolution)
+    val (lo, hi) = calibrateQuantRange(normalizeInput(df, params))
     build(df, params.copy(quantized = true, quantLo = lo, quantHi = hi), numShards)
   }
+
+  /** User-supplied vectors normalized iff the params ask for cosine —
+    * applied ONLY to fresh API input (build/buildTo/append/bucketed
+    * corpus), never to internally recovered rows: re-normalizing an
+    * already-normalized float vector drifts its last bits, which would
+    * break the append-rebuild == full-rebuild and save/load bit
+    * invariants. A narrow typed map — adds no exchange anywhere. */
+  private[index] def normalizeInput(df: DataFrame, params: IndexParams): DataFrame =
+    if (!params.normalizeForCosine) df
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          (id, graft.functions.VectorFunctions.l2NormalizeArray(v))
+        }
+        .toDF("id", "embedding")
+    }
 
   /** Bulk build (reference O1 insert loop, parallelized across shards).
     * Input df must have columns (id LONG, embedding ARRAY<FLOAT>). */
   def build(df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
-    val cached = buildRows(df, params, numShards).cache()
+    val cached = buildRows(normalizeInput(df, params), params, numShards).cache()
     val meta = computeMeta(cached)
     new VectorIndex(params, numShards, cached, meta,
       java.util.UUID.randomUUID().toString)
@@ -653,7 +696,7 @@ object VectorIndex {
       path: String): VectorIndex = {
     val spark = df.sparkSession
     import spark.implicits._
-    buildRows(df, params, numShards)
+    buildRows(normalizeInput(df, params), params, numShards)
       .write.mode("overwrite").parquet(s"$path/rows")
     val rowsDisk = spark.read.parquet(s"$path/rows").as[IndexRow]
     val meta = computeMeta(rowsDisk) // one (shard, layer, offset) scan of the parquet
@@ -684,6 +727,7 @@ object VectorIndex {
          |"subIndexBound":${p.subIndexBound},"numShards":$numShards,
          |"schedule":"$sched",
          |"quantized":${p.quantized},"quantLo":${p.quantLo},"quantHi":${p.quantHi},
+         |"normalizeForCosine":${p.normalizeForCosine},
          |"indexId":"$indexId"}""".stripMargin
     writeSmallFile(spark, s"$path/params.json", json)
   }
@@ -735,10 +779,17 @@ object VectorIndex {
       val cached = buildPartitions(
         {
           import spark.implicits._
-          spark.table(table)
+          val src = spark.table(table)
             .select(col("id").cast("long"), col("embedding"),
               col("sub_index_id").cast("int"))
             .as[(Long, Array[Float], Int)]
+          // bucketed corpora hold RAW vectors — cosine normalization
+          // happens here (narrow map, keeps the no-Exchange/no-Sort plan)
+          if (params.normalizeForCosine)
+            src.map { case (id, v, s) =>
+              (id, graft.functions.VectorFunctions.l2NormalizeArray(v), s)
+            }
+          else src
         }, params).cache()
       val meta = computeMeta(cached)
       new VectorIndex(params, numShards, cached, meta,
@@ -791,7 +842,8 @@ object VectorIndex {
       extract("subIndexBound").toLong, schedule,
       quantized = extractOpt("quantized").exists(_.toBoolean),
       quantLo = extractOpt("quantLo").map(_.toFloat).getOrElse(-0.5f),
-      quantHi = extractOpt("quantHi").map(_.toFloat).getOrElse(0.5f))
+      quantHi = extractOpt("quantHi").map(_.toFloat).getOrElse(0.5f),
+      normalizeForCosine = extractOpt("normalizeForCosine").exists(_.toBoolean))
     // fresh cache identity per load: reusing the persisted id would let a
     // probe of the loaded index hit executor-cached graphs built from the
     // ORIGINAL in-memory index (same JVM), silently bypassing the loaded

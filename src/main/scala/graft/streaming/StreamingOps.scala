@@ -620,11 +620,24 @@ object StreamingOps {
     * contract — when no batch ever writes, the result is `seed.limit(0)`
     * (the correct empty schema) instead of a parquet schema-inference
     * failure. */
+  /** Sink temp dirs registered for JVM-exit cleanup: the returned
+    * DataFrame reads the dir LAZILY (possibly long after this call), so
+    * eager deletion would break the result — but without cleanup a
+    * long-lived session accumulates one orphan dir per streaming query.
+    * One shutdown hook sweeps them all. */
+  private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val sinkCleanupHook: Unit = {
+    sys.addShutdownHook { sinkDirs.forEach(d => deleteRecursively(d)) }
+    ()
+  }
+
   private def runBatchSink(spark: SparkSession, feed: DataFrame,
       statePartitions: Int, seed: => DataFrame)(
       body: (DataFrame, String) => Unit): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink_").toString
+    sinkCleanupHook
+    sinkDirs.add(outDir)
     val ckptRoot =
       if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
         java.nio.file.Paths.get("/dev/shm")

@@ -835,4 +835,47 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(r.filter(_._1 == 2L) === List((2L, 1, List("a"))))
     assert(r.filter(_._1 == 3L) === List((3L, 1, List(""))))
   }
+
+  test("packing: every non-oversize bin fits the budget, chunks partition exactly") {
+    import spark.implicits._
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokenChunks(
+          col("text"), size = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        size(col("c.toks")).as("n_tokens"))
+    val budget = 100
+    val bins = graft.operators.Packing.packChunks(chunks, budget, numGroups = 8)
+      .collect()
+    val bad = bins.filter(r =>
+      !r.getAs[Boolean]("oversize") && r.getAs[Long]("bin_tokens") > budget)
+    assert(bad.isEmpty, s"bins over budget: ${bad.take(3).mkString(", ")}")
+    // every chunk lands in exactly one bin
+    assert(bins.map(_.getAs[Long]("n_chunks")).sum === chunks.count())
+    // no bin holds more chunks than its class capacity
+    assert(bins.forall(r => r.getAs[Long]("n_chunks") <= r.getAs[Int]("class")))
+  }
+
+  test("packing edge cases: oversize chunk, exact fit, empty input") {
+    import spark.implicits._
+    // oversize (150 > budget 100): own bin, flagged; exact fit (100):
+    // class 1, alone, full, NOT flagged; two 50s share one class-2 bin
+    val chunks = Seq(
+      (1L, 0, 150), (2L, 0, 100), (3L, 0, 50), (4L, 0, 50)
+    ).toDF("doc_id", "start", "n_tokens")
+    val bins = graft.operators.Packing.packChunks(chunks, 100, numGroups = 1)
+      .collect().map(r => (r.getAs[Int]("class"), r.getAs[Int]("bin"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("bin_tokens"),
+        r.getAs[Boolean]("oversize"))).toList
+    assert(bins === List(
+      (1, 0, 1L, 150L, true),   // oversize alone, flagged
+      (1, 1, 1L, 100L, false),  // exact fit fills its bin
+      (2, 0, 2L, 100L, false))) // two 50s pack to exactly the budget
+    // empty input -> empty result, schema intact
+    val empty = graft.operators.Packing.packChunks(
+      chunks.limit(0), 100, numGroups = 4)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq ===
+      Seq("class", "grp", "bin", "n_chunks", "bin_tokens", "oversize"))
+  }
 }

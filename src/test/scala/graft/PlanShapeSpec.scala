@@ -12,6 +12,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("profiler sketch-only mode plans with NO Expand; exact mode keeps it") {
+    // exact count_distinct over k columns plans via Expand (k+1 copies of
+    // every scanned row) — the sketch-only production path must not
+    val docs = Tables.documents(spark, sfDir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val sketchPlan = graft.operators.Profiler.profile(docs, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!sketchPlan.contains("Expand"),
+      s"sketch-only profile still plans an Expand:\n${sketchPlan.take(3000)}")
+    val exactPlan = graft.operators.Profiler.profile(docs, cols)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact profile lost its Expand cross-check leg — test premise changed")
+    // and the sketch-only output still reports a distinct estimate per column
+    val rows = graft.operators.Profiler.profile(docs, cols, exact = false).collect()
+    assert(rows.length == cols.length)
+    assert(!rows.head.schema.fieldNames.contains("hll_ok"))
+    assert(rows.forall(_.getAs[Long]("n_distinct") > 0L))
+  }
+
   test("q2 joins its dimension tables by broadcast, not sort-merge") {
     val p = plan("q2_join")
     assert(p.contains("BroadcastHashJoin"))

@@ -114,4 +114,84 @@ class QuantizedIndexSpec extends AnyFunSuite with SparkSuite {
       IndexParams(metric = DistanceMetric.Cosine, quantized = true)
     }
   }
+
+  // ---- normalizeForCosine: SQ8 index serving cosine retrieval (v51) ----
+
+  private lazy val cosIndex = VectorIndex.buildAutoQuantized(corpus,
+    IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+      normalizeForCosine = true), numShards = 2)
+
+  test("normalized quantized exact probe ranks like float cosine brute force") {
+    import graft.functions.VectorFunctions
+    // float cosine ground truth
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    val gt = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineDistance(col("qe"), col("ce")).as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = cosIndex.query(queries, k = 10, searchWidth = 0)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (gt intersect got).size.toDouble / gt.size
+    assert(overlap >= 0.95,
+      s"SQ8-cosine exact probe only matches float cosine at $overlap")
+  }
+
+  test("cosine beam recall rises toward the quantized-exact ceiling") {
+    val exactSet = cosIndex.query(queries, k = 10, searchWidth = 0)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(2, 8, 32).map { sw =>
+      val got = cosIndex.query(queries, k = 10, searchWidth = sw)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactSet intersect got).size.toDouble / exactSet.size
+    }
+    assert(recalls.sliding(2).forall(w => w(1) >= w(0) - 1e-9),
+      s"recall not monotone: $recalls")
+    assert(recalls.last >= 0.9, s"recall@sw=32 = ${recalls.last}")
+  }
+
+  test("normalizeForCosine survives save/load and append == full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cos_idx_").toString
+    cosIndex.save(dir)
+    val loaded = VectorIndex.load(spark, dir)
+    assert(loaded.params.normalizeForCosine, "flag must persist in params.json")
+    val before = cosIndex.query(queries, k = 10, searchWidth = 0)
+    val after = loaded.query(queries, k = 10, searchWidth = 0)
+    assert(before.exceptAll(after).count() === 0)
+    assert(after.exceptAll(before).count() === 0)
+    // append path: recovered rows must NOT be re-normalized — the
+    // incremental index must equal a clean rebuild over the union
+    val half1 = corpus.filter(col("id") % 2 === 0)
+    val half2 = corpus.filter(col("id") % 2 === 1)
+    val p2 = cosIndex.params
+    val incr = VectorIndex.build(half1, p2, numShards = 2).append(half2)
+    val full = VectorIndex.build(corpus, p2, numShards = 2)
+    val a = incr.query(queries, k = 10, searchWidth = 0)
+    val b = full.query(queries, k = 10, searchWidth = 0)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("normalizeForCosine rejects non-Euclidean metrics and zero vectors stay finite") {
+    import graft.functions.DistanceMetric
+    assertThrows[IllegalArgumentException] {
+      IndexParams(metric = DistanceMetric.Cosine, normalizeForCosine = true)
+    }
+    assertThrows[IllegalArgumentException] {
+      IndexParams(metric = DistanceMetric.InnerProduct, normalizeForCosine = true)
+    }
+    // a zero vector has no direction: normalization must return it
+    // unchanged (never NaN/Inf), and a probe against it stays finite
+    val z = graft.functions.VectorFunctions.l2NormalizeArray(Array(0f, 0f, 0f))
+    assert(z.forall(x => x == 0f))
+    val v = graft.functions.VectorFunctions.l2NormalizeArray(Array(3f, 4f))
+    assert(math.abs(v(0) - 0.6f) < 1e-6 && math.abs(v(1) - 0.8f) < 1e-6)
+  }
 }
