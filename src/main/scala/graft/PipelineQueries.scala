@@ -1063,6 +1063,25 @@ object PipelineQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  // ---------------------------------------------------------------- s22_stream_knn_graph
+  /** Streaming kNN-graph maintenance
+    * ([[graft.streaming.StreamingOps.streamKnnGraph]]): the base half of
+    * the embedding corpus builds its graph batch-style, the rest streams
+    * in — each micro-batch is an O(batch) LSM ingest plus exactly two
+    * delta legs (forward probe of the batch, reverse threshold pass of
+    * the corpus against the broadcast batch). The accumulated edge state
+    * is exact over the vectors seen so far at every point, so the final
+    * reciprocal-pair view equals batch v48 on the final corpus for ANY
+    * batching — gated by v48's own closed-form brute-force SQL oracle;
+    * LsmIndexSpec pins the batching invariance (1 slice == 4 slices). */
+  def s22StreamKnnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamKnnGraph(
+      s, s"$dir/embeddings.parquet",
+      baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 500,
+      newVectorsPred = col("vec_id") >= 500,
+      kEdges = 3, sourceSlices = 4, statePartitions = streamStateParts)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------------------------------------------------------------- s19_stream_bm25
   /** Streaming BM25 query serving
     * ([[graft.streaming.StreamingOps.streamBm25Serve]]): the v46 lexical
@@ -2172,6 +2191,7 @@ object PipelineQueries {
     "t20_source_cap" -> ((s, dir) => t20SourceCap(s, dir)),
     "t21_bigram_lm" -> ((s, dir) => t21BigramLm(s, dir)),
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
+    "s22_stream_knn_graph" -> ((s, dir) => s22StreamKnnGraph(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
@@ -2252,6 +2272,9 @@ object PipelineQueries {
     "t20_source_cap" -> t20Oracle,
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
+    // streaming graph == batch graph on the final corpus (exact-by-
+    // induction edge state) => v48's closed-form SQL gates it verbatim
+    "s22_stream_knn_graph" -> Queries.v48Oracle,
     "p3_profile" -> p3Oracle,
     "p4_profile_sketch" -> p4Oracle,
     "s20_stream_minhash" -> s20Oracle,

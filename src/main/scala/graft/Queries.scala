@@ -2220,7 +2220,7 @@ object Queries {
   def v48KnnGraph(s: SparkSession, dir: String): DataFrame =
     reciprocalNnPairs(s, dir).orderBy(col("id_a"), col("id_b"))
 
-  private val v48Oracle =
+  private[graft] val v48Oracle =
     """WITH c AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 10),
       |d AS (SELECT a.id AS qa, b.id AS qb,
       |        list_sum(list_transform(generate_series(1, len(a.e)),
@@ -2841,6 +2841,53 @@ object Queries {
       .orderBy(col("pool_width"))
   }
 
+  // ---------------------------------------------------------------- v52_retrieval_quality
+  /** End-to-end retrieval-quality report — WHY the hybrid stack exists,
+    * measured inside the gate system: recall@10 of the index-served
+    * hybrid (v44's cosine-dehnsw dense leg + v46's BM25 lexical leg,
+    * RRF-fused) against dense-only and lexical-only, via
+    * [[graft.operators.RecallEval.labeledRecall]]. Relevance is
+    * multi-aspect (the hybrid-eval convention): a doc is relevant when
+    * it is a top-5 EXACT cosine neighbor OR a top-5 BM25 match — a
+    * single-leg system structurally misses the other aspect, the fused
+    * list sees both candidate sets. Everything is deterministic exact
+    * arithmetic (exhaustive beam == exact scan at width 4096, the v44
+    * argument), so the (system, hits, total) integers pin as a VALUES
+    * oracle with `hybrid >= max(dense, lex)` visible in the pinned
+    * numbers themselves. */
+  def v52RetrievalQuality(s: SparkSession, dir: String): DataFrame = {
+    val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
+    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val denseExact = ExactKnn
+      .knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val bm25 = graft.operators.HybridRetrieval.bm25TopN(qd, cd, n = 20,
+      maxTokenDf = maxDf)
+    val gold = denseExact.filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"))
+      .unionByName(bm25.filter(col("lex_rank") <= 5)
+        .select(col("query_id"), col("doc_id")))
+    // the three systems' top-10 lists; the hybrid's dense leg is the
+    // SHARED cosine dehnsw index (index-served, v44's production shape)
+    val denseIdx = cosineEmbIndex(s, dir).query(qe, k = 20, searchWidth = 4096)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val hybrid10 = graft.operators.HybridRetrieval.rrfFuse(denseIdx, bm25, k = 10)
+    graft.operators.RecallEval.labeledRecall(Seq(
+      "dense" -> denseExact.filter(col("rank") <= 10),
+      "hybrid" -> hybrid10,
+      "lex" -> bm25.filter(col("lex_rank") <= 10)), gold)
+  }
+
+  /** Pinned at the driver's sf0.01 gate (exact arithmetic end to end —
+    * regenerate if the BM25 constants, RRF c, or cut depths change).
+    * The pinned numbers ARE the quality claim: hybrid >= max(dense, lex). */
+  private val v52Oracle =
+    """SELECT system, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+      |FROM (VALUES ('dense', 25, 50), ('hybrid', 49, 50), ('lex', 25, 50)) AS t(system, hits, total)
+      |ORDER BY system""".stripMargin
+
   // ----------------------------------------------------------------
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -2873,6 +2920,7 @@ object Queries {
     "v25_sq8_calibrated" -> v25Oracle,
     "v26_sq8_beam" -> v26Oracle,
     "v51_sq8_cosine" -> v51Oracle,
+    "v52_retrieval_quality" -> v52Oracle,
     "v27_pq_knn" -> v27Oracle,
     "v28_pq_rerank" -> v28Oracle,
     "v29_ivfpq" -> v29Oracle,

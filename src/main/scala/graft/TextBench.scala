@@ -1,0 +1,113 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scale benchmark — the dedup/BM25 counterpart of the ANN
+  * decade runs (BASELINE.md / SCALE.md): synthesizes an N-document corpus
+  * DISTRIBUTED (per-id seeded generation inside the executors, the
+  * KernelBench `dist` pattern — nothing corpus-sized on the driver), then
+  * times the two corpus-scale text kernels end to end, recording wall
+  * time AND total shuffle volume (the quantity that decides 100 TB
+  * feasibility) via a stage-metrics listener:
+  *
+  *  1. MinHash-LSH candidate pairs (d3's plan:
+  *     [[graft.operators.Dedup.minHashCandidatePairsFromShingles]]) —
+  *     shingle → per-doc signature (one digest pass) → banded buckets →
+  *     bucket self-join. ~5% of docs are planted near-duplicates
+  *     (deterministic mutations of a base doc) so the LSH has real work.
+  *  2. BM25 posting-index build (v46's plan:
+  *     [[graft.operators.HybridRetrieval.bm25Index]]) with the 78% df
+  *     cap — map-side tf postings + the distributed vocab-df join.
+  *
+  * Run: sbt "runMain graft.TextBench [nDocs]"  (default 1,000,000).
+  */
+object TextBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val shufWrite = new AtomicLong()
+    val shufRead = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+
+    // deterministic per-id synthetic docs: Zipf-ish vocab (nested nextInt
+    // skews toward low word ids — a realistic df distribution with true
+    // stopwords for the df cap to bite on), 40-120 tokens; every 20th id
+    // block shares a base doc and ids ending in 8/9 within the block are
+    // MUTATIONS of that base (2 token swaps) — planted near-duplicates
+    // the LSH must bucket together
+    def docText(id: Long): String = {
+      val baseId = id - id % 20
+      val isMut = (id % 20) >= 18
+      val seedId = if (isMut) baseId else id
+      val r = new scala.util.Random(seedId * 2654435761L + 17)
+      val len = 40 + r.nextInt(81)
+      val toks = Array.fill(len)("w" + r.nextInt(r.nextInt(49999) + 1))
+      if (isMut) {
+        val rm = new scala.util.Random(id * 2654435761L + 29)
+        toks(rm.nextInt(len)) = "w" + rm.nextInt(50000)
+        toks(rm.nextInt(len)) = "w" + rm.nextInt(50000)
+      }
+      toks.mkString(" ")
+    }
+    val docs = spark.range(n).rdd
+      .map(id => (id, docText(id)))
+      .toDF("doc_id", "text")
+
+    def phase[T](name: String)(body: => T): T = {
+      val w0 = shufWrite.get(); val r0 = shufRead.get()
+      val t0 = System.nanoTime()
+      val out = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $secs%.1f s wall, " +
+        f"shuffle write ${(shufWrite.get() - w0) / 1e9}%.2f GB / " +
+        f"read ${(shufRead.get() - r0) / 1e9}%.2f GB")
+      out
+    }
+
+    // --- 1. MinHash-LSH candidate pairs (d3's plan at production params) ---
+    val nPairs = phase(s"minhash-lsh dedup ($n docs)") {
+      val sh = graft.operators.Dedup.shingled(docs, n = 3)
+      // d3's gated parameters (6 hashes from one md5 digest, 3 bands of
+      // 2) — the single-digest slicing is itself the scale optimization
+      graft.operators.Dedup
+        .minHashCandidatePairsFromShingles(sh, numHashes = 6, bandSize = 2)
+        .count()
+    }
+    println(s"  candidate pairs: $nPairs (planted ~${n / 10} near-dup docs)")
+
+    // --- 2. BM25 posting-index build (v46's plan, 78% df cap) ---
+    val (nPostings, nDocs) = phase(s"bm25 index build ($n docs)") {
+      val maxDf = n * 78L / 100L
+      val (index, stats) =
+        graft.operators.HybridRetrieval.bm25Index(docs, maxTokenDf = maxDf)
+      val p = index.count()
+      val d = stats.select(col("n_docs")).head.getLong(0)
+      (p, d)
+    }
+    println(s"  postings kept: $nPostings over $nDocs docs")
+    println(f"TOTAL shuffle: write ${shufWrite.get() / 1e9}%.2f GB, " +
+      f"read ${shufRead.get() / 1e9}%.2f GB")
+    spark.stop()
+  }
+}

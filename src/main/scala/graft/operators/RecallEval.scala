@@ -40,4 +40,25 @@ object RecallEval {
         round(sum(when(col("res_dist") <= col("gt_dist"), 1).otherwise(0)) / lit(k), 6)
           .as("recall"))
   }
+
+  /** Labeled set-recall report — the retrieval-quality face when ground
+    * truth is a relevance SET (query_id, doc_id) instead of ranked
+    * distances (hybrid stacks: a doc can be relevant lexically with no
+    * meaningful distance): for each named system's result list,
+    * hits = |results ∩ relevant| and the shared denominator
+    * total = |relevant|, so systems compare on identical footing. One
+    * semi-join + scalar aggregate per system over top-k-sized lists —
+    * nothing corpus-sized moves regardless of corpus scale. */
+  def labeledRecall(
+      systems: Seq[(String, DataFrame)], relevant: DataFrame): DataFrame = {
+    require(systems.nonEmpty, "labeledRecall needs at least one system")
+    val rel = relevant.select(col("query_id"), col("doc_id")).distinct().cache()
+    val total = rel.count()
+    systems.map { case (name, res) =>
+      res.select(col("query_id"), col("doc_id")).distinct()
+        .join(rel, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .select(lit(name).as("system"), col("hits"), lit(total).as("total"))
+    }.reduce(_ unionByName _).orderBy(col("system"))
+  }
 }

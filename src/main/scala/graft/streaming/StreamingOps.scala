@@ -967,6 +967,138 @@ object StreamingOps {
     current.query(queries, k, searchWidth = 0)
   }
 
+  /** Streaming kNN-GRAPH maintenance (s22) — v48's graph construction
+    * made incremental, the s8/s9 LSM pattern applied to the edge list:
+    * new vectors arrive in micro-batches; each batch (1) becomes a fresh
+    * LSM generation (O(batch) ingest, no sealed-shard rebuilds), then
+    * updates the per-node top-k edge state with exactly TWO delta-sized
+    * legs:
+    *
+    *  - forward: the batch probes the accumulated index exact-mode at
+    *    k+1 (self filtered) — the batch's own edges over everything seen
+    *    so far, including intra-batch pairs;
+    *  - reverse: an old node c gains an edge to new vector b iff
+    *    d(c,b) beats c's current k-th distance — one map-side pass of
+    *    the corpus-so-far against the BROADCAST batch (ties at the k-th
+    *    distance are kept and the re-cut decides), the same O(|C|·|B|)
+    *    arithmetic the exact forward probe already performs per shard.
+    *
+    * Union(state, forward, reverse) re-cut to top-k per node is exact by
+    * induction: state(c) is always the true top-k of c over all vectors
+    * seen so far, so the FINAL state equals the batch-built graph on the
+    * final corpus for ANY batching — the property the s22 oracle (v48's
+    * closed-form SQL) and the LsmIndexSpec invariance test gate.
+    * Distances stay comparable across legs because exact-mode kernel
+    * probes use the sequential-Double `distExact` that bit-matches the
+    * [[graft.functions.VectorFunctions.squaredL2]] expression the
+    * reverse leg computes.
+    *
+    * Scale shape: per batch, the corpus is READ once (map-side, batch
+    * broadcast) and never shuffled; the only exchanges move edge rows
+    * (corpus×k, 24 B/row) for the threshold aggregate and the re-cut
+    * window (WindowGroupLimit-bounded). At 100 TB the production variant
+    * keeps the threshold column co-located with the index shards and
+    * swaps the exact legs for beam probes (approximate NN-descent-style
+    * maintenance); the gate runs the exact face end to end. Returns the
+    * reciprocal-pair view (v48's output) over the final state. */
+  def streamKnnGraph(
+      spark: SparkSession, embPath: String,
+      baseCorpusPred: org.apache.spark.sql.Column,
+      newVectorsPred: org.apache.spark.sql.Column,
+      kEdges: Int, sourceSlices: Int = 4,
+      statePartitions: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.index.{IndexParams, LsmVectorIndex, VectorIndex}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val params = IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2)
+    val all = spark.read.parquet(embPath)
+    val base = all.filter(baseCorpusPred)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+    val baseIdx = VectorIndex.build(base, params,
+      numShards = math.max(2, if (statePartitions > 0) statePartitions else 2))
+    @volatile var current = LsmVectorIndex(baseIdx, compactThreshold = Long.MaxValue)
+    // per-node top-k edge state (src, dst, distance) + the corpus seen so
+    // far; both re-materialized per batch (localCheckpoint truncates the
+    // lineage that would otherwise reference expired micro-batch frames)
+    @volatile var state = baseIdx
+      .query(base.select(col("id").as("query_id"), col("embedding")),
+        kEdges + 1, searchWidth = 0)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))))
+      .filter(col("rr") <= kEdges)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("distance"))
+      .localCheckpoint(true)
+    @volatile var corpusSoFar = base.localCheckpoint(true)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_knng_src_").toString
+    all.filter(newVectorsPred)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      .repartition(sourceSlices).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          if (!batch0.isEmpty) {
+            val batch = batch0.select(col("id"), col("embedding")).localCheckpoint(true)
+            current = current.ingest(batch)
+            val fwd = current
+              .query(batch.select(col("id").as("query_id"), col("embedding")),
+                kEdges + 1, searchWidth = 0)
+              .filter(col("neighbor_id") =!= col("query_id"))
+              .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+                col("distance"))
+            // c's admission threshold: its current k-th distance; nodes
+            // still short of k edges admit anything (kth = +inf)
+            val thresholds = state.groupBy(col("src").as("id"))
+              .agg(max(col("distance")).as("kth"), count(lit(1)).as("ne"))
+            val rev = corpusSoFar
+              .join(thresholds, Seq("id"), "left")
+              .crossJoin(broadcast(
+                batch.select(col("id").as("bid"), col("embedding").as("be"))))
+              .withColumn("d", VectorFunctions.squaredL2(col("embedding"), col("be")))
+              .filter(col("kth").isNull || col("ne") < kEdges || col("d") <= col("kth"))
+              .select(col("id").as("src"), col("bid").as("dst"), col("d").as("distance"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("src")).orderBy(col("distance"), col("dst"))
+            state = state.unionByName(fwd).unionByName(rev)
+              .withColumn("rr", row_number().over(w))
+              .filter(col("rr") <= kEdges)
+              .select(col("src"), col("dst"), col("distance"))
+              .localCheckpoint(true)
+            corpusSoFar = corpusSoFar.unionByName(batch).localCheckpoint(true)
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    // reciprocal-pair view over the final state — v48's output contract
+    val e = state
+    e.join(e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        round(col("distance"), 6).as("distance"))
+  }
+
   /** Watermarked sliding-window count (30-min slide over 1-hour windows,
     * 30-min watermark) — exercises the late-data/watermark surface; with a
     * finite file source + complete-mode equivalence it still matches a

@@ -158,4 +158,15 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
       .reduce(_ ++ _)
     assert(split === whole)
   }
+
+  test("v52 quality report: hybrid recall >= max(dense-only, lex-only), sf-independent") {
+    val rows = Queries.v52RetrievalQuality(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("dense", "hybrid", "lex"))
+    assert(rows("hybrid") >= math.max(rows("dense"), rows("lex")),
+      s"hybrid ${rows("hybrid")} < max(dense ${rows("dense")}, lex ${rows("lex")})")
+    // the multi-aspect gold makes each single leg structurally partial:
+    // neither may reach the fused hit count on this testdata
+    assert(rows("hybrid") > rows("dense") && rows("hybrid") > rows("lex"))
+  }
 }

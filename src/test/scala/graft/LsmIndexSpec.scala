@@ -366,4 +366,21 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
       resultSet(lsm.query(queries, 10, searchWidth = 0)))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("streaming kNN-graph maintenance is invariant to batching (s22)") {
+    // exact-by-induction edge state: 1-slice (one big batch) and 4-slice
+    // (incremental) streams must land on the identical reciprocal-pair
+    // set — the invariance that lets v48's batch oracle gate s22
+    def run(slices: Int) = graft.streaming.StreamingOps.streamKnnGraph(
+      spark, s"$sfDir/embeddings.parquet",
+      baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 200,
+      newVectorsPred = col("vec_id") >= 200,
+      kEdges = 3, sourceSlices = slices, statePartitions = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = run(1)
+    val four = run(4)
+    assert(one === four, s"1-slice ${one.size} pairs != 4-slice ${four.size}")
+    assert(one.nonEmpty)
+  }
 }
