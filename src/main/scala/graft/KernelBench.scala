@@ -53,6 +53,10 @@ object KernelBench {
     val nums = args.drop(2).filter(a => a.nonEmpty && a.forall(_.isDigit))
     val soak = flags.contains("soak")
     val quant = flags.contains("quant")
+    // "cosine": build the index with normalizeForCosine (v51's production
+    // combination when paired with quant) — the quantization range is
+    // calibrated over a normalized sample below instead of the raw [0,1)
+    val cosine = flags.contains("cosine")
     // "dist": generate the corpus INSIDE the executors (spark.range +
     // per-id seeded RNG, the soak-query pattern) — nothing corpus-sized
     // ever exists on the driver. Mandatory above a few million vectors:
@@ -63,9 +67,27 @@ object KernelBench {
     val k = 100
     val nQueries = 100
     // synthetic vectors are uniform [0,1) — the quantization range must
-    // cover the data or values clamp and distances degenerate
+    // cover the data or values clamp and distances degenerate. In cosine
+    // mode the index stores NORMALIZED vectors, so the range is
+    // calibrated over a normalized deterministic sample (components of a
+    // unit-normalized uniform 64d vector live in ~[0, 0.35]; using the
+    // raw [0,1] there would waste ~2 bits of SQ8 resolution)
+    val cosRange: (Float, Float) =
+      if (!cosine) (0f, 1f)
+      else {
+        val r0 = new scala.util.Random(7)
+        val sample = Array.fill(4096) {
+          graft.functions.VectorFunctions.l2NormalizeArray(
+            Array.fill(dim)(r0.nextFloat()))
+        }
+        // 15% headroom over the sampled max: unsampled tail components
+        // clamp gracefully by contract, but headroom makes that rare
+        (0f, sample.map(_.max).max * 1.15f)
+      }
     val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128, step = 4,
-      quantized = quant, quantLo = 0f, quantHi = 1f)
+      quantized = quant, quantLo = cosRange._1, quantHi = cosRange._2,
+      normalizeForCosine = cosine)
+    if (cosine) println(f"cosine mode: normalizeForCosine, quant range [0, ${cosRange._2}%.4f]")
     if (quant) println(s"SQ8 storage: ${n.toLong * dim} vector bytes/JVM vs ${4L * n * dim} float")
 
     val rnd = new scala.util.Random(42)

@@ -2859,11 +2859,16 @@ object Queries {
     val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
     val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id").as("id"), col("embedding"))
+    // both rankings feed the gold AND a system list (BM25 feeds three
+    // subtrees) — cache the bounded |Q|x20 results so the corpus-scale
+    // posting join / kNN scan each run ONCE, not per subtree
     val denseExact = ExactKnn
       .knnJoin(qe, ce, k = 20, graft.functions.DistanceMetric.Cosine)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      .cache()
     val bm25 = graft.operators.HybridRetrieval.bm25TopN(qd, cd, n = 20,
       maxTokenDf = maxDf)
+      .cache()
     val gold = denseExact.filter(col("rank") <= 5)
       .select(col("query_id"), col("doc_id"))
       .unionByName(bm25.filter(col("lex_rank") <= 5)
