@@ -63,7 +63,11 @@ object KernelBench {
     // the driver-side Array.fill + toSeq.toDF path holds two full copies
     // of the corpus in the driver heap.
     val dist = flags.contains("dist")
-    val sparkOnly = soak || dist || flags.contains("sparkOnly")
+    // cosine implies sparkOnly: normalization lives at the VectorIndex
+    // API boundary, so the raw single-thread kernel section would insert
+    // UNNORMALIZED vectors under a normalized-calibrated quant range
+    // (mass clamping — meaningless numbers)
+    val sparkOnly = soak || dist || cosine || flags.contains("sparkOnly")
     val k = 100
     val nQueries = 100
     // synthetic vectors are uniform [0,1) — the quantization range must

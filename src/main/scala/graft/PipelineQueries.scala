@@ -1039,10 +1039,15 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val cols = Seq("doc_id", "lang", "source", "n_chars")
     val sketch = graft.operators.Profiler.profile(docs, cols, exact = false)
-    val exact = cols.map { c =>
-      docs.agg(count_distinct(col(c)).as("n_exact"))
-        .select(lit(c).as("column"), col("n_exact"))
-    }.reduce(_ unionByName _)
+    // exact-distinct scaffolding in ONE aggregate scan (k count_distincts
+    // share the scan via Expand — the p3 shape; four separate per-column
+    // aggs would rescan documents four times), melted to (column, n_exact)
+    val exact = docs
+      .agg(count_distinct(col(cols.head)).as(s"${cols.head}__x"),
+        cols.tail.map(c => count_distinct(col(c)).as(s"${c}__x")): _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col(s"${c}__x").as("n_exact"))): _*)).as("e"))
+      .select(col("e.*"))
     sketch.join(broadcast(exact), "column")
       .select(col("column"), col("n_rows"), col("n_nulls"),
         (abs(col("n_distinct") - col("n_exact"))

@@ -74,11 +74,30 @@ object TextBench {
       .map(id => (id, docText(id)))
       .toDF("doc_id", "text")
 
+    // stage-completion events arrive on Spark's ASYNC listener bus — drain
+    // it before reading the counters or a phase's last stages get counted
+    // into the next phase (or dropped from the final total). The bus is
+    // private[spark], which is public at the bytecode level — reflection
+    // keeps this bench-only dependency out of the library surface.
+    def drainListenerBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        try bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        catch {
+          case _: NoSuchMethodException =>
+            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+              .invoke(bus, Long.box(30000L))
+        }
+      } catch { case _: Throwable => Thread.sleep(2000) }
+
     def phase[T](name: String)(body: => T): T = {
+      drainListenerBus()
       val w0 = shufWrite.get(); val r0 = shufRead.get()
       val t0 = System.nanoTime()
       val out = body
       val secs = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
       println(f"$name: $secs%.1f s wall, " +
         f"shuffle write ${(shufWrite.get() - w0) / 1e9}%.2f GB / " +
         f"read ${(shufRead.get() - r0) / 1e9}%.2f GB")
@@ -106,6 +125,7 @@ object TextBench {
       (p, d)
     }
     println(s"  postings kept: $nPostings over $nDocs docs")
+    drainListenerBus()
     println(f"TOTAL shuffle: write ${shufWrite.get() / 1e9}%.2f GB, " +
       f"read ${shufRead.get() / 1e9}%.2f GB")
     spark.stop()

@@ -77,6 +77,7 @@ final class LsmVectorIndex private (
          s":t${tombstones.size}:${md.digest().map("%02x".format(_)).mkString}"
        })
   override def probeMetric: graft.functions.DistanceMetric = base.params.metric
+  override def probeNormalized: Boolean = base.params.normalizeForCosine
   override def probeSession: org.apache.spark.sql.SparkSession = base.rows.sparkSession
   override def probeDescription: String =
     s"lsm base shards=${base.numShards} + ${generations.size} generations"
@@ -135,7 +136,7 @@ final class LsmVectorIndex private (
           .reduce(_ union _)
           .filter(if (tombstones.isEmpty) lit(true)
                   else !col("id").isInCollection(tombstones))
-        purgedBase.append(freshVecs) // materializes before we unpersist
+        purgedBase.appendRecovered(freshVecs) // materializes before we unpersist
       }
     generations.foreach(_.unpersist())
     if (ownsBase) base.unpersist()
@@ -198,7 +199,7 @@ final class LsmVectorIndex private (
       "a compactAsync fold is already outstanding on this lineage")
     scala.concurrent.Future {
       val newBase =
-        try oldBase.append(freshVecs) // materializes before any unpersist
+        try oldBase.appendRecovered(freshVecs) // materializes before any unpersist
         catch { case e: Throwable => pending.set(false); throw e }
       // 0 = fresh, 1 = applied, 2 = abandoned: a FIRST misapply abandons
       // the fold (drop its output, re-enable compaction) instead of

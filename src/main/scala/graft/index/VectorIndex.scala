@@ -89,6 +89,7 @@ class VectorIndex private (
 
   override def probeId: String = indexId
   override def probeMetric: graft.functions.DistanceMetric = params.metric
+  override def probeNormalized: Boolean = params.normalizeForCosine
   override def probeSession: SparkSession = rows.sparkSession
   override def probeBatch(
       batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
@@ -350,15 +351,27 @@ class VectorIndex private (
     * empty batch, which returns this index unchanged (no copy). The old
     * index stays valid and keeps its caches; drop them with [[unpersist]]
     * when a superseded generation is no longer needed. */
-  def append(newVectors: DataFrame): VectorIndex = {
+  def append(newVectors: DataFrame): VectorIndex =
+    appendImpl(newVectors, normalize = true)
+
+  /** [[append]] for INTERNALLY RECOVERED vectors — LSM compaction folds
+    * generation rows that were already normalized at their original
+    * ingest (or, quantized, are byte-stable dequantized midpoints);
+    * re-normalizing them would drift last bits and break the
+    * compaction-preserves-probes / append==rebuild invariants. */
+  private[index] def appendRecovered(newVectors: DataFrame): VectorIndex =
+    appendImpl(newVectors, normalize = false)
+
+  private def appendImpl(newVectors: DataFrame, normalize: Boolean): VectorIndex = {
     val spark = rows.sparkSession
     import spark.implicits._
     // pin the batch: it is evaluated for shard discovery AND the rebuild —
     // a nondeterministic source re-evaluating differently would corrupt
     // the shard/row bookkeeping. Fresh API input is normalized here (once);
     // `existing` below is recovered from index rows and must NOT be.
-    val fresh = VectorIndex.normalizeInput(
-      newVectors.select(col("id").cast("long"), col("embedding")), params).cache()
+    val selected = newVectors.select(col("id").cast("long"), col("embedding"))
+    val fresh = (if (normalize) VectorIndex.normalizeInput(selected, params)
+                 else selected).cache()
     val affected = fresh
       .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet

@@ -39,6 +39,9 @@ object Packing {
     val w = Window.partitionBy(col("class"), col("grp"))
       .orderBy(col(tokCol).desc, col(docCol), col(startCol))
     chunks
+      // an empty chunk carries no tokens to pack — and budget/0 would
+      // overflow the class arithmetic into a garbage negative class
+      .filter(col(tokCol) > 0)
       .withColumn("class", cap)
       .withColumn("grp", pmod(col(docCol), lit(numGroups)).cast("int"))
       .withColumn("rn", row_number().over(w))

@@ -52,13 +52,22 @@ object RecallEval {
   def labeledRecall(
       systems: Seq[(String, DataFrame)], relevant: DataFrame): DataFrame = {
     require(systems.nonEmpty, "labeledRecall needs at least one system")
+    val spark = relevant.sparkSession
+    import spark.implicits._
+    // eager: the report is |systems| scalars — computing them as actions
+    // lets the relevance cache be RELEASED before returning (a lazily
+    // consumed cache would leak in the block manager per call), and the
+    // returned frame is a k-row local relation with no live lineage
     val rel = relevant.select(col("query_id"), col("doc_id")).distinct().cache()
     val total = rel.count()
-    systems.map { case (name, res) =>
-      res.select(col("query_id"), col("doc_id")).distinct()
-        .join(rel, Seq("query_id", "doc_id"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("hits"))
-        .select(lit(name).as("system"), col("hits"), lit(total).as("total"))
-    }.reduce(_ unionByName _).orderBy(col("system"))
+    val rows =
+      try systems.map { case (name, res) =>
+        val hits = res.select(col("query_id"), col("doc_id")).distinct()
+          .join(rel, Seq("query_id", "doc_id"), "left_semi")
+          .count()
+        (name, hits, total)
+      }
+      finally rel.unpersist()
+    rows.sortBy(_._1).toDF("system", "hits", "total")
   }
 }

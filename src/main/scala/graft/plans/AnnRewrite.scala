@@ -281,6 +281,10 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
         }
       }
     if (index.probeMetric != metric) return None
+    // a normalizeForCosine index probes in the normalized-L2² domain —
+    // substituting it for a RAW squaredL2 ordering would silently return
+    // cosine-ranked rows with rescaled distances
+    if (index.probeNormalized) return None
     if (embAttr.exprId != corpusEmbAttr.exprId) return None
 
     // tie-break keys beyond the distance must be the id column ascending

@@ -1090,6 +1090,9 @@ object StreamingOps {
         java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => }
+      // the staged source is fully drained and the state localCheckpointed
+      // — the corpus-sized temp dir is dead weight the moment we return
+      deleteRecursively(srcDir)
     }
     // reciprocal-pair view over the final state — v48's output contract
     val e = state

@@ -134,6 +134,30 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
       .queryExecution.optimizedPlan.toString.contains("KnnCandidates"))
   }
 
+  test("no rewrite for a normalizeForCosine index: raw L2 ordering must survive") {
+    // regression: a cosine-normalized index probes in the normalized-L2²
+    // domain — substituting it for a RAW squaredL2 ORDER BY would return
+    // cosine-ranked rows with rescaled distances. The rewrite must refuse.
+    GraftSqlBridge.addOptimizerRule(spark, AnnTopKRewrite)
+    IndexCatalog.clear()
+    val cosIdx = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+        normalizeForCosine = true), numShards = 2)
+    IndexCatalog.register(cosIdx, corpus)
+    try {
+      val df = topKPlan(10)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("MapPartitions") && !optimized.contains("SerializeFromObject"),
+        s"rewrite spliced a normalized probe into a raw L2 query:\n$optimized")
+      // and the results are the true raw-L2 top-10
+      IndexCatalog.clear()
+      val expected = topKPlan(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      IndexCatalog.register(cosIdx, corpus)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got === expected)
+    } finally IndexCatalog.clear()
+  }
+
   test("no rewrite for unregistered corpus or other sort keys") {
     installed()
     // descending order — not a kNN shape

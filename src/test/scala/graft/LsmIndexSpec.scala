@@ -367,6 +367,36 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("compaction of a normalizeForCosine base preserves probes bit-for-bit") {
+    // regression: compact() folds RECOVERED generation rows back through
+    // append — re-normalizing them (already unit-norm; quantized:
+    // dequantized midpoints) would drift bits and change exact probes.
+    // appendRecovered must keep compaction probe-invariant for both the
+    // float and the SQ8 cosine index.
+    for (quant <- Seq(false, true)) {
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val base = corpus.filter(col("id") % 3 =!= 0)
+      val fresh = corpus.filter(col("id") % 3 === 0)
+      val params0 = IndexParams(minimumConnect = 8, relaxedMonotonicity = 32,
+        step = 2, normalizeForCosine = true)
+      val baseIdx =
+        if (quant) VectorIndex.buildAutoQuantized(base, params0, numShards = 2)
+        else VectorIndex.build(base, params0, numShards = 2)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val lsm = LsmVectorIndex(baseIdx, compactThreshold = Long.MaxValue)
+        .ingest(fresh)
+      def snap(df: DataFrame) = df
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val before = snap(lsm.query(queries, 10, searchWidth = 0))
+      val after = snap(lsm.compact().query(queries, 10, searchWidth = 0))
+      assert(before === after, s"compaction changed probes (quant=$quant)")
+    }
+  }
+
   test("streaming kNN-graph maintenance is invariant to batching (s22)") {
     // exact-by-induction edge state: 1-slice (one big batch) and 4-slice
     // (incremental) streams must land on the identical reciprocal-pair

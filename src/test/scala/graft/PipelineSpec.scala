@@ -860,8 +860,10 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     // oversize (150 > budget 100): own bin, flagged; exact fit (100):
     // class 1, alone, full, NOT flagged; two 50s share one class-2 bin
+    // the 0-token chunk (upstream tokenizer garbage) must be DROPPED —
+    // budget/0 would otherwise overflow into a negative class
     val chunks = Seq(
-      (1L, 0, 150), (2L, 0, 100), (3L, 0, 50), (4L, 0, 50)
+      (1L, 0, 150), (2L, 0, 100), (3L, 0, 50), (4L, 0, 50), (5L, 0, 0)
     ).toDF("doc_id", "start", "n_tokens")
     val bins = graft.operators.Packing.packChunks(chunks, 100, numGroups = 1)
       .collect().map(r => (r.getAs[Int]("class"), r.getAs[Int]("bin"),
