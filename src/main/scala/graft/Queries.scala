@@ -254,6 +254,7 @@ object Queries {
     quantIndex(s, dir) // v23's shared quantized index (same one-time role)
     tokenIndex(s, dir) // v40's inner-product token index (same one-time role)
     cosineEmbIndex(s, dir) // v44's cosine index (same one-time role)
+    cosQuantIndex(s, dir) // v51's SQ8 cosine index (same one-time role)
     graft.streaming.StreamingOps.warmEngine(s) // streaming-engine cold init
   }
 
