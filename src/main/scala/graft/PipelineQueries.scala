@@ -1068,6 +1068,78 @@ object PipelineQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  // ---------------------------------------------------------------- p5_drift
+  /** Distribution-drift report ([[graft.operators.Drift]]): PSI between
+    * two snapshots of the events table (split by event_id parity —
+    * standing in for "last week's corpus vs this dump"), one numeric
+    * feature (`value` over a 10-bucket fixed grid) and one categorical
+    * (`event_type`), in long form with per-bucket exact counts and
+    * rounded smoothed-share PSI terms. Everything replays closed-form
+    * in SQL: integer bin rule, integer counts, the (c+1)/(n+k) smoothed
+    * shares, one ln per bucket. */
+  def p5Drift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cur = col("event_id") % 2 === 0
+    // ONE scan for both features (the multi-feature melt — a wide table
+    // drifts all its columns in a single corpus pass)
+    graft.operators.Drift.multiDrift(ev,
+      numeric = Seq(graft.operators.Drift.NumericFeature("value", 0.0, 500.0, 10)),
+      categorical = Seq("event_type"), isCurrent = cur)
+  }
+
+  // the numeric leg's closed-form replay (shared with s23 — streaming
+  // conditional counts are additive, so the streamed table is identical)
+  private val p5NumericOracle =
+    """WITH e AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS b,
+      |                  (event_id % 2 = 0) AS cur
+      |           FROM events WHERE value IS NOT NULL),
+      |     c AS (SELECT b, SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+      |                     SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+      |           FROM e GROUP BY b),
+      |     t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS k FROM c)
+      |SELECT 'value' AS feature, 'bin_' || lpad(CAST(b AS VARCHAR), 2, '0') AS bucket,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + k) - CAST(n_ref + 1 AS DOUBLE) / (tr + k))
+      |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + k)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + k))), 6) AS psi_term
+      |FROM c CROSS JOIN t""".stripMargin
+
+  private val p5Oracle =
+    s"""$p5NumericOracle
+      |UNION ALL
+      |SELECT 'event_type' AS feature, b AS bucket,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + k) - CAST(n_ref + 1 AS DOUBLE) / (tr + k))
+      |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + k)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + k))), 6) AS psi_term
+      |FROM (SELECT b, SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+      |             SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+      |      FROM (SELECT event_type AS b, (event_id % 2 = 0) AS cur
+      |            FROM events WHERE event_type IS NOT NULL) GROUP BY b) c2
+      |CROSS JOIN (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS k
+      |            FROM (SELECT SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+      |                         SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+      |                  FROM (SELECT event_type AS b, (event_id % 2 = 0) AS cur
+      |                        FROM events WHERE event_type IS NOT NULL) GROUP BY b)) t2
+      |ORDER BY feature, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- s23_stream_drift
+  /** Streaming drift monitor ([[StreamingOps.streamDrift]]): p5's
+    * numeric leg as a complete-mode streaming aggregation — state is
+    * two longs per observed bucket; conditional counts are additive, so
+    * the accumulated counts (and the PSI terms computed from them by
+    * the batch operator's own post-aggregation) equal batch p5 under
+    * any micro-batching, and the numeric half of p5's closed-form
+    * oracle gates this path directly. */
+  def s23StreamDrift(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamDrift(s, s"$dir/events.parquet", "value",
+      isCurrent = col("event_id") % 2 === 0, lo = 0.0, hi = 500.0, bins = 10,
+      statePartitions = streamStateParts)
+      .select(lit("value").as("feature"),
+        concat(lit("bin_"), lpad(col("bucket").cast("string"), 2, "0")).as("bucket"),
+        col("n_ref"), col("n_cur"), col("psi_term"))
+      .orderBy(col("bucket"))
+
+  private val s23Oracle = s"$p5NumericOracle\nORDER BY bucket"
+
   // ---------------------------------------------------------------- s22_stream_knn_graph
   /** Streaming kNN-graph maintenance
     * ([[graft.streaming.StreamingOps.streamKnnGraph]]): the base half of
@@ -2199,6 +2271,8 @@ object PipelineQueries {
     "s22_stream_knn_graph" -> ((s, dir) => s22StreamKnnGraph(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
+    "p5_drift" -> ((s, dir) => p5Drift(s, dir)),
+    "s23_stream_drift" -> ((s, dir) => s23StreamDrift(s, dir)),
     "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
     "s21_stream_zorder" -> ((s, dir) => s21StreamZorder(s, dir)),
     "m1_multimodal" -> ((s, dir) => m1Multimodal(s, dir)),
@@ -2282,6 +2356,8 @@ object PipelineQueries {
     "s22_stream_knn_graph" -> Queries.v48Oracle,
     "p3_profile" -> p3Oracle,
     "p4_profile_sketch" -> p4Oracle,
+    "p5_drift" -> p5Oracle,
+    "s23_stream_drift" -> s23Oracle,
     "s20_stream_minhash" -> s20Oracle,
     "s21_stream_zorder" -> Queries.b6Oracle, // per-row key => sink == batch; b6's exact SQL
 

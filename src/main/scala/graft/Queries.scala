@@ -2588,6 +2588,68 @@ object Queries {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q14_percentiles
+  /** Ordered-set aggregates — PERCENTILE_CONT / PERCENTILE_DISC
+    * (WITHIN GROUP) + exact MEDIAN per group, the §2.5 aggregate class
+    * q1/q6 (plain + rollup sums) and q12 (window frames) don't touch.
+    * Exact percentiles buffer each group's values, so this is the
+    * GATE-scale face of rank statistics; the mergeable-bounded-state
+    * production face at 100 TB is t14's fixed-grid
+    * [[graft.operators.HistogramSketch]] (O(bins) state, lossless
+    * merge) — same split as p3's exact distinct vs p4's HLL. DuckDB's
+    * quantile_cont/disc use the same linear-interpolation / ordered-pick
+    * definitions, so round(4) gates the values exactly. */
+  def q14Percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("q14_orders")
+    s.sql("""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_orders,
+        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price,
+        round(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25_disc
+      FROM q14_orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  private val q14Oracle =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      |  round(quantile_disc(o_totalprice, 0.25), 4) AS p25_disc
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- v53_range_search
+  /** Radius search ([[graft.operators.RangeSearch]]): every corpus
+    * vector within squared-L2 1.45 of each of the 8 query vectors,
+    * served by the IVF-cell triangle-inequality PRUNED face — the
+    * 100 TB plan (bounded cell stats, (query x cell) admission, one
+    * corpus scan with pruned cells dropped at the equi-join). Pruning
+    * is provably lossless, so the brute-force SQL replay is the exact
+    * oracle; RangeSearchSpec additionally pins pruned == brute in-engine
+    * AND that cells actually get pruned. */
+  def v53RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.RangeSearch
+      .rangeJoinPruned(queries, embCorpus(s, dir), r2 = 1.45, numCentroids = 16)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("id"))
+  }
+
+  private val v53Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 8),
+      |     c AS (SELECT vec_id AS id, embedding AS eb FROM embeddings WHERE vec_id >= 10)
+      |SELECT query_id, id,
+      |  round(list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))), 6) AS distance
+      |FROM q CROSS JOIN c
+      |WHERE list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) <= 1.45
+      |ORDER BY query_id, id""".stripMargin
+
   // ---------------------------------------------------------------- v42_hybrid_rrf
   /** Hybrid retrieval ([[graft.operators.HybridRetrieval]]): dense leg =
     * exact cosine kNN over the document embeddings (v13's machinery,
@@ -2972,6 +3034,8 @@ object Queries {
     "q11_set_ops" -> q11Oracle,
     "q12_range_frame" -> q12Oracle,
     "q13_subqueries" -> q13Oracle,
+    "q14_percentiles" -> q14Oracle,
+    "v53_range_search" -> v53Oracle,
     "v47_mrl_knn" -> v47Oracle,
     "v42_hybrid_rrf" -> v42Oracle,
     "v43_lsm_delete" -> v43Oracle,

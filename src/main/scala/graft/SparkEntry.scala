@@ -103,6 +103,8 @@ object SparkEntry {
     "q11_set_ops" -> ((s, dir) => Queries.q11SetOps(s, dir)),
     "q12_range_frame" -> ((s, dir) => Queries.q12RangeFrame(s, dir)),
     "q13_subqueries" -> ((s, dir) => Queries.q13Subqueries(s, dir)),
+    "q14_percentiles" -> ((s, dir) => Queries.q14Percentiles(s, dir)),
+    "v53_range_search" -> ((s, dir) => Queries.v53RangeSearch(s, dir)),
     "v47_mrl_knn" -> ((s, dir) => Queries.v47MrlKnn(s, dir)),
     "v42_hybrid_rrf" -> ((s, dir) => Queries.v42HybridRrf(s, dir)),
     "v43_lsm_delete" -> ((s, dir) => Queries.v43LsmDelete(s, dir)),

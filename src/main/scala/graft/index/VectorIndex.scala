@@ -16,7 +16,14 @@ import graft.operators.TopK
   * concurrent jobs may probe the same shard).
   */
 object ShardGraphCache {
-  private val MaxEntries = 64
+  // residency bound, overridable for decade-scale probes: resident
+  // graphs + in-flight rehydration buffers must co-fit in the heap, so
+  // a 128-shard 100M probe runs with this at ~the task concurrency
+  // (graphs older than the running tasks only help if the same shard is
+  // probed again before eviction — at soak shape each job touches each
+  // shard exactly once, so a deep cache is pure heap pressure)
+  private val MaxEntries =
+    sys.props.get("graft.shardCache.maxEntries").map(_.toInt).getOrElse(64)
   private val cache =
     new java.util.LinkedHashMap[(String, Int), SubIndexGraph](MaxEntries, 0.75f, true) {
       override def removeEldestEntry(
@@ -24,17 +31,21 @@ object ShardGraphCache {
         size() > MaxEntries
     }
 
-  def getOrRehydrate(indexId: String, shardId: Int)(make: => SubIndexGraph): SubIndexGraph =
+  def getOrRehydrate(indexId: String, shardId: Int)(make: => SubIndexGraph): SubIndexGraph = {
+    val key = (indexId, shardId)
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) return hit
+    // build OUTSIDE the lock: concurrent tasks rehydrate DISTINCT shards
+    // (shard == partition), so holding the global lock through `make`
+    // would serialize every shard rebuild behind one core. The rare
+    // same-shard race (two concurrent query calls, both missing) builds
+    // twice and keeps the first insert — benign, both are identical.
+    val g = make
     cache.synchronized {
-      val key = (indexId, shardId)
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val g = make
-        cache.put(key, g)
-        g
-      }
+      val prior = cache.get(key)
+      if (prior != null) prior else { cache.put(key, g); g }
     }
+  }
 
   /** Cache lookup without building — lets the probe skip materializing a
     * shard's rows entirely when its graph is already resident. */
@@ -198,14 +209,7 @@ class VectorIndex private (
       val bcQueries = spark.sparkContext.broadcast(chunk)
       val rdd = probeLayout.mapPartitions { rit =>
         val shardId = org.apache.spark.TaskContext.getPartitionId()
-        var g = ShardGraphCache.peek(iid, shardId)
-        if (g == null) {
-          val shardRows = mutable.ArrayBuffer.empty[IndexRow]
-          rit.foreach(shardRows += _)
-          if (shardRows.nonEmpty)
-            g = ShardGraphCache.getOrRehydrate(iid, shardId)(
-              VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
-        }
+        val g = VectorIndex.shardGraphFor(rit, iid, shardId, p, bcMeta.value)
         if (g == null) Iterator.empty
         else {
           val graph = g
@@ -239,10 +243,21 @@ class VectorIndex private (
     * same cached blocks. */
   @transient private[index] lazy val probeLayout
       : org.apache.spark.rdd.RDD[IndexRow] = {
-    rows.rdd.map(r => (r.sub_index_id, r))
+    val rdd = rows.rdd.map(r => (r.sub_index_id, r))
       .partitionBy(new VectorIndex.ShardPartitioner(numShards))
       .map(_._2)
-      .cache()
+    // `spark.graft.probeLayoutStorage` = NONE drops the layout cache for
+    // corpus-scale LOADED indexes: the rehydrated shard graphs live in
+    // ShardGraphCache after the first probe pass anyway, so the cached
+    // row blocks are a second full on-disk/heap copy of an index whose
+    // authoritative copy is already compressed parquet — exactly the
+    // copy that exhausted the local disk pool in the 100M probe
+    // (SCALE.md). Repeat probes still skip the map stage: the same RDD
+    // instance reuses its shuffle files.
+    val lvl = rows.sparkSession.conf
+      .get("spark.graft.probeLayoutStorage", "MEMORY_ONLY")
+    if (lvl.equalsIgnoreCase("NONE")) rdd
+    else rdd.persist(org.apache.spark.storage.StorageLevel.fromString(lvl))
   }
 
   /** Fully driverless probe: query rows flow through ONE shuffle onto the
@@ -276,14 +291,7 @@ class VectorIndex private (
         if (!qit.hasNext) Iterator.empty
         else {
           val shardId = org.apache.spark.TaskContext.getPartitionId()
-          var g = ShardGraphCache.peek(iid, shardId)
-          if (g == null) {
-            val shardRows = mutable.ArrayBuffer.empty[IndexRow]
-            rit.foreach(shardRows += _)
-            if (shardRows.nonEmpty)
-              g = ShardGraphCache.getOrRehydrate(iid, shardId)(
-                VectorIndex.rehydrate(p, bcMeta.value(shardId), shardRows.toSeq))
-          }
+          val g = VectorIndex.shardGraphFor(rit, iid, shardId, p, bcMeta.value)
           if (g == null) Iterator.empty // shard holds no vectors
           else {
             val graph = g
@@ -495,18 +503,36 @@ object VectorIndex {
     * fused multi-member LSM probe. The graph carries reusable search
     * scratch, so probes serialize on it and materialize INSIDE the lock
     * (a lazy iterator would escape it). */
+  /** Resolve the resident graph for a shard, rehydrating STREAMING from
+    * the row iterator on a cache miss (one row live at a time — never a
+    * materialized row buffer beside the graph; the buffered form OOM'd
+    * the 128-shard 100M probe). Returns null for a shard that holds no
+    * vectors. When the graph is already resident the iterator is left
+    * unconsumed — skipping costs nothing. */
+  private[index] def shardGraphFor(
+      rit: Iterator[IndexRow], iid: String, shardId: Int, params: IndexParams,
+      metaMap: Map[Int, ShardMeta]): SubIndexGraph = {
+    val cached = ShardGraphCache.peek(iid, shardId)
+    if (cached != null) return cached
+    metaMap.get(shardId) match {
+      case None =>
+        require(rit.isEmpty, s"shard $shardId has rows but no meta entry")
+        null
+      case Some(m) =>
+        if (rit.isEmpty) {
+          require(m.n_vectors == 0,
+            s"shard $shardId: empty partition, meta says ${m.n_vectors} rows")
+          null
+        } else ShardGraphCache.getOrRehydrate(iid, shardId)(
+          rehydrateStreaming(params, m, m.n_vectors.toInt, rit))
+    }
+  }
+
   private[index] def probePartition(
       rit: Iterator[IndexRow], iid: String, shardId: Int, params: IndexParams,
       metaMap: Map[Int, ShardMeta], queries: Array[(Long, Array[Float])],
       k: Int, searchWidth: Int): Iterator[(Long, Double, Long)] = {
-    var g = ShardGraphCache.peek(iid, shardId)
-    if (g == null) {
-      val shardRows = mutable.ArrayBuffer.empty[IndexRow]
-      rit.foreach(shardRows += _)
-      if (shardRows.nonEmpty)
-        g = ShardGraphCache.getOrRehydrate(iid, shardId)(
-          rehydrate(params, metaMap(shardId), shardRows.toSeq))
-    }
+    val g = shardGraphFor(rit, iid, shardId, params, metaMap)
     if (g == null) Iterator.empty // shard holds no vectors
     else {
       val graph = g
@@ -715,7 +741,12 @@ object VectorIndex {
     val meta = computeMeta(rowsDisk) // one (shard, layer, offset) scan of the parquet
     writeMetaAndParams(spark, path, meta, params, numShards,
       java.util.UUID.randomUUID().toString)
-    load(spark, path)
+    // one knob for "too big for a second copy": when the probe layout
+    // cache is off, the row Dataset cache (MEMORY_AND_DISK — another
+    // full copy) must be off too, or the mitigation is undone
+    load(spark, path, cache = !spark.conf
+      .get("spark.graft.probeLayoutStorage", "MEMORY_ONLY")
+      .equalsIgnoreCase("NONE"))
   }
 
   /** Meta + params sidecars next to an already-written `rows` parquet.
@@ -814,9 +845,17 @@ object VectorIndex {
   }
 
   /** Load a saved index (reference O10). */
-  def load(spark: SparkSession, path: String): VectorIndex = {
+  /** @param cache cache the row Dataset (default). Pass `false` for a
+    *               corpus-scale index probed a bounded number of times:
+    *               Dataset.cache is MEMORY_AND_DISK, i.e. a second
+    *               uncompressed copy of an index already materialized as
+    *               compressed parquet — at 100M rows that copy alone
+    *               exceeds a single node's local-disk pool (SCALE.md);
+    *               pair with `spark.graft.probeLayoutStorage=NONE`. */
+  def load(spark: SparkSession, path: String, cache: Boolean = true): VectorIndex = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/rows").as[IndexRow]
+    val rows0 = spark.read.parquet(s"$path/rows").as[IndexRow]
+    val rows = if (cache) rows0.cache() else rows0
     val metaText = readSmallFile(spark, s"$path/meta.json")
     val meta =
       if (metaText != null) {
@@ -861,7 +900,7 @@ object VectorIndex {
     // probe of the loaded index hit executor-cached graphs built from the
     // ORIGINAL in-memory index (same JVM), silently bypassing the loaded
     // rows — the save/load invariance gate must exercise the load path
-    new VectorIndex(params, extract("numShards").toInt, rows.cache(), meta,
+    new VectorIndex(params, extract("numShards").toInt, rows, meta,
       extract("indexId") + "#load-" + java.util.UUID.randomUUID().toString)
   }
 
@@ -904,12 +943,27 @@ object VectorIndex {
     }
 
   private[index] def rehydrate(
-      params: IndexParams, m: ShardMeta, shardRows: Seq[IndexRow]): SubIndexGraph = {
-    val g = new SubIndexGraph(params, shardRows.length)
-    g.count = shardRows.length
+      params: IndexParams, m: ShardMeta, shardRows: Seq[IndexRow]): SubIndexGraph =
+    rehydrateStreaming(params, m, shardRows.length, shardRows.iterator)
+
+  /** Single-pass rehydration from an iterator: each IndexRow is copied
+    * into the graph's primitive structures and becomes garbage
+    * immediately — per-task live memory is ONE graph plus one row,
+    * instead of a fully-materialized buffer of object-heavy rows
+    * alongside the graph. At 780k-row shards the buffered form costs
+    * >1 GB per concurrent task; 32 concurrent probe tasks of buffered
+    * rehydration OOM'd the 100M probe JVM (SCALE.md). Capacity comes
+    * from the count, which the probe paths read from ShardMeta. */
+  private[index] def rehydrateStreaming(
+      params: IndexParams, m: ShardMeta, n: Int,
+      shardRows: Iterator[IndexRow]): SubIndexGraph = {
+    val g = new SubIndexGraph(params, n)
+    g.count = n
     g.layerCount = m.layer_count
     g.entryOffset = m.entry_offset
+    var seen = 0
     for (r <- shardRows) {
+      seen += 1
       val o = r.offset
       g.globalIds(o) = r.global_id
       g.setVec(o, r.embedding)
@@ -925,6 +979,8 @@ object VectorIndex {
         al
       })
     }
+    require(seen == n,
+      s"shard ${m.sub_index_id}: rehydrated $seen rows, meta says $n")
     g
   }
 }

@@ -362,6 +362,42 @@ object StreamingOps {
     runFinite(spark, agg, "complete", statePartitions)
   }
 
+  /** Streaming distribution-drift monitor — the live face of the PSI
+    * drift report ([[graft.operators.Drift]], p5): per-bucket
+    * reference/current conditional counts as a complete-mode streaming
+    * aggregation (state = two longs per observed bucket — bounded by
+    * the fixed grid), with the smoothed-share PSI terms computed on the
+    * final bounded bucket table by the SAME post-aggregation code as
+    * the batch operator. Conditional counts are additive, so the
+    * streamed counts equal the batch counts under any micro-batching
+    * and p5's closed-form oracle gates this path directly. Deployment
+    * shape: the monitor watches a landing feed and flags a feature the
+    * moment its accumulated distribution departs the reference
+    * snapshot's — no second pass over landed data. */
+  def streamDrift(
+      spark: SparkSession, eventsPath: String, valueCol: String,
+      isCurrent: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, bins: Int,
+      statePartitions: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(eventsPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(eventsPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(eventsPath))
+      d.toString
+    })
+    val counts = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col(valueCol).isNotNull)
+      .select(graft.operators.Drift.numericBucket(valueCol, lo, hi, bins).as("bucket"),
+        isCurrent.cast("boolean").as("__cur"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(!col("__cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__cur"), 1L).otherwise(0L)).as("n_cur"))
+    graft.operators.Drift.psiTerms(runFinite(spark, counts, "complete", statePartitions))
+  }
+
   /** Streaming semantic-dedup screen — the ingest-time face of d15
     * ([[graft.operators.Dedup.semanticDedupRemovals]]): a stream of
     * incoming embeddings is screened per micro-batch against the sealed
