@@ -202,14 +202,7 @@ object KernelBench {
       // exercising the identical path; a cluster spreads the same
       // volume over its executors. Overridable via arg 5.
       val soakK = nums.lift(1).map(_.toInt).getOrElse(10)
-      // deterministic per-id query vectors, generated INSIDE the executors
-      // (spark.range -> mapPartitions); nothing query-sized on the driver
-      val soakQ = spark.range(nSoak).rdd.mapPartitions { it =>
-        it.map { id =>
-          val r = new scala.util.Random(id * 2654435761L + 1)
-          (id, Array.fill(dim)(r.nextFloat()))
-        }
-      }.toDF("query_id", "embedding")
+      val soakQ = soakQueries(spark, nSoak, dim)
       val s2 = System.nanoTime()
       val soakRes = idx.queryDistributed(soakQ, soakK, sw)
       val nRes = soakRes.count()
@@ -217,23 +210,7 @@ object KernelBench {
       println(f"soak queryDistributed (sw=$sw%d, k=$soakK%d): $nSoak%d queries -> $nRes%d result rows, " +
         f"$soakS%.1f s wall, ${soakS * 1e6 / nSoak}%.1f us/query amortized")
 
-      // gate equality: the first 100 soak queries through the broadcast
-      // path must produce the identical (query_id, neighbor_id, distance)
-      // set the shuffled probe produces for the same batch (a fresh small
-      // queryDistributed call — filtering soakRes would recompute the
-      // full uncached 1M-query lineage just to read 100 of them)
-      val headQ = soakQ.filter(col("query_id") < 100).cache()
-      val viaBroadcast = idx.query(headQ, soakK, sw)
-        .select("query_id", "neighbor_id", "distance")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val viaShuffle = idx.queryDistributed(headQ, soakK, sw)
-        .select("query_id", "neighbor_id", "distance")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      require(viaBroadcast == viaShuffle,
-        s"soak gate MISMATCH: broadcast=${viaBroadcast.size} shuffle=${viaShuffle.size} " +
-          s"diff=${(viaBroadcast diff viaShuffle).take(5)}")
-      println(s"soak gate: shuffled probe == broadcast probe on 100-query overlap " +
-        s"(${viaShuffle.size} rows) OK")
+      probeGate(idx, soakQ, soakK, sw, "soak")
     }
 
     if (flags.contains("lsm")) {
@@ -342,5 +319,45 @@ object KernelBench {
       timeIt("fused  ") { graft.plans.KnnJoinPlan.knnFused(bigQ, df, k) }
     }
     spark.stop()
+  }
+
+  /** Deterministic per-id soak query vectors, generated INSIDE the
+    * executors (spark.range -> mapPartitions; nothing query-sized on the
+    * driver). ONE seed formula (id*2654435761L+1) shared by every main
+    * that replays the soak protocol ([[ProbeBench]]), so soak results
+    * stay comparable run to run and main to main by construction. */
+  private[graft] def soakQueries(
+      spark: SparkSession, n: Long, dim: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(n).rdd.mapPartitions { it =>
+      it.map { id =>
+        val r = new scala.util.Random(id * 2654435761L + 1)
+        (id, Array.fill(dim)(r.nextFloat()))
+      }
+    }.toDF("query_id", "embedding")
+  }
+
+  /** Probe-path equality gate: the first 100 soak queries through the
+    * broadcast path must produce the identical (query_id, neighbor_id,
+    * distance) set the driverless shuffled probe produces for the same
+    * batch (a fresh small queryDistributed call — filtering the soak
+    * result would recompute the full query lineage to read 100 rows). */
+  private[graft] def probeGate(
+      idx: VectorIndex, soakQ: org.apache.spark.sql.DataFrame,
+      k: Int, sw: Int, label: String): Unit = {
+    val headQ = soakQ.filter(col("query_id") < 100).cache()
+    try {
+      val viaBroadcast = idx.query(headQ, k, sw)
+        .select("query_id", "neighbor_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaShuffle = idx.queryDistributed(headQ, k, sw)
+        .select("query_id", "neighbor_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      require(viaBroadcast == viaShuffle,
+        s"$label gate MISMATCH: broadcast=${viaBroadcast.size} shuffle=${viaShuffle.size} " +
+          s"diff=${(viaBroadcast diff viaShuffle).take(5)}")
+      println(s"$label gate: shuffled probe == broadcast probe on 100-query overlap " +
+        s"(${viaShuffle.size} rows) OK")
+    } finally headQ.unpersist()
   }
 }

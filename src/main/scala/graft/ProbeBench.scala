@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.index.VectorIndex
 
@@ -42,39 +41,25 @@ object ProbeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     val t0 = System.nanoTime()
     val idx = VectorIndex.load(spark, path, cache = false)
     println(s"loaded index: shards=${idx.numShards} params=${idx.params}")
 
-    // soak: driverless shuffled probe, queries generated inside executors
-    val soakQ = spark.range(nSoak).rdd.mapPartitions { it =>
-      it.map { id =>
-        val r = new scala.util.Random(id * 2654435761L + 1)
-        (id, Array.fill(dim)(r.nextFloat()))
-      }
-    }.toDF("query_id", "embedding")
+    // soak: driverless shuffled probe, KernelBench's soak protocol
+    // (same deterministic query generation, same gate) so the numbers
+    // are comparable main to main
+    val soakQ = KernelBench.soakQueries(spark, nSoak, dim)
     val s2 = System.nanoTime()
     val nRes = idx.queryDistributed(soakQ, soakK, sw).count()
     val soakS = (System.nanoTime() - s2) / 1e9
     println(f"soak queryDistributed (sw=$sw%d, k=$soakK%d): $nSoak%d queries -> $nRes%d result rows, " +
-      f"$soakS%.1f s wall, ${soakS * 1e6 / nSoak}%.1f us/query amortized " +
-      f"(incl. one-time load+rehydrate ${(s2 - t0) / 1e9}%.1f s before)")
+      f"$soakS%.1f s wall, ${soakS * 1e6 / nSoak}%.1f us/query amortized COLD " +
+      f"(per-shard parquet read + graph rebuild run INSIDE this job — with " +
+      f"the copy-free load there is no earlier point to pay them; " +
+      f"driver-side load was ${(s2 - t0) / 1e9}%.1f s before)")
 
-    // gate equality on a 100-query overlap: broadcast path == shuffled path
-    val headQ = soakQ.filter(col("query_id") < 100).cache()
-    val viaBroadcast = idx.query(headQ, soakK, sw)
-      .select("query_id", "neighbor_id", "distance")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val viaShuffle = idx.queryDistributed(headQ, soakK, sw)
-      .select("query_id", "neighbor_id", "distance")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    require(viaBroadcast == viaShuffle,
-      s"probe gate MISMATCH: broadcast=${viaBroadcast.size} shuffle=${viaShuffle.size} " +
-        s"diff=${(viaBroadcast diff viaShuffle).take(5)}")
-    println(s"probe gate: shuffled probe == broadcast probe on 100-query overlap " +
-      s"(${viaShuffle.size} rows) OK")
+    KernelBench.probeGate(idx, soakQ, soakK, sw, "probe")
     spark.stop()
   }
 }

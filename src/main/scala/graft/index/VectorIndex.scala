@@ -21,9 +21,16 @@ object ShardGraphCache {
   // a 128-shard 100M probe runs with this at ~the task concurrency
   // (graphs older than the running tasks only help if the same shard is
   // probed again before eviction — at soak shape each job touches each
-  // shard exactly once, so a deep cache is pure heap pressure)
+  // shard exactly once, so a deep cache is pure heap pressure).
+  // Read from the Spark conf first: this object initializes inside
+  // EXECUTOR JVMs, where a driver-side -D flag never arrives, but the
+  // SparkConf does (`--conf spark.graft.shardCache.maxEntries=N`). The
+  // system property remains as the local-mode/script fallback.
   private val MaxEntries =
-    sys.props.get("graft.shardCache.maxEntries").map(_.toInt).getOrElse(64)
+    Option(org.apache.spark.SparkEnv.get)
+      .flatMap(_.conf.getOption("spark.graft.shardCache.maxEntries"))
+      .orElse(sys.props.get("graft.shardCache.maxEntries"))
+      .map(_.toInt).getOrElse(64)
   private val cache =
     new java.util.LinkedHashMap[(String, Int), SubIndexGraph](MaxEntries, 0.75f, true) {
       override def removeEldestEntry(
@@ -844,8 +851,8 @@ object VectorIndex {
     }
   }
 
-  /** Load a saved index (reference O10). */
-  /** @param cache cache the row Dataset (default). Pass `false` for a
+  /** Load a saved index (reference O10).
+    * @param cache cache the row Dataset (default). Pass `false` for a
     *               corpus-scale index probed a bounded number of times:
     *               Dataset.cache is MEMORY_AND_DISK, i.e. a second
     *               uncompressed copy of an index already materialized as

@@ -49,13 +49,18 @@ object Drift {
 
   /** The fixed-grid bucket expression (shared with the streaming face —
     * [[graft.streaming.StreamingOps.streamDrift]] must bucket
-    * identically for streaming == batch to hold). */
+    * identically for streaming == batch to hold). Null-preserving: a
+    * null value maps to a NULL bucket, never a bin. The naive form
+    * would not be — Spark's `greatest`/`least` SKIP null arguments, so
+    * `least(bins-1, greatest(0, null))` silently returns bin 0,
+    * counting every null row into the lowest bucket. */
   private[graft] def numericBucket(
       valueCol: String, lo: Double, hi: Double, bins: Int): Column = {
     require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo (got $bins, [$lo, $hi))")
     val width = (hi - lo) / bins
-    least(lit(bins - 1L),
-      greatest(lit(0L), floor((col(valueCol) - lit(lo)) / lit(width)).cast("long")))
+    when(col(valueCol).isNotNull,
+      least(lit(bins - 1L),
+        greatest(lit(0L), floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"))))
   }
 
   /** Categorical-column drift: buckets are the column's raw values.
@@ -106,7 +111,10 @@ object Drift {
         isCurrent.cast("boolean").as("__cur"))
       .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"),
         col("__cur"))
-      .filter(col("bucket").isNotNull) // null value -> null bucket -> excluded
+      // null value -> null bucket -> excluded (numericBucket is
+      // null-preserving, and concat/lpad propagate the null; categorical
+      // buckets are the raw cast, null for null)
+      .filter(col("bucket").isNotNull)
     psiTerms(melted
       .groupBy(col("feature"), col("bucket"))
       .agg(

@@ -380,14 +380,11 @@ object StreamingOps {
       lo: Double, hi: Double, bins: Int,
       statePartitions: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val schema = schemaCache.computeIfAbsent(eventsPath, p => spark.read.parquet(p).schema)
-    val srcDir = stagedSources.computeIfAbsent(eventsPath, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("data.parquet"), java.nio.file.Paths.get(eventsPath))
-      d.toString
-    })
-    val counts = spark.readStream.schema(schema).parquet(srcDir)
+    // eventsStream (not hand-rolled staging): it sets the nanos-ts legacy
+    // conf BEFORE schema inference and memoizes the staged source dir —
+    // a fresh session whose first events query is this one must not
+    // depend on another events op having run first
+    val counts = eventsStream(spark, eventsPath)
       .filter(col(valueCol).isNotNull)
       .select(graft.operators.Drift.numericBucket(valueCol, lo, hi, bins).as("bucket"),
         isCurrent.cast("boolean").as("__cur"))

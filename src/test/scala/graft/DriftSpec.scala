@@ -96,6 +96,26 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
     assert(want.exceptAll(multi).count() === 0)
   }
 
+  test("null numeric values are excluded, never counted into bin 0") {
+    import spark.implicits._
+    // Spark's greatest/least SKIP nulls, so a non-null-preserving bucket
+    // expression would map null -> bin 0; regression-pin the fix both on
+    // the single-feature face and the multiDrift melt
+    val df = Seq(
+      (Some(0.5), false), (Some(0.5), false), (None, false),
+      (Some(0.5), true), (None, true), (None, true)
+    ).toDF("v", "cur")
+    val rows = Drift.numericDrift(df, "v", col("cur"), lo = 0, hi = 2, bins = 2)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 1L))) // the three null rows appear nowhere
+    val multi = Drift.multiDrift(df,
+      numeric = Seq(Drift.NumericFeature("v", 0, 2, 2)), categorical = Nil,
+      isCurrent = col("cur")).collect()
+    assert(multi.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("bin_00", 2L, 1L)))
+  }
+
   test("invalid grid is rejected") {
     import spark.implicits._
     val df = Seq((1.0, true)).toDF("v", "cur")
