@@ -105,6 +105,28 @@ object VectorFunctions {
     out
   }
 
+  /** MIPS augmented-dimension transform (corpus side):
+    * x -> [x, sqrt(M² − |x|²)] with M = the calibrated corpus norm bound
+    * ([[graft.index.IndexParams.mipsMaxNorm]]). Deterministic the same
+    * way [[l2NormalizeArray]] is: sequential double accumulation,
+    * IEEE-exact Math.sqrt, one round-to-float. A vector whose norm
+    * exceeds M (beyond float-rounding slack) is rejected loudly — its
+    * augmented component is undefined and would silently corrupt the
+    * MIPS ranking; tiny float excess clamps to a zero component. */
+  def mipsAugmentArray(v: Array[Float], maxNorm: Float): Array[Float] = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    val m2 = maxNorm.toDouble * maxNorm.toDouble
+    val rest = m2 - acc
+    require(rest >= -1e-6 * m2,
+      f"vector norm ${Math.sqrt(acc)}%.6f exceeds the calibrated mipsMaxNorm " +
+        f"$maxNorm%.6f — rebuild with a larger bound (VectorIndex.calibrateMipsNorm)")
+    val out = java.util.Arrays.copyOf(v, v.length + 1)
+    out(v.length) = Math.sqrt(math.max(0.0, rest)).toFloat
+    out
+  }
+
   /** Distance column for a metric — engine-side analog of
     * `get_distance_calculation_function` (reference: source/distance.h:174-187),
     * with all metrics dispatchable. */

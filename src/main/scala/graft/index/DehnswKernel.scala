@@ -62,6 +62,31 @@ object ParamStep {
   *                             normalization is a semantic no-op, and
   *                             under inner product it would CHANGE the
   *                             ranking — both are rejected.
+  * @param augmentForMips       serve MAXIMUM-INNER-PRODUCT retrieval
+  *                             through the Euclidean2 kernel by the
+  *                             augmented-dimension reduction (public:
+  *                             Bachrach et al., RecSys 2014; Shrivastava
+  *                             & Li, NeurIPS 2014): every corpus vector
+  *                             x becomes [x, sqrt(M² − |x|²)] at the
+  *                             INDEX API boundary (M = [[mipsMaxNorm]],
+  *                             the calibrated corpus max norm) and every
+  *                             query q becomes [q, 0] at probe time.
+  *                             Then L2²(q', x') = M² + |q|² − 2⟨q, x⟩ —
+  *                             monotone DECREASING in the inner product,
+  *                             so the Euclidean2 beam (float or SQ8
+  *                             byte-domain) ranks exactly like MIPS.
+  *                             Same recovered-row contract as
+  *                             normalizeForCosine: internally recovered
+  *                             rows are never re-augmented. Returned
+  *                             distances are in the augmented-L2²
+  *                             domain. Euclidean2 only; mutually
+  *                             exclusive with normalizeForCosine (unit
+  *                             vectors make MIPS == cosine — use that).
+  * @param mipsMaxNorm          the calibrated corpus norm bound M for
+  *                             [[augmentForMips]] (persisted with the
+  *                             index; appended vectors must satisfy
+  *                             |x| ≤ M or the augmented component is
+  *                             undefined — enforced at the boundary)
   */
 case class IndexParams(
     metric: DistanceMetric = DistanceMetric.Euclidean2,
@@ -73,7 +98,9 @@ case class IndexParams(
     quantized: Boolean = false,
     quantLo: Float = -0.5f,
     quantHi: Float = 0.5f,
-    normalizeForCosine: Boolean = false) {
+    normalizeForCosine: Boolean = false,
+    augmentForMips: Boolean = false,
+    mipsMaxNorm: Float = 0f) {
   require(schedule.sliding(2).forall(w => w.size < 2 || w(0).fromCount < w(1).fromCount),
     "schedule fromCount thresholds must be strictly ascending")
   require(!quantized || metric == DistanceMetric.Euclidean2,
@@ -83,6 +110,35 @@ case class IndexParams(
   require(!normalizeForCosine || metric == DistanceMetric.Euclidean2,
     "normalizeForCosine expresses cosine through the Euclidean2 metric; " +
       s"it cannot combine with ${metric.name}")
+  require(!augmentForMips || metric == DistanceMetric.Euclidean2,
+    "augmentForMips expresses inner product through the Euclidean2 metric; " +
+      s"it cannot combine with ${metric.name}")
+  require(!(augmentForMips && normalizeForCosine),
+    "augmentForMips and normalizeForCosine are mutually exclusive " +
+      "(on normalized vectors MIPS == cosine — use normalizeForCosine)")
+  require(!augmentForMips || mipsMaxNorm > 0f,
+    "augmentForMips needs a calibrated mipsMaxNorm > 0 " +
+      "(use VectorIndex.buildMipsQuantized / calibrateMipsNorm)")
+
+  /** True when this params transforms vectors at the index API boundary
+    * (fresh build/append input and probe queries) — the one switch every
+    * ingest/probe path consults so the transform can never be applied to
+    * internally recovered rows twice. */
+  def transformsInput: Boolean = normalizeForCosine || augmentForMips
+
+  /** Corpus-side API-boundary transform (identity unless cosine/MIPS). */
+  def transformCorpusVector(v: Array[Float]): Array[Float] =
+    if (normalizeForCosine) graft.functions.VectorFunctions.l2NormalizeArray(v)
+    else if (augmentForMips)
+      graft.functions.VectorFunctions.mipsAugmentArray(v, mipsMaxNorm)
+    else v
+
+  /** Query-side API-boundary transform: cosine normalizes; MIPS appends
+    * the zero component ([q, 0] — |q| never matters for the ranking). */
+  def transformQueryVector(v: Array[Float]): Array[Float] =
+    if (normalizeForCosine) graft.functions.VectorFunctions.l2NormalizeArray(v)
+    else if (augmentForMips) java.util.Arrays.copyOf(v, v.length + 1)
+    else v
 }
 
 /** Ascending (dist, nbr) edge list over primitive parallel arrays — the

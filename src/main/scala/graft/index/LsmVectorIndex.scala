@@ -302,15 +302,14 @@ final class LsmVectorIndex private (
         .toDF("query_id", "rank", "neighbor_id", "distance")
     }
     // the fused path broadcasts the raw chunk straight into
-    // probePartition, bypassing VectorIndex.queryBatch's normalization —
-    // apply the cosine-index query normalization here (members all share
-    // base.params; the single-member shortcut above delegates and must
-    // NOT be pre-normalized or the vector would be normalized twice)
+    // probePartition, bypassing VectorIndex.queryBatch's query transform —
+    // apply it here (cosine normalization / MIPS zero-augmentation;
+    // members all share base.params; the single-member shortcut above
+    // delegates and must NOT be pre-transformed or the vector would be
+    // transformed twice)
     val normBatch =
-      if (base.params.normalizeForCosine)
-        batch.map { case (id, v) =>
-          (id, graft.functions.VectorFunctions.l2NormalizeArray(v))
-        }
+      if (base.params.transformsInput)
+        batch.map { case (id, v) => (id, base.params.transformQueryVector(v)) }
       else batch
     // tombstone overfetch (see query()) — kernels return top-kProbe per
     // shard, dead ids are filtered from the candidate stream, and the

@@ -146,13 +146,12 @@ class VectorIndex private (
     else queryDistributed(queries, k, searchWidth)
   }
 
-  /** Query vectors normalized iff the index is a normalizeForCosine
-    * index — the probe-side half of the API-boundary contract (corpus
-    * rows were normalized once at build/append ingest). */
+  /** Query vectors transformed iff the index transforms at its API
+    * boundary (cosine normalization / MIPS zero-augmentation) — the
+    * probe-side half of the contract (corpus rows were transformed once
+    * at build/append ingest). */
   @inline private def normalizeQuery(v: Array[Float]): Array[Float] =
-    if (params.normalizeForCosine)
-      graft.functions.VectorFunctions.l2NormalizeArray(v)
-    else v
+    params.transformQueryVector(v)
 
   /** Probe with an already-materialized query batch (no collect) — used by
     * the optimizer rewrite, where the query vector is a plan literal. */
@@ -283,13 +282,10 @@ class VectorIndex private (
     val bcMeta = spark.sparkContext.broadcast(meta.map(m => m.sub_index_id -> m).toMap)
     val p = params
     val iid = indexId
-    val normalize = params.normalizeForCosine
     val qPairs = queries
       .select(col("query_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].rdd
-      .map { case (id, v) =>
-        (id, if (normalize) graft.functions.VectorFunctions.l2NormalizeArray(v) else v)
-      }
+      .map { case (id, v) => (id, p.transformQueryVector(v)) }
       .flatMap(q => Iterator.range(0, n).map(s => (s, q)))
       .partitionBy(new VectorIndex.ShardPartitioner(n))
       .map(_._2)
@@ -698,22 +694,22 @@ object VectorIndex {
     build(df, params.copy(quantized = true, quantLo = lo, quantHi = hi), numShards)
   }
 
-  /** User-supplied vectors normalized iff the params ask for cosine —
+  /** User-supplied vectors transformed iff the params ask for an
+    * API-boundary transform (cosine normalization / MIPS augmentation) —
     * applied ONLY to fresh API input (build/buildTo/append/bucketed
-    * corpus), never to internally recovered rows: re-normalizing an
-    * already-normalized float vector drifts its last bits, which would
-    * break the append-rebuild == full-rebuild and save/load bit
-    * invariants. A narrow typed map — adds no exchange anywhere. */
+    * corpus), never to internally recovered rows: re-applying a float
+    * transform drifts its last bits, which would break the
+    * append-rebuild == full-rebuild and save/load bit invariants. A
+    * narrow typed map — adds no exchange anywhere. */
   private[index] def normalizeInput(df: DataFrame, params: IndexParams): DataFrame =
-    if (!params.normalizeForCosine) df
+    if (!params.transformsInput) df
     else {
       val spark = df.sparkSession
       import spark.implicits._
+      val p = params
       df.select(col("id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])]
-        .map { case (id, v) =>
-          (id, graft.functions.VectorFunctions.l2NormalizeArray(v))
-        }
+        .map { case (id, v) => (id, p.transformCorpusVector(v)) }
         .toDF("id", "embedding")
     }
 
@@ -834,13 +830,13 @@ object VectorIndex {
             .select(col("id").cast("long"), col("embedding"),
               col("sub_index_id").cast("int"))
             .as[(Long, Array[Float], Int)]
-          // bucketed corpora hold RAW vectors — cosine normalization
-          // happens here (narrow map, keeps the no-Exchange/no-Sort plan)
-          if (params.normalizeForCosine)
-            src.map { case (id, v, s) =>
-              (id, graft.functions.VectorFunctions.l2NormalizeArray(v), s)
-            }
-          else src
+          // bucketed corpora hold RAW vectors — the API-boundary
+          // transform (cosine normalization / MIPS augmentation) happens
+          // here (narrow map, keeps the no-Exchange/no-Sort plan)
+          if (params.transformsInput) {
+            val p = params
+            src.map { case (id, v, s) => (id, p.transformCorpusVector(v), s) }
+          } else src
         }, params).cache()
       val meta = computeMeta(cached)
       new VectorIndex(params, numShards, cached, meta,
