@@ -255,6 +255,7 @@ object Queries {
     tokenIndex(s, dir) // v40's inner-product token index (same one-time role)
     cosineEmbIndex(s, dir) // v44's cosine index (same one-time role)
     cosQuantIndex(s, dir) // v51's SQ8 cosine index (same one-time role)
+    mipsIndex(s, dir) // v54's MIPS-augmented index (same one-time role)
     graft.streaming.StreamingOps.warmEngine(s) // streaming-engine cold init
   }
 
@@ -767,6 +768,69 @@ object Queries {
   private val v51Oracle =
     """SELECT search_width, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
       |FROM (VALUES (0, 99, 100), (2, 87, 100), (4, 94, 100), (8, 96, 100), (16, 98, 100)) AS t(search_width, hits, total)
+      |ORDER BY search_width""".stripMargin
+
+  // ---------------------------------------------------------------- v54_mips_index
+  // the shared MIPS-augmented index (auto-calibrated norm bound), one per
+  // sf dir. The cached handle is deliberately the LOADED copy of a
+  // save/load round-trip: an augmented index whose transform params did
+  // not persist would reload with augmentation silently off and probe
+  // d-dimensional queries against a (d+1)-dimensional corpus — making
+  // persistence part of this gate, not just construction.
+  private val mipsIdxCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
+  private[graft] def mipsIndex(s: SparkSession, dir: String): VectorIndex =
+    mipsIdxCache.computeIfAbsent(dir, _ => {
+      val built = VectorIndex.buildMips(embCorpus(s, dir),
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_mips_").toString
+      built.save(path)
+      VectorIndex.load(s, path)
+    })
+
+  /** MIPS-served ANN index — inner-product top-k through the Euclidean2
+    * graph kernel via the augmented-dimension reduction (Bachrach et al.,
+    * RecSys'14): corpus x -> [x, sqrt(M² − |x|²)] with M the calibrated
+    * corpus norm bound, query q -> [q, 0]; then augmented L2² =
+    * M² + |q|² − 2⟨q,x⟩ is monotone in −⟨q,x⟩, so the ascending-L2 beam
+    * returns the MAXIMUM-inner-product neighbors. This is the index form
+    * of v33's exact-scan metric (reference distance.h:178-186 has the
+    * enum but dispatches Euclidean only). Gate: multi-width beam + exact
+    * probe of the round-tripped (saved+loaded) MIPS index, hits by set
+    * overlap against the float-exact inner-product brute-force top-10
+    * computed in-query; deterministic build ⇒ pinned VALUES oracle.
+    * Width 0 is the augmentation-rounding ceiling (the sqrt component is
+    * float-rounded once per corpus vector). */
+  def v54MipsIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = mipsIndex(s, dir)
+    val qb = embQueries(s, dir)
+      .select(col("query_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val res = idx.queryBatchMultiWidth(qb, k = 10, widths = 0 +: v8Widths)
+      .select(col("search_width"), col("query_id"), col("neighbor_id"))
+    val q = embQueries(s, dir).select(col("query_id"), col("embedding").as("qe"))
+    val c = embCorpus(s, dir).select(col("id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("gt_dist"), col("neighbor_id"))
+    val gt = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.innerProductDistance(col("qe"), col("ce")).as("gt_dist"))
+      .withColumn("grank", row_number().over(w))
+      .filter(col("grank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    res.join(gt, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("search_width"))
+      .agg(
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+        count(lit(1)).cast("long").as("total"))
+      .orderBy(col("search_width"))
+  }
+
+  /** Pinned expectation at the driver's sf0.01 gate (regenerate like
+    * v8's/v51's if the kernel, calibration, or augmentation changes). */
+  private val v54Oracle =
+    """SELECT search_width, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+      |FROM (VALUES (0, 100, 100), (2, 91, 100), (4, 96, 100), (8, 97, 100), (16, 99, 100)) AS t(search_width, hits, total)
       |ORDER BY search_width""".stripMargin
 
   // ---------------------------------------------------------------- v22_sq8_rerank
@@ -3000,6 +3064,7 @@ object Queries {
     "v25_sq8_calibrated" -> v25Oracle,
     "v26_sq8_beam" -> v26Oracle,
     "v51_sq8_cosine" -> v51Oracle,
+    "v54_mips_index" -> v54Oracle,
     "v52_retrieval_quality" -> v52Oracle,
     "v27_pq_knn" -> v27Oracle,
     "v28_pq_rerank" -> v28Oracle,

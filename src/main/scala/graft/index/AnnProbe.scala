@@ -15,12 +15,14 @@ trait AnnProbe {
     * changes — e.g. per LSM ingest) — the rewrite's plan-cache key. */
   def probeId: String
   def probeMetric: DistanceMetric
-  /** True when the index normalizes vectors at its API boundary
-    * ([[IndexParams.normalizeForCosine]]): probe results then rank in
-    * the NORMALIZED-L2² domain, not the raw metric's — a rewrite that
-    * promises bit-identical substitution of a raw distance expression
-    * must refuse such an index (the raw squaredL2 ordering over
-    * unnormalized vectors differs from the cosine ordering). */
+  /** True when the index TRANSFORMS vectors at its API boundary
+    * ([[IndexParams.transformsInput]] — cosine normalization OR MIPS
+    * augmentation): probe results then rank in the transformed-L2²
+    * domain, not the raw metric's — a rewrite that promises
+    * bit-identical substitution of a raw distance expression must
+    * refuse such an index (the raw squaredL2 ordering over raw vectors
+    * differs from both the cosine and the augmented-MIPS ordering,
+    * and the returned distances are rescaled/shifted). */
   def probeNormalized: Boolean = false
   def probeSession: SparkSession
   def probeBatch(batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame

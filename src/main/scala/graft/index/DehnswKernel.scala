@@ -118,7 +118,7 @@ case class IndexParams(
       "(on normalized vectors MIPS == cosine — use normalizeForCosine)")
   require(!augmentForMips || mipsMaxNorm > 0f,
     "augmentForMips needs a calibrated mipsMaxNorm > 0 " +
-      "(use VectorIndex.buildMipsQuantized / calibrateMipsNorm)")
+      "(use VectorIndex.buildMips / calibrateMipsNorm)")
 
   /** True when this params transforms vectors at the index API boundary
     * (fresh build/append input and probe queries) — the one switch every

@@ -77,7 +77,7 @@ final class LsmVectorIndex private (
          s":t${tombstones.size}:${md.digest().map("%02x".format(_)).mkString}"
        })
   override def probeMetric: graft.functions.DistanceMetric = base.params.metric
-  override def probeNormalized: Boolean = base.params.normalizeForCosine
+  override def probeNormalized: Boolean = base.params.transformsInput
   override def probeSession: org.apache.spark.sql.SparkSession = base.rows.sparkSession
   override def probeDescription: String =
     s"lsm base shards=${base.numShards} + ${generations.size} generations"

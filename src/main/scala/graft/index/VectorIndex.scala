@@ -107,7 +107,7 @@ class VectorIndex private (
 
   override def probeId: String = indexId
   override def probeMetric: graft.functions.DistanceMetric = params.metric
-  override def probeNormalized: Boolean = params.normalizeForCosine
+  override def probeNormalized: Boolean = params.transformsInput
   override def probeSession: SparkSession = rows.sparkSession
   override def probeBatch(
       batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
@@ -694,6 +694,39 @@ object VectorIndex {
     build(df, params.copy(quantized = true, quantLo = lo, quantHi = hi), numShards)
   }
 
+  /** Calibrate the MIPS norm bound M from the corpus itself: the max
+    * corpus L2 norm in ONE map-only aggregation (per-row norm via a
+    * higher-order `aggregate`, then a scalar max — no explode, no vector
+    * shuffle), widened by a relative slack so float round-trips of the
+    * extreme vector never trip the [[graft.functions.VectorFunctions
+    * .mipsAugmentArray]] bound check. M parameterizes the
+    * augmented-dimension transform x -> [x, sqrt(M² − |x|²)] that
+    * expresses inner-product top-k through the Euclidean2 index
+    * (Bachrach et al., RecSys'14). */
+  def calibrateMipsNorm(df: DataFrame, embCol: String = "embedding",
+      slack: Float = 1e-4f): Float = {
+    val norm = sqrt(aggregate(col(embCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val r = df.agg(max(norm).as("m")).head
+    require(!r.isNullAt(0), "cannot calibrate a MIPS norm bound from an empty corpus")
+    val m = r.getDouble(0)
+    require(m > 0.0, "cannot calibrate a MIPS norm bound from an all-zero corpus")
+    (m * (1.0 + slack)).toFloat
+  }
+
+  /** Inner-product (MIPS) index build with auto-calibrated norm bound:
+    * one calibration pass ([[calibrateMipsNorm]]) fixes mipsMaxNorm, then
+    * the normal build runs with the augmented-dimension transform at the
+    * API boundary. The bound persists through save/load via params.json,
+    * so appends and loaded probes augment identically. Probe results rank
+    * by DESCENDING inner product (augmented-L2² = M² + |q|² − 2⟨q,x⟩ is
+    * monotone in −⟨q,x⟩ for a fixed query). */
+  def buildMips(df: DataFrame, params: IndexParams, numShards: Int): VectorIndex = {
+    val m = calibrateMipsNorm(df)
+    build(df, params.copy(metric = graft.functions.DistanceMetric.Euclidean2,
+      augmentForMips = true, mipsMaxNorm = m), numShards)
+  }
+
   /** User-supplied vectors transformed iff the params ask for an
     * API-boundary transform (cosine normalization / MIPS augmentation) —
     * applied ONLY to fresh API input (build/buildTo/append/bucketed
@@ -775,6 +808,7 @@ object VectorIndex {
          |"schedule":"$sched",
          |"quantized":${p.quantized},"quantLo":${p.quantLo},"quantHi":${p.quantHi},
          |"normalizeForCosine":${p.normalizeForCosine},
+         |"augmentForMips":${p.augmentForMips},"mipsMaxNorm":${p.mipsMaxNorm},
          |"indexId":"$indexId"}""".stripMargin
     writeSmallFile(spark, s"$path/params.json", json)
   }
@@ -898,7 +932,9 @@ object VectorIndex {
       quantized = extractOpt("quantized").exists(_.toBoolean),
       quantLo = extractOpt("quantLo").map(_.toFloat).getOrElse(-0.5f),
       quantHi = extractOpt("quantHi").map(_.toFloat).getOrElse(0.5f),
-      normalizeForCosine = extractOpt("normalizeForCosine").exists(_.toBoolean))
+      normalizeForCosine = extractOpt("normalizeForCosine").exists(_.toBoolean),
+      augmentForMips = extractOpt("augmentForMips").exists(_.toBoolean),
+      mipsMaxNorm = extractOpt("mipsMaxNorm").map(_.toFloat).getOrElse(0f))
     // fresh cache identity per load: reusing the persisted id would let a
     // probe of the loaded index hit executor-cached graphs built from the
     // ORIGINAL in-memory index (same JVM), silently bypassing the loaded

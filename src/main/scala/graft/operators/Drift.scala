@@ -149,9 +149,15 @@ object Drift {
       .orderBy((if (perFeature) Seq(col("feature")) else Nil) :+ col("bucket"): _*)
   }
 
-  /** Scalar PSI: fold the bounded long-form result in bucket order on
-    * the driver (deterministic summation order). */
-  def psiTotal(driftDf: DataFrame): Double =
-    driftDf.orderBy(col("bucket")).select(col("psi_term"))
+  /** Scalar PSI: fold the bounded long-form result in key order on the
+    * driver (deterministic summation order). Ordering must cover EVERY
+    * key column present — a [[multiDrift]] frame repeats bucket values
+    * across features, so bucket-only ordering would leave the fold order
+    * among equal buckets nondeterministic. */
+  def psiTotal(driftDf: DataFrame): Double = {
+    val keys = (if (driftDf.columns.contains("feature")) Seq(col("feature")) else Nil) :+
+      col("bucket")
+    driftDf.orderBy(keys: _*).select(col("psi_term"))
       .collect().foldLeft(0.0)((acc, r) => acc + r.getDouble(0))
+  }
 }

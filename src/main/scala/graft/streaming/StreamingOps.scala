@@ -1026,20 +1026,48 @@ object StreamingOps {
     * [[graft.functions.VectorFunctions.squaredL2]] expression the
     * reverse leg computes.
     *
-    * Scale shape: per batch, the corpus is READ once (map-side, batch
-    * broadcast) and never shuffled; the only exchanges move edge rows
-    * (corpus×k, 24 B/row) for the threshold aggregate and the re-cut
-    * window (WindowGroupLimit-bounded). At 100 TB the production variant
-    * keeps the threshold column co-located with the index shards and
-    * swaps the exact legs for beam probes (approximate NN-descent-style
-    * maintenance); the gate runs the exact face end to end. Returns the
-    * reciprocal-pair view (v48's output) over the final state. */
+    * `searchWidth` selects the face (the v48/v49 split, applied to
+    * maintenance):
+    *
+    *  - 0 (the gate face): exact legs as above — forward probes
+    *    exact-mode, reverse is the map-side corpus-vs-broadcast-batch
+    *    threshold pass. Exact for any batching.
+    *  - > 0 (the production face — approximate NN-descent-style
+    *    maintenance, the beam of reference dehnsw.h:241-323 that the
+    *    exact face bypasses): ONE index beam probe of the batch at
+    *    `revCandidateFactor * kEdges + 1` serves BOTH legs — the probe
+    *    rows are the forward candidates, and their REVERSAL
+    *    (src=neighbor, dst=batch vector, same symmetric distance) are
+    *    the reverse candidates, threshold-filtered against the current
+    *    k-th distances. No corpus-so-far scan exists in this mode: per-
+    *    batch probe cost is O(|B| · beam), not O(|C|·|B|), so the
+    *    stream's total work is linear, not quadratic.
+    *
+    * In BOTH modes the re-cut touches only AFFECTED src nodes: the
+    * delta legs' distinct srcs semi-join their current edges out of the
+    * state, the top-k window re-sorts only those groups, and untouched
+    * rows union back verbatim (bit-identical to a full re-cut — a src
+    * with no candidate rows cannot change). The state stays
+    * hash(src)-partitioned from the seed window, and the semi/anti
+    * joins and re-cut window all reuse that partitioning, so a batch
+    * shuffles only delta-sized edge rows; the state itself is scanned
+    * (memory-resident localCheckpoint blocks) but never exchanged.
+    *
+    * Scale shape: per batch the only exchanges move edge rows (delta ×
+    * k, 24 B/row) for the threshold aggregate and the affected-group
+    * re-cut (WindowGroupLimit-bounded). At 100 TB the production face
+    * keeps the threshold column co-located with the index shards; the
+    * gate runs the exact face end to end and s24 pins the production
+    * face's edge recall against it. Returns the reciprocal-pair view
+    * (v48's output) over the final state. */
   def streamKnnGraph(
       spark: SparkSession, embPath: String,
       baseCorpusPred: org.apache.spark.sql.Column,
       newVectorsPred: org.apache.spark.sql.Column,
       kEdges: Int, sourceSlices: Int = 4,
-      statePartitions: Int = 0): DataFrame = {
+      statePartitions: Int = 0,
+      searchWidth: Int = 0,
+      revCandidateFactor: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions
     import graft.index.{IndexParams, LsmVectorIndex, VectorIndex}
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -1058,14 +1086,17 @@ object StreamingOps {
     // lineage that would otherwise reference expired micro-batch frames)
     @volatile var state = baseIdx
       .query(base.select(col("id").as("query_id"), col("embedding")),
-        kEdges + 1, searchWidth = 0)
+        kEdges + 1, searchWidth)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rr", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))))
       .filter(col("rr") <= kEdges)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("distance"))
       .localCheckpoint(true)
-    @volatile var corpusSoFar = base.localCheckpoint(true)
+    // the corpus-so-far accumulator exists ONLY for the exact face's
+    // map-side reverse leg; the beam face serves reverse candidates from
+    // the index probe and never materializes it
+    @volatile var corpusSoFar = if (searchWidth == 0) base.localCheckpoint(true) else null
 
     val srcDir = java.nio.file.Files.createTempDirectory("graft_knng_src_").toString
     all.filter(newVectorsPred)
@@ -1085,31 +1116,64 @@ object StreamingOps {
           if (!batch0.isEmpty) {
             val batch = batch0.select(col("id"), col("embedding")).localCheckpoint(true)
             current = current.ingest(batch)
-            val fwd = current
-              .query(batch.select(col("id").as("query_id"), col("embedding")),
-                kEdges + 1, searchWidth = 0)
-              .filter(col("neighbor_id") =!= col("query_id"))
-              .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
-                col("distance"))
             // c's admission threshold: its current k-th distance; nodes
             // still short of k edges admit anything (kth = +inf)
             val thresholds = state.groupBy(col("src").as("id"))
               .agg(max(col("distance")).as("kth"), count(lit(1)).as("ne"))
-            val rev = corpusSoFar
-              .join(thresholds, Seq("id"), "left")
-              .crossJoin(broadcast(
-                batch.select(col("id").as("bid"), col("embedding").as("be"))))
-              .withColumn("d", VectorFunctions.squaredL2(col("embedding"), col("be")))
-              .filter(col("kth").isNull || col("ne") < kEdges || col("d") <= col("kth"))
-              .select(col("id").as("src"), col("bid").as("dst"), col("d").as("distance"))
+            val delta =
+              if (searchWidth == 0) {
+                val fwd = current
+                  .query(batch.select(col("id").as("query_id"), col("embedding")),
+                    kEdges + 1, searchWidth = 0)
+                  .filter(col("neighbor_id") =!= col("query_id"))
+                  .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+                    col("distance"))
+                val rev = corpusSoFar
+                  .join(thresholds, Seq("id"), "left")
+                  .crossJoin(broadcast(
+                    batch.select(col("id").as("bid"), col("embedding").as("be"))))
+                  .withColumn("d", VectorFunctions.squaredL2(col("embedding"), col("be")))
+                  .filter(col("kth").isNull || col("ne") < kEdges || col("d") <= col("kth"))
+                  .select(col("id").as("src"), col("bid").as("dst"), col("d").as("distance"))
+                fwd.unionByName(rev)
+              } else {
+                // ONE beam probe serves both legs: probe rows are the
+                // forward candidates; their reversal (same symmetric
+                // distance) are the reverse candidates, admitted against
+                // the old nodes' current k-th thresholds
+                val probe = current
+                  .query(batch.select(col("id").as("query_id"), col("embedding")),
+                    revCandidateFactor * kEdges + 1, searchWidth)
+                  .filter(col("neighbor_id") =!= col("query_id"))
+                  .select(col("query_id"), col("neighbor_id"), col("distance"))
+                  .localCheckpoint(true)
+                val fwd = probe.select(col("query_id").as("src"),
+                  col("neighbor_id").as("dst"), col("distance"))
+                val rev = probe
+                  .select(col("neighbor_id").as("id"), col("query_id").as("dst"),
+                    col("distance"))
+                  .join(thresholds, Seq("id"), "left")
+                  .filter(col("kth").isNull || col("ne") < kEdges ||
+                    col("distance") <= col("kth"))
+                  .select(col("id").as("src"), col("dst"), col("distance"))
+                fwd.unionByName(rev)
+              }
+            // re-cut ONLY the srcs the delta touches; everything else is
+            // unchanged by construction and unions back verbatim
+            val deltaCk = delta.localCheckpoint(true)
+            val touched = deltaCk.select(col("src")).distinct()
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("src")).orderBy(col("distance"), col("dst"))
-            state = state.unionByName(fwd).unionByName(rev)
+            val recut = state.join(touched, Seq("src"), "left_semi")
+              .unionByName(deltaCk)
               .withColumn("rr", row_number().over(w))
               .filter(col("rr") <= kEdges)
               .select(col("src"), col("dst"), col("distance"))
+            state = state.join(touched, Seq("src"), "left_anti")
+              .unionByName(recut)
               .localCheckpoint(true)
-            corpusSoFar = corpusSoFar.unionByName(batch).localCheckpoint(true)
+            if (searchWidth == 0)
+              corpusSoFar = corpusSoFar.unionByName(batch).localCheckpoint(true)
           }
         }
         .option("checkpointLocation", ckpt.toString)
