@@ -1159,6 +1159,36 @@ object PipelineQueries {
       kEdges = 3, sourceSlices = 4, statePartitions = streamStateParts)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- s24_stream_knn_graph_beam
+  /** The PRODUCTION face of s22 — streaming kNN-graph maintenance at
+    * beam width (the v48/v49 split applied to maintenance): each
+    * micro-batch runs ONE index beam probe that serves both the forward
+    * leg and the (threshold-admitted) reversal — per-batch cost
+    * O(|batch| · beam) with NO corpus-so-far scan, the linear shape a
+    * 100 TB stream needs (the exact face's reverse leg is O(|C|·|B|)
+    * per batch ⇒ quadratic over the stream). Self-describing gate (the
+    * v49 pattern): the query computes edge recall of the final
+    * beam-maintained reciprocal-pair set against the exact graph
+    * (s22 == batch v48 on the final corpus, so the cached v48 pairs ARE
+    * the ground truth) and emits (n_exact, recall_ok); the oracle
+    * replays n_exact closed-form and pins recall_ok TRUE. */
+  def s24StreamKnnGraphBeam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val beam = graft.streaming.StreamingOps.streamKnnGraph(
+      s, s"$dir/embeddings.parquet",
+      baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 500,
+      newVectorsPred = col("vec_id") >= 500,
+      kEdges = 3, sourceSlices = 4, statePartitions = streamStateParts,
+      searchWidth = 8)
+      .select(col("id_a"), col("id_b"))
+    val exact = Queries.reciprocalNnPairs(s, dir).select(col("id_a"), col("id_b")).cache()
+    try {
+      val nExact = exact.count()
+      val nHit = beam.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      Seq((nExact, nHit.toDouble / nExact >= 0.85)).toDF("n_exact", "recall_ok")
+    } finally exact.unpersist()
+  }
+
   // ---------------------------------------------------------------- s19_stream_bm25
   /** Streaming BM25 query serving
     * ([[graft.streaming.StreamingOps.streamBm25Serve]]): the v46 lexical
@@ -2269,6 +2299,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> ((s, dir) => t21BigramLm(s, dir)),
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
     "s22_stream_knn_graph" -> ((s, dir) => s22StreamKnnGraph(s, dir)),
+    "s24_stream_knn_graph_beam" -> ((s, dir) => s24StreamKnnGraphBeam(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "p5_drift" -> ((s, dir) => p5Drift(s, dir)),
@@ -2354,6 +2385,20 @@ object PipelineQueries {
     // streaming graph == batch graph on the final corpus (exact-by-
     // induction edge state) => v48's closed-form SQL gates it verbatim
     "s22_stream_knn_graph" -> Queries.v48Oracle,
+    "s24_stream_knn_graph_beam" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 10),
+        |d AS (SELECT a.id AS qa, b.id AS qb,
+        |        list_sum(list_transform(generate_series(1, len(a.e)),
+        |          i -> (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE))
+        |             * (CAST(a.e[i] AS DOUBLE) - CAST(b.e[i] AS DOUBLE)))) AS dist
+        |      FROM c a JOIN c b ON a.id <> b.id),
+        |r AS (SELECT qa, qb, dist,
+        |        row_number() OVER (PARTITION BY qa ORDER BY dist, qb) AS rnk
+        |      FROM d),
+        |e AS (SELECT qa, qb FROM r WHERE rnk <= 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM e e1 JOIN e e2 ON e1.qa = e2.qb AND e1.qb = e2.qa
+        |WHERE e1.qa < e1.qb""".stripMargin,
     "p3_profile" -> p3Oracle,
     "p4_profile_sketch" -> p4Oracle,
     "p5_drift" -> p5Oracle,

@@ -2267,7 +2267,7 @@ object Queries {
   // pairsCache so one session pays the exact probe + reciprocal join once
   private val rnnPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def reciprocalNnPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def reciprocalNnPairs(s: SparkSession, dir: String): DataFrame =
     rnnPairsCache.computeIfAbsent(dir, _ => {
       val corpus = embCorpus(s, dir)
       val queries = corpus.select(col("id").as("query_id"), col("embedding"))

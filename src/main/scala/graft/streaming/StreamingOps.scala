@@ -1074,6 +1074,15 @@ object StreamingOps {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     if (statePartitions > 0)
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // the affected-only re-cut unions two branches that both descend from
+    // the localCheckpointed state (shared attribute ids); Catalyst's
+    // union constraint rewriting trips over that self-lineage ("key not
+    // found" in rewriteConstraints). Constraints buy nothing in these
+    // small per-batch plans — turn propagation off for the stream's
+    // duration and restore after.
+    val constraintKey = "spark.sql.constraintPropagation.enabled"
+    val prevConstraints = spark.conf.get(constraintKey)
+    spark.conf.set(constraintKey, "false")
     val params = IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2)
     val all = spark.read.parquet(embPath)
     val base = all.filter(baseCorpusPred)
@@ -1169,9 +1178,13 @@ object StreamingOps {
               .withColumn("rr", row_number().over(w))
               .filter(col("rr") <= kEdges)
               .select(col("src"), col("dst"), col("distance"))
-            state = state.join(touched, Seq("src"), "left_anti")
-              .unionByName(recut)
-              .localCheckpoint(true)
+            // re-alias the untouched branch: both union children descend
+            // from `state`, and a union whose children share attribute
+            // ids trips Catalyst's constraint rewriting
+            val untouched = state.join(touched, Seq("src"), "left_anti")
+              .select(col("src").as("src"), col("dst").as("dst"),
+                col("distance").as("distance"))
+            state = untouched.unionByName(recut).localCheckpoint(true)
             if (searchWidth == 0)
               corpusSoFar = corpusSoFar.unionByName(batch).localCheckpoint(true)
           }
@@ -1182,6 +1195,7 @@ object StreamingOps {
     } finally {
       if (statePartitions > 0)
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(constraintKey, prevConstraints)
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse

@@ -413,4 +413,38 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(one === four, s"1-slice ${one.size} pairs != 4-slice ${four.size}")
     assert(one.nonEmpty)
   }
+
+  test("beam-face streaming kNN-graph maintenance tracks the exact face (s24)") {
+    // production face: per-batch cost is one beam probe (no corpus-so-far
+    // scan); its final reciprocal-pair set must stay close to the exact
+    // face's, and every distance it reports must be a TRUE squared-L2
+    // (the beam may miss pairs but can never invent or misprice one)
+    def run(sw: Int) = graft.streaming.StreamingOps.streamKnnGraph(
+      spark, s"$sfDir/embeddings.parquet",
+      baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 200,
+      newVectorsPred = col("vec_id") >= 200,
+      kEdges = 3, sourceSlices = 4, statePartitions = 4, searchWidth = sw)
+    val exact = run(0).select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beamRows = run(8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val beam = beamRows.map(t => (t._1, t._2)).toSet
+    val recall = (exact intersect beam).size.toDouble / exact.size
+    assert(recall >= 0.85, s"beam-face edge recall $recall < 0.85 (exact=${exact.size})")
+    // distances are genuine: re-derive each reported pair's squared L2
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    beamRows.foreach { case (a, b, d) =>
+      val (va, vb) = (emb(a), emb(b))
+      var acc = 0.0
+      var i = 0
+      while (i < va.length) {
+        val diff = va(i).toDouble - vb(i).toDouble; acc += diff * diff; i += 1
+      }
+      assert(math.abs(d - (math.rint(acc * 1e6) / 1e6)) < 1e-6,
+        s"pair ($a,$b) distance $d != true $acc")
+    }
+  }
 }
