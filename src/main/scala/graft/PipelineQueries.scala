@@ -1210,6 +1210,32 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("lex_rank"))
   }
 
+  // ---------------------------------------------------------------- v55_bm25_snapshot
+  /** Lexical-index persistence round-trip ([[graft.operators
+    * .HybridRetrieval.saveBm25Index]]/loadBm25Index) — the missing
+    * save/load half of the BM25 serving story: the 10M-doc posting
+    * build costs ~505 s (SCALE.md), so production serves from a
+    * published snapshot exactly like ProbeBench serves the vector
+    * snapshot. The query builds the df-capped index, persists it
+    * (tok-clustered parquet postings + JSON stats sidecar), loads it
+    * back, and serves the s19 query batch FROM THE LOADED COPY — gated
+    * by s19's closed-form batch oracle, so any loss in the round trip
+    * (schema, stats precision, dropped postings) breaks the hash. */
+  def v55Bm25Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val maxDf = cd.count() * 78L / 100L
+    val (index, stats) = graft.operators.HybridRetrieval.bm25Index(cd, maxDf)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
+    graft.operators.HybridRetrieval.saveBm25Index(index, stats, path)
+    val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(s, path)
+    graft.operators.HybridRetrieval.bm25Serve(qd, li, lstats, n = 20)
+      .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+      .orderBy(col("query_id"), col("lex_rank"))
+  }
+
   private val s19Oracle =
     """WITH cd2 AS (SELECT doc_id, string_split(text, ' ') AS ts,
       |               CAST(len(string_split(text, ' ')) AS INT) AS dl
@@ -2300,6 +2326,7 @@ object PipelineQueries {
     "s19_stream_bm25" -> ((s, dir) => s19StreamBm25(s, dir)),
     "s22_stream_knn_graph" -> ((s, dir) => s22StreamKnnGraph(s, dir)),
     "s24_stream_knn_graph_beam" -> ((s, dir) => s24StreamKnnGraphBeam(s, dir)),
+    "v55_bm25_snapshot" -> ((s, dir) => v55Bm25Snapshot(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "p5_drift" -> ((s, dir) => p5Drift(s, dir)),
@@ -2382,6 +2409,7 @@ object PipelineQueries {
     "t20_source_cap" -> t20Oracle,
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
+    "v55_bm25_snapshot" -> s19Oracle,
     // streaming graph == batch graph on the final corpus (exact-by-
     // induction edge state) => v48's closed-form SQL gates it verbatim
     "s22_stream_knn_graph" -> Queries.v48Oracle,

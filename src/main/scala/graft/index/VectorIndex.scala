@@ -553,7 +553,7 @@ object VectorIndex {
   /** Small-file IO through the Hadoop FS API so index metadata lands on
     * the SAME filesystem as the parquet rows (hdfs://, s3a://, file:...) —
     * java.nio would silently write a driver-local path for remote URIs. */
-  private[index] def writeSmallFile(
+  private[graft] def writeSmallFile(
       spark: SparkSession, path: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -562,7 +562,7 @@ object VectorIndex {
   }
 
   /** Read a small file via the Hadoop FS; null when absent. */
-  private[index] def readSmallFile(spark: SparkSession, path: String): String = {
+  private[graft] def readSmallFile(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return null

@@ -133,6 +133,51 @@ object HybridRetrieval {
     (postings.join(dfKept, Seq("tok")), stats)
   }
 
+  /** Persist a [[bm25Index]] as a servable snapshot: postings land as
+    * parquet CLUSTERED BY token (repartition + sortWithinPartitions on
+    * tok ⇒ each row group covers a tight token range, so a loaded serve
+    * whose broadcast-hash join probes few tokens still reads the full
+    * scan cheaply and any future tok-pushdown prunes row groups), the
+    * one-row stats as a JSON sidecar (never a parquet job for 2
+    * numbers). This is the lexical analog of [[graft.index.VectorIndex
+    * .save]]: build once per corpus snapshot (the 10M-doc build costs
+    * ~505 s, SCALE.md), serve from the snapshot forever — the 100 TB
+    * deployment never rebuilds postings per session.
+    *
+    * avgdl is persisted via Double.toString (shortest round-trip
+    * representation — reparsing yields the identical bits), so a loaded
+    * serve scores bit-identically to the built serve. */
+  def saveBm25Index(index: DataFrame, stats: DataFrame, path: String,
+      clusterPartitions: Int = 0): Unit = {
+    val spark = index.sparkSession
+    val parts = if (clusterPartitions > 0) clusterPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    index
+      .select(col("tok"), col("doc_id").cast("long"), col("dl").cast("int"),
+        col("tf").cast("int"), col("df").cast("long"))
+      .repartition(parts, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val row = stats.select(col("n_docs").cast("long"), col("avgdl").cast("double")).head
+    graft.index.VectorIndex.writeSmallFile(spark, s"$path/stats.json",
+      s"""{"n_docs":${row.getLong(0)},"avgdl":${row.getDouble(1)}}""")
+  }
+
+  /** Load a [[saveBm25Index]] snapshot: (index, stats) frames shaped
+    * exactly like [[bm25Index]]'s return, ready for [[bm25Serve]]. The
+    * postings read is lazy (serving scans it per batch; cache() the
+    * index side for a long-lived server). */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val postings = spark.read.parquet(s"$path/postings")
+    val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
+    require(json != null, s"missing $path/stats.json")
+    val nDocs = """"n_docs":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val avgdl = """"avgdl":\s*([^,}]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+    (postings, Seq((nDocs, avgdl)).toDF("n_docs", "avgdl"))
+  }
+
   /** Query-dependent half of [[bm25TopN]]: join the (bounded, broadcast)
     * batch's distinct query tokens against the posting index, score, and
     * per-query window-limit. Per-query independent, so any partition of

@@ -159,6 +159,28 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(split === whole)
   }
 
+  test("bm25 index save/load round-trips to a bit-identical serve (v55)") {
+    val c = Seq(
+      (10L, "alpha beta gamma delta"), (11L, "alpha beta epsilon"),
+      (12L, "gamma gamma delta"), (13L, "zeta eta theta"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "alpha gamma"), (2L, "beta"), (3L, "theta delta"))
+      .toDF("query_id", "text")
+    val (index, stats) = HybridRetrieval.bm25Index(c, maxTokenDf = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_t_").toString
+    HybridRetrieval.saveBm25Index(index, stats, dir)
+    val (li, lstats) = HybridRetrieval.loadBm25Index(spark, dir)
+    // stats survive exactly (Double.toString shortest round trip)
+    val (b, l) = (stats.head, lstats.head)
+    assert(l.getLong(0) === b.getLong(0))
+    assert(l.getDouble(1) === b.getDouble(1), "avgdl must round-trip bit-exactly")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "bm25", "lex_rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(key(HybridRetrieval.bm25Serve(q, li, lstats, n = 3)) ===
+      key(HybridRetrieval.bm25Serve(q, index, stats, n = 3)))
+  }
+
   test("v52 quality report: hybrid recall >= max(dense-only, lex-only), sf-independent") {
     val rows = Queries.v52RetrievalQuality(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
