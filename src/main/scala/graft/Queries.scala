@@ -2714,6 +2714,32 @@ object Queries {
       |WHERE list_sum(list_transform(generate_series(1, len(ea)), i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) <= 1.45
       |ORDER BY query_id, id""".stripMargin
 
+  // ---------------------------------------------------------------- v56_range_trained
+  /** v53's radius search served from a TRAINED coarse quantizer
+    * ([[graft.operators.IvfKnn.trainedCentroids]] — full-dimension
+    * deterministic Lloyd, the v36 trainCodebooks kernel at m=1). The
+    * triangle-inequality admission only ever consults the supplied
+    * cells' own radii, so the answer is provably IDENTICAL to brute
+    * force for ANY centroid relation — v53's closed-form oracle gates
+    * this query verbatim while the engine path exercises training +
+    * assignment + pruned scan end to end. What training changes is the
+    * COST: tighter cells admit fewer (query, cell) pairs under the same
+    * bound (RangeSearchSpec pins the strict improvement on clustered
+    * data; Lloyd's SSE is non-increasing from the stride init by
+    * construction, so trained cells are never looser than v53's). */
+  def v56RangeTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = embCorpus(s, dir)
+    val trained = graft.operators.IvfKnn
+      .trainedCentroids(corpus, numCentroids = 16, iterations = 3)
+    graft.operators.RangeSearch
+      .rangeJoinPrunedWith(queries, corpus, r2 = 1.45, trained)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("id"))
+  }
+
   // ---------------------------------------------------------------- v42_hybrid_rrf
   /** Hybrid retrieval ([[graft.operators.HybridRetrieval]]): dense leg =
     * exact cosine kNN over the document embeddings (v13's machinery,
@@ -3101,6 +3127,7 @@ object Queries {
     "q13_subqueries" -> q13Oracle,
     "q14_percentiles" -> q14Oracle,
     "v53_range_search" -> v53Oracle,
+    "v56_range_trained" -> v53Oracle,
     "v47_mrl_knn" -> v47Oracle,
     "v42_hybrid_rrf" -> v42Oracle,
     "v43_lsm_delete" -> v43Oracle,

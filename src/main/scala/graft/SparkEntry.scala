@@ -106,6 +106,7 @@ object SparkEntry {
     "q13_subqueries" -> ((s, dir) => Queries.q13Subqueries(s, dir)),
     "q14_percentiles" -> ((s, dir) => Queries.q14Percentiles(s, dir)),
     "v53_range_search" -> ((s, dir) => Queries.v53RangeSearch(s, dir)),
+    "v56_range_trained" -> ((s, dir) => Queries.v56RangeTrained(s, dir)),
     "v47_mrl_knn" -> ((s, dir) => Queries.v47MrlKnn(s, dir)),
     "v42_hybrid_rrf" -> ((s, dir) => Queries.v42HybridRrf(s, dir)),
     "v43_lsm_delete" -> ((s, dir) => Queries.v43LsmDelete(s, dir)),

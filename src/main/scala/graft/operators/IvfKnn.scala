@@ -40,6 +40,47 @@ object IvfKnn {
       .select(col("id").as("centroid_id"), col("embedding").as("c_embedding"))
   }
 
+  /** K-means-TRAINED coarse quantizer: [[PqKnn.trainCodebooks]] with a
+    * single subspace spanning the whole vector IS full-dimension Lloyd
+    * — deterministic end to end (stride-sampled init, fixed pid-keyed
+    * hierarchical fold, empty cells keep their codeword), so trained
+    * centroids are bit-reproducible at a given `numPartitions`. Trained
+    * cells have smaller radii than stride-sampled ones on clustered
+    * data, which tightens BOTH IVF routing (members concentrate in the
+    * queried cells) and [[RangeSearch]]'s triangle-inequality admission
+    * (smaller cell_radius ⇒ more (query, cell) pairs pruned) —
+    * RangeSearchSpec asserts the strict improvement. Centroid ids are
+    * the dense 0..k-1 (training detaches centroids from corpus rows).
+    *
+    * Inherits trainCodebooks' <=256-centroid init bound; a wider coarse
+    * quantizer shards the corpus and trains per shard (cells only need
+    * to be LOCALLY tight for routing/pruning — the same shard=partition
+    * layout the graph index uses). */
+  def trainedCentroids(corpus: DataFrame, numCentroids: Int,
+      iterations: Int = 5, numPartitions: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (flat, k, dim) =
+      PqKnn.trainCodebooks(corpus, numCentroids, m = 1, iterations, numPartitions)
+    (0 until k).map { j =>
+      (j.toLong, java.util.Arrays.copyOfRange(flat, j * dim, (j + 1) * dim))
+    }.toDF("centroid_id", "c_embedding")
+  }
+
+  /** [[knnJoin]] with a caller-supplied centroid relation (trained or
+    * sampled) — the swap-in slot the scaladoc above promises. */
+  def knnJoinWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    val cs = collectCentroids(cents)
+    if (cs.ids.isEmpty) {
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0).as("rank"),
+          lit(0L).as("neighbor_id"), lit(0.0).as("distance"))
+        .filter(lit(false))
+    }
+    knnJoinAssigned(queries, assignWith(corpus, cs), cs, k, nprobe)
+  }
+
   /** Collected centroid table in the flat layout the argmin expression
     * wants — bounded by numCentroids, so the driver-side collect is safe
     * by contract. Ids sorted ascending (the expression's tie-break relies
@@ -122,7 +163,11 @@ object IvfKnn {
           lit(0L).as("neighbor_id"), lit(0.0).as("distance"))
         .filter(lit(false))
     }
-    val assigned = assignWith(corpus, cs)
+    knnJoinAssigned(queries, assignWith(corpus, cs), cs, k, nprobe)
+  }
+
+  private def knnJoinAssigned(queries: DataFrame, assigned: DataFrame,
+      cs: CentroidSet, k: Int, nprobe: Int): DataFrame = {
     // query routing: top-nprobe cells from the same per-row expression —
     // no join/window on the query side either
     val qCells = queries.select(

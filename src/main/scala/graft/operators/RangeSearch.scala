@@ -58,9 +58,21 @@ object RangeSearch {
       queries: DataFrame,
       corpus: DataFrame,
       r2: Double,
-      numCentroids: Int): DataFrame = {
+      numCentroids: Int): DataFrame =
+    rangeJoinPrunedWith(queries, corpus, r2, IvfKnn.centroids(corpus, numCentroids))
+
+  /** [[rangeJoinPruned]] with a caller-supplied centroid relation —
+    * trained cells ([[IvfKnn.trainedCentroids]]) have smaller radii on
+    * clustered data, so the SAME triangle bound admits fewer (query,
+    * cell) pairs and the one corpus scan touches fewer members; the
+    * answer is identical by the same proof (the bound only consults the
+    * supplied cells' own radii). */
+  def rangeJoinPrunedWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      r2: Double,
+      cents: DataFrame): DataFrame = {
     require(r2 >= 0, s"radius must be non-negative (got $r2)")
-    val cents = IvfKnn.centroids(corpus, numCentroids)
     // degenerate corpus (deterministic centroid sample empty) -> no
     // cells to prune with; the brute-force face is the correct answer
     if (cents.isEmpty) return rangeJoin(queries, corpus, r2)

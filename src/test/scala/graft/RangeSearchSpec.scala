@@ -51,6 +51,61 @@ class RangeSearchSpec extends AnyFunSuite with SparkSuite {
     c.unpersist(); q.unpersist()
   }
 
+  test("trained centroids prune strictly more (query, cell) pairs than stride cells") {
+    import graft.operators.{IvfKnn, RangeSearch}
+    val c = corpus(400, 8).cache()
+    val q = queriesDf(6, 8).cache()
+    val r2 = 2.0
+    val stride = IvfKnn.centroids(c, 8)
+    val trained = IvfKnn.trainedCentroids(c, 8, iterations = 5, numPartitions = 4)
+    def admitted(cents: org.apache.spark.sql.DataFrame): Long = {
+      val radii = RangeSearch.cellRadii(IvfKnn.assign(c, cents), cents)
+      RangeSearch.admittedCells(q, cents, radii, r2).count()
+    }
+    val (aS, aT) = (admitted(stride), admitted(trained))
+    assert(aT < aS, s"trained cells admitted $aT pairs, stride admitted $aS — " +
+      "Lloyd must tighten the triangle bound on clustered data")
+    // exactness is preserved under the trained quantizer too
+    val brute = RangeSearch.rangeJoin(q, c, r2)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prunedT = RangeSearch.rangeJoinPrunedWith(q, c, r2, trained)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedT === brute)
+    c.unpersist(); q.unpersist()
+  }
+
+  test("trained centroids cut quantization error and keep IVF routing recall") {
+    import graft.operators.{ExactKnn, IvfKnn}
+    val c = corpus(400, 8).cache()
+    val q = queriesDf(6, 8).cache()
+    // Lloyd's objective — mean squared distance to the assigned
+    // centroid — must come out strictly below the stride sample's on
+    // clustered data (each iteration is non-increasing by construction;
+    // on this corpus the stride init is pathological: ids 0,50,...,350
+    // all fall in blobs 0 and 2, so training has real work to do)
+    def sse(cents: org.apache.spark.sql.DataFrame): Double =
+      IvfKnn.assign(c, cents)
+        .join(broadcast(cents), col("cell") === col("centroid_id"))
+        .agg(sum(graft.functions.VectorFunctions
+          .squaredL2(col("embedding"), col("c_embedding")))).head.getDouble(0)
+    val stride = IvfKnn.centroids(c, 8)
+    val trained = IvfKnn.trainedCentroids(c, 8, iterations = 5, numPartitions = 4)
+    val (sS, sT) = (sse(stride), sse(trained))
+    assert(sT < sS * 0.5,
+      f"trained SSE $sT%.1f not well below stride SSE $sS%.1f")
+    // and the trained quantizer routes well in absolute terms
+    val exact = ExactKnn.knnJoin(q, c, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfKnn.knnJoinWith(q, c, k = 10, trained, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (exact intersect got).size
+    assert(hits >= (exact.size * 9) / 10,
+      s"trained nprobe=2 recall $hits/${exact.size} below 0.9 on 4 separated blobs")
+    c.unpersist(); q.unpersist()
+  }
+
   test("radius 0 keeps exact duplicates only") {
     import spark.implicits._
     val c = Seq(
