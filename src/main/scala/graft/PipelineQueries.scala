@@ -1121,6 +1121,49 @@ object PipelineQueries {
       |                        FROM events WHERE event_type IS NOT NULL) GROUP BY b)) t2
       |ORDER BY feature, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- p6_embedding_drift
+  /** Embedding-distribution drift ([[graft.operators.Drift
+    * .embeddingDrift]]): PSI over IVF-cell occupancy between two
+    * snapshots of the embeddings table — p5's machinery pointed at the
+    * one column scalar grids cannot bucket. Centroids stride-sample the
+    * REFERENCE side (vec_id in [10, 500)), both sides assign by the
+    * same deterministic argmin v14 gates, counts are exact integers,
+    * and the smoothed PSI terms replay closed-form — cell assignment,
+    * counts, and ln terms all in one SQL oracle. */
+  def p6EmbeddingDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.embeddingDrift(
+      Tables.embeddings(s, dir).filter(col("vec_id") >= 10),
+      idCol = "vec_id", embCol = "embedding",
+      isCurrent = col("vec_id") >= 500, numCells = 16)
+
+  private val p6Oracle = {
+    val l2 = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> " +
+      "(CAST(a.embedding[i] AS DOUBLE) - CAST(ct.c_embedding[i] AS DOUBLE)) * " +
+      "(CAST(a.embedding[i] AS DOUBLE) - CAST(ct.c_embedding[i] AS DOUBLE))))"
+    s"""WITH all_rows AS (SELECT vec_id AS id, embedding, (vec_id >= 500) AS cur
+      |                  FROM embeddings WHERE vec_id >= 10),
+      |     ref AS (SELECT id, embedding FROM all_rows WHERE NOT cur),
+      |     stats AS (SELECT CAST((max(id) + 16) // 16 AS BIGINT) AS stride FROM ref),
+      |     cents AS (SELECT id AS centroid_id, embedding AS c_embedding
+      |               FROM ref, stats WHERE id % greatest(stride, 1) = 0),
+      |     assigned AS (SELECT id, cur, cell FROM (
+      |                    SELECT a.id, a.cur, ct.centroid_id AS cell,
+      |                      row_number() OVER (PARTITION BY a.id ORDER BY $l2, ct.centroid_id) AS crank
+      |                    FROM all_rows a CROSS JOIN cents ct)
+      |                  WHERE crank = 1),
+      |     c AS (SELECT cell AS bucket,
+      |             SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+      |             SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+      |           FROM assigned GROUP BY cell),
+      |     t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS k FROM c)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + k) - CAST(n_ref + 1 AS DOUBLE) / (tr + k))
+      |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + k)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + k))), 6) AS psi_term
+      |FROM c CROSS JOIN t
+      |ORDER BY bucket""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s23_stream_drift
   /** Streaming drift monitor ([[StreamingOps.streamDrift]]): p5's
     * numeric leg as a complete-mode streaming aggregation — state is
@@ -2330,6 +2373,7 @@ object PipelineQueries {
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "p5_drift" -> ((s, dir) => p5Drift(s, dir)),
+    "p6_embedding_drift" -> ((s, dir) => p6EmbeddingDrift(s, dir)),
     "s23_stream_drift" -> ((s, dir) => s23StreamDrift(s, dir)),
     "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
     "s21_stream_zorder" -> ((s, dir) => s21StreamZorder(s, dir)),
@@ -2430,6 +2474,7 @@ object PipelineQueries {
     "p3_profile" -> p3Oracle,
     "p4_profile_sketch" -> p4Oracle,
     "p5_drift" -> p5Oracle,
+    "p6_embedding_drift" -> p6Oracle,
     "s23_stream_drift" -> s23Oracle,
     "s20_stream_minhash" -> s20Oracle,
     "s21_stream_zorder" -> Queries.b6Oracle, // per-row key => sink == batch; b6's exact SQL

@@ -72,6 +72,36 @@ object Drift {
     drift(df.filter(col(catCol).isNotNull),
       col(catCol).cast("string").as("bucket"), isCurrent)
 
+  /** EMBEDDING-distribution drift — the vector face: scalar grids can't
+    * bucket an `Array[Float]` column, but the pipeline's most
+    * drift-sensitive signal IS the embedding (a new encoder checkpoint,
+    * a domain shift in the crawl). Buckets are IVF cells: centroids are
+    * stride-sampled from the REFERENCE side only ([[IvfKnn.centroids]]
+    * — deterministic, so the whole monitor replays in closed-form SQL,
+    * the v14 contract), both sides assign by the same codegen'd argmin
+    * (per-row expression, corpus never shuffles), and the occupancy
+    * counts feed the standard smoothed PSI terms. Per-cell occupancy is
+    * exactly the quantization view of the embedding distribution — the
+    * same signal IVF routing depends on, so a drifting PSI here also
+    * predicts degrading ANN recall against a stale index snapshot.
+    * Output: (bucket LONG = cell id, n_ref, n_cur, psi_term), ordered.
+    *
+    * For a TRAINED monitoring grid, pass [[IvfKnn.trainedCentroids]]
+    * output via `cents` (sampled stays the oracle face — the v27/v36
+    * split). */
+  def embeddingDrift(
+      df: DataFrame, idCol: String, embCol: String, isCurrent: Column,
+      numCells: Int, cents: DataFrame = null): DataFrame = {
+    val rows = df.filter(col(embCol).isNotNull)
+    val centroids = Option(cents).getOrElse {
+      IvfKnn.centroids(
+        rows.filter(!isCurrent)
+          .select(col(idCol).cast("long").as("id"), col(embCol).as("embedding")),
+        numCells)
+    }
+    drift(rows, IvfKnn.cellExpr(centroids, col(embCol)).as("bucket"), isCurrent)
+  }
+
   private def drift(df: DataFrame, bucket: Column, isCurrent: Column): DataFrame =
     psiTerms(df
       .select(bucket, isCurrent.cast("boolean").as("__cur"))

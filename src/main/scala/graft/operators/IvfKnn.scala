@@ -132,6 +132,17 @@ object IvfKnn {
       coalesce(element_at(nearestCells(col("embedding"), cs, 1), 1), lit(-1L))
         .as("cell"))
 
+  /** The bare cell-assignment COLUMN (nearest-centroid id, ties by
+    * centroid id, NULL input -> null) — for operators that bucket rows
+    * by cell without wanting the full [[assign]] projection (e.g.
+    * [[Drift.embeddingDrift]]'s occupancy histogram). Same codegen'd
+    * argmin; the bounded centroid relation is collected once here. */
+  def cellExpr(cents: DataFrame, emb: Column): Column = {
+    val cs = collectCentroids(cents)
+    require(cs.ids.nonEmpty, "cellExpr needs a non-empty centroid relation")
+    element_at(nearestCells(emb, cs, 1), 1)
+  }
+
   /** Query routing face for composed pipelines (e.g. IVF-PQ): one row per
     * (query, probed cell) — `(query_id, q_embedding, cell)` for the nprobe
     * nearest cells, from the same per-row codegen'd argmin as [[assign]]

@@ -116,6 +116,36 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
       Seq(("bin_00", 2L, 1L)))
   }
 
+  test("embedding drift: identical snapshots score ~0, a shifted blob lights up") {
+    import spark.implicits._
+    // 2 blobs in 4d; reference holds both, "same" current mirrors them,
+    // "shifted" current abandons blob 1 entirely
+    def blob(ids: Range, center: Float) = ids.map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(4)(center + r.nextFloat()), false)
+    }
+    val ref = blob(0 until 100, 0f) ++ blob(100 until 200, 10f)
+    val same = (ref.take(50) ++ ref.drop(100).take(50))
+      .map { case (id, v, _) => (id + 1000L, v, true) }
+    val shifted = blob(0 until 100, 0f).map { case (id, v, _) => (id + 2000L, v, true) }
+    def psi(cur: Seq[(Long, Array[Float], Boolean)]): Double = {
+      val df = (ref ++ cur).toDF("vec_id", "embedding", "cur")
+      Drift.psiTotal(Drift.embeddingDrift(
+        df, "vec_id", "embedding", col("cur"), numCells = 4))
+    }
+    val (psiSame, psiShifted) = (psi(same), psi(shifted))
+    assert(psiSame < 0.05, s"identical distributions scored PSI $psiSame")
+    assert(psiShifted > 0.5, s"abandoned blob scored only PSI $psiShifted")
+    // trained centroids plug into the same monitor
+    val df = (ref ++ shifted).toDF("vec_id", "embedding", "cur")
+    val trained = graft.operators.IvfKnn.trainedCentroids(
+      df.filter(!col("cur")).select(col("vec_id").as("id"), col("embedding")),
+      numCentroids = 4, iterations = 3, numPartitions = 4)
+    val psiTrained = Drift.psiTotal(Drift.embeddingDrift(
+      df, "vec_id", "embedding", col("cur"), numCells = 4, cents = trained))
+    assert(psiTrained > 0.5, s"trained-cell monitor scored only PSI $psiTrained")
+  }
+
   test("invalid grid is rejected") {
     import spark.implicits._
     val df = Seq((1.0, true)).toDF("v", "cur")
