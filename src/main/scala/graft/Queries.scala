@@ -2686,6 +2686,88 @@ object Queries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q15_percentile_sketch
+  /** The SKETCH face of q14 — percentiles served from the mergeable
+    * fixed-grid histogram ([[graft.operators.HistogramSketch]], t14's
+    * kernel) instead of the exact ordered-set aggregates, completing
+    * the exact/sketch split (p3/p4, q14/q15): q14's
+    * PERCENTILE_CONT/DISC WITHIN GROUP shuffles every value per group;
+    * this ships `bins` longs per partition — the only percentile shape
+    * that survives unbounded groups at 100 TB. Prices bucket as exact
+    * integer cents on a fixed [0, 1e8) grid of 1024 bins; the estimate
+    * for quantile q is the first bin whose cumulative count reaches
+    * ceil(q·n).
+    *
+    * The gate pins the GRID ENVELOPE, not just the bin arithmetic: the
+    * query also computes the exact PERCENTILE_DISC values (q14's leg)
+    * and checks in-query that each exact percentile falls in the very
+    * bin the sketch returned — a theorem of the shared rank rule
+    * (the ceil(q·n)-th order statistic is, by definition of cumulative
+    * counts, inside the first bin reaching that rank), so the booleans
+    * are structurally TRUE and the oracle replays bins, order
+    * statistics, and envelope closed-form. */
+  def q15PercentileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistogramSketch
+    val (hiC, bins) = (100000000L, 1024)
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def binOf(c: Column) =
+      least(lit(bins - 1L), greatest(lit(0L), floor((c * bins) / lit(hiC)).cast("long")))
+    val sk = o.groupBy(col("o_orderpriority"))
+      .agg(HistogramSketch.sketch(col("cents"), lo = 0L, hi = hiC, bins = bins)
+        .as("counts"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("bin"))
+    def est(name: String, num: Int, den: Int) =
+      min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) DIV $den"), col("bin")))
+        .cast("int").as(name)
+    val ests = sk
+      .select(col("o_orderpriority"), col("n"), posexplode(col("counts")).as(Seq("bin", "c")))
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(est("p50_bin", 1, 2), est("p90_bin", 9, 10), est("p99_bin", 99, 100))
+    o.createOrReplaceTempView("q15_orders")
+    val disc = s.sql("""
+      SELECT o_orderpriority,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS d50,
+        percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS d90,
+        percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS d99
+      FROM q15_orders GROUP BY o_orderpriority""")
+    ests.join(disc, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n").as("n_orders"),
+        col("p50_bin"), col("p90_bin"), col("p99_bin"),
+        (binOf(col("d50").cast("long")) === col("p50_bin")).as("p50_env_ok"),
+        (binOf(col("d90").cast("long")) === col("p90_bin")).as("p90_env_ok"),
+        (binOf(col("d99").cast("long")) === col("p99_bin")).as("p99_env_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q15Oracle =
+    """WITH o AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (SELECT o_orderpriority, LEAST(1023, GREATEST(0, cents * 1024 // 100000000)) AS bin FROM o),
+      |c AS (SELECT o_orderpriority, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |n AS (SELECT o_orderpriority, COUNT(*) AS n FROM o GROUP BY 1),
+      |cum AS (SELECT o_orderpriority, bin, SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum FROM c),
+      |j AS (SELECT cum.o_orderpriority, bin, cum, n.n FROM cum JOIN n USING (o_orderpriority)),
+      |e AS (SELECT o_orderpriority, n,
+      |        CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bin END) AS INT) AS p50_bin,
+      |        CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bin END) AS INT) AS p90_bin,
+      |        CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS INT) AS p99_bin
+      |      FROM j GROUP BY 1, 2),
+      |r AS (SELECT o_orderpriority, cents,
+      |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rnk,
+      |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM o),
+      |d AS (SELECT o_orderpriority,
+      |        min(CASE WHEN rnk = (n * 1 + 1) // 2 THEN cents END) AS d50,
+      |        min(CASE WHEN rnk = (n * 9 + 9) // 10 THEN cents END) AS d90,
+      |        min(CASE WHEN rnk = (n * 99 + 99) // 100 THEN cents END) AS d99
+      |      FROM r GROUP BY 1)
+      |SELECT e.o_orderpriority, e.n AS n_orders, p50_bin, p90_bin, p99_bin,
+      |  (LEAST(1023, GREATEST(0, d50 * 1024 // 100000000)) = p50_bin) AS p50_env_ok,
+      |  (LEAST(1023, GREATEST(0, d90 * 1024 // 100000000)) = p90_bin) AS p90_env_ok,
+      |  (LEAST(1023, GREATEST(0, d99 * 1024 // 100000000)) = p99_bin) AS p99_env_ok
+      |FROM e JOIN d USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- v53_range_search
   /** Radius search ([[graft.operators.RangeSearch]]): every corpus
     * vector within squared-L2 1.45 of each of the 8 query vectors,
@@ -3126,6 +3208,7 @@ object Queries {
     "q12_range_frame" -> q12Oracle,
     "q13_subqueries" -> q13Oracle,
     "q14_percentiles" -> q14Oracle,
+    "q15_percentile_sketch" -> q15Oracle,
     "v53_range_search" -> v53Oracle,
     "v56_range_trained" -> v53Oracle,
     "v47_mrl_knn" -> v47Oracle,

@@ -105,6 +105,7 @@ object SparkEntry {
     "q12_range_frame" -> ((s, dir) => Queries.q12RangeFrame(s, dir)),
     "q13_subqueries" -> ((s, dir) => Queries.q13Subqueries(s, dir)),
     "q14_percentiles" -> ((s, dir) => Queries.q14Percentiles(s, dir)),
+    "q15_percentile_sketch" -> ((s, dir) => Queries.q15PercentileSketch(s, dir)),
     "v53_range_search" -> ((s, dir) => Queries.v53RangeSearch(s, dir)),
     "v56_range_trained" -> ((s, dir) => Queries.v56RangeTrained(s, dir)),
     "v47_mrl_knn" -> ((s, dir) => Queries.v47MrlKnn(s, dir)),
