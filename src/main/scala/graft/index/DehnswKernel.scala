@@ -784,7 +784,12 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * connected component (dehnsw.h:300-307); a full scan is the same cost
     * O(shard size) but guaranteed exact even if pruning ever disconnects
     * the graph, so exact mode is a true brute-force oracle. */
-  def bruteForceTopK(q: Array[Float], k: Int): Array[(Double, Long)] = {
+  /** @param live optional LIVENESS filter on global ids (LSM tombstone
+    *              probes): dead rows never enter the result, so the
+    *              returned top-k is the exact LIVE top-k — no overfetch,
+    *              no candidate-stream post-filter. */
+  def bruteForceTopK(q: Array[Float], k: Int,
+      live: Long => Boolean = null): Array[(Double, Long)] = {
     // flat storage reads offset*dim + i, so a longer query would silently
     // read into the NEXT vector's floats — guard at the kernel entry
     require(count == 0 || q.length == dim,
@@ -795,7 +800,8 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     val result = new graft.operators.TopKBuffer(k)
     var i = 0
     while (i < count) {
-      result.insert(distExact(q, i), globalIds(i))
+      if (live == null || live(globalIds(i)))
+        result.insert(distExact(q, i), globalIds(i))
       i += 1
     }
     result.sortedPairs
@@ -806,8 +812,14 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
     * best-first beam on layer 0 with a k-bounded worst-first set.
     * `searchWidth` (=query RM): 0 never triggers the early stop (counter
     * starts at 1, dehnsw.h:300-307) => exhaustive over the connected
-    * component = exact search. Returns ascending (distance, globalId). */
-  def queryTopK(q: Array[Float], k: Int, searchWidth: Int): Array[(Double, Long)] = {
+    * component = exact search. Returns ascending (distance, globalId).
+    * `live` (optional, the LSM tombstone filter): a dead node is
+    * TRAVERSED like any other (its edges still carry the walk — removing
+    * them would disconnect the graph) but never enters the result set
+    * and never touches the early-stop counter, so with searchWidth=0 the
+    * exhaustive walk returns the exact LIVE top-k with zero overfetch. */
+  def queryTopK(q: Array[Float], k: Int, searchWidth: Int,
+      live: Long => Boolean = null): Array[(Double, Long)] = {
     if (count == 0) return Array.empty
     require(q.length == dim,
       s"query dimension ${q.length} does not match index dimension $dim")
@@ -846,7 +858,9 @@ final class SubIndexGraph(params: IndexParams, capacity: Int) extends Serializab
       val d = waiting.headDist
       val v = waiting.headId
       waiting.removeHead()
-      if (result.size < k) {
+      if (live != null && !live(globalIds(v))) {
+        // dead node: expand below, but neither result nor counter moves
+      } else if (result.size < k) {
         result.insert(d, v.toLong)
       } else if (d < result.worstDist) {
         // strictly-closer only (reference dehnsw.h:292-295): an equal

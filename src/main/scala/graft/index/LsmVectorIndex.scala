@@ -269,11 +269,12 @@ final class LsmVectorIndex private (
     if (probeCount <= maxBatch)
       queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
     else {
-      // overfetch per member by the (bounded) tombstone count, filter
-      // dead ids, then merge top-k — exact: top-(k+t) minus <=t dead
-      // rows still contains the member's live top-k
-      val kProbe = k + tombstones.size
-      mergeMembers(members.map(_.queryDistributed(queries, kProbe, searchWidth)), k)
+      // kernel-level liveness filter: dead ids never enter any shard's
+      // top-k, so every member returns its exact live top-k directly —
+      // no k+tombstones overfetch (whose candidate volume grows with
+      // the tombstone count), no post-filter
+      mergeMembers(members.map(_.queryDistributed(queries, k, searchWidth,
+        liveFilter(spark))), k)
     }
   }
 
@@ -311,10 +312,9 @@ final class LsmVectorIndex private (
       if (base.params.transformsInput)
         batch.map { case (id, v) => (id, base.params.transformQueryVector(v)) }
       else batch
-    // tombstone overfetch (see query()) — kernels return top-kProbe per
-    // shard, dead ids are filtered from the candidate stream, and the
-    // final merge takes the true live top-k
-    val kProbe = k + tombstones.size
+    // kernel-level liveness filter (see query()) — each shard returns
+    // its exact live top-k, no tombstone overfetch
+    val live = liveFilter(spark)
     // member m owns union partitions [offsets(m), offsets(m+1))
     val offsets = members.map(_.numShards).scanLeft(0)(_ + _).toArray
     val memberInfo = members.map(m =>
@@ -330,7 +330,8 @@ final class LsmVectorIndex private (
         while (m + 1 < offs.length && offs(m + 1) <= pid) m += 1
         val (iid, params, metaMap) = info(m)
         VectorIndex.probePartition(
-          rit, iid, pid - offs(m), params, metaMap, bcQueries.value, kProbe, searchWidth)
+          rit, iid, pid - offs(m), params, metaMap, bcQueries.value, k, searchWidth,
+          live)
       }
       spark.createDataset(rdd).toDF("query_id", "distance", "neighbor_id")
     }.toSeq
@@ -340,6 +341,21 @@ final class LsmVectorIndex private (
   override def probeBatch(
       batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
     queryBatch(batch, k, searchWidth)
+
+  /** Kernel liveness filter from the tombstone set: null (no filtering
+    * overhead anywhere in the kernel loop) when nothing is deleted;
+    * otherwise a primitive-sorted-array binary search behind ONE
+    * broadcast — O(log t) per candidate with zero boxing, and every
+    * probe task shares the one executor-resident copy instead of each
+    * closure dragging a Set[Long] through task serialization. */
+  private def liveFilter(
+      spark: org.apache.spark.sql.SparkSession): Long => Boolean = {
+    if (tombstones.isEmpty) return null
+    val sorted = tombstones.toArray
+    java.util.Arrays.sort(sorted)
+    val bc = spark.sparkContext.broadcast(sorted)
+    gid => java.util.Arrays.binarySearch(bc.value, gid) < 0
+  }
 
   private def mergeMembers(perMember: Seq[DataFrame], k: Int): DataFrame = {
     val union = perMember

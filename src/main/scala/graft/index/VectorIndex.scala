@@ -275,7 +275,8 @@ class VectorIndex private (
     * the usual partial/final top-k merge. Results are identical to
     * [[query]] — gated by spec. Prefer [[query]] for small batches (one
     * broadcast beats a |Q| x shards shuffle when |Q| is tiny). */
-  def queryDistributed(queries: DataFrame, k: Int, searchWidth: Int): DataFrame = {
+  def queryDistributed(queries: DataFrame, k: Int, searchWidth: Int,
+      live: Long => Boolean = null): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val n = numShards
@@ -305,8 +306,8 @@ class VectorIndex private (
               graph.synchronized {
                 group.iterator.flatMap { case (qid, qvec) =>
                   val topk =
-                    if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
-                    else graph.queryTopK(qvec, k, searchWidth)
+                    if (searchWidth <= 0) graph.bruteForceTopK(qvec, k, live)
+                    else graph.queryTopK(qvec, k, searchWidth, live)
                   topk.iterator.map { case (d, gid) => (qid, (d, gid)) }
                 }.toArray
               }
@@ -534,7 +535,8 @@ object VectorIndex {
   private[index] def probePartition(
       rit: Iterator[IndexRow], iid: String, shardId: Int, params: IndexParams,
       metaMap: Map[Int, ShardMeta], queries: Array[(Long, Array[Float])],
-      k: Int, searchWidth: Int): Iterator[(Long, Double, Long)] = {
+      k: Int, searchWidth: Int,
+      live: Long => Boolean = null): Iterator[(Long, Double, Long)] = {
     val g = shardGraphFor(rit, iid, shardId, params, metaMap)
     if (g == null) Iterator.empty // shard holds no vectors
     else {
@@ -542,8 +544,8 @@ object VectorIndex {
       graph.synchronized {
         queries.toArray.flatMap { case (qid, qvec) =>
           val topk =
-            if (searchWidth <= 0) graph.bruteForceTopK(qvec, k)
-            else graph.queryTopK(qvec, k, searchWidth)
+            if (searchWidth <= 0) graph.bruteForceTopK(qvec, k, live)
+            else graph.queryTopK(qvec, k, searchWidth, live)
           topk.map { case (d, gid) => (qid, d, gid) }
         }.iterator
       }
