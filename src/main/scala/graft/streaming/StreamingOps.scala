@@ -1067,7 +1067,8 @@ object StreamingOps {
       kEdges: Int, sourceSlices: Int = 4,
       statePartitions: Int = 0,
       searchWidth: Int = 0,
-      revCandidateFactor: Int = 2): DataFrame = {
+      revCandidateFactor: Int = 2,
+      stateFrames: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions
     import graft.index.{IndexParams, LsmVectorIndex, VectorIndex}
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -1093,7 +1094,7 @@ object StreamingOps {
     // per-node top-k edge state (src, dst, distance) + the corpus seen so
     // far; both re-materialized per batch (localCheckpoint truncates the
     // lineage that would otherwise reference expired micro-batch frames)
-    @volatile var state = baseIdx
+    val seedState = baseIdx
       .query(base.select(col("id").as("query_id"), col("embedding")),
         kEdges + 1, searchWidth)
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1102,15 +1103,62 @@ object StreamingOps {
       .filter(col("rr") <= kEdges)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("distance"))
       .localCheckpoint(true)
+    // EXACT face: one monolithic state frame, re-cut affected srcs and
+    // re-materialized per batch (the gate face — exact by induction).
+    @volatile var state = if (searchWidth == 0) seedState else null
+    // BEAM face: the LSM generation discipline applied to the edge list —
+    // state is a SEQUENCE of frames (seed + one delta frame per batch,
+    // latest frame per src wins), so the per-batch WRITE is O(delta):
+    // only the touched srcs' re-cut rows materialize; untouched state is
+    // never copied. Frames fold back into one (the same latest-wins
+    // resolution, run once) when their count crosses `stateFrames` —
+    // bounded generations, amortized O(state/stateFrames) per batch.
+    @volatile var frames: Vector[DataFrame] =
+      if (searchWidth == 0) null else Vector(seedState)
     // the corpus-so-far accumulator exists ONLY for the exact face's
     // map-side reverse leg; the beam face serves reverse candidates from
     // the index probe and never materializes it
     @volatile var corpusSoFar = if (searchWidth == 0) base.localCheckpoint(true) else null
 
+    /** Latest-frame-per-src resolution over the generational state,
+      * optionally restricted to a (delta-sized) src set FIRST so the
+      * per-src window only sorts delta rows — the full-state window runs
+      * only at compaction and at the final read. */
+    def latestEdges(restrictTo: DataFrame): DataFrame = {
+      val tagged = frames.zipWithIndex
+        .map { case (f, i) => f.withColumn("__f", lit(i)) }
+        .reduce(_.unionByName(_))
+      val scoped =
+        if (restrictTo == null) tagged
+        else tagged.join(restrictTo, Seq("src"), "left_semi")
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      scoped.withColumn("__mf", max(col("__f")).over(wf))
+        .filter(col("__f") === col("__mf"))
+        .select(col("src"), col("dst"), col("distance"))
+    }
+
     val srcDir = java.nio.file.Files.createTempDirectory("graft_knng_src_").toString
     all.filter(newVectorsPred)
       .select(col("vec_id").cast("long").as("id"), col("embedding"))
       .repartition(sourceSlices).write.mode("overwrite").parquet(srcDir)
+    // pin the micro-batch ORDER: FileStreamSource delivers files by
+    // modification time, and the slices were written by parallel tasks
+    // whose mtimes race — the exact face is order-invariant (by
+    // induction), but the beam face probes intermediate index states, so
+    // a racing order makes runs non-reproducible. Rewrite mtimes in
+    // path-sorted order (strictly increasing seconds) so every run
+    // streams the same slice sequence.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+        .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      val base = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base.toMillis + i * 1000L))
+      }
+    }
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -1125,68 +1173,82 @@ object StreamingOps {
           if (!batch0.isEmpty) {
             val batch = batch0.select(col("id"), col("embedding")).localCheckpoint(true)
             current = current.ingest(batch)
-            // c's admission threshold: its current k-th distance; nodes
-            // still short of k edges admit anything (kth = +inf)
-            val thresholds = state.groupBy(col("src").as("id"))
-              .agg(max(col("distance")).as("kth"), count(lit(1)).as("ne"))
-            val delta =
-              if (searchWidth == 0) {
-                val fwd = current
-                  .query(batch.select(col("id").as("query_id"), col("embedding")),
-                    kEdges + 1, searchWidth = 0)
-                  .filter(col("neighbor_id") =!= col("query_id"))
-                  .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
-                    col("distance"))
-                val rev = corpusSoFar
-                  .join(thresholds, Seq("id"), "left")
-                  .crossJoin(broadcast(
-                    batch.select(col("id").as("bid"), col("embedding").as("be"))))
-                  .withColumn("d", VectorFunctions.squaredL2(col("embedding"), col("be")))
-                  .filter(col("kth").isNull || col("ne") < kEdges || col("d") <= col("kth"))
-                  .select(col("id").as("src"), col("bid").as("dst"), col("d").as("distance"))
-                fwd.unionByName(rev)
-              } else {
-                // ONE beam probe serves both legs: probe rows are the
-                // forward candidates; their reversal (same symmetric
-                // distance) are the reverse candidates, admitted against
-                // the old nodes' current k-th thresholds
-                val probe = current
-                  .query(batch.select(col("id").as("query_id"), col("embedding")),
-                    revCandidateFactor * kEdges + 1, searchWidth)
-                  .filter(col("neighbor_id") =!= col("query_id"))
-                  .select(col("query_id"), col("neighbor_id"), col("distance"))
-                  .localCheckpoint(true)
-                val fwd = probe.select(col("query_id").as("src"),
-                  col("neighbor_id").as("dst"), col("distance"))
-                val rev = probe
-                  .select(col("neighbor_id").as("id"), col("query_id").as("dst"),
-                    col("distance"))
-                  .join(thresholds, Seq("id"), "left")
-                  .filter(col("kth").isNull || col("ne") < kEdges ||
-                    col("distance") <= col("kth"))
-                  .select(col("id").as("src"), col("dst"), col("distance"))
-                fwd.unionByName(rev)
-              }
-            // re-cut ONLY the srcs the delta touches; everything else is
-            // unchanged by construction and unions back verbatim
-            val deltaCk = delta.localCheckpoint(true)
-            val touched = deltaCk.select(col("src")).distinct()
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("src")).orderBy(col("distance"), col("dst"))
-            val recut = state.join(touched, Seq("src"), "left_semi")
-              .unionByName(deltaCk)
-              .withColumn("rr", row_number().over(w))
-              .filter(col("rr") <= kEdges)
-              .select(col("src"), col("dst"), col("distance"))
-            // re-alias the untouched branch: both union children descend
-            // from `state`, and a union whose children share attribute
-            // ids trips Catalyst's constraint rewriting
-            val untouched = state.join(touched, Seq("src"), "left_anti")
-              .select(col("src").as("src"), col("dst").as("dst"),
-                col("distance").as("distance"))
-            state = untouched.unionByName(recut).localCheckpoint(true)
-            if (searchWidth == 0)
+            if (searchWidth == 0) {
+              // EXACT face: monolithic state, map-side reverse leg over
+              // the accumulated corpus. c's admission threshold: its
+              // current k-th distance; nodes still short of k edges
+              // admit anything (kth = +inf)
+              val thresholds = state.groupBy(col("src").as("id"))
+                .agg(max(col("distance")).as("kth"), count(lit(1)).as("ne"))
+              val fwd = current
+                .query(batch.select(col("id").as("query_id"), col("embedding")),
+                  kEdges + 1, searchWidth = 0)
+                .filter(col("neighbor_id") =!= col("query_id"))
+                .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+                  col("distance"))
+              val rev = corpusSoFar
+                .join(thresholds, Seq("id"), "left")
+                .crossJoin(broadcast(
+                  batch.select(col("id").as("bid"), col("embedding").as("be"))))
+                .withColumn("d", VectorFunctions.squaredL2(col("embedding"), col("be")))
+                .filter(col("kth").isNull || col("ne") < kEdges || col("d") <= col("kth"))
+                .select(col("id").as("src"), col("bid").as("dst"), col("d").as("distance"))
+              // re-cut ONLY the srcs the delta touches; everything else
+              // is unchanged by construction and unions back verbatim
+              val deltaCk = fwd.unionByName(rev).localCheckpoint(true)
+              val touched = deltaCk.select(col("src")).distinct()
+              val recut = state.join(touched, Seq("src"), "left_semi")
+                .unionByName(deltaCk)
+                .withColumn("rr", row_number().over(w))
+                .filter(col("rr") <= kEdges)
+                .select(col("src"), col("dst"), col("distance"))
+              // re-alias the untouched branch: both union children
+              // descend from `state`, and a union whose children share
+              // attribute ids trips Catalyst's constraint rewriting
+              val untouched = state.join(touched, Seq("src"), "left_anti")
+                .select(col("src").as("src"), col("dst").as("dst"),
+                  col("distance").as("distance"))
+              state = untouched.unionByName(recut).localCheckpoint(true)
               corpusSoFar = corpusSoFar.unionByName(batch).localCheckpoint(true)
+            } else {
+              // BEAM face, generational state: ONE beam probe serves
+              // both legs — probe rows are the forward candidates, their
+              // reversal (same symmetric distance) the reverse
+              // candidates. Every per-batch sort/aggregate below runs
+              // over DELTA-sized frames (candidate srcs are bounded by
+              // the probe output), and the only state write is the
+              // touched srcs' re-cut rows — O(delta), not O(state).
+              val probe = current
+                .query(batch.select(col("id").as("query_id"), col("embedding")),
+                  revCandidateFactor * kEdges + 1, searchWidth)
+                .filter(col("neighbor_id") =!= col("query_id"))
+                .select(col("query_id"), col("neighbor_id"), col("distance"))
+                .localCheckpoint(true)
+              val fwd = probe.select(col("query_id").as("src"),
+                col("neighbor_id").as("dst"), col("distance"))
+              val revCand = probe.select(col("neighbor_id").as("src"),
+                col("query_id").as("dst"), col("distance"))
+              val candSrcs = fwd.select(col("src"))
+                .unionByName(revCand.select(col("src"))).distinct()
+              // current edges of ONLY the candidate srcs (delta-sized
+              // after the semi-join restriction inside latestEdges)
+              val curr = latestEdges(candSrcs).localCheckpoint(true)
+              val thresholds = curr.groupBy(col("src"))
+                .agg(max(col("distance")).as("kth"), count(lit(1)).as("ne"))
+              val rev = revCand.join(thresholds, Seq("src"), "left")
+                .filter(col("kth").isNull || col("ne") < kEdges ||
+                  col("distance") <= col("kth"))
+                .select(col("src"), col("dst"), col("distance"))
+              val recut = curr.unionByName(fwd).unionByName(rev)
+                .withColumn("rr", row_number().over(w))
+                .filter(col("rr") <= kEdges)
+                .select(col("src"), col("dst"), col("distance"))
+              frames = frames :+ recut.localCheckpoint(true)
+              if (frames.size > stateFrames)
+                frames = Vector(latestEdges(null).localCheckpoint(true))
+            }
           }
         }
         .option("checkpointLocation", ckpt.toString)
@@ -1206,7 +1268,9 @@ object StreamingOps {
       deleteRecursively(srcDir)
     }
     // reciprocal-pair view over the final state — v48's output contract
-    val e = state
+    // (beam face: one full latest-wins resolution, the only O(state)
+    // window the generational path ever runs outside compaction)
+    val e = if (searchWidth == 0) state else latestEdges(null).localCheckpoint(true)
     e.join(e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
       .filter(col("src") < col("dst"))
       .select(col("src").as("id_a"), col("dst").as("id_b"),

@@ -414,6 +414,26 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
     assert(one.nonEmpty)
   }
 
+  test("generational beam state is invariant to the compaction schedule") {
+    // the LSM generation discipline over the edge list: per-batch writes
+    // are delta frames, latest frame per src wins, frames fold back into
+    // one at the stateFrames bound. Compacting EVERY batch (frames=1,
+    // the monolithic shape) and compacting lazily (frames=8) must land
+    // on the bit-identical final edge set for the same batching.
+    def run(framesBound: Int) = graft.streaming.StreamingOps.streamKnnGraph(
+      spark, s"$sfDir/embeddings.parquet",
+      baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 200,
+      newVectorsPred = col("vec_id") >= 200,
+      kEdges = 3, sourceSlices = 8, statePartitions = 4, searchWidth = 8,
+      stateFrames = framesBound)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val eager = run(1)
+    val lazily = run(8)
+    assert(eager === lazily,
+      s"frames=1 gave ${eager.size} pairs, frames=8 gave ${lazily.size}")
+    assert(eager.nonEmpty)
+  }
+
   test("beam-face streaming kNN-graph maintenance tracks the exact face (s24)") {
     // production face: per-batch cost is one beam probe (no corpus-so-far
     // scan); its final reciprocal-pair set must stay close to the exact
