@@ -116,15 +116,48 @@ object TextBench {
     println(s"  candidate pairs: $nPairs (planted ~${n / 10} near-dup docs)")
 
     // --- 2. BM25 posting-index build (v46's plan, 78% df cap) ---
+    val maxDf = n * 78L / 100L
+    val (index, stats) =
+      graft.operators.HybridRetrieval.bm25Index(docs, maxTokenDf = maxDf)
     val (nPostings, nDocs) = phase(s"bm25 index build ($n docs)") {
-      val maxDf = n * 78L / 100L
-      val (index, stats) =
-        graft.operators.HybridRetrieval.bm25Index(docs, maxTokenDf = maxDf)
       val p = index.count()
       val d = stats.select(col("n_docs")).head.getLong(0)
       (p, d)
     }
     println(s"  postings kept: $nPostings over $nDocs docs")
+
+    // --- 3. snapshot persistence (the v55 lifecycle at scale): save the
+    // posting index once, then serve a query batch FROM THE LOADED COPY —
+    // the number that justifies save/load is load+serve vs the rebuild
+    // cost measured in phase 2 (a serving deployment pays phase 2 once
+    // per corpus snapshot, then only this) ---
+    if (args.contains("persist")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_snap_").toString
+      phase(s"bm25 snapshot save ($n docs)") {
+        graft.operators.HybridRetrieval.saveBm25Index(index, stats, dir)
+      }
+      val du = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+      println(f"  snapshot size: ${du / 1e9}%.2f GB parquet")
+      // queries = prefixes of 100 corpus docs (deterministic, hit-bearing)
+      val queries = (0L until 100L).map { qid =>
+        (qid, docText(qid * (n / 100)).split(" ").take(8).mkString(" "))
+      }.toDF("query_id", "text")
+      val nServed = phase("bm25 snapshot load + 100-query serve") {
+        val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(spark, dir)
+        graft.operators.HybridRetrieval.bm25Serve(queries, li, lstats, n = 10).count()
+      }
+      println(s"  served rows: $nServed")
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
     drainListenerBus()
     println(f"TOTAL shuffle: write ${shufWrite.get() / 1e9}%.2f GB, " +
       f"read ${shufRead.get() / 1e9}%.2f GB")
