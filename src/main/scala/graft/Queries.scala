@@ -426,6 +426,87 @@ object Queries {
       |SELECT neighbor_id, round(distance, 6) AS distance
       |FROM d ORDER BY distance, neighbor_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- v57_cosine_rewrite
+  /** RANK-EQUIVALENT ANN SQL rewrite — the transformed-index extension of
+    * v16: the corpus is registered under the production SQ8-COSINE index
+    * (v51's normalizeForCosine build, whose probe ranks like cosine but
+    * whose distances live in the normalized-L2² domain), and the query is
+    * the common ids-only retrieval shape `SELECT id ... ORDER BY
+    * vec_cos_dist(emb, q), id LIMIT k`. The rule now matches the index by
+    * its SEMANTIC metric, refuses any output that would expose the
+    * transformed-domain distance (column pruning has dropped it here),
+    * and at the default searchWidth=0 substitutes the FUSED exact top-k
+    * operator computing true cosine — exact rows, no corpus sort; the
+    * registered index's beam is the width>0 opt-in (AnnRewriteSpec).
+    * Oracle: exact cosine top-10 ids in closed form. */
+  def v57CosineRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val corpus = embCorpus(s, dir)
+    if (!cosRewriteInstalled.contains(dir)) {
+      GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
+      graft.plans.IndexCatalog.register(cosQuantIndex(s, dir), corpus)
+      cosRewriteInstalled.add(dir)
+    }
+    val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    corpus
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.cosineDistance(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(10)
+      .select(col("neighbor_id"))
+  }
+  private val cosRewriteInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val v57Oracle = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""WITH q AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT neighbor_id,
+      |             1.0 - ${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")})) AS distance
+      |           FROM c CROSS JOIN q)
+      |SELECT neighbor_id FROM d ORDER BY distance, neighbor_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- v58_mips_rewrite
+  /** v57's machinery for MAXIMUM-INNER-PRODUCT retrieval: the corpus is
+    * registered under the MIPS-augmented index (v54's saved+loaded
+    * handle) and `SELECT id ... ORDER BY vec_ip_dist(emb, q), id LIMIT k`
+    * rewrites rank-equivalently (ids only — augmented-domain distances
+    * are shifted by M² + |q|²). Width 0 = fused exact inner-product
+    * top-k. Oracle: exact IP top-10 ids in closed form. */
+  def v58MipsRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val corpus = embCorpus(s, dir)
+    if (!mipsRewriteInstalled.contains(dir)) {
+      GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
+      graft.plans.IndexCatalog.register(mipsIndex(s, dir), corpus)
+      mipsRewriteInstalled.add(dir)
+    }
+    val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    corpus
+      .select(col("id").as("neighbor_id"),
+        VectorFunctions.innerProductDistance(col("embedding"), lit(qvec)).as("distance"))
+      .orderBy(col("distance"), col("neighbor_id"))
+      .limit(10)
+      .select(col("neighbor_id"))
+  }
+  private val mipsRewriteInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val v58Oracle = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""WITH q AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT neighbor_id, 1.0 - ${dot("ea", "eb")} AS distance
+      |           FROM c CROSS JOIN q)
+      |SELECT neighbor_id FROM d ORDER BY distance, neighbor_id LIMIT 10""".stripMargin
+  }
+
   private val v16Oracle =
     """WITH q AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
       |     c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings WHERE vec_id >= 10),
@@ -3186,6 +3267,8 @@ object Queries {
     "v36_pq_trained" -> v36Oracle,
     "v41_opq_knn" -> v41Oracle,
     "v37_filtered_rewrite" -> v37Oracle,
+    "v57_cosine_rewrite" -> v57Oracle,
+    "v58_mips_rewrite" -> v58Oracle,
 
     "b1_bucketed_join" -> b1Oracle,
     "b2_salted_join" -> b2Oracle,

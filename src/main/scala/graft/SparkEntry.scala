@@ -83,6 +83,8 @@ object SparkEntry {
     "v35_binary_projected" -> ((s, dir) => Queries.v35BinaryProjected(s, dir)),
     "v36_pq_trained" -> ((s, dir) => Queries.v36PqTrained(s, dir)),
     "v37_filtered_rewrite" -> ((s, dir) => Queries.v37FilteredRewrite(s, dir)),
+    "v57_cosine_rewrite" -> ((s, dir) => Queries.v57CosineRewrite(s, dir)),
+    "v58_mips_rewrite" -> ((s, dir) => Queries.v58MipsRewrite(s, dir)),
     "v38_maxsim" -> ((s, dir) => Queries.v38MaxSim(s, dir)),
     "v39_maxsim_pruned" -> ((s, dir) => Queries.v39MaxSimPruned(s, dir)),
     "v40_maxsim_ann" -> ((s, dir) => Queries.v40MaxSimAnn(s, dir)),

@@ -24,6 +24,12 @@ trait AnnProbe {
     * differs from both the cosine and the augmented-MIPS ordering,
     * and the returned distances are rescaled/shifted). */
   def probeNormalized: Boolean = false
+  /** The metric this index SEMANTICALLY ranks by at its public API: a
+    * transformed index (cosine normalization / MIPS augmentation) probes
+    * internally in the Euclidean2 domain but its ranking answers the
+    * cosine / inner-product question — the metric the SQL rewrite may
+    * serve RANK-equivalently (ids only, never the raw distances). */
+  def probeSemanticMetric: DistanceMetric = probeMetric
   def probeSession: SparkSession
   def probeBatch(batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame
   /** One-line shape description for the rewrite's log line. */

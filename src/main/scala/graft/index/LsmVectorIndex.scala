@@ -78,6 +78,10 @@ final class LsmVectorIndex private (
        })
   override def probeMetric: graft.functions.DistanceMetric = base.params.metric
   override def probeNormalized: Boolean = base.params.transformsInput
+  override def probeSemanticMetric: graft.functions.DistanceMetric =
+    if (base.params.normalizeForCosine) graft.functions.DistanceMetric.Cosine
+    else if (base.params.augmentForMips) graft.functions.DistanceMetric.InnerProduct
+    else base.params.metric
   override def probeSession: org.apache.spark.sql.SparkSession = base.rows.sparkSession
   override def probeDescription: String =
     s"lsm base shards=${base.numShards} + ${generations.size} generations"

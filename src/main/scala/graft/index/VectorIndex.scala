@@ -108,6 +108,10 @@ class VectorIndex private (
   override def probeId: String = indexId
   override def probeMetric: graft.functions.DistanceMetric = params.metric
   override def probeNormalized: Boolean = params.transformsInput
+  override def probeSemanticMetric: graft.functions.DistanceMetric =
+    if (params.normalizeForCosine) DistanceMetric.Cosine
+    else if (params.augmentForMips) DistanceMetric.InnerProduct
+    else params.metric
   override def probeSession: SparkSession = rows.sparkSession
   override def probeBatch(
       batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =

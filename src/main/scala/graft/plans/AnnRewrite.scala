@@ -79,13 +79,16 @@ object IndexCatalog {
     * Entries whose owning SparkSession has been stopped are dropped — a
     * structurally-identical query from a NEW session must fall back to the
     * sort plan, not splice a probe bound to a dead SparkContext. */
-  private[plans] def lookup(plan: LogicalPlan): Option[(AnnProbe, Attribute, Attribute)] = {
+  private[plans] def lookup(plan: LogicalPlan,
+      ok: AnnProbe => Boolean = _ => true): Option[(AnnProbe, Attribute, Attribute)] = {
     val it = entries.iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.index.probeSession.sparkContext.isStopped) {
         entries.remove(e)
-      } else {
+      } else if (ok(e.index)) {
+        // `ok` first: several indexes may cover the SAME corpus (raw-L2 +
+        // cosine + MIPS) — the caller filters by the metric it must serve
         if (e.plan.sameResult(plan)) {
           return Some((e.index, plan.output(e.idPos), plan.output(e.embPos)))
         }
@@ -113,7 +116,8 @@ object IndexCatalog {
     * as the pre-filtered scan, so any predicate — id ranges, metadata
     * columns — works without this code ever interpreting it. Positions
     * stay valid because Filter preserves its child's output. */
-  private[plans] def lookupFiltered(plan: LogicalPlan): Option[(AnnProbe, Attribute, Attribute)] =
+  private[plans] def lookupFiltered(plan: LogicalPlan,
+      ok: AnnProbe => Boolean = _ => true): Option[(AnnProbe, Attribute, Attribute)] =
     plan match {
       case Filter(cond, src) =>
         val cs = splitConjuncts(cond)
@@ -123,7 +127,7 @@ object IndexCatalog {
           val e = it.next()
           if (e.index.probeSession.sparkContext.isStopped) {
             entries.remove(e)
-          } else {
+          } else if (ok(e.index)) {
             val targets = (e.plan, e.idPos, e.embPos) +: e.stripped.toSeq
             // drop every nonempty conjunct subset, smallest residual
             // first; a hit means the remainder IS the registered filter
@@ -169,6 +173,17 @@ object IndexCatalog {
   * pure plan substitution. Setting it > 0 opts into the ANN beam (the
   * reference's query-RM knob): sublinear probes, approximate results. A
   * trailing Sort over the k result rows keeps the output-order contract.
+  *
+  * TRANSFORMED indexes (cosine normalization / MIPS augmentation) serve
+  * their SEMANTIC metric rank-equivalently: `ORDER BY vec_cos_dist(...)`
+  * / `ORDER BY vec_ip_dist(...)` LIMIT k over a corpus registered with a
+  * cosine / MIPS index rewrites too — but only when NO output column
+  * exposes the distance expression (the transformed-domain distances are
+  * rescaled/shifted; ids and their order are the answer). At width 0 the
+  * substitution is the fused exact top-k operator computing the queried
+  * metric itself (exact rows — the transformed index's own exact probe
+  * ranks in float-normalized space, which can flip true near-ties);
+  * width > 0 opts into the transformed index's beam.
   */
 object AnnTopKRewrite extends Rule[LogicalPlan] {
 
@@ -272,19 +287,30 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
 
+    // several indexes may cover the same corpus (raw-L2 + cosine + MIPS):
+    // prefer a bit-exact server for this metric, else a rank-equivalent
+    // transformed one (its semantic metric matches)
+    val bitExactOk = (p: AnnProbe) => p.probeMetric == metric && !p.probeNormalized
+    val semanticOk = (p: AnnProbe) => p.probeSemanticMetric == metric
     val (index, idAttr, corpusEmbAttr, residualFiltered) =
-      IndexCatalog.lookup(child) match {
+      IndexCatalog.lookup(child, bitExactOk)
+        .orElse(IndexCatalog.lookup(child, semanticOk)) match {
         case Some((i, a, b)) => (i, a, b, false)
-        case None => IndexCatalog.lookupFiltered(child) match {
+        case None => IndexCatalog.lookupFiltered(child, bitExactOk)
+          .orElse(IndexCatalog.lookupFiltered(child, semanticOk)) match {
           case Some((i, a, b)) => (i, a, b, true)
           case None => return None
         }
       }
-    if (index.probeMetric != metric) return None
-    // a normalizeForCosine index probes in the normalized-L2² domain —
-    // substituting it for a RAW squaredL2 ordering would silently return
-    // cosine-ranked rows with rescaled distances
-    if (index.probeNormalized) return None
+    // bit-exact substitution: the raw-metric index's exact-mode probe
+    // computes the very distance expression being sorted on (sequential
+    // Double), so rows AND distances substitute verbatim. A transformed
+    // index (cosine normalization / MIPS augmentation) probes in the
+    // transformed-L2² domain: its RANKING answers the cosine /
+    // inner-product ORDER BY, but its distances do not — such an index
+    // may serve the query RANK-equivalently, and only when no output
+    // column exposes the distance expression (checked below).
+    val bitExact = bitExactOk(index)
     if (embAttr.exprId != corpusEmbAttr.exprId) return None
 
     // tie-break keys beyond the distance must be the id column ascending
@@ -313,8 +339,27 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     // the FUSED exact top-k custom operator over the filtered subtree —
     // v24's pre-filter shape: the predicate stays under the search, and
     // Catalyst still pushes it into the scan
+    // rank-equivalent serving must not expose the transformed-domain
+    // distances: bail unless every output column avoids the distance
+    // expression (the common `SELECT id ... ORDER BY dist LIMIT k` shape
+    // passes — column pruning has already dropped the distance from the
+    // outer projection by the time this rule runs)
+    if (!bitExact) {
+      val exposes = outerProj.getOrElse(projList).exists { ne =>
+        val e = ne match { case a: Alias => a.child; case o => o }
+        resolve(e).exists(_.semanticEquals(distExpr))
+      }
+      if (exposes) return None
+    }
     val probePlan =
       if (residualFiltered) fusedPlanFor(index, child, idAttr, corpusEmbAttr, metric, qVec, k)
+      else if (!bitExact && width == 0)
+        // exact face of rank-equivalent serving: the fused top-k operator
+        // over the registered corpus computes the queried metric itself —
+        // exact rows with no full sort (the transformed index's exact
+        // probe would rank in float-normalized space, which can flip true
+        // near-ties; the beam below is the explicit approximate opt-in)
+        fusedPlanFor(index, child, idAttr, corpusEmbAttr, metric, qVec, k)
       else probePlanFor(index, qVec, k, width)
     val nbrAttr = probePlan.output.find(_.name == "neighbor_id").get
     val probeDistAttr = probePlan.output.find(_.name == "distance").get
@@ -345,9 +390,13 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     if (residualFiltered)
       logInfo(s"graft: rewrote filtered ORDER BY ${metric.name} LIMIT $k to " +
         s"fused exact top-k over the pre-filtered corpus (${index.probeDescription})")
+    else if (!bitExact && width == 0)
+      logInfo(s"graft: rewrote ORDER BY ${metric.name} LIMIT $k (rank-equivalent, " +
+        s"ids only) to fused exact top-k over the registered corpus")
     else
       logInfo(s"graft: rewrote ORDER BY ${metric.name} LIMIT $k to index probe " +
-        s"(searchWidth=$width, ${index.probeDescription})")
+        s"(searchWidth=$width, ${index.probeDescription}" +
+        (if (!bitExact) ", rank-equivalent transformed-index beam" else "") + ")")
     Some(Project(newProj, Sort(outOrders, global = true, probePlan)))
   }
 }

@@ -195,6 +195,66 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(viaSql.sameElements(viaApi))
   }
 
+  test("rank-equivalent cosine serving: ids-only ORDER BY vec_cos_dist rewrites, distance-projecting does not") {
+    GraftSqlBridge.addOptimizerRule(spark, AnnTopKRewrite)
+    IndexCatalog.clear()
+    val cosIdx = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+        normalizeForCosine = true), numShards = 2)
+    IndexCatalog.register(cosIdx, corpus)
+    try {
+      def cosPlan() = corpus
+        .select(col("id").as("neighbor_id"),
+          VectorFunctions.cosineDistance(col("embedding"), lit(qvec)).as("distance"))
+        .orderBy(col("distance"), col("neighbor_id"))
+        .limit(10)
+      // ids-only shape: the fused exact cosine top-k replaces the sort
+      val idsOnly = cosPlan().select(col("neighbor_id"))
+      val p = idsOnly.queryExecution.optimizedPlan.toString
+      assert(p.contains("KnnCandidates"), s"fused cosine top-k not spliced in:\n${p.take(2000)}")
+      // exact rows: equal to the un-rewritten sort plan's ids
+      IndexCatalog.clear()
+      val expected = cosPlan().select(col("neighbor_id")).collect().map(_.getLong(0))
+      IndexCatalog.register(cosIdx, corpus)
+      assert(idsOnly.collect().map(_.getLong(0)) === expected)
+      // distance-projecting shape must survive un-rewritten (the
+      // transformed index cannot produce the true cosine distances)
+      val withDist = cosPlan()
+      val p2 = withDist.queryExecution.optimizedPlan.toString
+      assert(!p2.contains("KnnCandidates"),
+        s"rewrite exposed transformed-domain distances:\n${p2.take(2000)}")
+    } finally IndexCatalog.clear()
+  }
+
+  test("metric-aware catalog: L2 and cosine indexes over one corpus each serve their own metric") {
+    GraftSqlBridge.addOptimizerRule(spark, AnnTopKRewrite)
+    IndexCatalog.clear()
+    val cosIdx = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+        normalizeForCosine = true), numShards = 2)
+    // registration order adversarial: the cosine index FIRST — the raw-L2
+    // query must still find the bit-exact L2 server behind it
+    IndexCatalog.register(cosIdx, corpus)
+    IndexCatalog.register(index, corpus)
+    try {
+      val l2 = topKPlan(10)
+      assert(l2.queryExecution.optimizedPlan.toString.contains("topk_by_distance"),
+        "raw-L2 query must be served by the L2 index despite the cosine registration")
+      IndexCatalog.clear()
+      val expected = topKPlan(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      IndexCatalog.register(cosIdx, corpus)
+      IndexCatalog.register(index, corpus)
+      assert(l2.collect().map(r => (r.getLong(0), r.getDouble(1))) === expected)
+      val cosIds = corpus
+        .select(col("id").as("neighbor_id"),
+          VectorFunctions.cosineDistance(col("embedding"), lit(qvec)).as("d"))
+        .orderBy(col("d"), col("neighbor_id")).limit(10)
+        .select(col("neighbor_id"))
+      assert(cosIds.queryExecution.optimizedPlan.toString.contains("KnnCandidates"),
+        "cosine query must be served rank-equivalently by the cosine index")
+    } finally IndexCatalog.clear()
+  }
+
   test("searchWidth > 0 opts into the ANN beam through the same SQL shape") {
     installed()
     spark.conf.set("spark.graft.ann.searchWidth", "8")
