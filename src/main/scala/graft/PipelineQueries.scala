@@ -1164,6 +1164,22 @@ object PipelineQueries {
       |ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s25_stream_emb_drift
+  /** Streaming embedding drift ([[StreamingOps.streamEmbeddingDrift]]):
+    * p6's IVF-cell occupancy monitor as a complete-mode streaming
+    * aggregation — the reference quantizer pinned up front, per-row
+    * argmin bucketing (no join in the stream), two longs per observed
+    * cell of state. Additive counts make the accumulated table equal
+    * batch p6 for any batching, so p6's closed-form oracle (centroids +
+    * argmin + counts + smoothed ln terms in SQL) gates this directly. */
+  def s25StreamEmbDrift(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.streamEmbeddingDrift(
+      s, s"$dir/embeddings.parquet", idCol = "vec_id", embCol = "embedding",
+      rowsPred = col("vec_id") >= 10,
+      isCurrent = col("vec_id") >= 500,
+      refPred = col("vec_id") >= 10 && col("vec_id") < 500,
+      numCells = 16, statePartitions = streamStateParts)
+
   // ---------------------------------------------------------------- s23_stream_drift
   /** Streaming drift monitor ([[StreamingOps.streamDrift]]): p5's
     * numeric leg as a complete-mode streaming aggregation — state is
@@ -2374,6 +2390,7 @@ object PipelineQueries {
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "p5_drift" -> ((s, dir) => p5Drift(s, dir)),
     "p6_embedding_drift" -> ((s, dir) => p6EmbeddingDrift(s, dir)),
+    "s25_stream_emb_drift" -> ((s, dir) => s25StreamEmbDrift(s, dir)),
     "s23_stream_drift" -> ((s, dir) => s23StreamDrift(s, dir)),
     "s20_stream_minhash" -> ((s, dir) => s20StreamMinhash(s, dir)),
     "s21_stream_zorder" -> ((s, dir) => s21StreamZorder(s, dir)),
@@ -2475,6 +2492,7 @@ object PipelineQueries {
     "p4_profile_sketch" -> p4Oracle,
     "p5_drift" -> p5Oracle,
     "p6_embedding_drift" -> p6Oracle,
+    "s25_stream_emb_drift" -> p6Oracle,
     "s23_stream_drift" -> s23Oracle,
     "s20_stream_minhash" -> s20Oracle,
     "s21_stream_zorder" -> Queries.b6Oracle, // per-row key => sink == batch; b6's exact SQL

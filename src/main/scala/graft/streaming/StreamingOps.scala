@@ -395,6 +395,50 @@ object StreamingOps {
     graft.operators.Drift.psiTerms(runFinite(spark, counts, "complete", statePartitions))
   }
 
+  /** Streaming EMBEDDING-distribution drift — the live face of p6
+    * ([[graft.operators.Drift.embeddingDrift]]), completing the p5/s23
+    * split for the vector column: the reference grid (IVF cells
+    * stride-sampled from the reference rows) is fixed up front exactly
+    * as a deployed monitor pins last week's quantizer; every arriving
+    * row buckets by the same codegen'd argmin (a per-row expression —
+    * streaming-safe, no join), and the complete-mode conditional counts
+    * accumulate TWO LONGS PER OBSERVED CELL of state. Counts are
+    * additive, so the accumulated table — and the PSI terms the batch
+    * operator's own post-aggregation computes from it — equal batch p6
+    * under any micro-batching; p6's closed-form oracle gates this path
+    * directly. */
+  def streamEmbeddingDrift(
+      spark: SparkSession, embPath: String, idCol: String, embCol: String,
+      rowsPred: org.apache.spark.sql.Column,
+      isCurrent: org.apache.spark.sql.Column,
+      refPred: org.apache.spark.sql.Column, numCells: Int,
+      statePartitions: Int = 0): DataFrame = {
+    import graft.operators.IvfKnn
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
+    val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("data.parquet"), java.nio.file.Paths.get(embPath))
+      d.toString
+    })
+    val cents = IvfKnn.centroids(
+      spark.read.parquet(embPath).filter(refPred)
+        .select(col(idCol).cast("long").as("id"), col(embCol).as("embedding")),
+      numCells)
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .filter(rowsPred)
+      .filter(col(embCol).isNotNull)
+      .select(IvfKnn.cellExpr(cents, col(embCol)).as("bucket"),
+        isCurrent.cast("boolean").as("__cur"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(!col("__cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__cur"), 1L).otherwise(0L)).as("n_cur"))
+    graft.operators.Drift.psiTerms(runFinite(spark, counts, "complete", statePartitions))
+  }
+
   /** Streaming semantic-dedup screen — the ingest-time face of d15
     * ([[graft.operators.Dedup.semanticDedupRemovals]]): a stream of
     * incoming embeddings is screened per micro-batch against the sealed
