@@ -368,13 +368,20 @@ object Queries {
   private val rewriteInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-(session, dir) install key: a FRESH session in the same JVM must
+    * re-install the rule and re-register its indexes (IndexCatalog drops
+    * dead-session entries) — a dir-only key would skip that and the gate
+    * queries would silently fall back to the un-rewritten sort plan. */
+  private def installKey(s: SparkSession, dir: String): String =
+    dir + "#" + System.identityHashCode(s)
+
   def v16SqlAnnRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!rewriteInstalled.contains(dir)) {
+    if (!rewriteInstalled.contains(installKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
-      rewriteInstalled.add(dir)
+      rewriteInstalled.add(installKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -400,10 +407,10 @@ object Queries {
   def v37FilteredRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!rewriteInstalled.contains(dir)) {
+    if (!rewriteInstalled.contains(installKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
-      rewriteInstalled.add(dir)
+      rewriteInstalled.add(installKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -442,10 +449,10 @@ object Queries {
   def v57CosineRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!cosRewriteInstalled.contains(dir)) {
+    if (!cosRewriteInstalled.contains(installKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(cosQuantIndex(s, dir), corpus)
-      cosRewriteInstalled.add(dir)
+      cosRewriteInstalled.add(installKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -480,10 +487,10 @@ object Queries {
   def v58MipsRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!mipsRewriteInstalled.contains(dir)) {
+    if (!mipsRewriteInstalled.contains(installKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(mipsIndex(s, dir), corpus)
-      mipsRewriteInstalled.add(dir)
+      mipsRewriteInstalled.add(installKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray

@@ -44,9 +44,10 @@ final class LsmVectorIndex private (
     val compactThreshold: Long,
     val genShardSize: Long,
     ownsBase: Boolean,
-    // logically-deleted ids (LSM tombstones): probes overfetch by
-    // |tombstones| per member and filter, which is exact (a member's
-    // top-(k+t) minus <=t dead rows still contains its live top-k);
+    // logically-deleted ids (LSM tombstones): probes pass a kernel-level
+    // liveness filter (one broadcast sorted primitive array, binary
+    // search per candidate pop — dead rows never enter any shard's
+    // top-k, so results are the exact live top-k with no overfetch);
     // compaction physically removes them via the shard-scoped
     // VectorIndex.remove. Bounded by deleteThreshold auto-purge.
     val tombstones: Set[Long] = Set.empty,
@@ -128,7 +129,7 @@ final class LsmVectorIndex private (
     // physical delete first: tombstoned base ids leave via the
     // shard-scoped remove; tombstoned FRESH ids simply don't ride the
     // append. After the fold no tombstone survives — probes stop paying
-    // the overfetch.
+    // the liveness filter.
     val purgedBase =
       if (tombstones.isEmpty) base
       else base.remove(tombstones.toSeq.toDF("id"))
@@ -151,18 +152,19 @@ final class LsmVectorIndex private (
 
   /** Logical DELETE (tombstoning) — the index-lifecycle face the
     * reference has no answer to: ids stop appearing in any probe result
-    * immediately (exactness via bounded overfetch — see the tombstone
-    * field note), and the NEXT compaction removes them physically
-    * through [[VectorIndex.remove]]'s shard-scoped rebuild. Deleting an
-    * id that was never inserted is a harmless no-op (idempotent), so
-    * callers can replay delete feeds. Auto-purges (compacts) when the
-    * tombstone set reaches `deleteThreshold` — the knob that bounds both
-    * probe overfetch and the filter broadcast. */
+    * immediately (exactness via the kernel liveness filter — see the
+    * tombstone field note), and the NEXT compaction removes them
+    * physically through [[VectorIndex.remove]]'s shard-scoped rebuild.
+    * Deleting an id that was never inserted is a harmless no-op
+    * (idempotent), so callers can replay delete feeds. Auto-purges
+    * (compacts) when the tombstone set reaches `deleteThreshold` — the
+    * knob that bounds the driver-side set and the filter broadcast. */
   def delete(ids: Iterable[Long]): LsmVectorIndex = {
     val ts = tombstones ++ ids
     if (ts.size == tombstones.size) return this
     require(ts.size <= (1 << 20),
-      s"${ts.size} tombstones exceed the 2^20 probe-overfetch bound — " +
+      s"${ts.size} tombstones exceed the 2^20 liveness-filter bound " +
+        "(driver set + ~8 MB broadcast sizing) — " +
         "compact() (or lower deleteThreshold) to purge physically")
     val next = new LsmVectorIndex(base, generations, compactThreshold,
       genShardSize, ownsBase, ts, deleteThreshold, asyncPending)
@@ -276,9 +278,10 @@ final class LsmVectorIndex private (
       // kernel-level liveness filter: dead ids never enter any shard's
       // top-k, so every member returns its exact live top-k directly —
       // no k+tombstones overfetch (whose candidate volume grows with
-      // the tombstone count), no post-filter
-      mergeMembers(members.map(_.queryDistributed(queries, k, searchWidth,
-        liveFilter(spark))), k)
+      // the tombstone count), no post-filter. ONE broadcast shared by
+      // every member's probe.
+      val live = liveFilter(spark)
+      mergeMembers(members.map(_.queryDistributed(queries, k, searchWidth, live)), k)
     }
   }
 
@@ -362,13 +365,14 @@ final class LsmVectorIndex private (
   }
 
   private def mergeMembers(perMember: Seq[DataFrame], k: Int): DataFrame = {
+    // no tombstone post-filter here: both callers thread the kernel
+    // liveness filter into every member probe, so no dead id can reach
+    // the merge — an isInCollection belt would re-serialize the whole
+    // tombstone set into every task's plan for zero filtering effect
     val union = perMember
       .map(_.select(col("query_id"), col("distance"), col("neighbor_id")))
       .reduce(_ union _)
-    val live =
-      if (tombstones.isEmpty) union
-      else union.filter(!col("neighbor_id").isInCollection(tombstones))
-    TopK.topKMerge(live, k)
+    TopK.topKMerge(union, k)
   }
 
   /** Total vectors across base + generations. */

@@ -72,14 +72,18 @@ object IvfKnn {
   def knnJoinWith(queries: DataFrame, corpus: DataFrame, k: Int,
       cents: DataFrame, nprobe: Int): DataFrame = {
     val cs = collectCentroids(cents)
-    if (cs.ids.isEmpty) {
-      return queries.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0).as("rank"),
-          lit(0L).as("neighbor_id"), lit(0.0).as("distance"))
-        .filter(lit(false))
-    }
+    if (cs.ids.isEmpty) return emptyKnnResult(queries)
     knnJoinAssigned(queries, assignWith(corpus, cs), cs, k, nprobe)
   }
+
+  /** No centroids -> no probe-able cells -> empty result in the kNN
+    * output shape (the old crossJoin-with-empty degradation), not a
+    * crash. */
+  private def emptyKnnResult(queries: DataFrame): DataFrame =
+    queries.sparkSession.emptyDataFrame
+      .select(lit(0L).as("query_id"), lit(0).as("rank"),
+        lit(0L).as("neighbor_id"), lit(0.0).as("distance"))
+      .filter(lit(false))
 
   /** Collected centroid table in the flat layout the argmin expression
     * wants — bounded by numCentroids, so the driver-side collect is safe
@@ -166,14 +170,7 @@ object IvfKnn {
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int, nprobe: Int): DataFrame = {
     val cs = collectCentroids(centroids(corpus, numCentroids))
-    if (cs.ids.isEmpty) {
-      // no centroids -> no probe-able cells -> empty result (old
-      // crossJoin-with-empty behavior), not a crash
-      return queries.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0).as("rank"),
-          lit(0L).as("neighbor_id"), lit(0.0).as("distance"))
-        .filter(lit(false))
-    }
+    if (cs.ids.isEmpty) return emptyKnnResult(queries)
     knnJoinAssigned(queries, assignWith(corpus, cs), cs, k, nprobe)
   }
 

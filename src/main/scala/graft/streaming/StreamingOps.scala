@@ -422,8 +422,12 @@ object StreamingOps {
         d.resolve("data.parquet"), java.nio.file.Paths.get(embPath))
       d.toString
     })
+    // same null-embedding exclusion the batch face applies BEFORE
+    // sampling — a null row on the stride would NPE centroid collection,
+    // and a null max-id row would shift the stride vs batch p6
     val cents = IvfKnn.centroids(
       spark.read.parquet(embPath).filter(refPred)
+        .filter(col(embCol).isNotNull)
         .select(col(idCol).cast("long").as("id"), col(embCol).as("embedding")),
       numCells)
     val counts = spark.readStream.schema(schema)
@@ -1285,7 +1289,13 @@ object StreamingOps {
                 .filter(col("kth").isNull || col("ne") < kEdges ||
                   col("distance") <= col("kth"))
                 .select(col("src"), col("dst"), col("distance"))
+              // two same-batch near neighbors produce the SAME edge twice
+              // (q2 in probe(q1) -> fwd (q1,q2); q1 in probe(q2) -> its
+              // reversal (q1,q2)) — dedupe before the re-cut or the
+              // duplicate occupies two of the src's kEdges slots and the
+              // reciprocal view multiplies it
               val recut = curr.unionByName(fwd).unionByName(rev)
+                .dropDuplicates("src", "dst")
                 .withColumn("rr", row_number().over(w))
                 .filter(col("rr") <= kEdges)
                 .select(col("src"), col("dst"), col("distance"))
