@@ -1295,6 +1295,25 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("lex_rank"))
   }
 
+  // ---------------------------------------------------------------- s26_stream_bm25_ingest
+  /** Streaming BM25 ingest ([[StreamingOps.streamBm25Ingest]]): the
+    * corpus arrives in micro-batches, each landing one O(batch) posting
+    * frame while df / n_docs / Σdl fold additively; the df cap is
+    * evaluated at publish against the final corpus size and the serve
+    * runs s19's plan. Everything is additive, so the published index ==
+    * the batch build of the final corpus for any batching — s19's
+    * closed-form oracle gates the streamed path verbatim. */
+  def s26StreamBm25Ingest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    StreamingOps.streamBm25Ingest(
+      s, s"$dir/documents.parquet", corpusPred = col("doc_id") >= 10,
+      queries = qd, n = 20, sourceSlices = 4, statePartitions = streamStateParts)
+      .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+      .orderBy(col("query_id"), col("lex_rank"))
+  }
+
   private val s19Oracle =
     """WITH cd2 AS (SELECT doc_id, string_split(text, ' ') AS ts,
       |               CAST(len(string_split(text, ' ')) AS INT) AS dl
@@ -2386,6 +2405,7 @@ object PipelineQueries {
     "s22_stream_knn_graph" -> ((s, dir) => s22StreamKnnGraph(s, dir)),
     "s24_stream_knn_graph_beam" -> ((s, dir) => s24StreamKnnGraphBeam(s, dir)),
     "v55_bm25_snapshot" -> ((s, dir) => v55Bm25Snapshot(s, dir)),
+    "s26_stream_bm25_ingest" -> ((s, dir) => s26StreamBm25Ingest(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
     "p5_drift" -> ((s, dir) => p5Drift(s, dir)),
@@ -2471,6 +2491,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
     "v55_bm25_snapshot" -> s19Oracle,
+    "s26_stream_bm25_ingest" -> s19Oracle,
     // streaming graph == batch graph on the final corpus (exact-by-
     // induction edge state) => v48's closed-form SQL gates it verbatim
     "s22_stream_knn_graph" -> Queries.v48Oracle,

@@ -118,19 +118,32 @@ object HybridRetrieval {
     val ct = corpus.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("ts"))
       .withColumn("dl", size(col("ts")))
-    val postings = ct.select(col("doc_id"), col("dl"),
-        explode(transform(array_distinct(col("ts")),
-          t => struct(t.as("tok"),
-            size(filter(col("ts"), x => x === t)).as("tf")))).as("p"))
-      .select(col("doc_id"), col("dl"),
-        col("p.tok").as("tok"), col("p.tf").as("tf"))
-      .filter(col("tok") =!= "")
+    val postings = rawPostings(corpus)
     val stats = ct.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfKept = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTokenDf)
     // distributed on tok (vocab-sized — the t11 lesson: never broadcast)
     (postings.join(dfKept, Seq("tok")), stats)
+  }
+
+  /** The df-FREE posting rows of a corpus — (doc_id, dl, tok, tf), one
+    * map-side pass, no shuffle. Pure per-document work, which is what
+    * makes postings INCREMENTAL: a batch's rows never depend on any
+    * other document, so posting frames accumulate O(batch) per
+    * micro-batch and the corpus-level df/stats finalize separately
+    * ([[graft.streaming.StreamingOps.streamBm25Ingest]]). */
+  private[graft] def rawPostings(corpus: DataFrame): DataFrame = {
+    val ct = corpus.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("ts"))
+      .withColumn("dl", size(col("ts")))
+    ct.select(col("doc_id"), col("dl"),
+        explode(transform(array_distinct(col("ts")),
+          t => struct(t.as("tok"),
+            size(filter(col("ts"), x => x === t)).as("tf")))).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.tok").as("tok"), col("p.tf").as("tf"))
+      .filter(col("tok") =!= "")
   }
 
   /** Persist a [[bm25Index]] as a servable snapshot: postings land as

@@ -862,6 +862,100 @@ object StreamingOps {
     }
   }
 
+  /** Streaming BM25 INGEST — the LSM generation discipline applied to
+    * the posting index (the missing half of the lexical lifecycle:
+    * [[streamBm25Serve]] serves a SEALED corpus; this one grows it).
+    * Posting rows are pure per-document work
+    * ([[graft.operators.HybridRetrieval.rawPostings]] — a document's
+    * postings never depend on any other document), so each micro-batch
+    * lands one O(batch) posting FRAME (never touching earlier frames),
+    * while the corpus-level state folds additively: per-token document
+    * frequencies merge by full-outer sum (vocab-sized per batch) and
+    * n_docs / Σdl are two driver longs. At snapshot-publish time the
+    * frames union (a narrow concatenation), the df cap is evaluated
+    * against the FINAL corpus size (a token that crossed the cap mid-
+    * stream is correctly dropped — cap membership is not monotone, so it
+    * can only be decided at publish), and the serve runs s19's plan.
+    * Every accumulator is additive ⇒ the published index equals the
+    * batch [[graft.operators.HybridRetrieval.bm25Index]] of the final
+    * corpus for ANY batching — the batch oracle gates the streamed path.
+    *
+    * 100 TB shape: per-batch cost is O(batch) postings + one vocab-sized
+    * df merge; nothing ever rescans earlier frames. The 10M-doc batch
+    * build costs ~680 s (SCALE.md) — this spreads exactly that work over
+    * the ingest stream and pays only the cap join at publish. */
+  def streamBm25Ingest(
+      spark: SparkSession, docsPath: String,
+      corpusPred: org.apache.spark.sql.Column,
+      queries: DataFrame, n: Int,
+      dfCapNum: Long = 78L, dfCapDen: Long = 100L,
+      sourceSlices: Int = 4, statePartitions: Int = 0): DataFrame = {
+    import graft.operators.HybridRetrieval
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25_ing_").toString
+    spark.read.parquet(docsPath).filter(corpusPred)
+      .select(col("doc_id").cast("long"), col("text"))
+      .repartition(sourceSlices).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    @volatile var postingFrames: Vector[DataFrame] = Vector.empty
+    @volatile var dfAcc: DataFrame = null
+    @volatile var nDocs = 0L
+    @volatile var sumDl = 0L
+    val ckptRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft_ckpt_")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val p = HybridRetrieval.rawPostings(batch).localCheckpoint(true)
+            postingFrames = postingFrames :+ p
+            val bDf = p.groupBy(col("tok")).agg(count(lit(1)).as("df_b"))
+            dfAcc =
+              (if (dfAcc == null) bDf.select(col("tok"), col("df_b").as("df"))
+               else dfAcc.join(bDf, Seq("tok"), "full_outer")
+                 .select(col("tok"),
+                   (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+                     .as("df")))
+                .localCheckpoint(true)
+            val dl = batch.select(
+              graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+              .agg(count(lit(1)), sum(size(col("ts")))).head
+            nDocs += dl.getLong(0)
+            sumDl += dl.getLong(1)
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+      deleteRecursively(srcDir)
+    }
+    require(nDocs > 0, "streamBm25Ingest saw an empty corpus stream")
+    import spark.implicits._
+    val maxDf = nDocs * dfCapNum / dfCapDen
+    val index = postingFrames.reduce(_ unionByName _)
+      .join(dfAcc.filter(col("df") <= maxDf), Seq("tok"))
+    // exact: Spark's avg over an int column accumulates exact integer
+    // doubles, so Σdl/n reproduces the batch avgdl bit-for-bit
+    val stats = Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
+    HybridRetrieval.bm25Serve(queries, index, stats, n)
+  }
+
   /** Streaming weight-proportional sampling — the reservoir shape:
     * because the Efraimidis-Spirakis sample is "k largest deterministic
     * keys", top-k is ASSOCIATIVE over any stream batching (top-k of a

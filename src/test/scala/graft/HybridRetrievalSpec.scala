@@ -181,6 +181,24 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
       key(HybridRetrieval.bm25Serve(q, index, stats, n = 3)))
   }
 
+  test("streaming BM25 ingest equals the batch build for any batching (s26)") {
+    val docs = Tables.documents(spark, sfDir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val maxDf = cd.count() * 78L / 100L
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "bm25", "lex_rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = key(HybridRetrieval.bm25TopN(qd, cd, n = 20, maxTokenDf = maxDf))
+    for (slices <- Seq(1, 4)) {
+      val streamed = key(graft.streaming.StreamingOps.streamBm25Ingest(
+        spark, s"$sfDir/documents.parquet", corpusPred = col("doc_id") >= 10,
+        queries = qd, n = 20, sourceSlices = slices, statePartitions = 4))
+      assert(streamed === batch, s"slices=$slices")
+    }
+  }
+
   test("v52 quality report: hybrid recall >= max(dense-only, lex-only), sf-independent") {
     val rows = Queries.v52RetrievalQuality(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
