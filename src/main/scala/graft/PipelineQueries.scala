@@ -1241,11 +1241,14 @@ object PipelineQueries {
       searchWidth = 8)
       .select(col("id_a"), col("id_b"))
     val exact = Queries.reciprocalNnPairs(s, dir).select(col("id_a"), col("id_b")).cache()
+    val beamCk = beam.cache()
     try {
       val nExact = exact.count()
-      val nHit = beam.join(exact, Seq("id_a", "id_b"), "left_semi").count()
-      Seq((nExact, nHit.toDouble / nExact >= 0.85)).toDF("n_exact", "recall_ok")
-    } finally exact.unpersist()
+      val nBeam = beamCk.count()
+      val nHit = beamCk.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      Seq((nExact, nHit.toDouble / nExact >= 0.85, nHit.toDouble / nBeam >= 0.85))
+        .toDF("n_exact", "recall_ok", "precision_ok")
+    } finally { exact.unpersist(); beamCk.unpersist() }
   }
 
   // ---------------------------------------------------------------- s19_stream_bm25
@@ -2506,7 +2509,7 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY qa ORDER BY dist, qb) AS rnk
         |      FROM d),
         |e AS (SELECT qa, qb FROM r WHERE rnk <= 3)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok, TRUE AS precision_ok
         |FROM e e1 JOIN e e2 ON e1.qa = e2.qb AND e1.qb = e2.qa
         |WHERE e1.qa < e1.qb""".stripMargin,
     "p3_profile" -> p3Oracle,
