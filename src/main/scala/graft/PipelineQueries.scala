@@ -1291,30 +1291,44 @@ object PipelineQueries {
     val maxDf = cd.count() * 78L / 100L
     val (index, stats) = graft.operators.HybridRetrieval.bm25Index(cd, maxDf)
     val path = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
-    graft.operators.HybridRetrieval.saveBm25Index(index, stats, path)
-    val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(s, path)
-    graft.operators.HybridRetrieval.bm25Serve(qd, li, lstats, n = 20)
-      .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
-      .orderBy(col("query_id"), col("lex_rank"))
+    try {
+      graft.operators.HybridRetrieval.saveBm25Index(index, stats, path)
+      val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(s, path)
+      // materialize the (≤ queries×n row) serve result eagerly so the
+      // temp snapshot can be deleted before the frame is consumed
+      graft.operators.HybridRetrieval.bm25Serve(qd, li, lstats, n = 20)
+        .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("lex_rank"))
+        .localCheckpoint(true)
+    } finally StreamingOps.deleteRecursively(path)
   }
 
   // ---------------------------------------------------------------- s26_stream_bm25_ingest
   /** Streaming BM25 ingest ([[StreamingOps.streamBm25Ingest]]): the
     * corpus arrives in micro-batches, each landing one O(batch) posting
     * frame while df / n_docs / Σdl fold additively; the df cap is
-    * evaluated at publish against the final corpus size and the serve
-    * runs s19's plan. Everything is additive, so the published index ==
-    * the batch build of the final corpus for any batching — s19's
-    * closed-form oracle gates the streamed path verbatim. */
+    * evaluated at publish against the final corpus size, and the stream
+    * ENDS in a PUBLISHED snapshot ([[graft.operators.HybridRetrieval
+    * .saveBm25Index]]) whose LOADED copy serves s19's query batch —
+    * the full ingest→snapshot→serve loop, so the gate's hash covers
+    * the streamed build AND its persistence. Everything is additive, so
+    * the published index == the batch build of the final corpus for any
+    * batching — s19's closed-form oracle gates the streamed path
+    * verbatim. */
   def s26StreamBm25Ingest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val qd = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("text"))
-    StreamingOps.streamBm25Ingest(
-      s, s"$dir/documents.parquet", corpusPred = col("doc_id") >= 10,
-      queries = qd, n = 20, sourceSlices = 4, statePartitions = streamStateParts)
-      .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
-      .orderBy(col("query_id"), col("lex_rank"))
+    val snap = java.nio.file.Files.createTempDirectory("graft_bm25_pub_").toString
+    try {
+      StreamingOps.streamBm25Ingest(
+        s, s"$dir/documents.parquet", corpusPred = col("doc_id") >= 10,
+        queries = qd, n = 20, sourceSlices = 4,
+        statePartitions = streamStateParts, publishPath = snap)
+        .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("lex_rank"))
+        .localCheckpoint(true) // eager: the temp snapshot is deleted below
+    } finally StreamingOps.deleteRecursively(snap)
   }
 
   private val s19Oracle =

@@ -146,40 +146,55 @@ object HybridRetrieval {
       .filter(col("tok") =!= "")
   }
 
+  /** The token→partition-bucket function shared by [[saveBm25Index]]
+    * (layout) and [[bm25Serve]] (pruning): serve-time computable from
+    * the token string alone — no boundary table to persist, no skew
+    * sensitivity (a hot token is one bucket's problem either way; its
+    * per-token row count is already bounded by the df cap). */
+  private def tokBucket(tok: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(tok), lit(nBuckets.toLong)).cast("int")
+
   /** Persist a [[bm25Index]] as a servable snapshot: postings land as
-    * parquet CLUSTERED BY token (repartition + sortWithinPartitions on
-    * tok ⇒ each row group covers a tight token range, so a loaded serve
-    * whose broadcast-hash join probes few tokens still reads the full
-    * scan cheaply and any future tok-pushdown prunes row groups), the
-    * one-row stats as a JSON sidecar (never a parquet job for 2
-    * numbers). This is the lexical analog of [[graft.index.VectorIndex
+    * parquet PARTITIONED BY a token hash bucket (`tok_bkt =
+    * xxhash64(tok) mod tokBuckets` as a directory column) and SORTED by
+    * (tok, doc_id) within each bucket, the one-row stats as a JSON
+    * sidecar (never a parquet job for 2 numbers). The bucket directories
+    * are what makes serving O(matched postings): [[bm25Serve]] maps the
+    * query batch's bounded token set to its bucket ids and the scan
+    * prunes to those directories (PartitionFilters — exact, visible in
+    * the plan), with the pushed `In(tok, …)` pruning row groups inside
+    * each surviving bucket via the tok-sorted min/max + dictionary
+    * stats. This is the lexical analog of [[graft.index.VectorIndex
     * .save]]: build once per corpus snapshot (the 10M-doc build costs
     * ~505 s, SCALE.md), serve from the snapshot forever — the 100 TB
-    * deployment never rebuilds postings per session.
+    * deployment never rebuilds postings per session, and a small query
+    * batch touches a small fraction of the posting bytes.
     *
     * avgdl is persisted via Double.toString (shortest round-trip
     * representation — reparsing yields the identical bits), so a loaded
     * serve scores bit-identically to the built serve. */
   def saveBm25Index(index: DataFrame, stats: DataFrame, path: String,
-      clusterPartitions: Int = 0): Unit = {
+      tokBuckets: Int = 64): Unit = {
     val spark = index.sparkSession
-    val parts = if (clusterPartitions > 0) clusterPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     index
       .select(col("tok"), col("doc_id").cast("long"), col("dl").cast("int"),
         col("tf").cast("int"), col("df").cast("long"))
-      .repartition(parts, col("tok"))
-      .sortWithinPartitions(col("tok"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .withColumn("tok_bkt", tokBucket(col("tok"), tokBuckets))
+      .repartition(tokBuckets, col("tok_bkt"))
+      .sortWithinPartitions(col("tok_bkt"), col("tok"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("tok_bkt").parquet(s"$path/postings")
     val row = stats.select(col("n_docs").cast("long"), col("avgdl").cast("double")).head
     graft.index.VectorIndex.writeSmallFile(spark, s"$path/stats.json",
-      s"""{"n_docs":${row.getLong(0)},"avgdl":${row.getDouble(1)}}""")
+      s"""{"n_docs":${row.getLong(0)},"avgdl":${row.getDouble(1)},""" +
+        s""""tok_buckets":$tokBuckets}""")
   }
 
   /** Load a [[saveBm25Index]] snapshot: (index, stats) frames shaped
-    * exactly like [[bm25Index]]'s return, ready for [[bm25Serve]]. The
-    * postings read is lazy (serving scans it per batch; cache() the
-    * index side for a long-lived server). */
+    * like [[bm25Index]]'s return (plus the `tok_bkt` partition column
+    * and a `tok_buckets` stats field, which [[bm25Serve]] uses to prune
+    * and then drops), ready for [[bm25Serve]]. The postings read is
+    * lazy (serving scans only the query batch's buckets per batch;
+    * cache() the index side for a long-lived hot-everything server). */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -188,25 +203,62 @@ object HybridRetrieval {
     require(json != null, s"missing $path/stats.json")
     val nDocs = """"n_docs":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
     val avgdl = """"avgdl":\s*([^,}]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
-    (postings, Seq((nDocs, avgdl)).toDF("n_docs", "avgdl"))
+    val nBkt = """"tok_buckets":\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0) // pre-bucketing snapshots: no pruning
+    (postings, Seq((nDocs, avgdl, nBkt)).toDF("n_docs", "avgdl", "tok_buckets"))
   }
 
   /** Query-dependent half of [[bm25TopN]]: join the (bounded, broadcast)
     * batch's distinct query tokens against the posting index, score, and
     * per-query window-limit. Per-query independent, so any partition of
     * the query set through this (the streaming serve path) accumulates
-    * to exactly the single-batch result. */
+    * to exactly the single-batch result.
+    *
+    * The batch's distinct token set is bounded by the same contract
+    * that makes the query side broadcastable, so it is COLLECTED and
+    * pushed into the posting scan as real data-source predicates — a
+    * broadcast-hash join alone adds no parquet filter, which on a
+    * [[saveBm25Index]] snapshot meant scanning every posting for any
+    * batch. Two predicates: `tok_bkt IN (buckets of the batch's
+    * tokens)` prunes whole bucket DIRECTORIES (PartitionFilters), and
+    * `tok IN (…)` prunes row groups inside surviving buckets via the
+    * tok-sorted min/max + dictionary stats (PushedFilters). Both are
+    * subsumed by the join (an equi-join on tok only keeps those rows
+    * anyway), so results are unchanged for any index shape; batches
+    * with more than `maxPushTokens` distinct tokens (an effectively
+    * whole-vocab probe) skip the predicates rather than build a
+    * degenerate filter. */
   def bm25Serve(queries: DataFrame, index: DataFrame, stats: DataFrame,
-      n: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+      n: Int, k1: Double = 1.5, b: Double = 0.75,
+      maxPushTokens: Int = 10000): DataFrame = {
     val qt = queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
+    val toks = qt.select(col("tok")).distinct().limit(maxPushTokens + 1)
+      .collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (toks.isEmpty || toks.length > maxPushTokens) index
+      else {
+        val base = index.filter(col("tok").isin(toks: _*))
+        val nBkt =
+          if (index.columns.contains("tok_bkt") &&
+              stats.columns.contains("tok_buckets"))
+            stats.select(col("tok_buckets").cast("int")).head.getInt(0)
+          else 0
+        if (nBkt > 0) {
+          import index.sparkSession.implicits._
+          val bkts = toks.toDF("tok")
+            .select(tokBucket(col("tok"), nBkt).as("b")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          base.filter(col("tok_bkt").isin(bkts: _*))
+        } else base
+      }
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
     val dlNorm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))
     val tfD = col("tf").cast("double")
-    index
+    pruned
       .join(broadcast(qt), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

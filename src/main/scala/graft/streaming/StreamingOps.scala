@@ -748,7 +748,7 @@ object StreamingOps {
     if (wrote) spark.read.parquet(outDir) else seed.limit(0)
   }
 
-  private def deleteRecursively(dir: String): Unit =
+  private[graft] def deleteRecursively(dir: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
@@ -868,28 +868,40 @@ object StreamingOps {
     * Posting rows are pure per-document work
     * ([[graft.operators.HybridRetrieval.rawPostings]] — a document's
     * postings never depend on any other document), so each micro-batch
-    * lands one O(batch) posting FRAME (never touching earlier frames),
-    * while the corpus-level state folds additively: per-token document
-    * frequencies merge by full-outer sum (vocab-sized per batch) and
-    * n_docs / Σdl are two driver longs. At snapshot-publish time the
-    * frames union (a narrow concatenation), the df cap is evaluated
+    * lands one O(batch) posting FRAME (never touching earlier frames)
+    * plus one O(batch-vocab) per-token document-frequency FRAME, while
+    * n_docs / Σdl fold as two driver longs. NOTHING per-batch reads any
+    * accumulated frame: the df frames sum-fold ONCE at publish (one
+    * grouped aggregation over Σ batch-vocab rows — the same O(total
+    * vocab) work a batch build pays once, never per batch), the posting
+    * frames union (a narrow concatenation), and the df cap is evaluated
     * against the FINAL corpus size (a token that crossed the cap mid-
     * stream is correctly dropped — cap membership is not monotone, so it
-    * can only be decided at publish), and the serve runs s19's plan.
+    * can only be decided at publish).
     * Every accumulator is additive ⇒ the published index equals the
     * batch [[graft.operators.HybridRetrieval.bm25Index]] of the final
     * corpus for ANY batching — the batch oracle gates the streamed path.
     *
-    * 100 TB shape: per-batch cost is O(batch) postings + one vocab-sized
-    * df merge; nothing ever rescans earlier frames. The 10M-doc batch
-    * build costs ~680 s (SCALE.md) — this spreads exactly that work over
-    * the ingest stream and pays only the cap join at publish. */
+    * With `publishPath` set the stream ENDS in a published snapshot:
+    * the folded index is persisted via [[graft.operators.HybridRetrieval
+    * .saveBm25Index]] and the returned serve runs over the LOADED copy —
+    * the ingest→snapshot→serve loop the vector index already has
+    * (buildTo → ProbeBench), so the gate's hash covers persistence too.
+    *
+    * 100 TB shape: per-batch cost is O(batch) postings + O(batch vocab)
+    * df rows; nothing ever rescans earlier frames, and total work is
+    * batching-invariant (BM25 ingest batching-invariance spec measures
+    * shuffle rows at 4 vs 16 batches). The 10M-doc batch build costs
+    * ~680 s (SCALE.md) — this spreads exactly that work over the ingest
+    * stream and pays only the fold + cap join at publish. */
   def streamBm25Ingest(
       spark: SparkSession, docsPath: String,
       corpusPred: org.apache.spark.sql.Column,
       queries: DataFrame, n: Int,
       dfCapNum: Long = 78L, dfCapDen: Long = 100L,
-      sourceSlices: Int = 4, statePartitions: Int = 0): DataFrame = {
+      sourceSlices: Int = 4, statePartitions: Int = 0,
+      publishPath: String = null,
+      onBatchEnd: Int => Unit = null): DataFrame = {
     import graft.operators.HybridRetrieval
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -903,7 +915,7 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     @volatile var postingFrames: Vector[DataFrame] = Vector.empty
-    @volatile var dfAcc: DataFrame = null
+    @volatile var dfFrames: Vector[DataFrame] = Vector.empty
     @volatile var nDocs = 0L
     @volatile var sumDl = 0L
     val ckptRoot =
@@ -917,19 +929,20 @@ object StreamingOps {
           if (!batch.isEmpty) {
             val p = HybridRetrieval.rawPostings(batch).localCheckpoint(true)
             postingFrames = postingFrames :+ p
-            val bDf = p.groupBy(col("tok")).agg(count(lit(1)).as("df_b"))
-            dfAcc =
-              (if (dfAcc == null) bDf.select(col("tok"), col("df_b").as("df"))
-               else dfAcc.join(bDf, Seq("tok"), "full_outer")
-                 .select(col("tok"),
-                   (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
-                     .as("df")))
+            // one O(batch-vocab) df frame per batch — the generational
+            // discipline: the accumulated vocabulary is NEVER re-read
+            // mid-stream; frames sum-fold once at publish
+            dfFrames = dfFrames :+
+              p.groupBy(col("tok")).agg(count(lit(1)).as("df_b"))
                 .localCheckpoint(true)
             val dl = batch.select(
               graft.functions.TextFunctions.tokens(col("text")).as("ts"))
               .agg(count(lit(1)), sum(size(col("ts")))).head
             nDocs += dl.getLong(0)
             sumDl += dl.getLong(1)
+            // instrumentation hook (batching-invariance spec): fires
+            // after the batch's eager jobs complete
+            if (onBatchEnd != null) onBatchEnd(postingFrames.length)
           }
         }
         .option("checkpointLocation", ckpt.toString)
@@ -948,12 +961,22 @@ object StreamingOps {
     require(nDocs > 0, "streamBm25Ingest saw an empty corpus stream")
     import spark.implicits._
     val maxDf = nDocs * dfCapNum / dfCapDen
-    val index = postingFrames.reduce(_ unionByName _)
-      .join(dfAcc.filter(col("df") <= maxDf), Seq("tok"))
+    // the ONE fold over the accumulated df frames (publish-time only):
+    // Σ batch-vocab rows in, final per-token df out, cap applied against
+    // the final corpus size
+    val dfAll = dfFrames.reduce(_ unionByName _)
+      .groupBy(col("tok")).agg(sum(col("df_b")).as("df"))
+      .filter(col("df") <= maxDf)
+    val index = postingFrames.reduce(_ unionByName _).join(dfAll, Seq("tok"))
     // exact: Spark's avg over an int column accumulates exact integer
     // doubles, so Σdl/n reproduces the batch avgdl bit-for-bit
     val stats = Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
-    HybridRetrieval.bm25Serve(queries, index, stats, n)
+    if (publishPath == null) HybridRetrieval.bm25Serve(queries, index, stats, n)
+    else {
+      HybridRetrieval.saveBm25Index(index, stats, publishPath)
+      val (li, ls) = HybridRetrieval.loadBm25Index(spark, publishPath)
+      HybridRetrieval.bm25Serve(queries, li, ls, n)
+    }
   }
 
   /** Streaming weight-proportional sampling — the reservoir shape:

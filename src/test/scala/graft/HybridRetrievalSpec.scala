@@ -199,6 +199,52 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("s26 per-batch ingest work stays flat as the accumulated vocab grows") {
+    // corpus with linearly-GROWING vocabulary (8 unique tokens per doc):
+    // after batch k the accumulated vocab is ~8×docs-so-far, while each
+    // equal micro-batch contributes a constant ~8×batch-docs tokens. A
+    // per-batch fold over accumulated state (the pre-r16 dfAcc
+    // full-outer re-materialization) makes batch k's shuffle grow ~k;
+    // generational df frames keep it flat — measured here as per-batch
+    // shuffle-write records via a SparkListener + the onBatchEnd hook.
+    val nd = 1600
+    val docs = spark.range(nd).selectExpr("id AS doc_id",
+      "concat('common alpha ', concat_ws(' ', transform(sequence(0, 7), " +
+        "j -> concat('w', CAST(id * 8 + j AS STRING))))) AS text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_grow_").toString
+    try {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val qd = Seq((0L, "common w3 w111")).toDF("query_id", "text")
+      val recs = new java.util.concurrent.atomic.LongAdder
+      @volatile var perBatch = Vector.empty[Long]
+      @volatile var seen = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          recs.add(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val served = graft.streaming.StreamingOps.streamBm25Ingest(
+          spark, s"$dir/documents.parquet", corpusPred = lit(true),
+          queries = qd, n = 5, sourceSlices = 16, statePartitions = 4,
+          onBatchEnd = _ => {
+            val s = recs.sum; perBatch = perBatch :+ (s - seen); seen = s
+          })
+        // 'common'/'alpha' (df 1600) exceed the 78% cap; w3 hits doc 0,
+        // w111 hits doc 13 ⇒ exactly two ranked rows
+        assert(served.count() === 2L)
+        assert(perBatch.length === 16, s"expected 16 batches, got $perBatch")
+        // flat per-batch work: the tail batches (vocab ~8×1500 by then)
+        // must not shuffle more than the early ones (vocab ~8×200)
+        val early = perBatch.slice(1, 5).sum / 4.0
+        val late = perBatch.slice(12, 16).sum / 4.0
+        assert(late <= 1.75 * early,
+          s"per-batch shuffle grows with accumulated vocab: $perBatch")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
+
   test("v52 quality report: hybrid recall >= max(dense-only, lex-only), sf-independent") {
     val rows = Queries.v52RetrievalQuality(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

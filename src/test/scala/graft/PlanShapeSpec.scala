@@ -513,4 +513,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)
   }
+
+  test("bm25Serve over a snapshot prunes bucket dirs AND pushes In(tok)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val c = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+    val (index, stats) = graft.operators.HybridRetrieval.bm25Index(c)
+    val dir = java.nio.file.Files.createTempDirectory("graft_planshape_bm25_").toString
+    try {
+      graft.operators.HybridRetrieval.saveBm25Index(index, stats, dir, tokBuckets = 16)
+      val (li, ls) = graft.operators.HybridRetrieval.loadBm25Index(spark, dir)
+      val serve = graft.operators.HybridRetrieval.bm25Serve(q, li, ls, n = 5)
+      val p = serve.queryExecution.executedPlan.toString
+      // directory-level pruning: the batch's token buckets reach the scan
+      // as partition filters (the O(matched-postings) serve shape)
+      assert("PartitionFilters: \\[[^\\]]*tok_bkt".r.findFirstIn(p).isDefined,
+        s"tok_bkt not in PartitionFilters:\n${p.take(3000)}")
+      // row-group pruning inside surviving buckets: the In(tok, …) set is
+      // pushed to parquet (tok-sorted min/max + dictionary stats apply)
+      assert("PushedFilters: \\[[^\\]]*In\\(tok".r.findFirstIn(p).isDefined,
+        s"In(tok, …) not in PushedFilters:\n${p.take(3000)}")
+      // and the pruned serve returns exactly the unpruned ranking
+      val full = graft.operators.HybridRetrieval.bm25Serve(
+        q, index, stats, n = 5)
+      assert(serve.orderBy("query_id", "lex_rank").collect().toSeq ===
+        full.orderBy("query_id", "lex_rank").collect().toSeq)
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
 }
