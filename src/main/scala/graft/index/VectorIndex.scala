@@ -791,6 +791,130 @@ object VectorIndex {
       .equalsIgnoreCase("NONE"))
   }
 
+  /** Shard-scoped append PUBLISHING a new snapshot — the incremental-
+    * corpus face of [[buildTo]]: load `oldPath`, rebuild ONLY the shards
+    * the new ids hash into (the [[VectorIndex.append]] semantics, so the
+    * result is bit-identical to one full rebuild over the union), and
+    * land the result at `newPath` while moving as few untouched bytes
+    * as possible. Untouched work is skipped at two levels:
+    *
+    *  - COMPUTE: only affected shards re-insert (buildRows over the
+    *    affected slice ∪ fresh); every other shard's graph is reused
+    *    verbatim, meta included.
+    *  - I/O: a kept rows file whose parquet footer shows no affected
+    *    shard in any row group's [min, max] of `sub_index_id` (rows are
+    *    shard-sorted within files, so the stats are tight) is HARDLINKED
+    *    into the new snapshot — zero bytes moved; on a store without
+    *    links (or cross-device) it falls back to a byte copy, which on
+    *    object stores is the server-side-copy fast path. Only files
+    *    that MIX affected and unaffected shards are read and rewritten
+    *    filtered (with one-shard-per-file layouts from [[buildTo]],
+    *    that is usually zero files).
+    *
+    * The old snapshot is left untouched (still servable — snapshots are
+    * immutable generations; retire it when traffic drains). Returns the
+    * loaded handle over `newPath`, same cache knob as [[buildTo]].
+    *
+    * Reference contract: the ref's `add` path (dehnsw.h:558-608) grows
+    * one in-memory index; at 100 TB the index is a published artifact,
+    * so "add" must mean "publish the next snapshot without rebuilding
+    * or re-copying the untouched 99%". */
+  def appendTo(spark: SparkSession, oldPath: String,
+      newVectors: DataFrame, newPath: String): VectorIndex = {
+    import spark.implicits._
+    require(new org.apache.hadoop.fs.Path(oldPath).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(newPath).toUri.getPath,
+      "appendTo publishes a NEW snapshot: newPath must differ from oldPath")
+    val old = load(spark, oldPath, cache = false)
+    val params = old.params
+    val numShards = old.numShards
+    val selected = newVectors.select(col("id").cast("long"), col("embedding"))
+    val fresh = normalizeInput(selected, params).cache()
+    val affected = fresh
+      .select(shardOf(col("id"), numShards).as("s"))
+      .distinct().as[Int].collect().toSet
+    require(affected.nonEmpty, "appendTo over an empty batch")
+    val affectedSeq = affected.toSeq
+    // existing rows of the affected shards only — the isin predicate is
+    // pushed to parquet, and the shard-sorted layout makes the row-group
+    // stats prune the scan to the affected files
+    val existing = old.rows
+      .filter(col("sub_index_id").isin(affectedSeq: _*))
+      .select(col("global_id").as("id"), col("embedding"))
+    val rebuildInput = existing.union(fresh)
+    val dim = old.dimension
+    val counts = rebuildInput
+      .agg(count(lit(1)), count_distinct(col("id")),
+        count(when(size(col("embedding")) =!= dim, 1))).head
+    require(counts.getLong(2) == 0,
+      s"appended vectors must match index dimension $dim (${counts.getLong(2)} mismatching)")
+    require(counts.getLong(0) == counts.getLong(1),
+      s"appended ids must be disjoint from the index and unique " +
+        s"(${counts.getLong(0) - counts.getLong(1)} clashes)")
+    // 1) rebuilt shards stream straight to the new snapshot (no cache)
+    buildRows(rebuildInput, params, numShards)
+      .write.mode("overwrite").parquet(s"$newPath/rows")
+    fresh.unpersist()
+    // 2) rebuilt-shard meta from the (still rebuilt-only) new rows dir
+    val rebuiltMeta = computeMeta(
+      spark.read.parquet(s"$newPath/rows").as[IndexRow])
+    // 3) kept files: hardlink clean ones, rewrite only mixed ones
+    val conf = spark.sessionState.newHadoopConf()
+    val oldRows = new org.apache.hadoop.fs.Path(s"$oldPath/rows")
+    val fs = oldRows.getFileSystem(conf)
+    val dataFiles = fs.listStatus(oldRows).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    val mixed = scala.collection.mutable.ArrayBuffer.empty[String]
+    dataFiles.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      // footer-only read (KB-sized, per kept FILE): per-row-group
+      // [min, max] of the shard column; None when stats are missing
+      val ranges: Seq[Option[(Int, Int)]] =
+        org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, p, org.apache.parquet.format.converter
+            .ParquetMetadataConverter.NO_FILTER)
+          .getBlocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == "sub_index_id")
+              .map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty)
+              .map(s => (s.genericGetMin.asInstanceOf[Number].intValue,
+                s.genericGetMax.asInstanceOf[Number].intValue))
+          }
+      val touchesAffected = ranges.exists {
+        case Some((lo, hi)) => affected.exists(s => lo <= s && s <= hi)
+        case None => true // no stats: conservatively mixed
+      }
+      val onlyAffected = ranges.nonEmpty && ranges.forall {
+        case Some((lo, hi)) => (lo to hi).forall(affected)
+        case None => false
+      }
+      if (!touchesAffected) {
+        // pure kept file: hardlink (zero bytes), else byte copy (the
+        // object-store server-side-copy fast path)
+        val dst = new org.apache.hadoop.fs.Path(s"$newPath/rows/${p.getName}")
+        val ok = fs.getScheme == "file" && (try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(p.toUri.getPath)); true
+        } catch { case _: Exception => false })
+        if (!ok) org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, dst, false, conf)
+      } else if (!onlyAffected) mixed += p.toString
+      // else: file holds only affected shards — superseded by the rebuild
+    }
+    if (mixed.nonEmpty)
+      spark.read.parquet(mixed.toSeq: _*)
+        .filter(!col("sub_index_id").isin(affectedSeq: _*))
+        .write.mode("append").parquet(s"$newPath/rows")
+    val meta2 = (old.meta.filterNot(m => affected(m.sub_index_id)) ++ rebuiltMeta)
+      .sortBy(_.sub_index_id)
+    writeMetaAndParams(spark, newPath, meta2, params, numShards,
+      java.util.UUID.randomUUID().toString)
+    load(spark, newPath, cache = !spark.conf
+      .get("spark.graft.probeLayoutStorage", "MEMORY_ONLY")
+      .equalsIgnoreCase("NONE"))
+  }
+
   /** Meta + params sidecars next to an already-written `rows` parquet.
     * meta is numShards tiny records — one small file write through the
     * Hadoop FS API (works for hdfs://, s3a://, file:, ...), not a Spark
