@@ -921,6 +921,48 @@ object Queries {
       |FROM (VALUES (0, 100, 100), (2, 91, 100), (4, 96, 100), (8, 97, 100), (16, 99, 100)) AS t(search_width, hits, total)
       |ORDER BY search_width""".stripMargin
 
+  // ---------------------------------------------------------------- v59_width_calibration
+  /** Width auto-calibration ([[graft.index.VectorIndex.calibrateWidth]])
+    * — the reference's manual sweep (dehnsw_example.cpp:96-130) as a
+    * self-driving operator: calibrate the beam width to a 0.9 recall
+    * target on a 30-query sample (one multi-width pass, exact ground
+    * truth as width 0 in the same pass), then serve a DISJOINT 30-query
+    * holdout at the chosen width and report its tie-tolerant hit count
+    * against the holdout's exact leg. Deterministic kernel ⇒
+    * deterministic chosen width and hit counts, pinned by the oracle
+    * (regenerate like v8's if the kernel or params change); the spec
+    * (CalibrateWidthSpec) keeps the sf-independent holdout-meets-target
+    * gate. */
+  def v59WidthCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = buildEmbIndex(s, dir)
+    val all = Tables.embeddings(s, dir).filter(col("vec_id") < 60)
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (cal, holdout) = all.partition(_._1 < 30)
+    val (chosen, _) = idx.calibrateWidth(cal, k = 10, targetRecall = 0.9,
+      widths = Seq(2, 4, 8, 16, 32))
+    // holdout at the chosen width, exact leg in the same pass
+    val probe = idx.queryBatchMultiWidth(holdout, 10, Seq(0, chosen).distinct)
+      .select(col("search_width"), col("query_id"), col("rank"), col("distance"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
+    val hits =
+      if (chosen == 0) gt.size // exact fallback serves ground truth itself
+      else probe.count { case (w, q, r, d) =>
+        w == chosen && gt.get((q, r)).exists(d <= _)
+      }
+    Seq((chosen, hits.toLong, gt.size.toLong))
+      .toDF("chosen_width", "holdout_hits", "holdout_total")
+  }
+
+  /** Pinned expectation at the driver's sf0.01 gate (regenerate like
+    * v8's if the kernel, index params, or calibration targets change). */
+  private val v59Oracle =
+    """SELECT CAST(8 AS INT) AS chosen_width,
+      |  CAST(287 AS BIGINT) AS holdout_hits,
+      |  CAST(300 AS BIGINT) AS holdout_total""".stripMargin
+
   // ---------------------------------------------------------------- v22_sq8_rerank
   /** Two-stage retrieval — the standard architecture for quantized
     * corpora: stage 1 scans the SQ8 bytes (4x less I/O) and keeps a
@@ -3261,6 +3303,7 @@ object Queries {
     "v26_sq8_beam" -> v26Oracle,
     "v51_sq8_cosine" -> v51Oracle,
     "v54_mips_index" -> v54Oracle,
+    "v59_width_calibration" -> v59Oracle,
     "v52_retrieval_quality" -> v52Oracle,
     "v27_pq_knn" -> v27Oracle,
     "v28_pq_rerank" -> v28Oracle,

@@ -71,6 +71,7 @@ object SparkEntry {
     "v26_sq8_beam" -> ((s, dir) => Queries.v26Sq8Beam(s, dir)),
     "v51_sq8_cosine" -> ((s, dir) => Queries.v51Sq8Cosine(s, dir)),
     "v54_mips_index" -> ((s, dir) => Queries.v54MipsIndex(s, dir)),
+    "v59_width_calibration" -> ((s, dir) => Queries.v59WidthCalibration(s, dir)),
     "v52_retrieval_quality" -> ((s, dir) => Queries.v52RetrievalQuality(s, dir)),
     "v27_pq_knn" -> ((s, dir) => Queries.v27PqKnn(s, dir)),
     "v28_pq_rerank" -> ((s, dir) => Queries.v28PqRerank(s, dir)),

@@ -246,6 +246,52 @@ class VectorIndex private (
         col("rank"), col("neighbor_id"), col("distance"))
   }
 
+  /** Width AUTO-calibration — the reference's manual parameter sweep
+    * (example/dehnsw_example.cpp:96-130) made self-driving: probe a
+    * bounded sample of queries at every candidate width AND width 0 (the
+    * index's own exact scan — for a quantized index that is the
+    * quantization ceiling, i.e. the best any beam can do) in ONE
+    * [[queryBatchMultiWidth]] pass, score each width with the reference's
+    * tie-tolerant rank-wise distance compare (E2 semantics —
+    * [[graft.operators.RecallEval.recallByQuery]]), and return the
+    * SMALLEST width whose sample recall meets `targetRecall`, plus the
+    * full (width, recall) curve for the record.
+    *
+    * Returns width 0 — "serve exact" ([[query]]'s `searchWidth <= 0`
+    * contract) — when no candidate width meets the target: the honest
+    * fallback, since exact scan trivially meets any target the index
+    * can meet at all.
+    *
+    * 100 TB shape: the sample is bounded by contract (|sample| × k ×
+    * |widths| result rows transit the driver — nothing corpus-sized),
+    * the sweep costs one shard-rehydration cycle, and exact ground
+    * truth is exactly one more width in the same pass (measured at the
+    * decade: brute force over 100M×64d for 100 queries is 29 s —
+    * brute force IS cheap as a calibrator, SCALE.md). */
+  def calibrateWidth(sample: Array[(Long, Array[Float])], k: Int,
+      targetRecall: Double,
+      widths: Seq[Int] = Seq(2, 4, 8, 16, 32, 64, 128, 256, 512))
+      : (Int, Seq[(Int, Double)]) = {
+    require(sample.nonEmpty, "calibrateWidth needs a non-empty sample")
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in [0, 1], got $targetRecall")
+    val ws = widths.filter(_ > 0).distinct.sorted
+    require(ws.nonEmpty, "calibrateWidth needs at least one positive width")
+    val probe = queryBatchMultiWidth(sample, k, 0 +: ws)
+      .select(col("search_width"), col("query_id"), col("rank"), col("distance"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // ground truth: the exact leg, keyed by (query, rank)
+    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
+    val denom = gt.size // |sample| x k when every query can fill k
+    val curve = ws.map { w =>
+      val hits = probe.count { case (pw, q, r, d) =>
+        pw == w && gt.get((q, r)).exists(d <= _)
+      }
+      w -> hits.toDouble / denom
+    }
+    (curve.find(_._2 >= targetRecall).map(_._1).getOrElse(0), curve)
+  }
+
   /** Probe-ready layout shared by the broadcast and shuffled probes:
     * partition i holds exactly shard i's rows (ShardPartitioner maps the
     * shard id to itself), cached ONCE per index — the exchange happens on

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexParams, VectorIndex}
+
+/** Gates for [[VectorIndex.calibrateWidth]] — the self-driving width
+  * sweep: the chosen width must meet the target on a DISJOINT holdout
+  * sample (the point of calibrating), the chosen width is the smallest
+  * candidate meeting the target on the calibration sample, and when no
+  * width can meet the target the API falls back to 0 (= serve exact). */
+class CalibrateWidthSpec extends AnyFunSuite with SparkSuite {
+
+  private def vecs(n: Int, dim: Int, seedSalt: Long): Array[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val r = new scala.util.Random(i * 2654435761L + seedSalt)
+      (i.toLong, Array.fill(dim)(r.nextFloat()))
+    }.toArray
+
+  private def tieTolerantRecall(
+      idx: VectorIndex, sample: Array[(Long, Array[Float])], k: Int,
+      width: Int): Double = {
+    val probe = idx.queryBatchMultiWidth(sample, k, Seq(0, width).distinct)
+      .select("search_width", "query_id", "rank", "distance")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
+    if (width == 0) 1.0
+    else probe.count { case (w, q, r, d) =>
+      w == width && gt.get((q, r)).exists(d <= _)
+    }.toDouble / gt.size
+  }
+
+  test("chosen width meets the target on a disjoint holdout") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = vecs(4000, dim, 13).toSeq.toDF("id", "embedding")
+    val idx = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 4),
+      numShards = 4)
+    val cal = vecs(40, dim, 101)
+    val holdout = vecs(40, dim, 9001).map { case (id, v) => (id + 1000, v) }
+    val target = 0.9
+    val (chosen, curve) = idx.calibrateWidth(cal, k = 10, targetRecall = target,
+      widths = Seq(2, 4, 8, 16, 32, 64))
+    // smallest-meeting-target contract on the calibration sample
+    assert(curve.exists(_._2 >= target), s"premise: some width meets $target: $curve")
+    val smaller = curve.takeWhile(_._1 != chosen)
+    assert(smaller.forall(_._2 < target), s"chosen $chosen not smallest: $curve")
+    assert(curve.find(_._1 == chosen).get._2 >= target)
+    // the generalization gate: the holdout (disjoint queries) also meets
+    // the target, with a 5pp sampling allowance
+    val holdoutRecall = tieTolerantRecall(idx, holdout, 10, chosen)
+    assert(holdoutRecall >= target - 0.05,
+      s"holdout recall $holdoutRecall at chosen width $chosen (curve $curve)")
+  }
+
+  test("unreachable target falls back to width 0 (serve exact)") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = vecs(4000, dim, 13).toSeq.toDF("id", "embedding")
+    val idx = VectorIndex.build(corpus,
+      IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 4),
+      numShards = 4)
+    val cal = vecs(40, dim, 101)
+    val (_, curve) = idx.calibrateWidth(cal, k = 10, targetRecall = 0.0,
+      widths = Seq(1, 2))
+    val maxReachable = curve.map(_._2).max
+    assume(maxReachable < 1.0, "tiny widths must miss something for this test")
+    val (chosen, _) = idx.calibrateWidth(cal, k = 10,
+      targetRecall = math.min(1.0, maxReachable + 1e-9), widths = Seq(1, 2))
+    assert(chosen === 0, s"expected exact fallback, got $chosen (max $maxReachable)")
+  }
+}
