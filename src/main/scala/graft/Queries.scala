@@ -3101,6 +3101,37 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v60_hybrid_snapshot
+  /** Hybrid retrieval served ENTIRELY from loaded snapshots
+    * ([[graft.operators.HybridRetrieval.serveFromSnapshots]]) — v46's
+    * semantics with BOTH legs behind published artifacts: the dense
+    * cosine index is built over v46's corpus, SAVED, and probed from the
+    * LOADED copy at exhaustive width (searchWidth 4096 == exact on the
+    * connectivity-repaired graph — the v44 argument, which is what lets
+    * v46's closed-form oracle gate a beam); the lexical leg is v55's
+    * saved+loaded BM25 snapshot serving the pruned batch. Any loss in
+    * either round trip (schema, stats precision, quantization of ranks,
+    * dropped postings, fusion order) breaks the hash. */
+  def v60HybridSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
+    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_snap_").toString
+    try {
+      VectorIndex.build(ce,
+        IndexParams(metric = graft.functions.DistanceMetric.Cosine,
+          minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+        numShards = 4).save(s"$root/vec")
+      val (bi, bs) = graft.operators.HybridRetrieval.bm25Index(cd, maxDf)
+      graft.operators.HybridRetrieval.saveBm25Index(bi, bs, s"$root/lex")
+      graft.operators.HybridRetrieval.serveFromSnapshots(
+        s, s"$root/vec", s"$root/lex", qd, qe,
+        n = 20, k = 10, searchWidth = 4096)
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true) // eager: the temp snapshots are deleted below
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
+  }
+
   private val v46Oracle = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -3350,6 +3381,7 @@ object Queries {
     "v44_hybrid_ann" -> v42Oracle, // dense beam at exhaustive width == exact scan
     "v45_residual_trained" -> v45Oracle,
     "v46_hybrid_bm25" -> v46Oracle,
+    "v60_hybrid_snapshot" -> v46Oracle,
     "t5_json" -> t5Oracle
   )
 }

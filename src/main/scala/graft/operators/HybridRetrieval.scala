@@ -271,6 +271,36 @@ object HybridRetrieval {
       .filter(col("lex_rank") <= n)
   }
 
+  /** Hybrid retrieval served ENTIRELY from published snapshots — the
+    * deployment face of [[rrfFuse]]: load the vector-index snapshot
+    * ([[graft.index.VectorIndex.save]]/buildTo) and the BM25 snapshot
+    * ([[saveBm25Index]]), run the dense beam and the pruned lexical
+    * serve from the loaded pair, and fuse. No leg rebuilds anything per
+    * session: the 100 TB pattern is build-once per corpus snapshot,
+    * serve-forever from both artifacts (the 10M-doc costs of each leg
+    * are in SCALE.md; this composes the two loaded serves and the
+    * q × n fusion join).
+    *
+    * @param queriesText (query_id, text) — the lexical leg's batch
+    * @param queriesEmb (query_id, embedding) — the dense leg's batch
+    * @param n per-leg ranking depth; k fused output depth
+    * @param cacheIndex cache the vector index rows (long-lived server);
+    *   default off — the bounded-probe, disk-resident serving shape
+    */
+  def serveFromSnapshots(spark: org.apache.spark.sql.SparkSession,
+      vectorIndexPath: String, bm25IndexPath: String,
+      queriesText: DataFrame, queriesEmb: DataFrame,
+      n: Int, k: Int, searchWidth: Int,
+      cacheIndex: Boolean = false): DataFrame = {
+    val vidx = graft.index.VectorIndex.load(spark, vectorIndexPath, cache = cacheIndex)
+    val dense = vidx.query(queriesEmb, n, searchWidth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val (li, ls) = loadBm25Index(spark, bm25IndexPath)
+    val lex = bm25Serve(queriesText, li, ls, n)
+    rrfFuse(dense, lex, k)
+  }
+
   /** RRF fusion of two per-query rankings. Inputs carry
     * (query_id, doc_id, <rankCol>); docs absent from a leg contribute 0
     * to the fused score and surface with that leg's rank reported as 0
