@@ -34,11 +34,11 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent(dir, _ =>
+    shingleCache.computeIfAbsent(Queries.sessionKey(s, dir), _ =>
       Dedup.shingled(Tables.documents(s, dir), n = 3).cache())
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(dir, _ =>
+    pairsCache.computeIfAbsent(Queries.sessionKey(s, dir), _ =>
       Dedup.ngramJaccardPairsFromShingles(docShingles(s, dir), threshold = 0.8).cache())
 
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =

@@ -224,7 +224,7 @@ object Queries {
   private val corpusCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def embCorpus(s: SparkSession, dir: String): DataFrame =
-    corpusCache.computeIfAbsent(dir, _ =>
+    corpusCache.computeIfAbsent(sessionKey(s, dir), _ =>
       Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding")))
 
@@ -234,7 +234,7 @@ object Queries {
     buildEmbIndex(s, dir)
 
   private def buildEmbIndex(s: SparkSession, dir: String): VectorIndex =
-    indexCache.computeIfAbsent(dir, _ =>
+    indexCache.computeIfAbsent(sessionKey(s, dir), _ =>
       VectorIndex.build(embCorpus(s, dir),
         IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4))
 
@@ -267,7 +267,7 @@ object Queries {
   private val v6Cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def v6AnnExact(s: SparkSession, dir: String): DataFrame =
-    v6Cache.computeIfAbsent(dir, _ =>
+    v6Cache.computeIfAbsent(sessionKey(s, dir), _ =>
       buildEmbIndex(s, dir).query(embQueries(s, dir), k = 10, searchWidth = 0)
         .withColumn("distance", round(col("distance"), 6))
         .orderBy(col("query_id"), col("rank"))
@@ -368,20 +368,27 @@ object Queries {
   private val rewriteInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Per-(session, dir) install key: a FRESH session in the same JVM must
-    * re-install the rule and re-register its indexes (IndexCatalog drops
-    * dead-session entries) — a dir-only key would skip that and the gate
-    * queries would silently fall back to the un-rewritten sort plan. */
-  private def installKey(s: SparkSession, dir: String): String =
+  /** Per-(session, dir) cache key for every cache holding a SPARK
+    * object (index handles, cached frames, session-catalog tables,
+    * installed rules): a Spark object must not outlive its session — a
+    * FRESH session in the same JVM must rebuild/re-register (a dir-only
+    * key would hand it a handle bound to the stopped session; for the
+    * rewrite gates that meant silently falling back to the un-rewritten
+    * sort plan, and a v54-style direct probe of the dead handle would
+    * fail). Dead-session entries are not evicted — sessions per JVM are
+    * bounded by the harness (one, plus specs), so the leak is a few
+    * handles, not a growth path. Driver-side VALUE caches (codebooks,
+    * df caps, means) stay dir-keyed: they are session-independent. */
+  private[graft] def sessionKey(s: SparkSession, dir: String): String =
     dir + "#" + System.identityHashCode(s)
 
   def v16SqlAnnRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!rewriteInstalled.contains(installKey(s, dir))) {
+    if (!rewriteInstalled.contains(sessionKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
-      rewriteInstalled.add(installKey(s, dir))
+      rewriteInstalled.add(sessionKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -407,10 +414,10 @@ object Queries {
   def v37FilteredRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!rewriteInstalled.contains(installKey(s, dir))) {
+    if (!rewriteInstalled.contains(sessionKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(buildEmbIndex(s, dir), corpus)
-      rewriteInstalled.add(installKey(s, dir))
+      rewriteInstalled.add(sessionKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -449,10 +456,10 @@ object Queries {
   def v57CosineRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!cosRewriteInstalled.contains(installKey(s, dir))) {
+    if (!cosRewriteInstalled.contains(sessionKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(cosQuantIndex(s, dir), corpus)
-      cosRewriteInstalled.add(installKey(s, dir))
+      cosRewriteInstalled.add(sessionKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -487,10 +494,10 @@ object Queries {
   def v58MipsRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
     val corpus = embCorpus(s, dir)
-    if (!mipsRewriteInstalled.contains(installKey(s, dir))) {
+    if (!mipsRewriteInstalled.contains(sessionKey(s, dir))) {
       GraftSqlBridge.addOptimizerRule(s, graft.plans.AnnTopKRewrite)
       graft.plans.IndexCatalog.register(mipsIndex(s, dir), corpus)
-      mipsRewriteInstalled.add(installKey(s, dir))
+      mipsRewriteInstalled.add(sessionKey(s, dir))
     }
     val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).toArray
@@ -621,7 +628,7 @@ object Queries {
 
   def ensureBucketedTables(s: SparkSession, dir: String): Unit = {
     val (oTab, cTab) = bucketTableNames(dir)
-    if (!bucketed.contains(dir)) {
+    if (!bucketed.contains(sessionKey(s, dir))) {
       resetTable(s, oTab); resetTable(s, cTab)
       // co-partition on the bucket key before writing so each task emits
       // one file per bucket instead of every task writing every bucket
@@ -632,7 +639,7 @@ object Queries {
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTab)
       // mark AFTER both writes: a failed setup must retry on the next
       // call, not poison the session
-      bucketed.add(dir)
+      bucketed.add(sessionKey(s, dir))
     }
   }
 
@@ -665,11 +672,11 @@ object Queries {
 
   /** One-time bucketed corpus write (untimed bench prepare, like b1's). */
   def ensureBucketedCorpus(s: SparkSession, dir: String): Unit =
-    if (!corpusBucketed.contains(dir)) {
+    if (!corpusBucketed.contains(sessionKey(s, dir))) {
       val tab = corpusTableName(dir)
       resetTable(s, tab)
       VectorIndex.writeBucketedCorpus(embCorpus(s, dir), tab, numShards = 4)
-      corpusBucketed.add(dir)
+      corpusBucketed.add(sessionKey(s, dir))
     }
 
   // full-precision corpus bucketed BY ID for the v22 rerank join: stage
@@ -681,7 +688,7 @@ object Queries {
     "graft_rerank_corpus_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   private[graft] def ensureRerankCorpus(s: SparkSession, dir: String): Unit =
-    if (!rerankBucketed.contains(dir)) {
+    if (!rerankBucketed.contains(sessionKey(s, dir))) {
       val tab = rerankTableName(dir)
       resetTable(s, tab)
       // pre-shuffle on the bucket hash so each task emits exactly one
@@ -692,11 +699,11 @@ object Queries {
         .write.mode("overwrite")
         .bucketBy(4, "id").sortBy("id")
         .saveAsTable(tab)
-      rerankBucketed.add(dir)
+      rerankBucketed.add(sessionKey(s, dir))
     }
 
   private[graft] def v20Index(s: SparkSession, dir: String): VectorIndex =
-    bucketedIdxCache.computeIfAbsent(dir, _ => {
+    bucketedIdxCache.computeIfAbsent(sessionKey(s, dir), _ => {
       ensureBucketedCorpus(s, dir)
       VectorIndex.buildFromBucketed(s, corpusTableName(dir),
         IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2))
@@ -755,7 +762,7 @@ object Queries {
 
   private val quantIdxCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
   private[graft] def quantIndex(s: SparkSession, dir: String): VectorIndex =
-    quantIdxCache.computeIfAbsent(dir, _ =>
+    quantIdxCache.computeIfAbsent(sessionKey(s, dir), _ =>
       VectorIndex.build(embCorpus(s, dir),
         IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
           quantized = true), numShards = 4))
@@ -803,7 +810,7 @@ object Queries {
   // quantization over the normalized corpus), one per sf dir
   private val cosQuantIdxCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
   private[graft] def cosQuantIndex(s: SparkSession, dir: String): VectorIndex =
-    cosQuantIdxCache.computeIfAbsent(dir, _ =>
+    cosQuantIdxCache.computeIfAbsent(sessionKey(s, dir), _ =>
       VectorIndex.buildAutoQuantized(embCorpus(s, dir),
         IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
           normalizeForCosine = true), numShards = 4))
@@ -867,11 +874,15 @@ object Queries {
   // persistence part of this gate, not just construction.
   private val mipsIdxCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
   private[graft] def mipsIndex(s: SparkSession, dir: String): VectorIndex =
-    mipsIdxCache.computeIfAbsent(dir, _ => {
+    mipsIdxCache.computeIfAbsent(sessionKey(s, dir), _ => {
       val built = VectorIndex.buildMips(embCorpus(s, dir),
         IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
       val path = java.nio.file.Files.createTempDirectory("graft_mips_").toString
       built.save(path)
+      // the loaded handle serves lazily FROM this parquet for the cache
+      // entry's whole life — deletion must wait for JVM exit
+      sys.addShutdownHook(
+        graft.streaming.StreamingOps.deleteRecursively(path))
       VectorIndex.load(s, path)
     })
 
@@ -2235,7 +2246,7 @@ object Queries {
   private val tokenIndexCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
 
   private[graft] def tokenIndex(s: SparkSession, dir: String): VectorIndex =
-    tokenIndexCache.computeIfAbsent(dir, _ =>
+    tokenIndexCache.computeIfAbsent(sessionKey(s, dir), _ =>
       VectorIndex.build(
         Tables.embeddings(s, dir).filter(col("vec_id") >= 20)
           .select(col("vec_id").as("id"), col("embedding")),
@@ -2398,7 +2409,7 @@ object Queries {
   private val rnnPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[graft] def reciprocalNnPairs(s: SparkSession, dir: String): DataFrame =
-    rnnPairsCache.computeIfAbsent(dir, _ => {
+    rnnPairsCache.computeIfAbsent(sessionKey(s, dir), _ => {
       val corpus = embCorpus(s, dir)
       val queries = corpus.select(col("id").as("query_id"), col("embedding"))
       val knn = buildEmbIndex(s, dir).query(queries, k = 4, searchWidth = 0)
@@ -3051,7 +3062,7 @@ object Queries {
   private val cosIndexCache = new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
 
   private[graft] def cosineEmbIndex(s: SparkSession, dir: String): VectorIndex =
-    cosIndexCache.computeIfAbsent(dir, _ =>
+    cosIndexCache.computeIfAbsent(sessionKey(s, dir), _ =>
       VectorIndex.build(embCorpus(s, dir),
         IndexParams(metric = graft.functions.DistanceMetric.Cosine,
           minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
@@ -3258,7 +3269,7 @@ object Queries {
   private val v52Cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def v52RetrievalQuality(s: SparkSession, dir: String): DataFrame =
-    v52Cache.computeIfAbsent(dir, _ => {
+    v52Cache.computeIfAbsent(sessionKey(s, dir), _ => {
       val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
       val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))

@@ -349,18 +349,30 @@ final class LsmVectorIndex private (
       batch: Array[(Long, Array[Float])], k: Int, searchWidth: Int): DataFrame =
     queryBatch(batch, k, searchWidth)
 
+  /** The tombstone set as ONE broadcast sorted primitive array, created
+    * lazily on first probe and shared by every subsequent query on this
+    * handle — tombstones are immutable per instance ([[delete]] returns
+    * a new handle), so a long-lived serving loop reuses the single
+    * executor-resident copy instead of accumulating one broadcast per
+    * queryBatch call. */
+  @transient private lazy val tombstoneBc
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val sorted = tombstones.toArray
+    java.util.Arrays.sort(sorted)
+    base.rows.sparkSession.sparkContext.broadcast(sorted)
+  }
+
   /** Kernel liveness filter from the tombstone set: null (no filtering
     * overhead anywhere in the kernel loop) when nothing is deleted;
-    * otherwise a primitive-sorted-array binary search behind ONE
-    * broadcast — O(log t) per candidate with zero boxing, and every
-    * probe task shares the one executor-resident copy instead of each
-    * closure dragging a Set[Long] through task serialization. */
+    * otherwise a primitive-sorted-array binary search behind the
+    * per-handle [[tombstoneBc]] broadcast — O(log t) per candidate with
+    * zero boxing, every probe task sharing the one executor-resident
+    * copy instead of each closure dragging a Set[Long] through task
+    * serialization. */
   private def liveFilter(
       spark: org.apache.spark.sql.SparkSession): Long => Boolean = {
     if (tombstones.isEmpty) return null
-    val sorted = tombstones.toArray
-    java.util.Arrays.sort(sorted)
-    val bc = spark.sparkContext.broadcast(sorted)
+    val bc = tombstoneBc
     gid => java.util.Arrays.binarySearch(bc.value, gid) < 0
   }
 

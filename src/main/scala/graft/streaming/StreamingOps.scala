@@ -1244,11 +1244,13 @@ object StreamingOps {
     // the localCheckpointed state (shared attribute ids); Catalyst's
     // union constraint rewriting trips over that self-lineage ("key not
     // found" in rewriteConstraints). Constraints buy nothing in these
-    // small per-batch plans — turn propagation off for the stream's
-    // duration and restore after.
-    val constraintKey = "spark.sql.constraintPropagation.enabled"
-    val prevConstraints = spark.conf.get(constraintKey)
-    spark.conf.set(constraintKey, "false")
+    // small per-batch plans — turn propagation off SCOPED to this
+    // operator's own plan constructions (a thread-local conf overlay, so
+    // a concurrent query on the same session keeps its plan quality)
+    // instead of toggling the session for the stream's whole duration.
+    def noConstraints[T](f: => T): T =
+      org.apache.spark.sql.graft.GraftSqlBridge.withConfOverrides(
+        spark, "spark.sql.constraintPropagation.enabled" -> "false")(f)
     val params = IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2)
     val all = spark.read.parquet(embPath)
     val base = all.filter(baseCorpusPred)
@@ -1259,15 +1261,17 @@ object StreamingOps {
     // per-node top-k edge state (src, dst, distance) + the corpus seen so
     // far; both re-materialized per batch (localCheckpoint truncates the
     // lineage that would otherwise reference expired micro-batch frames)
-    val seedState = baseIdx
-      .query(base.select(col("id").as("query_id"), col("embedding")),
-        kEdges + 1, searchWidth)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rr", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))))
-      .filter(col("rr") <= kEdges)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("distance"))
-      .localCheckpoint(true)
+    val seedState = noConstraints {
+      baseIdx
+        .query(base.select(col("id").as("query_id"), col("embedding")),
+          kEdges + 1, searchWidth)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rr", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))))
+        .filter(col("rr") <= kEdges)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("distance"))
+        .localCheckpoint(true)
+    }
     // EXACT face: one monolithic state frame, re-cut affected srcs and
     // re-materialized per batch (the gate face — exact by induction).
     @volatile var state = if (searchWidth == 0) seedState else null
@@ -1335,7 +1339,7 @@ object StreamingOps {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch0: DataFrame, _: Long) =>
-          if (!batch0.isEmpty) {
+          if (!batch0.isEmpty) noConstraints {
             val batch = batch0.select(col("id"), col("embedding")).localCheckpoint(true)
             current = current.ingest(batch)
             val w = org.apache.spark.sql.expressions.Window
@@ -1428,7 +1432,6 @@ object StreamingOps {
     } finally {
       if (statePartitions > 0)
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set(constraintKey, prevConstraints)
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
@@ -1440,8 +1443,12 @@ object StreamingOps {
     }
     // reciprocal-pair view over the final state — v48's output contract
     // (beam face: one full latest-wins resolution, the only O(state)
-    // window the generational path ever runs outside compaction)
-    val e = if (searchWidth == 0) state else latestEdges(null).localCheckpoint(true)
+    // window the generational path ever runs outside compaction). The
+    // final resolution still runs under the scoped overlay (frames share
+    // checkpoint lineage); the returned pair view itself is a self-join
+    // of ONE checkpointed frame, which constraint rewriting handles.
+    val e = if (searchWidth == 0) state
+            else noConstraints { latestEdges(null).localCheckpoint(true) }
     e.join(e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
       .filter(col("src") < col("dst"))
       .select(col("src").as("id_a"), col("dst").as("id_b"),

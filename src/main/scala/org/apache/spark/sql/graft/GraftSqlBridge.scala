@@ -57,4 +57,18 @@ object GraftSqlBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Run `f` with `pairs` overlaid on the session's SQLConf for the
+    * CURRENT THREAD only (`SQLConf.withExistingConf`): plan construction
+    * and eager actions inside `f` see the override through the dynamic
+    * `SQLConf.get` that analyzer/optimizer rules read, while concurrent
+    * queries on other threads keep the session's real conf — the scoped
+    * alternative to flipping `spark.conf` session-globally around an
+    * operator. */
+  def withConfOverrides[T](spark: SparkSession, pairs: (String, String)*)(f: => T): T = {
+    val cloned = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.clone()
+    pairs.foreach { case (k, v) => cloned.setConfString(k, v) }
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(cloned)(f)
+  }
 }

@@ -417,20 +417,26 @@ class LsmIndexSpec extends AnyFunSuite with SparkSuite {
   test("generational beam state is invariant to the compaction schedule") {
     // the LSM generation discipline over the edge list: per-batch writes
     // are delta frames, latest frame per src wins, frames fold back into
-    // one at the stateFrames bound. Compacting EVERY batch (frames=1,
-    // the monolithic shape) and compacting lazily (frames=8) must land
-    // on the bit-identical final edge set for the same batching.
+    // one when their count crosses the stateFrames bound. The sweep runs
+    // 16 micro-batches at three bounds so every fold path is EXERCISED,
+    // not just designed: frames=1 folds every batch (the monolithic
+    // shape), frames=3 triggers the mid-stream generational fold ~5
+    // times, frames=16 never folds (pure frame accumulation). All three
+    // must land on the bit-identical final edge set.
     def run(framesBound: Int) = graft.streaming.StreamingOps.streamKnnGraph(
       spark, s"$sfDir/embeddings.parquet",
       baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 200,
       newVectorsPred = col("vec_id") >= 200,
-      kEdges = 3, sourceSlices = 8, statePartitions = 4, searchWidth = 8,
+      kEdges = 3, sourceSlices = 16, statePartitions = 4, searchWidth = 8,
       stateFrames = framesBound)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val eager = run(1)
-    val lazily = run(8)
+    val mid = run(3)
+    val lazily = run(16)
+    assert(eager === mid,
+      s"frames=1 gave ${eager.size} pairs, frames=3 gave ${mid.size}")
     assert(eager === lazily,
-      s"frames=1 gave ${eager.size} pairs, frames=8 gave ${lazily.size}")
+      s"frames=1 gave ${eager.size} pairs, frames=16 gave ${lazily.size}")
     assert(eager.nonEmpty)
   }
 
