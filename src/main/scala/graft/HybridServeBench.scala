@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexParams, VectorIndex}
+
+/** Hybrid serve-from-snapshots at scale — the measured face of
+  * [[graft.operators.HybridRetrieval.serveFromSnapshots]] (v60's gated
+  * semantics): build BOTH published artifacts once for an N-document
+  * corpus — the cosine vector index via [[VectorIndex.buildTo]] (rows
+  * stream straight to parquet) and the BM25 posting snapshot via
+  * [[graft.operators.HybridRetrieval.saveBm25Index]] (tok-bucketed) —
+  * then serve fused query batches entirely from the two loaded
+  * snapshots, timing each build and the serves separately. Docs are
+  * [[TextBench.docText]] (same corpus semantics as the text decade);
+  * embeddings are the KernelBench dist generation, so each leg's number
+  * sits next to its own single-leg decade row in SCALE.md.
+  *
+  * The self-hit gate: each query's text is a prefix of doc q·(n/100)
+  * and its embedding IS that doc's vector, so the fused top-k must
+  * surface the query's own doc — a serving-correctness floor no timing
+  * shortcut can fake.
+  *
+  * Run: sbt "runMain graft.HybridServeBench [nDocs] [dim] [dir]"
+  */
+object HybridServeBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val dir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_hybrid_").toString)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.graft.probeLayoutStorage", "NONE")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def emb(id: Long): Array[Float] = {
+      val r = new scala.util.Random(id * 2654435761L + 13)
+      Array.fill(dim)(r.nextFloat())
+    }
+    val corpus = spark.range(n).rdd.mapPartitions { it =>
+      it.map(id => (id, emb(id)))
+    }.toDF("id", "embedding")
+    val docs = spark.range(n).rdd
+      .map(id => (id, TextBench.docText(id)))
+      .toDF("doc_id", "text")
+    val numShards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", cpus).toInt
+
+    // --- build + publish both artifacts ---
+    val t0 = System.nanoTime()
+    VectorIndex.buildTo(corpus,
+      IndexParams(metric = graft.functions.DistanceMetric.Cosine,
+        minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+      numShards, s"$dir/vec")
+    println(f"vector snapshot (cosine, $numShards%d shards): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s build+save")
+    val t1 = System.nanoTime()
+    val maxDf = n * 78L / 100L
+    val (bi, bs) = graft.operators.HybridRetrieval.bm25Index(docs, maxDf)
+    graft.operators.HybridRetrieval.saveBm25Index(bi, bs, s"$dir/lex")
+    println(f"bm25 snapshot (78%% df cap): ${(System.nanoTime() - t1) / 1e9}%.1f s build+save")
+
+    // --- serve fused batches from the LOADED pair ---
+    def queryBatch(b: Int) = {
+      val ids = (0L until b.toLong).map(q => (q, q * (n / 100)))
+      (ids.map { case (q, d) =>
+        (q, TextBench.docText(d).split(" ").take(8).mkString(" "))
+      }.toDF("query_id", "text"),
+       ids.map { case (q, d) => (q, emb(d)) }.toDF("query_id", "embedding"),
+       ids.toMap)
+    }
+    for (b <- Seq(100, 5)) {
+      val (qd, qe, own) = queryBatch(b)
+      val t2 = System.nanoTime()
+      val fused = graft.operators.HybridRetrieval.serveFromSnapshots(
+        spark, s"$dir/vec", s"$dir/lex", qd, qe,
+        n = 20, k = 10, searchWidth = 32)
+        .select(col("query_id"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val serveS = (System.nanoTime() - t2) / 1e9
+      val selfHits = fused.count { case (q, d) => own(q) == d }
+      println(f"hybrid serve, $b%d-query batch: $serveS%.1f s wall = " +
+        f"${serveS * 1000 / b}%.1f ms/query COLD (both snapshots loaded in-job); " +
+        f"self-hit $selfHits%d/$b%d")
+      require(selfHits >= b * 9 / 10,
+        s"fused serving lost its own documents: $selfHits/$b")
+    }
+    println(s"snapshots kept at $dir")
+    spark.stop()
+  }
+}

@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object TextBench {
 
+  /** Deterministic per-id synthetic doc (shared with [[HybridServeBench]]
+    * so both benches measure the same corpus semantics): Zipf-ish vocab
+    * (nested nextInt skews toward low word ids — a realistic df
+    * distribution with true stopwords for the df cap to bite on), 40-120
+    * tokens; every 20th id block shares a base doc and ids ending in 8/9
+    * within the block are MUTATIONS of that base (2 token swaps) —
+    * planted near-duplicates the LSH must bucket together. */
+  private[graft] def docText(id: Long): String = {
+    val baseId = id - id % 20
+    val isMut = (id % 20) >= 18
+    val seedId = if (isMut) baseId else id
+    val r = new scala.util.Random(seedId * 2654435761L + 17)
+    val len = 40 + r.nextInt(81)
+    val toks = Array.fill(len)("w" + r.nextInt(r.nextInt(49999) + 1))
+    if (isMut) {
+      val rm = new scala.util.Random(id * 2654435761L + 29)
+      toks(rm.nextInt(len)) = "w" + rm.nextInt(50000)
+      toks(rm.nextInt(len)) = "w" + rm.nextInt(50000)
+    }
+    toks.mkString(" ")
+  }
+
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,20 +79,6 @@ object TextBench {
     // block shares a base doc and ids ending in 8/9 within the block are
     // MUTATIONS of that base (2 token swaps) — planted near-duplicates
     // the LSH must bucket together
-    def docText(id: Long): String = {
-      val baseId = id - id % 20
-      val isMut = (id % 20) >= 18
-      val seedId = if (isMut) baseId else id
-      val r = new scala.util.Random(seedId * 2654435761L + 17)
-      val len = 40 + r.nextInt(81)
-      val toks = Array.fill(len)("w" + r.nextInt(r.nextInt(49999) + 1))
-      if (isMut) {
-        val rm = new scala.util.Random(id * 2654435761L + 29)
-        toks(rm.nextInt(len)) = "w" + rm.nextInt(50000)
-        toks(rm.nextInt(len)) = "w" + rm.nextInt(50000)
-      }
-      toks.mkString(" ")
-    }
     val docs = spark.range(n).rdd
       .map(id => (id, docText(id)))
       .toDF("doc_id", "text")
@@ -145,12 +154,20 @@ object TextBench {
       val queries = (0L until 100L).map { qid =>
         (qid, docText(qid * (n / 100)).split(" ").take(8).mkString(" "))
       }.toDF("query_id", "text")
-      val (nPostings, nServed) = phase("bm25 snapshot load + count + 100-query serve") {
-        val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(spark, dir)
-        (li.count(),
-          graft.operators.HybridRetrieval.bm25Serve(queries, li, lstats, n = 10).count())
+      val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(spark, dir)
+      val nPostings = phase("bm25 snapshot load + full count") { li.count() }
+      // serve measured SEPARATELY from the full-scan count: the serve
+      // path pushes the batch's token set into the scan (tok_bkt
+      // partition dirs + In(tok) row groups), so its cost tracks the
+      // MATCHED postings, not the snapshot size — the r16 pruning win
+      val nServed = phase("bm25 serve only, 100-query batch (pruned scan)") {
+        graft.operators.HybridRetrieval.bm25Serve(queries, li, lstats, n = 10).count()
       }
-      println(s"  postings kept: $nPostings; served rows: $nServed")
+      val nServed5 = phase("bm25 serve only, 5-query batch (pruned scan)") {
+        graft.operators.HybridRetrieval.bm25Serve(
+          queries.filter(col("query_id") < 5), li, lstats, n = 10).count()
+      }
+      println(s"  postings kept: $nPostings; served rows: $nServed (100q) / $nServed5 (5q)")
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
