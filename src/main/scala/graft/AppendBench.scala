@@ -54,7 +54,10 @@ object AppendBench {
     val numShards = old.numShards
     val nBase = old.meta.map(_.n_vectors).sum
     println(s"base snapshot: $nBase vectors, shards=$numShards, params=${old.params}")
-    require(nBase % numShards == 0 || nBase > 0, "sanity")
+    require(nBase > 0, s"empty base snapshot at $oldPath")
+    require(residues >= 1 && residues <= numShards,
+      s"residues must be in [1, $numShards] (the id generator would " +
+        s"collide above the shard count), got $residues")
 
     // new ids >= nBase, clustered on residues 0..residues-1 (nBase is a
     // multiple of numShards for the decade snapshots; guard otherwise)
@@ -77,17 +80,24 @@ object AppendBench {
       else VectorIndex.appendTo(spark, oldPath, batch, newPath)
     val appendS = (System.nanoTime() - t0) / 1e9
     if (reuse) println(s"reusing published append snapshot at $newPath")
-    val oldNames = new java.io.File(s"$oldPath/rows").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // inode-verified link count (name sharing alone would also count the
+    // byte-copy fallback as "zero bytes")
+    def ino(f: java.io.File) =
+      try java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+      catch { case _: Exception => null }
+    val oldFiles = new java.io.File(s"$oldPath/rows").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f).toMap
     val newFiles = new java.io.File(s"$newPath/rows").listFiles()
       .filter(_.getName.endsWith(".parquet"))
-    val linked = newFiles.count(f => oldNames.contains(f.getName))
-    val written = newFiles.length - linked
-    val writtenBytes = newFiles.filter(f => !oldNames.contains(f.getName))
-      .map(_.length()).sum
+    val carried = newFiles.filter(f => oldFiles.contains(f.getName))
+    val linked = carried.count(f =>
+      ino(f) != null && ino(f) == ino(oldFiles(f.getName)))
+    val copied = carried.length - linked
+    val fresh = newFiles.filterNot(f => oldFiles.contains(f.getName))
     println(f"appendTo: $nAppend%d rows into $residues%d of $numShards%d shards -> " +
-      f"$appendS%.1f s wall; files: $linked%d hardlinked (zero bytes), " +
-      f"$written%d written (${writtenBytes / 1e9}%.2f GB)")
+      f"$appendS%.1f s wall; files: $linked%d hardlinked (zero bytes, " +
+      f"inode-verified), $copied%d byte-copied, ${fresh.length}%d written " +
+      f"(${fresh.map(_.length()).sum / 1e9}%.2f GB)")
     val affectedMeta = appended.meta.filter(_.sub_index_id < residues)
     println(s"rebuilt shards: ${affectedMeta.map(_.sub_index_id).mkString(",")} " +
       s"(rows ${affectedMeta.map(_.n_vectors).sum}); " +

@@ -424,28 +424,36 @@ class VectorIndex private (
   private[index] def appendRecovered(newVectors: DataFrame): VectorIndex =
     appendImpl(newVectors, normalize = false)
 
-  private def appendImpl(newVectors: DataFrame, normalize: Boolean): VectorIndex = {
+  /** Shared discover/recover/validate front half of [[appendImpl]] and
+    * [[VectorIndex.appendTo]]: the normalized fresh batch (CACHED — it
+    * is evaluated for shard discovery AND the rebuild, and a
+    * nondeterministic source re-evaluating differently would corrupt the
+    * shard/row bookkeeping), the affected shard ids, and the
+    * affected-slice ∪ fresh rebuild input, with the dimension and
+    * id-disjointness contract enforced in one aggregation pass (a
+    * clashing id necessarily hashes into an affected shard, so the
+    * distinctness check covers old-vs-new AND new-vs-new clashes;
+    * `existing` is recovered from index rows and must NOT re-normalize).
+    * An empty batch returns (fresh, Nil, null). Callers differ only in
+    * the rebuilt-rows SINK (in-memory cache vs parquet write) and
+    * unpersist `fresh` when done. */
+  private[index] def appendPrep(newVectors: DataFrame, normalize: Boolean,
+      cacheInput: Boolean): (DataFrame, Seq[Int], DataFrame) = {
     val spark = rows.sparkSession
     import spark.implicits._
-    // pin the batch: it is evaluated for shard discovery AND the rebuild —
-    // a nondeterministic source re-evaluating differently would corrupt
-    // the shard/row bookkeeping. Fresh API input is normalized here (once);
-    // `existing` below is recovered from index rows and must NOT be.
     val selected = newVectors.select(col("id").cast("long"), col("embedding"))
     val fresh = (if (normalize) VectorIndex.normalizeInput(selected, params)
                  else selected).cache()
     val affected = fresh
       .select(VectorIndex.shardOf(col("id"), numShards).as("s"))
       .distinct().as[Int].collect().toSet
-    if (affected.isEmpty) { fresh.unpersist(); return this }
+    if (affected.isEmpty) return (fresh, Nil, null)
     val affectedSeq = affected.toSeq
-    // vectors already in the affected shards, recovered from index rows
-    // (a clashing id necessarily hashes into an affected shard, so the
-    // distinctness check below covers old-vs-new AND new-vs-new clashes)
     val existing = rows
       .filter(col("sub_index_id").isin(affectedSeq: _*))
       .select(col("global_id").as("id"), col("embedding"))
-    val rebuildInput = existing.union(fresh).cache()
+    val rebuildInput0 = existing.union(fresh)
+    val rebuildInput = if (cacheInput) rebuildInput0.cache() else rebuildInput0
     // one validation pass: total/distinct counts + dimension mismatches
     // (existing rows always match, so counting over the union is the same
     // check as counting over fresh alone — in the same job)
@@ -458,6 +466,16 @@ class VectorIndex private (
       s"appended vectors must match index dimension $dim ($badDim mismatching rows)")
     require(nIn == nDistinct,
       s"appended ids must be disjoint from the index and unique (${nIn - nDistinct} clashes)")
+    (fresh, affectedSeq, rebuildInput)
+  }
+
+  private def appendImpl(newVectors: DataFrame, normalize: Boolean): VectorIndex = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val (fresh, affectedSeq, rebuildInput) =
+      appendPrep(newVectors, normalize, cacheInput = true)
+    if (affectedSeq.isEmpty) { fresh.unpersist(); return this }
+    val affected = affectedSeq.toSet
     val rebuilt = VectorIndex.buildRows(rebuildInput, params, numShards)
     val kept = rows.filter(!col("sub_index_id").isin(affectedSeq: _*))
     val cached = kept.union(rebuilt).cache()
@@ -868,35 +886,29 @@ object VectorIndex {
   def appendTo(spark: SparkSession, oldPath: String,
       newVectors: DataFrame, newPath: String): VectorIndex = {
     import spark.implicits._
-    require(new org.apache.hadoop.fs.Path(oldPath).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(newPath).toUri.getPath,
+    val hconf = spark.sessionState.newHadoopConf()
+    // canonical (scheme + authority + normalized path) comparison: a
+    // relative / "." / differently-spelled alias of the SAME location
+    // must be rejected (the overwrite write would destroy the old
+    // snapshot's rows before the rebuild scan reads them), while the
+    // same path string on two DIFFERENT stores is legal
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp)
+    }
+    require(qualified(oldPath) != qualified(newPath),
       "appendTo publishes a NEW snapshot: newPath must differ from oldPath")
     val old = load(spark, oldPath, cache = false)
     val params = old.params
     val numShards = old.numShards
-    val selected = newVectors.select(col("id").cast("long"), col("embedding"))
-    val fresh = normalizeInput(selected, params).cache()
-    val affected = fresh
-      .select(shardOf(col("id"), numShards).as("s"))
-      .distinct().as[Int].collect().toSet
-    require(affected.nonEmpty, "appendTo over an empty batch")
-    val affectedSeq = affected.toSeq
-    // existing rows of the affected shards only — the isin predicate is
-    // pushed to parquet, and the shard-sorted layout makes the row-group
-    // stats prune the scan to the affected files
-    val existing = old.rows
-      .filter(col("sub_index_id").isin(affectedSeq: _*))
-      .select(col("global_id").as("id"), col("embedding"))
-    val rebuildInput = existing.union(fresh)
-    val dim = old.dimension
-    val counts = rebuildInput
-      .agg(count(lit(1)), count_distinct(col("id")),
-        count(when(size(col("embedding")) =!= dim, 1))).head
-    require(counts.getLong(2) == 0,
-      s"appended vectors must match index dimension $dim (${counts.getLong(2)} mismatching)")
-    require(counts.getLong(0) == counts.getLong(1),
-      s"appended ids must be disjoint from the index and unique " +
-        s"(${counts.getLong(0) - counts.getLong(1)} clashes)")
+    // shared discover/recover/validate half ([[appendPrep]]); the
+    // existing-rows isin predicate is pushed to parquet, and the
+    // shard-sorted layout makes the row-group stats prune the scan to
+    // the affected files
+    val (fresh, affectedSeq, rebuildInput) =
+      old.appendPrep(newVectors, normalize = true, cacheInput = false)
+    require(affectedSeq.nonEmpty, "appendTo over an empty batch")
+    val affected = affectedSeq.toSet
     // 1) rebuilt shards stream straight to the new snapshot (no cache)
     buildRows(rebuildInput, params, numShards)
       .write.mode("overwrite").parquet(s"$newPath/rows")
@@ -905,9 +917,10 @@ object VectorIndex {
     val rebuiltMeta = computeMeta(
       spark.read.parquet(s"$newPath/rows").as[IndexRow])
     // 3) kept files: hardlink clean ones, rewrite only mixed ones
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = hconf
     val oldRows = new org.apache.hadoop.fs.Path(s"$oldPath/rows")
     val fs = oldRows.getFileSystem(conf)
+    val dstFs = new org.apache.hadoop.fs.Path(s"$newPath/rows").getFileSystem(conf)
     val dataFiles = fs.listStatus(oldRows).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
     val mixed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -936,15 +949,16 @@ object VectorIndex {
         case None => false
       }
       if (!touchesAffected) {
-        // pure kept file: hardlink (zero bytes), else byte copy (the
-        // object-store server-side-copy fast path)
+        // pure kept file: hardlink when BOTH ends are local (zero
+        // bytes), else byte copy across the right pair of FileSystems
+        // (on object stores this is the server-side-copy fast path)
         val dst = new org.apache.hadoop.fs.Path(s"$newPath/rows/${p.getName}")
-        val ok = fs.getScheme == "file" && (try {
+        val ok = fs.getScheme == "file" && dstFs.getScheme == "file" && (try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dst.toUri.getPath),
             java.nio.file.Paths.get(p.toUri.getPath)); true
         } catch { case _: Exception => false })
-        if (!ok) org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, dst, false, conf)
+        if (!ok) org.apache.hadoop.fs.FileUtil.copy(fs, p, dstFs, dst, false, conf)
       } else if (!onlyAffected) mixed += p.toString
       // else: file holds only affected shards — superseded by the rebuild
     }
