@@ -61,7 +61,8 @@ object IvfKnn {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (flat, k, dim) =
-      PqKnn.trainCodebooks(corpus, numCentroids, m = 1, iterations, numPartitions)
+      PqKnn.trainCodebooks(corpus, numCentroids, m = 1, iterations, numPartitions,
+        maxCodewords = Int.MaxValue) // coarse cells are Long ids, never byte codes
     (0 until k).map { j =>
       (j.toLong, java.util.Arrays.copyOfRange(flat, j * dim, (j + 1) * dim))
     }.toDF("centroid_id", "c_embedding")

@@ -29,7 +29,8 @@ object PqKnn {
 
   /** Deterministic flat codebook from sampled corpus rows.
     * @return (flat subspace-major floats, effective k, subDim) */
-  def codebooks(corpus: DataFrame, numCodewords: Int, m: Int): (Array[Float], Int, Int) = {
+  def codebooks(corpus: DataFrame, numCodewords: Int, m: Int,
+      maxCodewords: Int = 256): (Array[Float], Int, Int) = {
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible into $m subspaces")
     val subDim = dim / m
@@ -41,7 +42,11 @@ object PqKnn {
       .orderBy(col("id")).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sampled.nonEmpty, "empty corpus sample — no codebook")
-    require(sampled.length <= 256, s"codebook of ${sampled.length} exceeds byte codes")
+    // the 256 ceiling is a property of the BYTE-coded PQ encoder, not of
+    // the Lloyd kernel — [[IvfKnn.trainedCentroids]] (m=1 coarse cells,
+    // Long ids via argmin, nothing ever byte-coded) lifts it
+    require(sampled.length <= maxCodewords,
+      s"codebook of ${sampled.length} exceeds the $maxCodewords-codeword bound")
     val k = sampled.length
     val flat = new Array[Float](m * k * subDim)
     for (j <- 0 until k; s <- 0 until m; i <- 0 until subDim)
@@ -74,10 +79,11 @@ object PqKnn {
     * not of core count or file-split boundaries, so trained codebooks
     * are bit-identical on any cluster size at a given `numPartitions`. */
   def trainCodebooks(corpus: DataFrame, numCodewords: Int, m: Int,
-      iterations: Int = 5, numPartitions: Int = 32): (Array[Float], Int, Int) = {
+      iterations: Int = 5, numPartitions: Int = 32,
+      maxCodewords: Int = 256): (Array[Float], Int, Int) = {
     require(corpus.columns.contains("id"),
       "trainCodebooks requires an 'id' column: it keys the deterministic accumulation layout")
-    var (flat, k, subDim) = codebooks(corpus, numCodewords, m)
+    var (flat, k, subDim) = codebooks(corpus, numCodewords, m, maxCodewords)
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col("id"), col("embedding"))
