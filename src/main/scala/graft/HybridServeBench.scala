@@ -55,19 +55,28 @@ object HybridServeBench {
       .toDF("doc_id", "text")
     val numShards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", cpus).toInt
 
-    // --- build + publish both artifacts ---
-    val t0 = System.nanoTime()
-    VectorIndex.buildTo(corpus,
-      IndexParams(metric = graft.functions.DistanceMetric.Cosine,
-        minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
-      numShards, s"$dir/vec")
-    println(f"vector snapshot (cosine, $numShards%d shards): " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s build+save")
-    val t1 = System.nanoTime()
-    val maxDf = n * 78L / 100L
-    val (bi, bs) = graft.operators.HybridRetrieval.bm25Index(docs, maxDf)
-    graft.operators.HybridRetrieval.saveBm25Index(bi, bs, s"$dir/lex")
-    println(f"bm25 snapshot (78%% df cap): ${(System.nanoTime() - t1) / 1e9}%.1f s build+save")
+    // --- build + publish both artifacts (already-published dirs reuse:
+    // delete them to re-measure the builds) ---
+    if (new java.io.File(s"$dir/vec/params.json").exists())
+      println(s"reusing published vector snapshot at $dir/vec")
+    else {
+      val t0 = System.nanoTime()
+      VectorIndex.buildTo(corpus,
+        IndexParams(metric = graft.functions.DistanceMetric.Cosine,
+          minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+        numShards, s"$dir/vec")
+      println(f"vector snapshot (cosine, $numShards%d shards): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s build+save")
+    }
+    if (new java.io.File(s"$dir/lex/stats.json").exists())
+      println(s"reusing published bm25 snapshot at $dir/lex")
+    else {
+      val t1 = System.nanoTime()
+      val maxDf = n * 78L / 100L
+      val (bi, bs) = graft.operators.HybridRetrieval.bm25Index(docs, maxDf)
+      graft.operators.HybridRetrieval.saveBm25Index(bi, bs, s"$dir/lex")
+      println(f"bm25 snapshot (78%% df cap): ${(System.nanoTime() - t1) / 1e9}%.1f s build+save")
+    }
 
     // --- serve fused batches from the LOADED pair ---
     def queryBatch(b: Int) = {
@@ -78,19 +87,24 @@ object HybridServeBench {
        ids.map { case (q, d) => (q, emb(d)) }.toDF("query_id", "embedding"),
        ids.toMap)
     }
-    for (b <- Seq(100, 5)) {
+    // ONE loaded pair serves every batch (the long-lived server): the
+    // first pass is COLD (per-shard parquet read + graph rebuild run
+    // inside the serve job — the "other job probes the published
+    // snapshots" shape); later passes are WARM (shard graphs resident
+    // in the executor cache — the steady state)
+    val vidx = VectorIndex.load(spark, s"$dir/vec", cache = false)
+    val (li, ls) = graft.operators.HybridRetrieval.loadBm25Index(spark, s"$dir/lex")
+    for (b <- Seq(100, 100, 5)) { // 100 twice: cold, then warm
       val (qd, qe, own) = queryBatch(b)
       val t2 = System.nanoTime()
-      val fused = graft.operators.HybridRetrieval.serveFromSnapshots(
-        spark, s"$dir/vec", s"$dir/lex", qd, qe,
-        n = 20, k = 10, searchWidth = 32)
+      val fused = graft.operators.HybridRetrieval.serveFromLoaded(
+        vidx, li, ls, qd, qe, n = 20, k = 10, searchWidth = 32)
         .select(col("query_id"), col("doc_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val serveS = (System.nanoTime() - t2) / 1e9
       val selfHits = fused.count { case (q, d) => own(q) == d }
       println(f"hybrid serve, $b%d-query batch: $serveS%.1f s wall = " +
-        f"${serveS * 1000 / b}%.1f ms/query COLD (both snapshots loaded in-job); " +
-        f"self-hit $selfHits%d/$b%d")
+        f"${serveS * 1000 / b}%.1f ms/query; self-hit $selfHits%d/$b%d")
       require(selfHits >= b * 9 / 10,
         s"fused serving lost its own documents: $selfHits/$b")
     }

@@ -293,11 +293,23 @@ object HybridRetrieval {
       n: Int, k: Int, searchWidth: Int,
       cacheIndex: Boolean = false): DataFrame = {
     val vidx = graft.index.VectorIndex.load(spark, vectorIndexPath, cache = cacheIndex)
+    val (li, ls) = loadBm25Index(spark, bm25IndexPath)
+    serveFromLoaded(vidx, li, ls, queriesText, queriesEmb, n, k, searchWidth)
+  }
+
+  /** [[serveFromSnapshots]] over ALREADY-LOADED handles — the long-lived
+    * server's steady state: load both artifacts once, serve every batch
+    * on the same pair (the vector handle's shard graphs stay resident in
+    * the executor cache across batches; each fresh load would get a
+    * fresh cache identity and re-rehydrate). */
+  def serveFromLoaded(vidx: graft.index.VectorIndex,
+      lexIndex: DataFrame, lexStats: DataFrame,
+      queriesText: DataFrame, queriesEmb: DataFrame,
+      n: Int, k: Int, searchWidth: Int): DataFrame = {
     val dense = vidx.query(queriesEmb, n, searchWidth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    val (li, ls) = loadBm25Index(spark, bm25IndexPath)
-    val lex = bm25Serve(queriesText, li, ls, n)
+    val lex = bm25Serve(queriesText, lexIndex, lexStats, n)
     rrfFuse(dense, lex, k)
   }
 
