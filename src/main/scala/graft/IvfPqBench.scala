@@ -72,8 +72,9 @@ object IvfPqBench {
     println(s"training sample: ${sample.count()} rows (stride $stride)")
     val t0 = System.nanoTime()
     val cents = IvfKnn.trainedCentroids(sample, numCents, iterations = 3).cache()
-    cents.count()
-    println(f"coarse quantizer: $numCents%d trained cells, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val nCells = cents.count() // stride sampling can yield slightly fewer
+    println(f"coarse quantizer: $nCells%d trained cells (requested $numCents%d), " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     val t1 = System.nanoTime()
     val (flat, kEff, subDim) = PqKnn.trainCodebooks(sample, codewords, m, iterations = 3)
     println(f"pq codebooks: m=$m%d x $kEff%d codewords (subDim $subDim%d), " +
@@ -124,7 +125,8 @@ object IvfPqBench {
     val poolC = 50 * k
     val wPool = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
-    for (nprobe <- Seq(numCents / 128, numCents / 32, numCents / 8)) {
+    for (nprobe <- Seq(numCents / 128, numCents / 32, numCents / 8)
+        .map(math.max(1, _)).distinct) {
       // the ADC timer starts HERE: routing, ADC-table construction, and
       // the probed-cell collect are per-batch serving work a deployment
       // pays every time — excluding them would understate the serve

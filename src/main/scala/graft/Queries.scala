@@ -378,9 +378,11 @@ object Queries {
     * fail). Dead-session entries are not evicted — sessions per JVM are
     * bounded by the harness (one, plus specs), so the leak is a few
     * handles, not a growth path. Driver-side VALUE caches (codebooks,
-    * df caps, means) stay dir-keyed: they are session-independent. */
+    * df caps, means) stay dir-keyed: they are session-independent.
+    * Keyed by the session UUID — an identityHashCode can recur after
+    * GC and would resurrect a dead-session handle. */
   private[graft] def sessionKey(s: SparkSession, dir: String): String =
-    dir + "#" + System.identityHashCode(s)
+    dir + "#" + org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s)
 
   def v16SqlAnnRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlBridge
@@ -957,13 +959,10 @@ object Queries {
     val probe = idx.queryBatchMultiWidth(holdout, 10, Seq(0, chosen).distinct)
       .select(col("search_width"), col("query_id"), col("rank"), col("distance"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
-    val hits =
-      if (chosen == 0) gt.size // exact fallback serves ground truth itself
-      else probe.count { case (w, q, r, d) =>
-        w == chosen && gt.get((q, r)).exists(d <= _)
-      }
-    Seq((chosen, hits.toLong, gt.size.toLong))
+    val (widthHits, denom) = VectorIndex.tieTolerantWidthHits(probe)
+    // exact fallback serves ground truth itself
+    val hits = if (chosen == 0) denom else widthHits(chosen)
+    Seq((chosen, hits.toLong, denom.toLong))
       .toDF("chosen_width", "holdout_hits", "holdout_total")
   }
 

@@ -280,7 +280,7 @@ final class LsmVectorIndex private (
       // no k+tombstones overfetch (whose candidate volume grows with
       // the tombstone count), no post-filter. ONE broadcast shared by
       // every member's probe.
-      val live = liveFilter(spark)
+      val live = liveFilter
       mergeMembers(members.map(_.queryDistributed(queries, k, searchWidth, live)), k)
     }
   }
@@ -321,7 +321,7 @@ final class LsmVectorIndex private (
       else batch
     // kernel-level liveness filter (see query()) — each shard returns
     // its exact live top-k, no tombstone overfetch
-    val live = liveFilter(spark)
+    val live = liveFilter
     // member m owns union partitions [offsets(m), offsets(m+1))
     val offsets = members.map(_.numShards).scanLeft(0)(_ + _).toArray
     val memberInfo = members.map(m =>
@@ -369,8 +369,7 @@ final class LsmVectorIndex private (
     * zero boxing, every probe task sharing the one executor-resident
     * copy instead of each closure dragging a Set[Long] through task
     * serialization. */
-  private def liveFilter(
-      spark: org.apache.spark.sql.SparkSession): Long => Boolean = {
+  private def liveFilter: Long => Boolean = {
     if (tombstones.isEmpty) return null
     val bc = tombstoneBc
     gid => java.util.Arrays.binarySearch(bc.value, gid) < 0

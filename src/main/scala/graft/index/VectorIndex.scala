@@ -280,15 +280,8 @@ class VectorIndex private (
     val probe = queryBatchMultiWidth(sample, k, 0 +: ws)
       .select(col("search_width"), col("query_id"), col("rank"), col("distance"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-    // ground truth: the exact leg, keyed by (query, rank)
-    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
-    val denom = gt.size // |sample| x k when every query can fill k
-    val curve = ws.map { w =>
-      val hits = probe.count { case (pw, q, r, d) =>
-        pw == w && gt.get((q, r)).exists(d <= _)
-      }
-      w -> hits.toDouble / denom
-    }
+    val (hits, denom) = VectorIndex.tieTolerantWidthHits(probe)
+    val curve = ws.map(w => w -> hits(w).toDouble / denom)
     (curve.find(_._2 >= targetRecall).map(_._1).getOrElse(0), curve)
   }
 
@@ -456,16 +449,24 @@ class VectorIndex private (
     val rebuildInput = if (cacheInput) rebuildInput0.cache() else rebuildInput0
     // one validation pass: total/distinct counts + dimension mismatches
     // (existing rows always match, so counting over the union is the same
-    // check as counting over fresh alone — in the same job)
-    val dim = if (meta.nonEmpty) dimension else -1
-    val counts = rebuildInput
-      .agg(count(lit(1)), count_distinct(col("id")),
-        count(when(lit(dim >= 0) && size(col("embedding")) =!= dim, 1))).head
-    val (nIn, nDistinct, badDim) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
-    require(badDim == 0,
-      s"appended vectors must match index dimension $dim ($badDim mismatching rows)")
-    require(nIn == nDistinct,
-      s"appended ids must be disjoint from the index and unique (${nIn - nDistinct} clashes)")
+    // check as counting over fresh alone — in the same job). A failed
+    // validation unpersists before throwing — a caller that catches and
+    // retries must not accumulate orphaned cached batches.
+    try {
+      val dim = if (meta.nonEmpty) dimension else -1
+      val counts = rebuildInput
+        .agg(count(lit(1)), count_distinct(col("id")),
+          count(when(lit(dim >= 0) && size(col("embedding")) =!= dim, 1))).head
+      val (nIn, nDistinct, badDim) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      require(badDim == 0,
+        s"appended vectors must match index dimension $dim ($badDim mismatching rows)")
+      require(nIn == nDistinct,
+        s"appended ids must be disjoint from the index and unique (${nIn - nDistinct} clashes)")
+    } catch { case t: Throwable =>
+      fresh.unpersist()
+      if (cacheInput) rebuildInput.unpersist()
+      throw t
+    }
     (fresh, affectedSeq, rebuildInput)
   }
 
@@ -568,6 +569,25 @@ class VectorIndex private (
 }
 
 object VectorIndex {
+
+  /** Tie-tolerant rank-wise width scoring shared by [[VectorIndex
+    * .calibrateWidth]], the v59 gate, and CalibrateWidthSpec — ONE
+    * implementation of the E2 hit rule so the production operator, the
+    * pinned oracle, and the spec cannot silently diverge. `probe` is
+    * the collected rows of one [[VectorIndex.queryBatchMultiWidth]]
+    * pass that INCLUDED width 0 (the exact leg): a width-w row hits
+    * when its distance is <= the width-0 distance at the same
+    * (query, rank). Returns (per-width hit counts, ground-truth row
+    * count). */
+  private[graft] def tieTolerantWidthHits(
+      probe: Array[(Int, Long, Int, Double)]): (Map[Int, Int], Int) = {
+    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
+    val hits = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    probe.foreach { case (w, q, r, d) =>
+      if (w != 0 && gt.get((q, r)).exists(d <= _)) hits(w) += 1
+    }
+    (hits.toMap.withDefaultValue(0), gt.size)
+  }
 
   /** One shard's probe: rehydrate (or cache-hit) the graph from the
     * partition's rows and run every query of the broadcast batch against
@@ -907,7 +927,10 @@ object VectorIndex {
     // the affected files
     val (fresh, affectedSeq, rebuildInput) =
       old.appendPrep(newVectors, normalize = true, cacheInput = false)
-    require(affectedSeq.nonEmpty, "appendTo over an empty batch")
+    if (affectedSeq.isEmpty) {
+      fresh.unpersist()
+      throw new IllegalArgumentException("appendTo over an empty batch")
+    }
     val affected = affectedSeq.toSet
     // 1) rebuilt shards stream straight to the new snapshot (no cache)
     buildRows(rebuildInput, params, numShards)

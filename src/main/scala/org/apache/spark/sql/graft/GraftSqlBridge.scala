@@ -58,6 +58,12 @@ object GraftSqlBridge {
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
 
+  /** The session's collision-free UUID (private[sql] on the session
+    * itself) — cache keys built from identityHashCode can recur after
+    * GC and resurrect dead-session handles; this cannot. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Run `f` with `pairs` overlaid on the session's SQLConf for the
     * CURRENT THREAD only (`SQLConf.withExistingConf`): plan construction
     * and eager actions inside `f` see the override through the dynamic

@@ -23,11 +23,10 @@ class CalibrateWidthSpec extends AnyFunSuite with SparkSuite {
     val probe = idx.queryBatchMultiWidth(sample, k, Seq(0, width).distinct)
       .select("search_width", "query_id", "rank", "distance")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-    val gt = probe.collect { case (0, q, r, d) => (q, r) -> d }.toMap
-    if (width == 0) 1.0
-    else probe.count { case (w, q, r, d) =>
-      w == width && gt.get((q, r)).exists(d <= _)
-    }.toDouble / gt.size
+    // the shared E2 scoring rule — same implementation the operator and
+    // the v59 gate use
+    val (hits, denom) = VectorIndex.tieTolerantWidthHits(probe)
+    if (width == 0) 1.0 else hits(width).toDouble / denom
   }
 
   test("chosen width meets the target on a disjoint holdout") {
