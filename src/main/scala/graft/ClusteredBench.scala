@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexParams, VectorIndex}
+import graft.operators.{IvfKnn, PqKnn}
+import graft.functions.PqFunctions
+
+/** The CLUSTERED-corpus decade quality curve — the realistic counterpart
+  * to every uniform-random 100M number in SCALE.md. Uniform-random
+  * vectors are the documented adversarial worst case for both the beam
+  * graph (recall 0.17 at sw=16) and IVF-PQ (0.218 at nprobe=8): no local
+  * structure for a graph walk or a coarse quantizer to exploit. Real
+  * embedding corpora are heavily clustered, and the deployment decision
+  * (graph vs IVF-PQ, production searchWidth, nprobe) needs the curve on
+  * THAT shape. This main pins it, on the same scale (100M x 64d), with
+  * the same deterministic executor-side generation discipline as
+  * [[KernelBench]] dist mode — nothing corpus-sized ever exists on the
+  * driver or outside the published snapshots.
+  *
+  * Corpus model: planted Gaussian clusters. Per id, ONE seeded RNG draws
+  * u ~ U[0,1); cluster = floor(u^2 * K) (quadratic skew — head clusters
+  * hold ~1% of the corpus each, the tail thins out, mimicking topic
+  * frequency skew); the point is the cluster's seeded uniform center
+  * plus N(0, sigma^2) per-component noise, clamped to [0,1) so the SQ8
+  * range contract (quantLo=0, quantHi=1) holds unchanged. Queries are
+  * drawn from the SAME mixture with a different salt — the serving
+  * distribution matches the corpus, as it does in production.
+  *
+  * Phases (comma list, resumable — the graph snapshot is reused via its
+  * params.json like [[AppendBench]]):
+  *  - build: [[VectorIndex.buildTo]] the SQ8 graph snapshot.
+  *  - graph: float-exact ground truth (fused kNN over the regenerated
+  *    corpus), multi-width recall curve vs that float GT (width 0 = the
+  *    SQ8 quantization ceiling), a [[VectorIndex.calibrateWidth]] run
+  *    choosing the production width at target 0.95, a disjoint-holdout
+  *    check of the chosen width, and warm ms/query at the chosen width.
+  *  - ivfpq: global-codebook AND residual-codebook (FAISS IVFPQ flavor —
+  *    v30's operator at the decade, the regime where residual coding is
+  *    predicted to win: many cells, tight intra-cell geometry) snapshots
+  *    over the same corpus, nprobe sweep with ADC pool -> exact rerank,
+  *    recall vs the same float GT.
+  *
+  * Run: sbt "runMain graft.ClusteredBench <dir> [n] [dim] [nClusters]
+  *   [sigma] [phases]"
+  */
+object ClusteredBench {
+
+  private[graft] val CorpusSalt = 29L
+  private[graft] val QuerySalt = 31L
+
+  /** Deterministic clustered vector for an id: one per-id RNG stream
+    * (first draw picks the cluster, the rest is noise), one per-cluster
+    * RNG for the center — regenerable anywhere, executor-side. */
+  private[graft] def clusteredVector(id: Long, dim: Int, nClusters: Int,
+      sigma: Float, salt: Long): Array[Float] = {
+    val r = new scala.util.Random(id * 2654435761L + salt)
+    val u = r.nextDouble()
+    val cluster = math.min(nClusters - 1, (u * u * nClusters).toInt)
+    val cr = new scala.util.Random(cluster.toLong * 1099511628211L + 977)
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val x = cr.nextFloat() + r.nextGaussian().toFloat * sigma
+      out(j) = math.min(0.999999f, math.max(0f, x))
+      j += 1
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: ClusteredBench <dir> [n] [dim] [nClusters] [sigma] [phases]"))
+    val n = args.lift(1).map(_.toLong).getOrElse(100000000L)
+    val dim = args.lift(2).map(_.toInt).getOrElse(64)
+    val nClusters = args.lift(3).map(_.toInt).getOrElse(10000)
+    val sigma = args.lift(4).map(_.toFloat).getOrElse(0.05f)
+    val phases = args.lift(5).getOrElse("build,graph,ivfpq").split(",").toSet
+    val k = 10
+    val nQueries = 100
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val numShards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "128").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.graft.probeLayoutStorage", "NONE")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def corpus = spark.range(n).rdd.mapPartitions { it =>
+      it.map(id => (id, clusteredVector(id, dim, nClusters, sigma, CorpusSalt)))
+    }.toDF("id", "embedding")
+
+    def queryVec(id: Long) = clusteredVector(id, dim, nClusters, sigma, QuerySalt)
+
+    val snapPath = s"$dir/graph"
+    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128,
+      step = 4, quantized = true, quantLo = 0f, quantHi = 1f)
+
+    // --- phase: build (skipped when the snapshot already exists) ---
+    if (phases("build")) {
+      if (new java.io.File(s"$snapPath/params.json").exists()) {
+        println(s"build: snapshot already published at $snapPath — reusing")
+      } else {
+        println(s"build: $n x ${dim}d clustered (K=$nClusters, sigma=$sigma), " +
+          s"SQ8, shards=$numShards -> $snapPath")
+        val t0 = System.nanoTime()
+        VectorIndex.buildTo(corpus, params, numShards, snapPath)
+        println(f"build wall: ${(System.nanoTime() - t0) / 1e9}%.0f s")
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        println(f"snapshot bytes: ${walk(new java.io.File(snapPath)) / 1e9}%.2f GB")
+      }
+    }
+
+    // shared float-exact ground truth for graph + ivfpq phases
+    lazy val qdf = (0L until nQueries.toLong).map(id => (id, queryVec(id)))
+      .toDF("query_id", "embedding").cache()
+    lazy val gt: Set[(Long, Long)] = {
+      qdf.count()
+      val t = System.nanoTime()
+      val s = graft.plans.KnnJoinPlan.knnFused(qdf, corpus, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"float-exact ground truth: ${(System.nanoTime() - t) / 1e9}%.1f s " +
+        f"(${s.size} pairs)")
+      s
+    }
+
+    // --- phase: graph (recall curve + width calibration + latency) ---
+    if (phases("graph")) {
+      val idx = VectorIndex.load(spark, snapPath, cache = false)
+      println(s"graph: loaded ${idx.meta.map(_.n_vectors).sum} vectors, " +
+        s"shards=${idx.numShards}")
+      val sample = (0L until nQueries.toLong).map(id => (id, queryVec(id))).toArray
+
+      // recall vs FLOAT ground truth per width; width 0 = SQ8 ceiling
+      val widths = Seq(0, 2, 4, 8, 16, 32, 64, 128, 256)
+      val t1 = System.nanoTime()
+      val probe = idx.queryBatchMultiWidth(sample, k, widths)
+        .select(col("search_width"), col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      println(f"multi-width probe: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val byWidth = probe.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      widths.foreach { w =>
+        val got = byWidth.getOrElse(w, Set.empty)
+        println(f"recall@$k vs float GT (sw=$w%3d) = " +
+          f"${(gt intersect got).size.toDouble / gt.size}%.4f")
+      }
+
+      // production-width calibration on the clustered snapshot (tie-
+      // tolerant vs the index's own exact scan — E2 semantics), then a
+      // DISJOINT 200-query holdout at the chosen width
+      val (chosen, curve) = idx.calibrateWidth(sample, k, targetRecall = 0.95,
+        widths = Seq(2, 4, 8, 16, 32, 64, 128, 256))
+      println(s"calibrateWidth(target=0.95): chosen=$chosen curve=" +
+        curve.map { case (w, r) => f"$w:$r%.3f" }.mkString(" "))
+      val holdout = (1000L until 1200L).map(id => (id, queryVec(id))).toArray
+      val hProbe = idx.queryBatchMultiWidth(holdout, k,
+          Seq(0, if (chosen > 0) chosen else 64))
+        .select(col("search_width"), col("query_id"), col("rank"), col("distance"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      val (hHits, hDenom) = VectorIndex.tieTolerantWidthHits(hProbe)
+      val hw = if (chosen > 0) chosen else 64
+      println(f"holdout(200q, sw=$hw): ${hHits(hw)}/$hDenom = " +
+        f"${hHits(hw).toDouble / hDenom}%.4f")
+
+      // warm serving latency at the chosen width
+      val swServe = if (chosen > 0) chosen else 64
+      idx.query(qdf, k, swServe).count() // warm (graphs already resident)
+      val lat = (1 to 2).map { _ =>
+        val t = System.nanoTime(); idx.query(qdf, k, swServe).count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+      println(f"warm serve at sw=$swServe: $lat%.2f s / $nQueries queries = " +
+        f"${lat * 1000 / nQueries}%.1f ms/query")
+    }
+
+    // --- phase: ivfpq (global vs residual codebooks, same GT) ---
+    if (phases("ivfpq")) {
+      val numCents = 1024; val m = 8; val codewords = 256
+      val stride = math.max(1L, n / 100000L)
+      val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
+        .select((col("id") / stride).cast("long").as("id"), col("embedding"))
+        .cache()
+      println(s"ivfpq training sample: ${sample.count()} rows (stride $stride)")
+      val t0 = System.nanoTime()
+      val cents = IvfKnn.trainedCentroids(sample, numCents, iterations = 3).cache()
+      println(f"coarse quantizer: ${cents.count()} trained cells, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+      val wPool = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
+      val poolC = 50 * k
+
+      /** Encode+publish one flavor's codes snapshot, then the nprobe
+        * sweep: ADC pool over the pushed probed-cell set -> exact rerank
+        * (identical two-stage serve as [[IvfPqBench]]). `mkRouted` yields
+        * the per-(query, cell) ADC-table frame — the only point where
+        * global and residual flavors differ on the query side. */
+      def runFlavor(label: String, kEff: Int, encoded: DataFrame,
+          mkRouted: Int => DataFrame): Unit = {
+        val codesPath = s"$dir/ivfpq_$label/codes"
+        if (!new java.io.File(codesPath).exists()) {
+          val t = System.nanoTime()
+          encoded.repartition(64, col("cell"))
+            .sortWithinPartitions(col("cell"), col("neighbor_id"))
+            .write.mode("overwrite").parquet(codesPath)
+          println(f"[$label] encode+publish: ${(System.nanoTime() - t) / 1e9}%.1f s")
+        } else println(s"[$label] codes already published — reusing")
+        val codes = spark.read.parquet(codesPath)
+        for (nprobe <- Seq(8, 32, 128)) {
+          val t4 = System.nanoTime()
+          val routed = mkRouted(nprobe).cache()
+          val cells = routed.select(col("cell")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val pool = codes.filter(col("cell").isin(cells: _*))
+            .join(broadcast(routed), Seq("cell"))
+            .select(col("query_id"), col("neighbor_id"),
+              PqFunctions.adcLookup(col("tab"), col("codes"), kEff)
+                .cast("double").as("distance"))
+            .withColumn("rank", row_number().over(wPool))
+            .filter(col("rank") <= poolC)
+            .select(col("query_id"), col("neighbor_id"))
+            .localCheckpoint(true)
+          val poolS = (System.nanoTime() - t4) / 1e9
+          val t5 = System.nanoTime()
+          val reranked = corpus.join(broadcast(pool), col("id") === col("neighbor_id"))
+            .join(broadcast(qdf.select(col("query_id"), col("embedding").as("qe"))),
+              Seq("query_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.functions.VectorFunctions.squaredL2(col("qe"), col("embedding"))
+                .as("distance"))
+            .withColumn("rank", row_number().over(wPool)).filter(col("rank") <= k)
+            .select(col("query_id"), col("neighbor_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rerankS = (System.nanoTime() - t5) / 1e9
+          println(f"[$label] serve nprobe=$nprobe%4d (${cells.size} cells): " +
+            f"adc $poolS%.1f s + rerank $rerankS%.1f s = " +
+            f"${(poolS + rerankS) * 1000 / nQueries}%.1f ms/query, " +
+            f"recall@$k = ${(gt intersect reranked).size.toDouble / gt.size}%.3f")
+          routed.unpersist()
+        }
+      }
+
+      // global codebooks: PQ over raw vectors, one ADC table per query
+      val tg = System.nanoTime()
+      val (gFlat, gK, gSub) = PqKnn.trainCodebooks(sample, codewords, m, iterations = 3)
+      println(f"[global] codebooks: ${(System.nanoTime() - tg) / 1e9}%.1f s")
+      runFlavor("global", gK,
+        IvfKnn.assign(corpus, cents)
+          .select(col("id").as("neighbor_id"), col("cell"),
+            PqFunctions.encode(col("embedding"), gFlat, m, gK, gSub).as("codes")),
+        nprobe => IvfKnn.route(qdf, cents, nprobe)
+          .select(col("query_id"), col("cell"),
+            PqFunctions.adcTable(col("q_embedding"), gFlat, m, gK, gSub).as("tab")))
+
+      // residual codebooks (FAISS IVFPQ): PQ over x - centroid(cell(x));
+      // ADC table per (query, probed cell) from q - centroid
+      val tr = System.nanoTime()
+      val residSample = PqKnn.residuals(sample, cents)
+      val (rFlat, rK, rSub) = PqKnn.trainCodebooks(residSample, codewords, m,
+        iterations = 3)
+      println(f"[residual] codebooks: ${(System.nanoTime() - tr) / 1e9}%.1f s")
+      runFlavor("residual", rK,
+        PqKnn.residuals(corpus, cents)
+          .select(col("id").as("neighbor_id"), col("cell"),
+            PqFunctions.encode(col("embedding"), rFlat, m, rK, rSub).as("codes")),
+        nprobe => IvfKnn.route(qdf, cents, nprobe)
+          .join(broadcast(cents), col("cell") === col("centroid_id"))
+          .select(col("query_id"), col("cell"),
+            PqFunctions.adcTable(
+              zip_with(col("q_embedding"), col("c_embedding"), (q, c) => q - c),
+              rFlat, m, rK, rSub).as("tab")))
+      sample.unpersist(); cents.unpersist()
+    }
+    println(s"clustered decade artifacts at $dir")
+    spark.stop()
+  }
+}

@@ -166,6 +166,7 @@ final class LsmVectorIndex private (
       s"${ts.size} tombstones exceed the 2^20 liveness-filter bound " +
         "(driver set + ~8 MB broadcast sizing) — " +
         "compact() (or lower deleteThreshold) to purge physically")
+    unpersistTombstoneBc() // this handle is superseded; free its copy
     val next = new LsmVectorIndex(base, generations, compactThreshold,
       genShardSize, ownsBase, ts, deleteThreshold, asyncPending)
     if (ts.size >= deleteThreshold && !asyncPending.get()) next.compact()
@@ -355,11 +356,25 @@ final class LsmVectorIndex private (
     * a new handle), so a long-lived serving loop reuses the single
     * executor-resident copy instead of accumulating one broadcast per
     * queryBatch call. */
-  @transient private lazy val tombstoneBc
-      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
-    val sorted = tombstones.toArray
-    java.util.Arrays.sort(sorted)
-    base.rows.sparkSession.sparkContext.broadcast(sorted)
+  @transient private var tombstoneBcRef
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = null
+  private def tombstoneBc
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = synchronized {
+    if (tombstoneBcRef == null) {
+      val sorted = tombstones.toArray
+      java.util.Arrays.sort(sorted)
+      tombstoneBcRef = base.rows.sparkSession.sparkContext.broadcast(sorted)
+    }
+    tombstoneBcRef
+  }
+
+  /** Release this handle's executor-resident tombstone copies (no-op if
+    * never probed). [[delete]] calls it on the superseded handle so a
+    * long-lived delete-heavy loop holds ONE live broadcast, not one per
+    * derived handle until driver GC. unpersist (not destroy): the old
+    * handle stays probe-able — executors just refetch on next use. */
+  private def unpersistTombstoneBc(): Unit = synchronized {
+    if (tombstoneBcRef != null) tombstoneBcRef.unpersist(false)
   }
 
   /** Kernel liveness filter from the tombstone set: null (no filtering

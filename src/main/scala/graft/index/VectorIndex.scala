@@ -281,6 +281,12 @@ class VectorIndex private (
       .select(col("search_width"), col("query_id"), col("rank"), col("distance"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     val (hits, denom) = VectorIndex.tieTolerantWidthHits(probe)
+    // an empty/probeless index yields no width-0 ground-truth rows; a
+    // silent all-NaN curve would "choose" width 0 for a meaningless
+    // calibration — surface it instead
+    require(denom > 0,
+      "calibrateWidth: the exact (width 0) probe returned no rows — " +
+        "empty index or unprobeable sample")
     val curve = ws.map(w => w -> hits(w).toDouble / denom)
     (curve.find(_._2 >= targetRecall).map(_._1).getOrElse(0), curve)
   }
@@ -932,10 +938,13 @@ object VectorIndex {
       throw new IllegalArgumentException("appendTo over an empty batch")
     }
     val affected = affectedSeq.toSet
-    // 1) rebuilt shards stream straight to the new snapshot (no cache)
-    buildRows(rebuildInput, params, numShards)
-      .write.mode("overwrite").parquet(s"$newPath/rows")
-    fresh.unpersist()
+    // 1) rebuilt shards stream straight to the new snapshot (no cache);
+    // unpersist in finally — a failed write must not leak the cached
+    // batch (appendPrep's leak-safe contract covers only validation)
+    try {
+      buildRows(rebuildInput, params, numShards)
+        .write.mode("overwrite").parquet(s"$newPath/rows")
+    } finally fresh.unpersist()
     // 2) rebuilt-shard meta from the (still rebuilt-only) new rows dir
     val rebuiltMeta = computeMeta(
       spark.read.parquet(s"$newPath/rows").as[IndexRow])

@@ -231,9 +231,17 @@ object HybridRetrieval {
   def bm25Serve(queries: DataFrame, index: DataFrame, stats: DataFrame,
       n: Int, k1: Double = 1.5, b: Double = 0.75,
       maxPushTokens: Int = 10000): DataFrame = {
+    // PINNED (localCheckpoint) because the pushed predicates below are
+    // derived from a collect over this frame: a nondeterministic query
+    // batch (sample/rand/re-read mutable source) re-evaluated at join
+    // time could otherwise hold tokens absent from the pushed
+    // In(tok)/tok_bkt filters and silently drop matching postings — the
+    // same re-evaluation hazard appendPrep caches against. The frame is
+    // bounded by the broadcast contract, so the checkpoint is cheap.
     val qt = queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
+      .localCheckpoint(true)
     val toks = qt.select(col("tok")).distinct().limit(maxPushTokens + 1)
       .collect().map(_.getString(0)).toSeq
     val pruned =

@@ -48,6 +48,13 @@ object GraftSqlBridge {
     }
   }
 
+  /** Block until the async listener bus has delivered every queued
+    * event (`listenerBus` is `private[spark]`). Metric-asserting specs
+    * call this before sampling a listener-fed accumulator — without the
+    * drain, late task-end events shift into the next batch's bucket. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a Catalyst function builder under a SQL name. */
   def registerFunction(
       spark: SparkSession,

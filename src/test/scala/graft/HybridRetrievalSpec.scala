@@ -229,6 +229,9 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
           spark, s"$dir/documents.parquet", corpusPred = lit(true),
           queries = qd, n = 5, sourceSlices = 16, statePartitions = 4,
           onBatchEnd = _ => {
+            // drain the async listener bus first: late task-end events
+            // would otherwise shift records into the next batch's bucket
+            org.apache.spark.sql.graft.GraftSqlBridge.drainListenerBus(spark)
             val s = recs.sum; perBatch = perBatch :+ (s - seen); seen = s
           })
         // 'common'/'alpha' (df 1600) exceed the 78% cap; w3 hits doc 0,
