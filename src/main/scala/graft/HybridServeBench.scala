@@ -72,10 +72,10 @@ object HybridServeBench {
       println(s"reusing published bm25 snapshot at $dir/lex")
     else {
       val t1 = System.nanoTime()
-      val maxDf = n * 78L / 100L
-      val (bi, bs) = graft.operators.HybridRetrieval.bm25Index(docs, maxDf)
-      graft.operators.HybridRetrieval.saveBm25Index(bi, bs, s"$dir/lex")
-      println(f"bm25 snapshot (78%% df cap): ${(System.nanoTime() - t1) / 1e9}%.1f s build+save")
+      val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(docs)
+      graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$dir/lex",
+        dfCapNum = 78L, dfCapDen = 100L)
+      println(f"bm25 snapshot (split df, 78%% cap): ${(System.nanoTime() - t1) / 1e9}%.1f s build+save")
     }
 
     // --- serve fused batches from the LOADED pair ---
@@ -93,12 +93,24 @@ object HybridServeBench {
     // snapshots" shape); later passes are WARM (shard graphs resident
     // in the executor cache — the steady state)
     val vidx = VectorIndex.load(spark, s"$dir/vec", cache = false)
-    val (li, ls) = graft.operators.HybridRetrieval.loadBm25Index(spark, s"$dir/lex")
+    // split (v2) snapshots open as two-phase handles; a pre-split lex
+    // snapshot (e.g. one published by an earlier build) loads as the
+    // joined view — both serve through serveFromLoaded
+    val lexJson = graft.index.VectorIndex.readSmallFile(spark, s"$dir/lex/stats.json")
+    val snapOpt =
+      if (lexJson != null && lexJson.contains("\"sum_dl\""))
+        Some(graft.operators.HybridRetrieval.openBm25Index(spark, s"$dir/lex"))
+      else None
+    lazy val (li, ls) = graft.operators.HybridRetrieval.loadBm25Index(spark, s"$dir/lex")
     for (b <- Seq(100, 100, 5)) { // 100 twice: cold, then warm
       val (qd, qe, own) = queryBatch(b)
       val t2 = System.nanoTime()
-      val fused = graft.operators.HybridRetrieval.serveFromLoaded(
-        vidx, li, ls, qd, qe, n = 20, k = 10, searchWidth = 32)
+      val fused = (snapOpt match {
+        case Some(snap) => graft.operators.HybridRetrieval.serveFromLoaded(
+          vidx, snap, qd, qe, n = 20, k = 10, searchWidth = 32)
+        case None => graft.operators.HybridRetrieval.serveFromLoaded(
+          vidx, li, ls, qd, qe, n = 20, k = 10, searchWidth = 32)
+      })
         .select(col("query_id"), col("doc_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val serveS = (System.nanoTime() - t2) / 1e9

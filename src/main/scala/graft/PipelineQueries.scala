@@ -1288,19 +1288,55 @@ object PipelineQueries {
     val qd = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("text"))
     val cd = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
-    val maxDf = cd.count() * 78L / 100L
-    val (index, stats) = graft.operators.HybridRetrieval.bm25Index(cd, maxDf)
+    val (postings, dfTable, stats) =
+      graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
     val path = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
     try {
-      graft.operators.HybridRetrieval.saveBm25Index(index, stats, path)
-      val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(s, path)
+      graft.operators.HybridRetrieval.saveBm25Index(postings, dfTable, stats,
+        path, dfCapNum = 78L, dfCapDen = 100L)
+      val snap = graft.operators.HybridRetrieval.openBm25Index(s, path)
       // materialize the (≤ queries×n row) serve result eagerly so the
       // temp snapshot can be deleted before the frame is consumed
-      graft.operators.HybridRetrieval.bm25Serve(qd, li, lstats, n = 20)
+      graft.operators.HybridRetrieval.bm25Serve(qd, snap, n = 20)
         .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
         .orderBy(col("query_id"), col("lex_rank"))
         .localCheckpoint(true)
     } finally StreamingOps.deleteRecursively(path)
+  }
+
+  // ---------------------------------------------------------------- v61_bm25_append
+  /** Incremental lexical snapshot ([[graft.operators.HybridRetrieval
+    * .appendBm25]]) — the append half of v55's publish/serve lifecycle:
+    * build and publish a snapshot over PART of the corpus, append the
+    * remaining documents snapshot-to-snapshot (every base posting file
+    * kept verbatim — hardlinked; only the new posting files plus the
+    * vocab-sized df table and stats are written), then serve s19's
+    * query batch from the LOADED appended snapshot. Because the df cap
+    * re-evaluates against the grown corpus at load, the served ranking
+    * is EXACTLY the full rebuild over the whole corpus — so s19's
+    * closed-form full-corpus oracle gates the appended snapshot
+    * verbatim, cap-boundary tokens included. */
+  def v61Bm25Append(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val base = docs.filter(col("doc_id") >= 10 && col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_app_").toString
+    try {
+      val (p0, d0, st0) = graft.operators.HybridRetrieval.bm25SnapshotPieces(base)
+      graft.operators.HybridRetrieval.saveBm25Index(p0, d0, st0,
+        s"$root/base", dfCapNum = 78L, dfCapDen = 100L)
+      graft.operators.HybridRetrieval.appendBm25(s, s"$root/base", batch,
+        s"$root/next")
+      val snap = graft.operators.HybridRetrieval.openBm25Index(s, s"$root/next")
+      graft.operators.HybridRetrieval.bm25Serve(qd, snap, n = 20)
+        .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("lex_rank"))
+        .localCheckpoint(true)
+    } finally StreamingOps.deleteRecursively(root)
   }
 
   // ---------------------------------------------------------------- s26_stream_bm25_ingest
@@ -2422,6 +2458,7 @@ object PipelineQueries {
     "s22_stream_knn_graph" -> ((s, dir) => s22StreamKnnGraph(s, dir)),
     "s24_stream_knn_graph_beam" -> ((s, dir) => s24StreamKnnGraphBeam(s, dir)),
     "v55_bm25_snapshot" -> ((s, dir) => v55Bm25Snapshot(s, dir)),
+    "v61_bm25_append" -> ((s, dir) => v61Bm25Append(s, dir)),
     "s26_stream_bm25_ingest" -> ((s, dir) => s26StreamBm25Ingest(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
@@ -2508,6 +2545,7 @@ object PipelineQueries {
     "t21_bigram_lm" -> t21Oracle,
     "s19_stream_bm25" -> s19Oracle,
     "v55_bm25_snapshot" -> s19Oracle,
+    "v61_bm25_append" -> s19Oracle,
     "s26_stream_bm25_ingest" -> s19Oracle,
     // streaming graph == batch graph on the final corpus (exact-by-
     // induction edge state) => v48's closed-form SQL gates it verbatim

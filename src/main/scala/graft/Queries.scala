@@ -3132,8 +3132,9 @@ object Queries {
         IndexParams(metric = graft.functions.DistanceMetric.Cosine,
           minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
         numShards = 4).save(s"$root/vec")
-      val (bi, bs) = graft.operators.HybridRetrieval.bm25Index(cd, maxDf)
-      graft.operators.HybridRetrieval.saveBm25Index(bi, bs, s"$root/lex")
+      val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
+      graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
+        dfCapNum = 78L, dfCapDen = 100L)
       graft.operators.HybridRetrieval.serveFromSnapshots(
         s, s"$root/vec", s"$root/lex", qd, qe,
         n = 20, k = 10, searchWidth = 4096)

@@ -140,8 +140,10 @@ object TextBench {
       // wholesale inside the save), then serving loads the snapshot. The
       // number that justifies save/load is load+serve vs build+save.
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_snap_").toString
-      phase(s"bm25 index build+save ($n docs)") {
-        graft.operators.HybridRetrieval.saveBm25Index(index, stats, dir)
+      phase(s"bm25 index build+save ($n docs, split-df layout)") {
+        val (p, d, st) = graft.operators.HybridRetrieval.bm25SnapshotPieces(docs)
+        graft.operators.HybridRetrieval.saveBm25Index(p, d, st, dir,
+          dfCapNum = 78L, dfCapDen = 100L)
       }
       val du = {
         import scala.jdk.CollectionConverters._
@@ -157,21 +159,53 @@ object TextBench {
       val (li, lstats) = graft.operators.HybridRetrieval.loadBm25Index(spark, dir)
       val nPostings = phase("bm25 snapshot load + full count") { li.count() }
       // serve measured SEPARATELY from the full-scan count: the serve
-      // path pushes the batch's token set into the scan (tok_bkt
-      // partition dirs + In(tok) row groups), so its cost tracks the
-      // MATCHED postings, not the snapshot size — the r16 pruning win
+      // resolves the batch's under-cap tokens against the vocab-sized
+      // df table first, then pushes that set into the posting scan
+      // (tok_bkt partition dirs + In(tok) row groups), so its cost
+      // tracks the MATCHED postings, not the snapshot size
+      val snap = graft.operators.HybridRetrieval.openBm25Index(spark, dir)
       val nServed = phase("bm25 serve only, 100-query batch (pruned scan)") {
-        graft.operators.HybridRetrieval.bm25Serve(queries, li, lstats, n = 10).count()
+        graft.operators.HybridRetrieval.bm25Serve(queries, snap, n = 10).count()
       }
       val nServed5 = phase("bm25 serve only, 5-query batch (pruned scan)") {
         graft.operators.HybridRetrieval.bm25Serve(
-          queries.filter(col("query_id") < 5), li, lstats, n = 10).count()
+          queries.filter(col("query_id") < 5), snap, n = 10).count()
       }
       println(s"  postings kept: $nPostings; served rows: $nServed (100q) / $nServed5 (5q)")
+      // --- append lifecycle: publish the NEXT snapshot from a 1% batch.
+      // Every base posting file is kept (hardlinked, zero bytes); only
+      // the batch's posting files + the vocab-sized df table + stats are
+      // written. The number to put next to the full build+save above.
+      val appendDocs = spark.range(n.toLong, n.toLong + n.toLong / 100).rdd
+        .map(id => (id, docText(id)))
+        .toDF("doc_id", "text")
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25_app_").toString + "/next"
+      phase(s"bm25 appendBm25 (${n / 100} docs into $n, publish next snapshot)") {
+        graft.operators.HybridRetrieval.appendBm25(spark, dir, appendDocs, dir2)
+      }
+      val (linked, written) = {
+        import scala.jdk.CollectionConverters._
+        val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir2))
+          .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        val byLinks = fs.partition(p =>
+          java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] > 1)
+        (byLinks._1.size -> byLinks._1.map(java.nio.file.Files.size).sum,
+          byLinks._2.size -> byLinks._2.map(java.nio.file.Files.size).sum)
+      }
+      println(f"  appended snapshot: ${linked._1}%d files hardlinked " +
+        f"(${linked._2 / 1e9}%.2f GB zero-byte), ${written._1}%d files written " +
+        f"(${written._2 / 1e9}%.2f GB)")
+      val snap2 = graft.operators.HybridRetrieval.openBm25Index(spark, dir2)
+      val nServedApp = phase("bm25 serve from appended snapshot (100q)") {
+        graft.operators.HybridRetrieval.bm25Serve(queries, snap2, n = 10).count()
+      }
+      println(s"  served rows from appended snapshot: $nServedApp")
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        Seq(dir, java.nio.file.Paths.get(dir2).getParent.toString).foreach { d =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       } catch { case _: Throwable => }
     }
     drainListenerBus()

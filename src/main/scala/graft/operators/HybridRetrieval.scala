@@ -154,58 +154,151 @@ object HybridRetrieval {
   private def tokBucket(tok: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(tok), lit(nBuckets.toLong)).cast("int")
 
-  /** Persist a [[bm25Index]] as a servable snapshot: postings land as
-    * parquet PARTITIONED BY a token hash bucket (`tok_bkt =
-    * xxhash64(tok) mod tokBuckets` as a directory column) and SORTED by
-    * (tok, doc_id) within each bucket, the one-row stats as a JSON
-    * sidecar (never a parquet job for 2 numbers). The bucket directories
-    * are what makes serving O(matched postings): [[bm25Serve]] maps the
-    * query batch's bounded token set to its bucket ids and the scan
-    * prunes to those directories (PartitionFilters — exact, visible in
-    * the plan), with the pushed `In(tok, …)` pruning row groups inside
-    * each surviving bucket via the tok-sorted min/max + dictionary
-    * stats. This is the lexical analog of [[graft.index.VectorIndex
-    * .save]]: build once per corpus snapshot (the 10M-doc build costs
-    * ~505 s, SCALE.md), serve from the snapshot forever — the 100 TB
-    * deployment never rebuilds postings per session, and a small query
-    * batch touches a small fraction of the posting bytes.
+  /** The three build-side pieces of a [[saveBm25Index]] snapshot, all
+    * UNCAPPED: raw postings ([[rawPostings]]), the vocab-sized df table,
+    * and the one-row exact (n_docs, sum_dl) stats (sum_dl as a LONG so
+    * an append can extend it exactly — avgdl is derived as
+    * sum_dl/n_docs, the identical double Spark's avg-over-int
+    * produces). The df cap is NOT applied here: it is a serving POLICY
+    * (df <= n_docs x cap ratio), persisted as a ratio in stats.json and
+    * applied at load time — which is exactly what makes the snapshot
+    * APPENDABLE ([[appendBm25]]): cap membership is not monotone under
+    * appends (maxDf grows with n_docs), so postings dropped at build
+    * time could never be resurrected by a later append. */
+  def bm25SnapshotPieces(corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val postings = rawPostings(corpus)
+    val dfTable = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = corpus
+      .select(size(TextFunctions.tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
+    (postings, dfTable, stats)
+  }
+
+  /** Persist a BM25 index as a servable snapshot with the df SPLIT OUT:
+    * postings land as (tok, doc_id, dl, tf) parquet PARTITIONED BY a
+    * token hash bucket (`tok_bkt = xxhash64(tok) mod tokBuckets` as a
+    * directory column) and SORTED by (tok, doc_id) within each bucket;
+    * the vocab-sized (tok, df) table lands beside them in the SAME
+    * bucket layout; the stats as a JSON sidecar (never a parquet job
+    * for a few numbers). Splitting df out of the posting rows is what
+    * makes the snapshot INCREMENTAL: df is the only per-posting value
+    * that changes when documents are appended, so [[appendBm25]] can
+    * add new posting files into their buckets untouched and republish
+    * only the vocab-sized df table + stats.
     *
-    * avgdl is persisted via Double.toString (shortest round-trip
-    * representation — reparsing yields the identical bits), so a loaded
-    * serve scores bit-identically to the built serve. */
-  def saveBm25Index(index: DataFrame, stats: DataFrame, path: String,
-      tokBuckets: Int = 64): Unit = {
-    val spark = index.sparkSession
-    index
+    * The bucket directories make serving O(matched postings):
+    * [[bm25Serve]] maps the query batch's bounded token set to bucket
+    * ids and BOTH scans prune to those directories (PartitionFilters),
+    * with the pushed `In(tok, …)` pruning row groups inside surviving
+    * buckets via the tok-sorted min/max + dictionary stats. This is the
+    * lexical analog of [[graft.index.VectorIndex.save]]: build once per
+    * corpus snapshot, serve from the snapshot forever.
+    *
+    * @param postings UNCAPPED (doc_id, dl, tok, tf) rows
+    *   ([[rawPostings]] / [[bm25SnapshotPieces]])
+    * @param dfTable UNCAPPED (tok, df)
+    * @param stats one row (n_docs: long, sum_dl: long)
+    * @param dfCapNum/dfCapDen the serve-time df cap RATIO: tokens with
+    *   df > n_docs*num/den are excluded from scoring at load time
+    *   (num = Long.MaxValue disables). Stored in stats.json so appends
+    *   re-evaluate it against the grown corpus. */
+  def saveBm25Index(postings: DataFrame, dfTable: DataFrame,
+      stats: DataFrame, path: String, tokBuckets: Int = 64,
+      dfCapNum: Long = Long.MaxValue, dfCapDen: Long = 1L): Unit = {
+    val spark = postings.sparkSession
+    writePostingFiles(postings, s"$path/postings", tokBuckets, "overwrite")
+    dfTable
+      .select(col("tok"), col("df").cast("long"))
+      .withColumn("tok_bkt", tokBucket(col("tok"), tokBuckets))
+      .repartition(tokBuckets, col("tok_bkt"))
+      .sortWithinPartitions(col("tok_bkt"), col("tok"))
+      .write.mode("overwrite").partitionBy("tok_bkt").parquet(s"$path/df")
+    val row = stats.select(col("n_docs").cast("long"), col("sum_dl").cast("long")).head
+    writeBm25Stats(spark, path, row.getLong(0), row.getLong(1), tokBuckets,
+      dfCapNum, dfCapDen)
+  }
+
+  private def writePostingFiles(postings: DataFrame, dir: String,
+      tokBuckets: Int, mode: String): Unit =
+    postings
       .select(col("tok"), col("doc_id").cast("long"), col("dl").cast("int"),
-        col("tf").cast("int"), col("df").cast("long"))
+        col("tf").cast("int"))
       .withColumn("tok_bkt", tokBucket(col("tok"), tokBuckets))
       .repartition(tokBuckets, col("tok_bkt"))
       .sortWithinPartitions(col("tok_bkt"), col("tok"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("tok_bkt").parquet(s"$path/postings")
-    val row = stats.select(col("n_docs").cast("long"), col("avgdl").cast("double")).head
+      .write.mode(mode).partitionBy("tok_bkt").parquet(dir)
+
+  private def writeBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String, nDocs: Long, sumDl: Long, tokBuckets: Int,
+      dfCapNum: Long, dfCapDen: Long): Unit =
     graft.index.VectorIndex.writeSmallFile(spark, s"$path/stats.json",
-      s"""{"n_docs":${row.getLong(0)},"avgdl":${row.getDouble(1)},""" +
-        s""""tok_buckets":$tokBuckets}""")
+      s"""{"n_docs":$nDocs,"sum_dl":$sumDl,""" +
+        s""""avgdl":${if (nDocs > 0) sumDl.toDouble / nDocs else 0.0},""" +
+        s""""tok_buckets":$tokBuckets,""" +
+        s""""df_cap_num":$dfCapNum,"df_cap_den":$dfCapDen}""")
+
+  /** A loaded [[saveBm25Index]] snapshot's pieces: uncapped posting and
+    * df frames, the serve-time df cap value (n_docs x num/den — already
+    * evaluated against THIS snapshot's corpus size), and the compat
+    * (n_docs, avgdl, tok_buckets) stats row [[bm25Serve]] scores with. */
+  case class Bm25Snapshot(postings: DataFrame, df: DataFrame,
+      stats: DataFrame, maxDf: Long, tokBuckets: Int, nDocs: Long,
+      sumDl: Long, dfCapNum: Long, dfCapDen: Long)
+
+  /** Open a [[saveBm25Index]] snapshot as its split pieces — the serving
+    * handle for [[bm25Serve]]'s snapshot overload (two-phase pruning:
+    * the df table resolves the batch's under-cap tokens BEFORE the
+    * posting scan, so an over-cap stopword in a query never drags its
+    * posting rows through the scan). */
+  def openBm25Index(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Bm25Snapshot = {
+    import spark.implicits._
+    val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
+    require(json != null, s"missing $path/stats.json")
+    def longField(k: String) =
+      (s""""$k":\\s*(-?\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val nDocs = longField("n_docs").get
+    val sumDl = longField("sum_dl").getOrElse(
+      sys.error(s"$path is a pre-split (v1) snapshot — no sum_dl; " +
+        "serve it via loadBm25Index"))
+    val nBkt = longField("tok_buckets").get.toInt
+    val num = longField("df_cap_num").getOrElse(Long.MaxValue)
+    val den = math.max(1L, longField("df_cap_den").getOrElse(1L))
+    val maxDf = if (num == Long.MaxValue) Long.MaxValue else nDocs * num / den
+    val stats = Seq((nDocs, if (nDocs > 0) sumDl.toDouble / nDocs else 0.0, nBkt))
+      .toDF("n_docs", "avgdl", "tok_buckets")
+    Bm25Snapshot(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"), stats, maxDf, nBkt, nDocs, sumDl,
+      num, den)
   }
 
-  /** Load a [[saveBm25Index]] snapshot: (index, stats) frames shaped
-    * like [[bm25Index]]'s return (plus the `tok_bkt` partition column
-    * and a `tok_buckets` stats field, which [[bm25Serve]] uses to prune
-    * and then drops), ready for [[bm25Serve]]. The postings read is
-    * lazy (serving scans only the query batch's buckets per batch;
+  /** Load a snapshot as (index, stats) frames shaped like the in-session
+    * capped index (df joined back onto the postings, cap applied), ready
+    * for the [[bm25Serve]] (index, stats) overload. Reads BOTH layouts:
+    * the split (v2) layout joins postings to the capped df table on
+    * (tok, tok_bkt) — serve-time In(tok)/tok_bkt predicates push through
+    * the join into both scans (PlanShapeSpec) — and the legacy layout
+    * (df denormalized per posting row) reads directly. The postings read
+    * is lazy (serving scans only the query batch's buckets per batch;
     * cache() the index side for a long-lived hot-everything server). */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    val postings = spark.read.parquet(s"$path/postings")
     val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
     require(json != null, s"missing $path/stats.json")
-    val nDocs = """"n_docs":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    val avgdl = """"avgdl":\s*([^,}]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
-    val nBkt = """"tok_buckets":\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt).getOrElse(0) // pre-bucketing snapshots: no pruning
-    (postings, Seq((nDocs, avgdl, nBkt)).toDF("n_docs", "avgdl", "tok_buckets"))
+    if (json.contains("\"sum_dl\"")) {
+      val snap = openBm25Index(spark, path)
+      val dfKept = snap.df.filter(col("df") <= snap.maxDf)
+      (snap.postings.join(dfKept, Seq("tok", "tok_bkt")), snap.stats)
+    } else {
+      val postings = spark.read.parquet(s"$path/postings")
+      val nDocs = """"n_docs":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      val avgdl = """"avgdl":\s*([^,}]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+      val nBkt = """"tok_buckets":\s*(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(0) // pre-bucketing snapshots: no pruning
+      (postings, Seq((nDocs, avgdl, nBkt)).toDF("n_docs", "avgdl", "tok_buckets"))
+    }
   }
 
   /** Query-dependent half of [[bm25TopN]]: join the (bounded, broadcast)
@@ -261,12 +354,22 @@ object HybridRetrieval {
           base.filter(col("tok_bkt").isin(bkts: _*))
         } else base
       }
+    scoreBm25(pruned, qt, stats, n, k1, b)
+  }
+
+  /** The ONE BM25 scoring tail shared by every serve path (in-session,
+    * loaded-joined, split-snapshot): join the pinned (query_id, tok)
+    * batch onto (tok, doc_id, dl, tf, df) rows, score, round to 6
+    * decimals BEFORE ranking, per-query window limit. One
+    * implementation so no serve flavor can drift a ULP from another. */
+  private def scoreBm25(withDf: DataFrame, qt: DataFrame, stats: DataFrame,
+      n: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
     val dlNorm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))
     val tfD = col("tf").cast("double")
-    pruned
+    withDf
       .join(broadcast(qt), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
@@ -277,6 +380,179 @@ object HybridRetrieval {
         Window.partitionBy(col("query_id"))
           .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
       .filter(col("lex_rank") <= n)
+  }
+
+  /** [[bm25Serve]] over a SPLIT snapshot ([[openBm25Index]]) — the
+    * two-phase serving shape the df split enables:
+    *
+    *  1. resolve the batch's tokens against the DF TABLE first (a
+    *     vocab-sized scan pruned by the same tok_bkt/In(tok)
+    *     predicates), keeping only under-cap tokens and COLLECTING
+    *     their (tok, df) rows (bounded by `maxPushTokens`);
+    *  2. scan postings pruned to the SURVIVING token set only and join
+    *     the collected df rows back as a broadcast local relation.
+    *
+    * The split snapshot stores over-cap (stopword) postings — that is
+    * what makes it appendable — so phase 1 is what keeps the serve
+    * O(matched under-cap postings): a query containing a stopword never
+    * drags that token's posting rows through the scan, because the
+    * token dies at the vocab-sized df probe before the posting scan's
+    * predicate set is built. Batches over `maxPushTokens` distinct
+    * tokens fall back to the distributed-join view (same results). */
+  def bm25Serve(queries: DataFrame, snap: Bm25Snapshot, n: Int): DataFrame =
+    bm25Serve(queries, snap, n, 1.5, 0.75, 10000)
+
+  def bm25Serve(queries: DataFrame, snap: Bm25Snapshot, n: Int,
+      k1: Double, b: Double, maxPushTokens: Int): DataFrame = {
+    val spark = snap.postings.sparkSession
+    import spark.implicits._
+    // pinned for the same re-evaluation hazard as the frame overload
+    val qt = queries.select(col("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .localCheckpoint(true)
+    val toks = qt.select(col("tok")).distinct().limit(maxPushTokens + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (toks.isEmpty || toks.length > maxPushTokens) {
+      // degenerate (empty or whole-vocab) batch: the distributed-join
+      // view without pushdown — correct for any shape, never built from
+      // an unbounded collect
+      val dfKept = snap.df.filter(col("df") <= snap.maxDf)
+      return scoreBm25(snap.postings.join(dfKept, Seq("tok", "tok_bkt")),
+        qt, snap.stats, n, k1, b)
+    }
+    val bkts = toks.map(t => bucketOf(t, snap.tokBuckets)).distinct
+    // phase 1: under-cap df rows for the batch's tokens (vocab-sized
+    // scan, bucket-pruned; result bounded by |toks|)
+    val dfRows = snap.df
+      .filter(col("tok_bkt").isin(bkts: _*) && col("tok").isin(toks: _*) &&
+        col("df") <= snap.maxDf)
+      .select(col("tok"), col("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val keptToks = dfRows.map(_._1)
+    val keptBkts = keptToks.map(t => bucketOf(t, snap.tokBuckets)).distinct
+    // phase 2: postings pruned to surviving tokens only; df joins back
+    // as a broadcast local relation (≤ |toks| rows)
+    val pruned =
+      if (keptToks.isEmpty) snap.postings.filter(lit(false))
+      else snap.postings.filter(
+        col("tok_bkt").isin(keptBkts: _*) && col("tok").isin(keptToks: _*))
+    val withDf = pruned.join(broadcast(dfRows.toDF("tok", "df")), Seq("tok"))
+    scoreBm25(withDf, qt, snap.stats, n, k1, b)
+  }
+
+  /** Driver-side twin of [[tokBucket]] (same xxhash64 seed 42 + pmod),
+    * used to map a collected token set to its bucket directories. */
+  private def bucketOf(tok: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tok),
+      org.apache.spark.sql.types.StringType, 42L)
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+
+  /** Append documents to a published [[saveBm25Index]] snapshot,
+    * publishing the NEXT snapshot at `newPath` — the lexical analog of
+    * [[graft.index.VectorIndex.appendTo]], with an even better work
+    * profile because postings are immutable per-document rows (no graph
+    * to rebuild): EVERY existing posting file is kept verbatim
+    * (hardlinked when both ends are local — zero bytes moved; byte copy
+    * = the object-store server-side-copy fallback), the batch's new
+    * posting files land in the same bucket directories beside them, and
+    * only the VOCAB-SIZED df table + stats.json are recomputed (one
+    * union + sum fold — df is additive) and republished. The df cap
+    * re-evaluates against the grown corpus at load time, so the result
+    * is EXACTLY the full rebuild over (base ∪ batch) — including tokens
+    * whose cap membership flips (a token over the cap at the base size
+    * can fall under it after an append dilutes its ratio; the split
+    * layout kept its postings, so it simply starts scoring).
+    *
+    * The old snapshot is untouched and stays servable (immutable
+    * generations — retire it when traffic drains).
+    *
+    * @param validateIds when true (default), verifies no batch doc_id
+    *   already exists in the base postings (a duplicate would
+    *   double-count postings). One column-pruned scan of the base
+    *   posting doc_ids against the broadcast batch id set — skippable
+    *   when the caller guarantees fresh ids. */
+  def appendBm25(spark: org.apache.spark.sql.SparkSession, oldPath: String,
+      newDocs: DataFrame, newPath: String,
+      validateIds: Boolean = true): Unit = {
+    val old = openBm25Index(spark, oldPath)
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp)
+    }
+    require(qualified(oldPath) != qualified(newPath),
+      "appendBm25 publishes a NEW snapshot: newPath must differ from oldPath")
+    val batch = newDocs.select(col("doc_id").cast("long"), col("text"))
+      .localCheckpoint(true) // pin: postings/df/stats must see ONE batch
+    try {
+      val (bn, bSum) = {
+        val r = batch.select(size(TextFunctions.tokens(col("text"))).as("dl"))
+          .agg(count(lit(1)), sum(col("dl")).cast("long")).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      require(bn > 0, "appendBm25 over an empty batch")
+      if (validateIds) {
+        val clash = old.postings
+          .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          "appendBm25 batch contains doc_ids already present in the base " +
+            "snapshot (postings would double-count)")
+      }
+      val p = rawPostings(batch)
+      // 1) keep every base posting file: hardlink (or copy) into the new
+      // snapshot's bucket directories — nothing in them changes
+      linkOrCopyTree(hconf, s"$oldPath/postings", s"$newPath/postings")
+      // 2) the batch's posting files land beside them, same layout
+      writePostingFiles(p, s"$newPath/postings", old.tokBuckets, "append")
+      // 3) vocab-sized df fold + republish (df is additive)
+      val dfNew = old.df.select(col("tok"), col("df"))
+        .unionByName(p.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      dfNew
+        .select(col("tok"), col("df").cast("long"))
+        .withColumn("tok_bkt", tokBucket(col("tok"), old.tokBuckets))
+        .repartition(old.tokBuckets, col("tok_bkt"))
+        .sortWithinPartitions(col("tok_bkt"), col("tok"))
+        .write.mode("overwrite").partitionBy("tok_bkt").parquet(s"$newPath/df")
+      writeBm25Stats(spark, newPath, old.nDocs + bn, old.sumDl + bSum,
+        old.tokBuckets, old.dfCapNum, old.dfCapDen)
+    } finally batch.unpersist()
+  }
+
+  /** Hardlink (both ends local) or copy every data file under `srcDir`
+    * into `dstDir`, preserving the partition-directory structure. The
+    * kept-file fast path shared with [[graft.index.VectorIndex
+    * .appendTo]]'s discipline: zero bytes moved on a local store; on an
+    * object store the copy is the server-side-copy fast path. */
+  private def linkOrCopyTree(conf: org.apache.hadoop.conf.Configuration,
+      srcDir: String, dstDir: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    val dstFs = dst.getFileSystem(conf)
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(src.toUri.getPath)
+          .stripPrefix("/")
+        val out = new org.apache.hadoop.fs.Path(dst, rel)
+        dstFs.mkdirs(out.getParent)
+        val linked = fs.getScheme == "file" && dstFs.getScheme == "file" && (try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(out.toUri.getPath),
+            java.nio.file.Paths.get(f.getPath.toUri.getPath)); true
+        } catch { case _: Exception => false })
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, dstFs, out, false, conf)
+      }
+    }
   }
 
   /** Hybrid retrieval served ENTIRELY from published snapshots — the
@@ -301,8 +577,26 @@ object HybridRetrieval {
       n: Int, k: Int, searchWidth: Int,
       cacheIndex: Boolean = false): DataFrame = {
     val vidx = graft.index.VectorIndex.load(spark, vectorIndexPath, cache = cacheIndex)
-    val (li, ls) = loadBm25Index(spark, bm25IndexPath)
-    serveFromLoaded(vidx, li, ls, queriesText, queriesEmb, n, k, searchWidth)
+    val json = graft.index.VectorIndex.readSmallFile(
+      spark, s"$bm25IndexPath/stats.json")
+    if (json != null && json.contains("\"sum_dl\""))
+      serveFromLoaded(vidx, openBm25Index(spark, bm25IndexPath),
+        queriesText, queriesEmb, n, k, searchWidth)
+    else {
+      val (li, ls) = loadBm25Index(spark, bm25IndexPath)
+      serveFromLoaded(vidx, li, ls, queriesText, queriesEmb, n, k, searchWidth)
+    }
+  }
+
+  /** [[serveFromLoaded]] over a split snapshot handle: the lexical leg
+    * runs the two-phase df-then-postings pruned serve. */
+  def serveFromLoaded(vidx: graft.index.VectorIndex, snap: Bm25Snapshot,
+      queriesText: DataFrame, queriesEmb: DataFrame,
+      n: Int, k: Int, searchWidth: Int): DataFrame = {
+    val dense = vidx.query(queriesEmb, n, searchWidth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    rrfFuse(dense, bm25Serve(queriesText, snap, n), k)
   }
 
   /** [[serveFromSnapshots]] over ALREADY-LOADED handles — the long-lived

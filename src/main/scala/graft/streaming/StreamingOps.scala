@@ -868,28 +868,38 @@ object StreamingOps {
     * Posting rows are pure per-document work
     * ([[graft.operators.HybridRetrieval.rawPostings]] — a document's
     * postings never depend on any other document), so each micro-batch
-    * lands one O(batch) posting FRAME (never touching earlier frames)
-    * plus one O(batch-vocab) per-token document-frequency FRAME, while
-    * n_docs / Σdl fold as two driver longs. NOTHING per-batch reads any
-    * accumulated frame: the df frames sum-fold ONCE at publish (one
-    * grouped aggregation over Σ batch-vocab rows — the same O(total
-    * vocab) work a batch build pays once, never per batch), the posting
-    * frames union (a narrow concatenation), and the df cap is evaluated
-    * against the FINAL corpus size (a token that crossed the cap mid-
-    * stream is correctly dropped — cap membership is not monotone, so it
-    * can only be decided at publish).
+    * APPENDS one O(batch) posting parquet delta plus one O(batch-vocab)
+    * per-token document-frequency delta to an accumulation directory,
+    * while n_docs / Σdl fold as two driver longs. NOTHING per-batch
+    * reads any accumulated state, and — unlike the earlier generational
+    * frame vectors, which held one localCheckpointed frame pair per
+    * micro-batch until publish (a 10⁴-batch stream planned a 10⁴-child
+    * union and pinned every frame in executor storage) — accumulated
+    * state is exactly TWO append-only directories regardless of batch
+    * count: bounded plan, zero executor-resident frames. The df deltas
+    * sum-fold ONCE at publish (one grouped aggregation over Σ
+    * batch-vocab rows — the same O(total vocab) work a batch build pays
+    * once, never per batch), the posting deltas are read back as ONE
+    * scan, and the df cap is evaluated against the FINAL corpus size (a
+    * token that crossed the cap mid-stream is correctly dropped — cap
+    * membership is not monotone, so it can only be decided at publish).
+    * The LSM-style threshold fold was considered and rejected: postings
+    * never merge (immutable per-doc rows), so re-checkpointing the
+    * accumulated set every F batches would add O(total²/F) churn for
+    * nothing — append-only storage IS the compacted form.
     * Every accumulator is additive ⇒ the published index equals the
     * batch [[graft.operators.HybridRetrieval.bm25Index]] of the final
     * corpus for ANY batching — the batch oracle gates the streamed path.
     *
     * With `publishPath` set the stream ENDS in a published snapshot:
-    * the folded index is persisted via [[graft.operators.HybridRetrieval
-    * .saveBm25Index]] and the returned serve runs over the LOADED copy —
-    * the ingest→snapshot→serve loop the vector index already has
+    * the folded pieces are persisted via [[graft.operators
+    * .HybridRetrieval.saveBm25Index]] (split df layout) and the
+    * returned serve runs over the LOADED copy — the
+    * ingest→snapshot→serve loop the vector index already has
     * (buildTo → ProbeBench), so the gate's hash covers persistence too.
     *
     * 100 TB shape: per-batch cost is O(batch) postings + O(batch vocab)
-    * df rows; nothing ever rescans earlier frames, and total work is
+    * df rows; nothing ever rescans earlier deltas, and total work is
     * batching-invariant (BM25 ingest batching-invariance spec measures
     * shuffle rows at 4 vs 16 batches). The 10M-doc batch build costs
     * ~680 s (SCALE.md) — this spreads exactly that work over the ingest
@@ -914,8 +924,10 @@ object StreamingOps {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    @volatile var postingFrames: Vector[DataFrame] = Vector.empty
-    @volatile var dfFrames: Vector[DataFrame] = Vector.empty
+    // the two append-only accumulation directories (the ONLY
+    // accumulated state beside two driver longs)
+    val accDir = java.nio.file.Files.createTempDirectory("graft_bm25_acc_").toString
+    @volatile var nBatches = 0
     @volatile var nDocs = 0L
     @volatile var sumDl = 0L
     val ckptRoot =
@@ -927,22 +939,24 @@ object StreamingOps {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
+            // one O(batch) posting delta + one O(batch-vocab) df delta,
+            // APPENDED — the accumulated state is never re-read
+            // mid-stream and never resident anywhere but these files
             val p = HybridRetrieval.rawPostings(batch).localCheckpoint(true)
-            postingFrames = postingFrames :+ p
-            // one O(batch-vocab) df frame per batch — the generational
-            // discipline: the accumulated vocabulary is NEVER re-read
-            // mid-stream; frames sum-fold once at publish
-            dfFrames = dfFrames :+
+            try {
+              p.write.mode("append").parquet(s"$accDir/postings")
               p.groupBy(col("tok")).agg(count(lit(1)).as("df_b"))
-                .localCheckpoint(true)
+                .write.mode("append").parquet(s"$accDir/df")
+            } finally p.unpersist()
             val dl = batch.select(
               graft.functions.TextFunctions.tokens(col("text")).as("ts"))
               .agg(count(lit(1)), sum(size(col("ts")))).head
             nDocs += dl.getLong(0)
             sumDl += dl.getLong(1)
+            nBatches += 1
             // instrumentation hook (batching-invariance spec): fires
             // after the batch's eager jobs complete
-            if (onBatchEnd != null) onBatchEnd(postingFrames.length)
+            if (onBatchEnd != null) onBatchEnd(nBatches)
           }
         }
         .option("checkpointLocation", ckpt.toString)
@@ -960,22 +974,27 @@ object StreamingOps {
     }
     require(nDocs > 0, "streamBm25Ingest saw an empty corpus stream")
     import spark.implicits._
-    val maxDf = nDocs * dfCapNum / dfCapDen
-    // the ONE fold over the accumulated df frames (publish-time only):
-    // Σ batch-vocab rows in, final per-token df out, cap applied against
-    // the final corpus size
-    val dfAll = dfFrames.reduce(_ unionByName _)
+    // the ONE fold over the accumulated df deltas (publish-time only):
+    // Σ batch-vocab rows in, final per-token df out, cap evaluated
+    // against the final corpus size
+    val postingsAll = spark.read.parquet(s"$accDir/postings")
+    val dfAll = spark.read.parquet(s"$accDir/df")
       .groupBy(col("tok")).agg(sum(col("df_b")).as("df"))
-      .filter(col("df") <= maxDf)
-    val index = postingFrames.reduce(_ unionByName _).join(dfAll, Seq("tok"))
-    // exact: Spark's avg over an int column accumulates exact integer
-    // doubles, so Σdl/n reproduces the batch avgdl bit-for-bit
-    val stats = Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
-    if (publishPath == null) HybridRetrieval.bm25Serve(queries, index, stats, n)
-    else {
-      HybridRetrieval.saveBm25Index(index, stats, publishPath)
-      val (li, ls) = HybridRetrieval.loadBm25Index(spark, publishPath)
-      HybridRetrieval.bm25Serve(queries, li, ls, n)
+    if (publishPath == null) {
+      val maxDf = nDocs * dfCapNum / dfCapDen
+      val index = postingsAll.join(dfAll.filter(col("df") <= maxDf), Seq("tok"))
+      // exact: Σdl/n reproduces the batch avg-over-int avgdl bit-for-bit
+      val stats = Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
+      // the serve reads the accumulation dir lazily — it lives until the
+      // JVM's temp cleanup (callers that publish get it deleted eagerly)
+      HybridRetrieval.bm25Serve(queries, index, stats, n)
+    } else {
+      val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      HybridRetrieval.saveBm25Index(postingsAll, dfAll, stats, publishPath,
+        dfCapNum = dfCapNum, dfCapDen = dfCapDen)
+      deleteRecursively(accDir) // everything now lives in the snapshot
+      HybridRetrieval.bm25Serve(queries,
+        HybridRetrieval.openBm25Index(spark, publishPath), n)
     }
   }
 

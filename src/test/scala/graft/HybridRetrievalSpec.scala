@@ -166,19 +166,120 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
       .toDF("doc_id", "text")
     val q = Seq((1L, "alpha gamma"), (2L, "beta"), (3L, "theta delta"))
       .toDF("query_id", "text")
+    // in-session reference: absolute cap 3 == the ratio 3/4 at n_docs=4
     val (index, stats) = HybridRetrieval.bm25Index(c, maxTokenDf = 3)
+    val (p, d, st) = HybridRetrieval.bm25SnapshotPieces(c)
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_t_").toString
-    HybridRetrieval.saveBm25Index(index, stats, dir)
+    HybridRetrieval.saveBm25Index(p, d, st, dir, dfCapNum = 3L, dfCapDen = 4L)
     val (li, lstats) = HybridRetrieval.loadBm25Index(spark, dir)
-    // stats survive exactly (Double.toString shortest round trip)
+    // stats survive exactly (sum_dl is an exact long; avgdl = Σdl/n
+    // reproduces the batch avg-over-int double bit-for-bit)
     val (b, l) = (stats.head, lstats.head)
     assert(l.getLong(0) === b.getLong(0))
     assert(l.getDouble(1) === b.getDouble(1), "avgdl must round-trip bit-exactly")
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "doc_id", "bm25", "lex_rank")
       .as[(Long, Long, Double, Int)].collect().toSet
-    assert(key(HybridRetrieval.bm25Serve(q, li, lstats, n = 3)) ===
-      key(HybridRetrieval.bm25Serve(q, index, stats, n = 3)))
+    val reference = key(HybridRetrieval.bm25Serve(q, index, stats, n = 3))
+    // both loaded serve flavors — the joined view AND the two-phase
+    // split-snapshot path — must reproduce the in-session serve exactly
+    assert(key(HybridRetrieval.bm25Serve(q, li, lstats, n = 3)) === reference)
+    val snap = HybridRetrieval.openBm25Index(spark, dir)
+    assert(key(HybridRetrieval.bm25Serve(q, snap, n = 3)) === reference)
+    // the split snapshot stores ALL raw postings (appendability) — the
+    // cap is applied by the serve, not the storage (the append spec pins
+    // the over-cap retention/resurrection case explicitly)
+    assert(snap.maxDf === 3L)
+    assert(snap.postings.count() === p.count())
+  }
+
+  test("appendBm25 == full rebuild, including a cap-boundary token") {
+    // 'hot' appears in ALL 5 base docs (df 5 > cap 3 = 5*78/100 at the
+    // base size) but in none of the 3 appended docs: at the final size
+    // maxDf = 8*78/100 = 6 >= 5, so the append must RESURRECT hot's
+    // scoring — the non-monotone cap case only an uncapped posting
+    // store can serve exactly.
+    val base = Seq(
+      (10L, "hot alpha beta"), (11L, "hot beta gamma"), (12L, "hot gamma delta"),
+      (13L, "hot delta epsilon"), (14L, "hot epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha omega"), (21L, "omega beta"), (22L, "theta iota"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "hot omega"), (2L, "beta delta"), (3L, "theta"))
+      .toDF("query_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_app_t_").toString
+    try {
+      val (p0, d0, s0) = HybridRetrieval.bm25SnapshotPieces(base)
+      HybridRetrieval.saveBm25Index(p0, d0, s0, s"$root/base",
+        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
+      // sanity: at the base size 'hot' is over the cap and must not score
+      val baseSnap = HybridRetrieval.openBm25Index(spark, s"$root/base")
+      assert(HybridRetrieval.bm25Serve(q, baseSnap, n = 10)
+        .filter($"query_id" === 1L).count() === 0L)
+      HybridRetrieval.appendBm25(spark, s"$root/base", batch, s"$root/next")
+      // full rebuild over base ∪ batch — the ground truth
+      val full = base.unionByName(batch)
+      val (pf, df_, sf) = HybridRetrieval.bm25SnapshotPieces(full)
+      HybridRetrieval.saveBm25Index(pf, df_, sf, s"$root/full",
+        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
+      def key(path: String) = HybridRetrieval.bm25Serve(
+        q, HybridRetrieval.openBm25Index(spark, path), n = 10)
+        .select("query_id", "doc_id", "bm25", "lex_rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val appended = key(s"$root/next")
+      assert(appended === key(s"$root/full"),
+        "appended snapshot must serve exactly the full rebuild")
+      // the resurrected cap-boundary token scores for query 1 now
+      assert(appended.exists(_._1 == 1L))
+      // kept posting files are hardlinked (zero bytes moved): every
+      // base posting file's inode appears in the next snapshot
+      import scala.jdk.CollectionConverters._
+      def inodes(p: String) = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.toString.endsWith(".parquet"))
+        .map(f => java.nio.file.Files.getAttribute(f, "unix:ino")).toSet
+      assert(inodes(s"$root/base/postings")
+        .subsetOf(inodes(s"$root/next/postings")),
+        "base posting files must be hardlinked into the appended snapshot")
+      // validateIds: a duplicate doc_id must be rejected
+      val dup = intercept[IllegalArgumentException] {
+        HybridRetrieval.appendBm25(spark, s"$root/base",
+          Seq((10L, "dup text")).toDF("doc_id", "text"), s"$root/bad")
+      }
+      assert(dup.getMessage.contains("already present"))
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
+  }
+
+  test("two-phase snapshot serve never scans an over-cap token's postings") {
+    // corpus where 'the' is a stopword (df 6 of 6 docs > cap 4): a query
+    // containing it must not pull its posting rows through the posting
+    // scan — the df probe kills the token before the posting predicate
+    // set is built. Asserted on the PLAN: the pushed In(tok, ...) on the
+    // postings relation must not contain 'the'.
+    val c = (0L until 6L).map(i => (i + 10L, s"the w$i common"))
+      .toDF("doc_id", "text")
+    val (p, d, st) = HybridRetrieval.bm25SnapshotPieces(c)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_2p_").toString
+    try {
+      HybridRetrieval.saveBm25Index(p, d, st, dir,
+        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
+      val snap = HybridRetrieval.openBm25Index(spark, dir)
+      val q = Seq((1L, "the w2")).toDF("query_id", "text")
+      val serve = HybridRetrieval.bm25Serve(q, snap, n = 5)
+      val plan = serve.queryExecution.executedPlan.toString
+      // a single surviving token pushes as EqualTo, several as In
+      val pushed = "(?:In|EqualTo)\\(tok,? ?([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pushed.nonEmpty, s"no tok predicate pushed:\n${plan.take(2000)}")
+      assert(!pushed.exists(_.contains("the")),
+        s"over-cap token leaked into a pushed posting predicate: $pushed")
+      // and the ranking still scores w2 normally ('common' df 6 is also
+      // over cap; only w2 survives)
+      val rows = serve.select("query_id", "doc_id").as[(Long, Long)].collect()
+      assert(rows.toSet === Set((1L, 12L)))
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
 
   test("streaming BM25 ingest equals the batch build for any batching (s26)") {
@@ -224,6 +325,7 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
           recs.add(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
       }
       spark.sparkContext.addSparkListener(listener)
+      val pinned0 = spark.sparkContext.getPersistentRDDs.size
       try {
         val served = graft.streaming.StreamingOps.streamBm25Ingest(
           spark, s"$dir/documents.parquet", corpusPred = lit(true),
@@ -238,6 +340,18 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
         // w111 hits doc 13 ⇒ exactly two ranked rows
         assert(served.count() === 2L)
         assert(perBatch.length === 16, s"expected 16 batches, got $perBatch")
+        // BOUNDED accumulated state: ingest appends to two directories,
+        // so the served plan holds NO per-batch union (the pre-r17
+        // generational frames planned one union child per micro-batch)
+        // and pins no per-batch frames in executor storage
+        assert(!served.queryExecution.analyzed.toString.contains("Union"),
+          "ingest state must fold to flat scans, not a per-batch union")
+        // delta, not absolute: the suite's shared session carries other
+        // tests' caches. 16 batches must not add ~16 pinned frame pairs;
+        // the only survivors are the serve's own pinned query tokens
+        val pinned = spark.sparkContext.getPersistentRDDs.size - pinned0
+        assert(pinned <= 3,
+          s"ingest leaked per-batch pinned frames: +$pinned persistent RDDs")
         // flat per-batch work: the tail batches (vocab ~8×1500 by then)
         // must not shuffle more than the early ones (vocab ~8×200)
         val early = perBatch.slice(1, 5).sum / 4.0

@@ -521,24 +521,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       .select(col("doc_id").as("query_id"), col("text"))
     val c = docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
     val (index, stats) = graft.operators.HybridRetrieval.bm25Index(c)
+    val (pieces, dfTable, st) = graft.operators.HybridRetrieval.bm25SnapshotPieces(c)
     val dir = java.nio.file.Files.createTempDirectory("graft_planshape_bm25_").toString
     try {
-      graft.operators.HybridRetrieval.saveBm25Index(index, stats, dir, tokBuckets = 16)
+      graft.operators.HybridRetrieval.saveBm25Index(pieces, dfTable, st, dir,
+        tokBuckets = 16)
+      // the loaded JOINED view: serve predicates must push through the
+      // postings-df join into BOTH parquet scans (the split must not
+      // cost the pruning)
       val (li, ls) = graft.operators.HybridRetrieval.loadBm25Index(spark, dir)
       val serve = graft.operators.HybridRetrieval.bm25Serve(q, li, ls, n = 5)
       val p = serve.queryExecution.executedPlan.toString
-      // directory-level pruning: the batch's token buckets reach the scan
-      // as partition filters (the O(matched-postings) serve shape)
-      assert("PartitionFilters: \\[[^\\]]*tok_bkt".r.findFirstIn(p).isDefined,
-        s"tok_bkt not in PartitionFilters:\n${p.take(3000)}")
+      // directory-level pruning: the batch's token buckets reach BOTH
+      // scans as partition filters (the O(matched-postings) serve shape)
+      val partFilters = "PartitionFilters: \\[[^\\]]*tok_bkt".r.findAllIn(p).toSeq
+      assert(partFilters.size >= 2,
+        s"tok_bkt must prune BOTH the postings and df scans, found " +
+          s"${partFilters.size}:\n${p.take(3000)}")
       // row-group pruning inside surviving buckets: the In(tok, …) set is
-      // pushed to parquet (tok-sorted min/max + dictionary stats apply)
-      assert("PushedFilters: \\[[^\\]]*In\\(tok".r.findFirstIn(p).isDefined,
-        s"In(tok, …) not in PushedFilters:\n${p.take(3000)}")
-      // and the pruned serve returns exactly the unpruned ranking
+      // pushed to parquet on both sides (tok-sorted min/max + dictionary)
+      val pushed = "PushedFilters: \\[[^\\]]*In\\(tok".r.findAllIn(p).toSeq
+      assert(pushed.size >= 2,
+        s"In(tok, …) must be pushed to BOTH scans, found ${pushed.size}:\n${p.take(3000)}")
+      // and the pruned serve returns exactly the unpruned in-session ranking
       val full = graft.operators.HybridRetrieval.bm25Serve(
         q, index, stats, n = 5)
       assert(serve.orderBy("query_id", "lex_rank").collect().toSeq ===
+        full.orderBy("query_id", "lex_rank").collect().toSeq)
+      // the two-phase split serve agrees too (and prunes its posting scan)
+      val snap = graft.operators.HybridRetrieval.openBm25Index(spark, dir)
+      val serve2 = graft.operators.HybridRetrieval.bm25Serve(q, snap, n = 5)
+      val p2 = serve2.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*tok_bkt".r.findFirstIn(p2).isDefined,
+        s"two-phase posting scan lost its partition pruning:\n${p2.take(3000)}")
+      assert(serve2.orderBy("query_id", "lex_rank").collect().toSeq ===
         full.orderBy("query_id", "lex_rank").collect().toSeq)
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
