@@ -157,10 +157,12 @@ object ClusteredBench {
       // production-width calibration on the clustered snapshot (tie-
       // tolerant vs the index's own exact scan — E2 semantics), then a
       // DISJOINT 200-query holdout at the chosen width
-      val (chosen, curve) = idx.calibrateWidth(sample, k, targetRecall = 0.95,
-        widths = Seq(2, 4, 8, 16, 32, 64, 128, 256))
+      val (chosen, curve) = idx.calibrateWidthTo(snapPath, sample, k,
+        targetRecall = 0.95, widths = Seq(2, 4, 8, 16, 32, 64, 128, 256))
       println(s"calibrateWidth(target=0.95): chosen=$chosen curve=" +
         curve.map { case (w, r) => f"$w:$r%.3f" }.mkString(" "))
+      println(s"persisted operating point: " +
+        VectorIndex.readCalibration(spark, snapPath).get)
       val holdout = (1000L until 1200L).map(id => (id, queryVec(id))).toArray
       val hProbe = idx.queryBatchMultiWidth(holdout, k,
           Seq(0, if (chosen > 0) chosen else 64))

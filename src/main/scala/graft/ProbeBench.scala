@@ -40,7 +40,7 @@ object ProbeBench {
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val nSoak = args.lift(2).map(_.toLong).getOrElse(20000L)
     val soakK = args.lift(3).map(_.toInt).getOrElse(10)
-    val sw = args.lift(4).map(_.toInt).getOrElse(16)
+    val swArg = args.lift(4).getOrElse("16")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -57,6 +57,14 @@ object ProbeBench {
     val t0 = System.nanoTime()
     val idx = VectorIndex.load(spark, path, cache = false)
     println(s"loaded index: shards=${idx.numShards} params=${idx.params}")
+    // width "auto" = the snapshot's persisted operating point
+    // (calibrateWidthTo); exact scan when never calibrated
+    val sw =
+      if (swArg == "auto") {
+        val cal = VectorIndex.readCalibration(spark, path)
+        println(s"calibration sidecar: ${cal.getOrElse("absent — exact scan")}")
+        cal.map(_.searchWidth).getOrElse(0)
+      } else swArg.toInt
 
     // soak: driverless shuffled probe, KernelBench's soak protocol
     // (same deterministic query generation, same gate) so the numbers

@@ -3143,6 +3143,57 @@ object Queries {
     } finally graft.streaming.StreamingOps.deleteRecursively(root)
   }
 
+  // ---------------------------------------------------------------- v62_hybrid_production
+  /** The PRODUCTION-WIDTH face of v60's snapshot serving: v60 gates
+    * [[graft.operators.HybridRetrieval.serveFromSnapshots]] at
+    * exhaustive width (exactness is what lets v46's closed-form oracle
+    * apply); a deployment serves the dense leg at a bounded beam
+    * (sw=32 — the HybridServeBench setting). This query serves the SAME
+    * loaded pair at BOTH widths in one run and reports the recall of
+    * the production serve against the exhaustive serve computed beside
+    * it — the s24 discipline (the approximate face gated by its own
+    * exact face, floored): the dense beam leg must retain >= 90% of the
+    * exhaustive dense leg, and the fused production ranking >= 90% of
+    * the exhaustive fused ranking (floors hold with margin at sf0.001/
+    * 0.01/0.1; the pinned sf0.01 oracle carries the exact counts). */
+  def v62HybridProduction(s: SparkSession, dir: String): DataFrame = {
+    val (qd, cd, qe, _) = hybridInputs(s, dir)
+    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_prod_").toString
+    try {
+      VectorIndex.build(ce,
+        IndexParams(metric = graft.functions.DistanceMetric.Cosine,
+          minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+        numShards = 4).save(s"$root/vec")
+      val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
+      graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
+        dfCapNum = 78L, dfCapDen = 100L)
+      // ONE loaded pair serves both widths (the long-lived server shape)
+      val vidx = VectorIndex.load(s, s"$root/vec", cache = false)
+      val snap = graft.operators.HybridRetrieval.openBm25Index(s, s"$root/lex")
+      def denseAt(sw: Int) = vidx.query(qe, 20, sw)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      def fusedAt(sw: Int) = graft.operators.HybridRetrieval
+        .serveFromLoaded(vidx, snap, qd, qe, n = 20, k = 10, searchWidth = sw)
+        .select(col("query_id"), col("doc_id"))
+      val report = graft.operators.RecallEval
+        .labeledRecall(Seq("dense_sw32" -> denseAt(32)), denseAt(4096))
+        .unionByName(graft.operators.RecallEval
+          .labeledRecall(Seq("fused_sw32" -> fusedAt(32)), fusedAt(4096)))
+        .orderBy(col("system"))
+        .localCheckpoint(true) // eager: temp snapshots deleted below
+      // the pinned floor: production width must retain >= 90% of the
+      // exhaustive serve on both faces, at ANY scale factor
+      report.collect().foreach { r =>
+        val (sys, hits, total) = (r.getString(0), r.getLong(1), r.getLong(2))
+        require(total > 0 && hits * 10 >= total * 9,
+          s"production-width floor broken: $sys $hits/$total < 0.9")
+      }
+      report
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
+  }
+
   private val v46Oracle = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -3393,6 +3444,14 @@ object Queries {
     "v45_residual_trained" -> v45Oracle,
     "v46_hybrid_bm25" -> v46Oracle,
     "v60_hybrid_snapshot" -> v46Oracle,
+    // pinned at the driver's sf0.01 gate (deterministic beam; regenerate
+    // if the widths, n/k, or index params change). sw=32 retains the
+    // exhaustive serve EXACTLY at this corpus size; the floor (>= 0.9)
+    // is enforced inside the query at every scale factor.
+    "v62_hybrid_production" ->
+      """SELECT system, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+        |FROM (VALUES ('dense_sw32', 100, 100), ('fused_sw32', 50, 50)) AS t(system, hits, total)
+        |ORDER BY system""".stripMargin,
     "t5_json" -> t5Oracle
   )
 }

@@ -118,6 +118,7 @@ object SparkEntry {
     "v45_residual_trained" -> ((s, dir) => Queries.v45ResidualTrained(s, dir)),
     "v46_hybrid_bm25" -> ((s, dir) => Queries.v46HybridBm25(s, dir)),
     "v60_hybrid_snapshot" -> ((s, dir) => Queries.v60HybridSnapshot(s, dir)),
+    "v62_hybrid_production" -> ((s, dir) => Queries.v62HybridProduction(s, dir)),
     "t5_json" -> ((s, dir) => Queries.t5Json(s, dir))
   ) ++ PipelineQueries.queries
 

@@ -78,6 +78,14 @@ case class EdgeRef(nbr: Int, rc: Int)
 /** Per-shard metadata (entry point etc. — reference: dehnsw.h:54-70). */
 case class ShardMeta(sub_index_id: Int, n_vectors: Long, layer_count: Int, entry_offset: Int)
 
+/** A persisted width-calibration operating point (`calibration.json`
+  * beside a snapshot's params.json): the production searchWidth chosen
+  * by [[VectorIndex.calibrateWidthTo]], the target it met, k, the chosen
+  * width's sample recall, and the full (width, recall) curve for the
+  * record. */
+case class WidthCalibration(searchWidth: Int, targetRecall: Double, k: Int,
+    sampleRecall: Double, curve: Seq[(Int, Double)])
+
 /** Distributed dehnsw index: shard == Spark partition (SURVEY §1.3).
   *
   * Build: deterministic shard assignment (`global_id % numShards` — unlike
@@ -289,6 +297,27 @@ class VectorIndex private (
         "empty index or unprobeable sample")
     val curve = ws.map(w => w -> hits(w).toDouble / denom)
     (curve.find(_._2 >= targetRecall).map(_._1).getOrElse(0), curve)
+  }
+
+  /** [[calibrateWidth]] + persist the chosen operating point INTO the
+    * snapshot at `path` (a `calibration.json` sidecar beside
+    * params.json): the width, target, k, the chosen width's sample
+    * recall, and the full curve — so a serving deployment
+    * ([[graft.ProbeBench]] width `auto`, [[graft.operators
+    * .HybridRetrieval.serveFromSnapshots]] with
+    * `searchWidth = VectorIndex.CalibratedWidth`) defaults to the
+    * calibrated width instead of re-deriving or hard-coding it. Width 0
+    * (the exact-scan fallback) records sample recall 1.0 by
+    * construction. */
+  def calibrateWidthTo(path: String, sample: Array[(Long, Array[Float])],
+      k: Int, targetRecall: Double,
+      widths: Seq[Int] = Seq(2, 4, 8, 16, 32, 64, 128, 256, 512))
+      : (Int, Seq[(Int, Double)]) = {
+    val (w, curve) = calibrateWidth(sample, k, targetRecall, widths)
+    val sampleRecall = curve.find(_._1 == w).map(_._2).getOrElse(1.0)
+    VectorIndex.writeCalibration(rows.sparkSession, path,
+      WidthCalibration(w, targetRecall, k, sampleRecall, curve))
+    (w, curve)
   }
 
   /** Probe-ready layout shared by the broadcast and shuffled probes:
@@ -655,6 +684,36 @@ object VectorIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Sentinel searchWidth for "use the snapshot's persisted calibration"
+    * ([[WidthCalibration]]) — consumed by [[graft.operators
+    * .HybridRetrieval.serveFromSnapshots]] and graft.ProbeBench. */
+  val CalibratedWidth: Int = Int.MinValue
+
+  /** Persist a [[WidthCalibration]] beside a snapshot's params.json.
+    * Doubles serialize via toString (shortest round-trip — reparsing
+    * yields identical bits). */
+  def writeCalibration(spark: SparkSession, path: String,
+      cal: WidthCalibration): Unit =
+    writeSmallFile(spark, s"$path/calibration.json",
+      s"""{"search_width":${cal.searchWidth},""" +
+        s""""target_recall":${cal.targetRecall},"k":${cal.k},""" +
+        s""""sample_recall":${cal.sampleRecall},""" +
+        s""""curve":[${cal.curve.map(c => s"[${c._1},${c._2}]").mkString(",")}]}""")
+
+  /** Read a snapshot's persisted calibration; None when never calibrated. */
+  def readCalibration(spark: SparkSession, path: String)
+      : Option[WidthCalibration] = {
+    val json = readSmallFile(spark, s"$path/calibration.json")
+    if (json == null) return None
+    def num(k: String) =
+      (s""""$k":\\s*(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json).get.group(1)
+    val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(json)
+      .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+    Some(WidthCalibration(num("search_width").toInt,
+      num("target_recall").toDouble, num("k").toInt,
+      num("sample_recall").toDouble, curve))
   }
 
   /** Read a small file via the Hadoop FS; null when absent. */

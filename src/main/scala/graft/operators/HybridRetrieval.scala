@@ -576,15 +576,22 @@ object HybridRetrieval {
       queriesText: DataFrame, queriesEmb: DataFrame,
       n: Int, k: Int, searchWidth: Int,
       cacheIndex: Boolean = false): DataFrame = {
+    // the CalibratedWidth sentinel: default to the snapshot's persisted
+    // operating point (calibrateWidthTo), exact scan when never calibrated
+    val sw =
+      if (searchWidth == graft.index.VectorIndex.CalibratedWidth)
+        graft.index.VectorIndex.readCalibration(spark, vectorIndexPath)
+          .map(_.searchWidth).getOrElse(0)
+      else searchWidth
     val vidx = graft.index.VectorIndex.load(spark, vectorIndexPath, cache = cacheIndex)
     val json = graft.index.VectorIndex.readSmallFile(
       spark, s"$bm25IndexPath/stats.json")
     if (json != null && json.contains("\"sum_dl\""))
       serveFromLoaded(vidx, openBm25Index(spark, bm25IndexPath),
-        queriesText, queriesEmb, n, k, searchWidth)
+        queriesText, queriesEmb, n, k, sw)
     else {
       val (li, ls) = loadBm25Index(spark, bm25IndexPath)
-      serveFromLoaded(vidx, li, ls, queriesText, queriesEmb, n, k, searchWidth)
+      serveFromLoaded(vidx, li, ls, queriesText, queriesEmb, n, k, sw)
     }
   }
 

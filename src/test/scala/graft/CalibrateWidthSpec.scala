@@ -69,4 +69,34 @@ class CalibrateWidthSpec extends AnyFunSuite with SparkSuite {
       targetRecall = math.min(1.0, maxReachable + 1e-9), widths = Seq(1, 2))
     assert(chosen === 0, s"expected exact fallback, got $chosen (max $maxReachable)")
   }
+
+  test("calibrateWidthTo persists the operating point; read restores it exactly") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = vecs(2000, dim, 13).toSeq.toDF("id", "embedding")
+    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib_").toString
+    try {
+      val idx = VectorIndex.buildTo(corpus, params, numShards = 4, s"$dir/snap")
+      assert(VectorIndex.readCalibration(spark, s"$dir/snap").isEmpty,
+        "a never-calibrated snapshot must read None")
+      val cal = vecs(40, dim, 101)
+      val target = 0.9
+      val (chosen, curve) = idx.calibrateWidthTo(s"$dir/snap", cal, k = 10,
+        targetRecall = target, widths = Seq(2, 4, 8, 16, 32, 64))
+      val restored = VectorIndex.readCalibration(spark, s"$dir/snap").get
+      // exact restore: ints verbatim, doubles via shortest-round-trip
+      assert(restored.searchWidth === chosen)
+      assert(restored.targetRecall === target)
+      assert(restored.k === 10)
+      assert(restored.curve === curve)
+      assert(restored.sampleRecall ===
+        curve.find(_._1 == chosen).map(_._2).getOrElse(1.0))
+      // width 0 (exact fallback) persists sample recall 1.0
+      val (c0, _) = idx.calibrateWidthTo(s"$dir/snap", cal, k = 10,
+        targetRecall = 1.0 - 1e-12, widths = Seq(1))
+      if (c0 == 0)
+        assert(VectorIndex.readCalibration(spark, s"$dir/snap").get.sampleRecall === 1.0)
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
 }
