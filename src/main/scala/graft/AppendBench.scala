@@ -98,6 +98,19 @@ object AppendBench {
       f"$appendS%.1f s wall; files: $linked%d hardlinked (zero bytes, " +
       f"inode-verified), $copied%d byte-copied, ${fresh.length}%d written " +
       f"(${fresh.map(_.length()).sum / 1e9}%.2f GB)")
+    // retirement accounting: what deleting the OLD generation would free
+    // (old-exclusive bytes, nlink == 1) vs what it merely unshares
+    // (hardlinked into the new snapshot — inode survives the delete; the
+    // delete-is-safe proof is inode-level in AppendToSpec)
+    def nlink(f: java.io.File) =
+      try java.nio.file.Files.getAttribute(f.toPath, "unix:nlink")
+        .asInstanceOf[Int]
+      catch { case _: Exception => 1 }
+    val (sharedOld, exclOld) = oldFiles.values.partition(nlink(_) > 1)
+    println(f"retirement: deleting the old snapshot frees " +
+      f"${exclOld.map(_.length()).sum / 1e9}%.2f GB (${exclOld.size}%d " +
+      f"old-exclusive files); ${sharedOld.map(_.length()).sum / 1e9}%.2f GB " +
+      f"in ${sharedOld.size}%d files stay alive via the new snapshot's hardlinks")
     val affectedMeta = appended.meta.filter(_.sub_index_id < residues)
     println(s"rebuilt shards: ${affectedMeta.map(_.sub_index_id).mkString(",")} " +
       s"(rows ${affectedMeta.map(_.n_vectors).sum}); " +

@@ -2126,10 +2126,15 @@ object PipelineQueries {
       IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2), numShards = 4)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    StreamingOps.streamIndexAppend(s, s"$dir/embeddings.parquet", baseIdx,
-      queries, col("vec_id") >= 3000, k = 10)
+    // the stream ENDS in a published snapshot and the gated probe runs
+    // over the LOADED copy (ingest→snapshot→serve, the s26 close)
+    val pub = java.nio.file.Files.createTempDirectory("graft_s8_pub_").toString
+    try StreamingOps.streamIndexAppend(s, s"$dir/embeddings.parquet", baseIdx,
+      queries, col("vec_id") >= 3000, k = 10, publishPath = s"$pub/snap")
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // eager: the temp snapshot is deleted below
+    finally StreamingOps.deleteRecursively(pub)
   }
 
   private val s8Oracle = s7Oracle // probe of the appended index == full-corpus kNN
@@ -2153,12 +2158,18 @@ object PipelineQueries {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val streamed = emb.filter(col("vec_id") >= 300).count()
-    StreamingOps.streamIndexLsm(s, s"$dir/embeddings.parquet", baseIdx,
+    // publish the streamed generational state (base + generations +
+    // manifest) and probe the LOADED copy — the gate's hash covers
+    // ingest, compaction scheduling, AND persistence
+    val pub = java.nio.file.Files.createTempDirectory("graft_s9_pub_").toString
+    try StreamingOps.streamIndexLsm(s, s"$dir/embeddings.parquet", baseIdx,
       queries, col("vec_id") >= 300, k = 10,
       compactThreshold = math.max(1L, streamed * 3 / 5),
-      sourceSlices = 3)
+      sourceSlices = 3, publishPath = s"$pub/snap")
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // eager: the temp snapshot is deleted below
+    finally StreamingOps.deleteRecursively(pub)
   }
 
   private val s9Oracle = s7Oracle // LSM probe == full-corpus kNN

@@ -58,6 +58,20 @@ object ShardGraphCache {
     * shard's rows entirely when its graph is already resident. */
   def peek(indexId: String, shardId: Int): SubIndexGraph =
     cache.synchronized { cache.get((indexId, shardId)) }
+
+  /** Drop every resident graph of one index generation — the JVM-side
+    * half of RETIRING a snapshot (deleting its files frees storage; this
+    * frees the heap the generation's graphs still pin). Also what forces
+    * the next probe to re-read the surviving snapshot's parquet, which
+    * is how the retirement spec proves a delete of the OLD generation
+    * never corrupts the NEW one (hardlinked inodes stay alive). Returns
+    * the evicted count. */
+  def evict(indexId: String): Int = cache.synchronized {
+    val it = cache.keySet().iterator()
+    var n = 0
+    while (it.hasNext) if (it.next()._1 == indexId) { it.remove(); n += 1 }
+    n
+  }
 }
 
 /** One persisted index row: a vector plus its per-layer adjacency

@@ -1049,7 +1049,8 @@ object StreamingOps {
   def streamIndexAppend(
       spark: SparkSession, embPath: String,
       baseIndex: graft.index.VectorIndex, queries: DataFrame,
-      newVectorsPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      newVectorsPred: org.apache.spark.sql.Column, k: Int,
+      publishPath: String = null): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = schemaCache.computeIfAbsent(embPath, p => spark.read.parquet(p).schema)
     val srcDir = stagedSources.computeIfAbsent(embPath, _ => {
@@ -1084,7 +1085,15 @@ object StreamingOps {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => }
     }
-    current.query(queries, k, searchWidth = 0)
+    // with publishPath the stream ENDS in a published snapshot and the
+    // probe runs over the LOADED copy (the s26 close applied to the
+    // vector family): the gate's hash then covers persistence too
+    if (publishPath == null) current.query(queries, k, searchWidth = 0)
+    else {
+      current.save(publishPath)
+      graft.index.VectorIndex.load(spark, publishPath, cache = false)
+        .query(queries, k, searchWidth = 0)
+    }
   }
 
   /** Streaming index DELETE — the unsubscribe/GDPR-takedown face of the
@@ -1151,7 +1160,8 @@ object StreamingOps {
       spark: SparkSession, embPath: String,
       baseIndex: graft.index.VectorIndex, queries: DataFrame,
       newVectorsPred: org.apache.spark.sql.Column, k: Int,
-      compactThreshold: Long, sourceSlices: Int = 4): DataFrame = {
+      compactThreshold: Long, sourceSlices: Int = 4,
+      publishPath: String = null): DataFrame = {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val slice = spark.read.parquet(embPath).filter(newVectorsPred)
       .select(col("vec_id").as("id"), col("embedding"))
@@ -1181,7 +1191,17 @@ object StreamingOps {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => }
     }
-    current.query(queries, k, searchWidth = 0)
+    // with publishPath the stream ENDS in a published generational
+    // snapshot ([[graft.index.LsmVectorIndex.save]]: base + generations
+    // + manifest) and the probe runs over the LOADED copy — the s26
+    // close applied to the last artifact family, so the gate's hash
+    // covers ingest AND persistence
+    if (publishPath == null) current.query(queries, k, searchWidth = 0)
+    else {
+      current.save(publishPath)
+      graft.index.LsmVectorIndex.load(spark, publishPath)
+        .query(queries, k, searchWidth = 0)
+    }
   }
 
   /** Streaming kNN-GRAPH maintenance (s22) — v48's graph construction

@@ -96,4 +96,60 @@ class AppendToSpec extends AnyFunSuite with SparkSuite {
     checkAppendTo(IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 4,
       quantized = true, quantLo = 0f, quantHi = 1f))
   }
+
+  test("retiring the old generation: delete is safe, freed vs shared bytes enumerated") {
+    import org.apache.spark.sql.functions.col
+    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 16,
+      step = 4, quantized = true, quantLo = 0f, quantHi = 1f)
+    val dim = 8
+    val base = corpus(2000, dim, _.toLong)
+    val batch = corpus(200, dim, i => 2000L + 16L * (i / 2) + (i % 2))
+    val oldDir = java.nio.file.Files.createTempDirectory("graft_retire_old_").toString
+    val newRoot = java.nio.file.Files.createTempDirectory("graft_retire_new_").toString
+    val newDir = s"$newRoot/snap"
+    try {
+      VectorIndex.buildTo(base, params, 16, oldDir)
+      val appended = VectorIndex.appendTo(spark, oldDir, batch, newDir)
+      val qdf = corpus(20, dim, i => 900000L + i)
+        .select(col("id").as("query_id"), col("embedding"))
+      def probe(idx: VectorIndex) = idx.query(qdf, 10, searchWidth = 16)
+        .select("query_id", "neighbor_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val before = probe(appended)
+
+      // retirement accounting BEFORE the delete: bytes the delete FREES
+      // (old-exclusive files, nlink == 1) vs bytes merely UNSHARED
+      // (hardlinked into the new generation, nlink > 1 — the inode
+      // survives the delete)
+      import scala.jdk.CollectionConverters._
+      def files(d: String) = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet")).toSeq
+      val (shared, freed) = files(oldDir).partition(p =>
+        java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] > 1)
+      assert(shared.nonEmpty, "premise: some files must be shared via hardlink")
+      assert(freed.nonEmpty,
+        "premise: the rebuilt shards' old files must be old-exclusive")
+      val sharedBytes = shared.map(java.nio.file.Files.size).sum
+      val freedBytes = freed.map(java.nio.file.Files.size).sum
+      assert(sharedBytes > 0 && freedBytes > 0)
+
+      // DELETE the old generation wholesale, evict every resident graph
+      // of the new handle (so nothing is served from memory), and
+      // re-probe through a FRESH load — every byte must come off the new
+      // snapshot's surviving files, bit-identically
+      graft.streaming.StreamingOps.deleteRecursively(oldDir)
+      assert(graft.index.ShardGraphCache.evict(appended.probeId) > 0,
+        "premise: the probe above must have left resident graphs to evict")
+      val fresh = VectorIndex.load(spark, newDir, cache = false)
+      assert(probe(fresh) === before,
+        "retiring the old snapshot corrupted the appended one")
+      // the shared inodes are still alive through the new snapshot's links
+      assert(files(newDir).nonEmpty)
+    } finally {
+      graft.streaming.StreamingOps.deleteRecursively(oldDir)
+      graft.streaming.StreamingOps.deleteRecursively(newRoot)
+    }
+  }
 }
