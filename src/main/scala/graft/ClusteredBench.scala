@@ -209,7 +209,9 @@ object ClusteredBench {
       def runFlavor(label: String, kEff: Int, encoded: DataFrame,
           mkRouted: Int => DataFrame): Unit = {
         val codesPath = s"$dir/ivfpq_$label/codes"
-        if (!new java.io.File(codesPath).exists()) {
+        // completion marker, not bare dir existence: a crashed encode
+        // must re-run, not be "reused" into silently-deflated recall
+        if (!new java.io.File(codesPath, "_SUCCESS").exists()) {
           val t = System.nanoTime()
           encoded.repartition(64, col("cell"))
             .sortWithinPartitions(col("cell"), col("neighbor_id"))

@@ -96,9 +96,8 @@ object HybridServeBench {
     // split (v2) snapshots open as two-phase handles; a pre-split lex
     // snapshot (e.g. one published by an earlier build) loads as the
     // joined view — both serve through serveFromLoaded
-    val lexJson = graft.index.VectorIndex.readSmallFile(spark, s"$dir/lex/stats.json")
     val snapOpt =
-      if (lexJson != null && lexJson.contains("\"sum_dl\""))
+      if (graft.operators.HybridRetrieval.isSplitSnapshot(spark, s"$dir/lex"))
         Some(graft.operators.HybridRetrieval.openBm25Index(spark, s"$dir/lex"))
       else None
     lazy val (li, ls) = graft.operators.HybridRetrieval.loadBm25Index(spark, s"$dir/lex")

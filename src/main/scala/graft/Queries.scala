@@ -3169,18 +3169,28 @@ object Queries {
       val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
       graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
         dfCapNum = 78L, dfCapDen = 100L)
-      // ONE loaded pair serves both widths (the long-lived server shape)
+      // ONE loaded pair serves both widths (the long-lived server shape);
+      // each beam probe runs ONCE (bounded |Q| x 20 frames, pinned) and
+      // feeds BOTH its recall row and its fusion — and the lexical leg
+      // is width-independent, so it also runs once
       val vidx = VectorIndex.load(s, s"$root/vec", cache = false)
       val snap = graft.operators.HybridRetrieval.openBm25Index(s, s"$root/lex")
       def denseAt(sw: Int) = vidx.query(qe, 20, sw)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"))
-      def fusedAt(sw: Int) = graft.operators.HybridRetrieval
-        .serveFromLoaded(vidx, snap, qd, qe, n = 20, k = 10, searchWidth = sw)
-        .select(col("query_id"), col("doc_id"))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank"))
+        .localCheckpoint(true)
+      val (dense32, denseEx) = (denseAt(32), denseAt(4096))
+      val lex = graft.operators.HybridRetrieval.bm25Serve(qd, snap, n = 20)
+        .localCheckpoint(true)
+      def fused(dense: org.apache.spark.sql.DataFrame) =
+        graft.operators.HybridRetrieval.rrfFuse(dense, lex, k = 10)
+          .select(col("query_id"), col("doc_id"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("doc_id"))
       val report = graft.operators.RecallEval
-        .labeledRecall(Seq("dense_sw32" -> denseAt(32)), denseAt(4096))
+        .labeledRecall(Seq("dense_sw32" -> pairs(dense32)), pairs(denseEx))
         .unionByName(graft.operators.RecallEval
-          .labeledRecall(Seq("fused_sw32" -> fusedAt(32)), fusedAt(4096)))
+          .labeledRecall(Seq("fused_sw32" -> fused(dense32)), fused(denseEx)))
         .orderBy(col("system"))
         .localCheckpoint(true) // eager: temp snapshots deleted below
       // the pinned floor: production width must retain >= 90% of the

@@ -59,13 +59,18 @@ object ShardGraphCache {
   def peek(indexId: String, shardId: Int): SubIndexGraph =
     cache.synchronized { cache.get((indexId, shardId)) }
 
-  /** Drop every resident graph of one index generation — the JVM-side
-    * half of RETIRING a snapshot (deleting its files frees storage; this
-    * frees the heap the generation's graphs still pin). Also what forces
-    * the next probe to re-read the surviving snapshot's parquet, which
-    * is how the retirement spec proves a delete of the OLD generation
-    * never corrupts the NEW one (hardlinked inodes stay alive). Returns
-    * the evicted count. */
+  /** Drop every resident graph of one index generation FROM THIS JVM —
+    * the heap half of RETIRING a snapshot (deleting its files frees
+    * storage; this frees the graphs a retired generation still pins).
+    * Scope honesty: the cache is per-JVM, so on a cluster this call
+    * only affects the JVM it runs in; executor-resident graphs of a
+    * retired generation age out via the cache's LRU bound (MaxEntries)
+    * — the eviction there is pressure-driven, not immediate. In local
+    * mode (driver == executor, the retirement spec's setting) this IS
+    * the full eviction, which is what lets the spec force the next
+    * probe to re-read the surviving snapshot's parquet and prove a
+    * delete of the OLD generation never corrupts the NEW one
+    * (hardlinked inodes stay alive). Returns the evicted count. */
   def evict(indexId: String): Int = cache.synchronized {
     val it = cache.keySet().iterator()
     var n = 0
@@ -700,6 +705,38 @@ object VectorIndex {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Hardlink `src` to `dst` when both ends are local filesystems (zero
+    * bytes moved), else a FileSystem copy — which on object stores is
+    * the server-side-copy fast path. The kept-file discipline shared by
+    * [[appendTo]] and [[graft.operators.HybridRetrieval.appendBm25]]. */
+  private[graft] def linkOrCopyFile(
+      fs: org.apache.hadoop.fs.FileSystem, src: org.apache.hadoop.fs.Path,
+      dstFs: org.apache.hadoop.fs.FileSystem, dst: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val linked = fs.getScheme == "file" && dstFs.getScheme == "file" && (try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(src.toUri.getPath)); true
+    } catch { case _: Exception => false })
+    if (!linked) org.apache.hadoop.fs.FileUtil.copy(fs, src, dstFs, dst, false, conf)
+  }
+
+  /** Reject two path strings that alias the SAME location (relative vs
+    * absolute, ".", scheme-default spellings): publishing a "new"
+    * snapshot over its own source would destroy the rows mid-read. Same
+    * string on two different stores is legal. Shared by the append
+    * publishers. */
+  private[graft] def requireDistinctPaths(
+      hconf: org.apache.hadoop.conf.Configuration, oldPath: String,
+      newPath: String, op: String): Unit = {
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp)
+    }
+    require(qualified(oldPath) != qualified(newPath),
+      s"$op publishes a NEW snapshot: newPath must differ from oldPath")
+  }
+
   /** Sentinel searchWidth for "use the snapshot's persisted calibration"
     * ([[WidthCalibration]]) — consumed by [[graft.operators
     * .HybridRetrieval.serveFromSnapshots]] and graft.ProbeBench. */
@@ -716,19 +753,24 @@ object VectorIndex {
         s""""sample_recall":${cal.sampleRecall},""" +
         s""""curve":[${cal.curve.map(c => s"[${c._1},${c._2}]").mkString(",")}]}""")
 
-  /** Read a snapshot's persisted calibration; None when never calibrated. */
+  /** Read a snapshot's persisted calibration; None when never calibrated
+    * OR when the sidecar is truncated/corrupt (writeCalibration is not
+    * atomic — a half-written file must degrade to the exact-scan
+    * fallback the absent-file path already models, never crash a
+    * serving process). */
   def readCalibration(spark: SparkSession, path: String)
-      : Option[WidthCalibration] = {
-    val json = readSmallFile(spark, s"$path/calibration.json")
-    if (json == null) return None
-    def num(k: String) =
-      (s""""$k":\\s*(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json).get.group(1)
-    val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(json)
-      .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
-    Some(WidthCalibration(num("search_width").toInt,
-      num("target_recall").toDouble, num("k").toInt,
-      num("sample_recall").toDouble, curve))
-  }
+      : Option[WidthCalibration] =
+    try {
+      val json = readSmallFile(spark, s"$path/calibration.json")
+      if (json == null) return None
+      def num(k: String) =
+        (s""""$k":\\s*(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json).get.group(1)
+      val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(json)
+        .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+      Some(WidthCalibration(num("search_width").toInt,
+        num("target_recall").toDouble, num("k").toInt,
+        num("sample_recall").toDouble, curve))
+    } catch { case _: Exception => None }
 
   /** Read a small file via the Hadoop FS; null when absent. */
   private[graft] def readSmallFile(spark: SparkSession, path: String): String = {
@@ -986,17 +1028,7 @@ object VectorIndex {
       newVectors: DataFrame, newPath: String): VectorIndex = {
     import spark.implicits._
     val hconf = spark.sessionState.newHadoopConf()
-    // canonical (scheme + authority + normalized path) comparison: a
-    // relative / "." / differently-spelled alias of the SAME location
-    // must be rejected (the overwrite write would destroy the old
-    // snapshot's rows before the rebuild scan reads them), while the
-    // same path string on two DIFFERENT stores is legal
-    def qualified(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp)
-    }
-    require(qualified(oldPath) != qualified(newPath),
-      "appendTo publishes a NEW snapshot: newPath must differ from oldPath")
+    requireDistinctPaths(hconf, oldPath, newPath, "appendTo")
     val old = load(spark, oldPath, cache = false)
     val params = old.params
     val numShards = old.numShards
@@ -1054,16 +1086,9 @@ object VectorIndex {
         case None => false
       }
       if (!touchesAffected) {
-        // pure kept file: hardlink when BOTH ends are local (zero
-        // bytes), else byte copy across the right pair of FileSystems
-        // (on object stores this is the server-side-copy fast path)
-        val dst = new org.apache.hadoop.fs.Path(s"$newPath/rows/${p.getName}")
-        val ok = fs.getScheme == "file" && dstFs.getScheme == "file" && (try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(p.toUri.getPath)); true
-        } catch { case _: Exception => false })
-        if (!ok) org.apache.hadoop.fs.FileUtil.copy(fs, p, dstFs, dst, false, conf)
+        // pure kept file: the shared hardlink-else-copy fast path
+        linkOrCopyFile(fs, p, dstFs,
+          new org.apache.hadoop.fs.Path(s"$newPath/rows/${p.getName}"), conf)
       } else if (!onlyAffected) mixed += p.toString
       // else: file holds only affected shards — superseded by the rebuild
     }

@@ -246,6 +246,14 @@ object HybridRetrieval {
       stats: DataFrame, maxDf: Long, tokBuckets: Int, nDocs: Long,
       sumDl: Long, dfCapNum: Long, dfCapDen: Long)
 
+  /** True when `path` holds a SPLIT (df-side-table) snapshot — the ONE
+    * format sniff shared by every load/serve dispatch site. */
+  private[graft] def isSplitSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
+    json != null && json.contains("\"sum_dl\"")
+  }
+
   /** Open a [[saveBm25Index]] snapshot as its split pieces — the serving
     * handle for [[bm25Serve]]'s snapshot overload (two-phase pruning:
     * the df table resolves the batch's under-cap tokens BEFORE the
@@ -287,7 +295,7 @@ object HybridRetrieval {
     import spark.implicits._
     val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
     require(json != null, s"missing $path/stats.json")
-    if (json.contains("\"sum_dl\"")) {
+    if (isSplitSnapshot(spark, path)) {
       val snap = openBm25Index(spark, path)
       val dfKept = snap.df.filter(col("df") <= snap.maxDf)
       (snap.postings.join(dfKept, Seq("tok", "tok_bkt")), snap.stats)
@@ -324,19 +332,15 @@ object HybridRetrieval {
   def bm25Serve(queries: DataFrame, index: DataFrame, stats: DataFrame,
       n: Int, k1: Double = 1.5, b: Double = 0.75,
       maxPushTokens: Int = 10000): DataFrame = {
-    // PINNED (localCheckpoint) because the pushed predicates below are
-    // derived from a collect over this frame: a nondeterministic query
-    // batch (sample/rand/re-read mutable source) re-evaluated at join
-    // time could otherwise hold tokens absent from the pushed
-    // In(tok)/tok_bkt filters and silently drop matching postings — the
-    // same re-evaluation hazard appendPrep caches against. The frame is
-    // bounded by the broadcast contract, so the checkpoint is cheap.
-    val qt = queries.select(col("query_id"),
-        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      .filter(col("tok") =!= "")
-      .localCheckpoint(true)
-    val toks = qt.select(col("tok")).distinct().limit(maxPushTokens + 1)
-      .collect().map(_.getString(0)).toSeq
+    // the batch's (query_id, tok) pairs are COLLECTED once and rebuilt
+    // as a driver-local relation: the pushed In(tok)/tok_bkt predicates
+    // below derive from this set, and a nondeterministic query batch
+    // (sample/rand/re-read mutable source) re-evaluated at join time
+    // could otherwise hold tokens absent from the pushed filters and
+    // silently drop matching postings. Collecting is no new bound — the
+    // same contract already broadcasts qt to every executor — and it
+    // pins no executor storage in a long-lived serving loop.
+    val (qt, toks) = collectQueryTokens(queries)
     val pruned =
       if (toks.isEmpty || toks.length > maxPushTokens) index
       else {
@@ -347,14 +351,28 @@ object HybridRetrieval {
             stats.select(col("tok_buckets").cast("int")).head.getInt(0)
           else 0
         if (nBkt > 0) {
-          import index.sparkSession.implicits._
-          val bkts = toks.toDF("tok")
-            .select(tokBucket(col("tok"), nBkt).as("b")).distinct()
-            .collect().map(_.getInt(0)).toSeq
+          val bkts = toks.map(t => bucketOf(t, nBkt)).distinct
           base.filter(col("tok_bkt").isin(bkts: _*))
         } else base
       }
     scoreBm25(pruned, qt, stats, n, k1, b)
+  }
+
+  /** Collect the batch's distinct (query_id, tok) pairs ONCE and rebuild
+    * them as a driver-local relation — the shared front half of every
+    * serve path. One collect (no new bound: the same contract already
+    * broadcasts this frame to every executor), no pinned executor
+    * storage, and the pushed predicates cannot diverge from the join
+    * side because both are built from the same collected rows. */
+  private def collectQueryTokens(queries: DataFrame)
+      : (DataFrame, Seq[String]) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col("query_id").cast("long"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    (rows.toDF("query_id", "tok"), rows.map(_._2).distinct)
   }
 
   /** The ONE BM25 scoring tail shared by every serve path (in-session,
@@ -406,13 +424,9 @@ object HybridRetrieval {
       k1: Double, b: Double, maxPushTokens: Int): DataFrame = {
     val spark = snap.postings.sparkSession
     import spark.implicits._
-    // pinned for the same re-evaluation hazard as the frame overload
-    val qt = queries.select(col("query_id"),
-        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      .filter(col("tok") =!= "")
-      .localCheckpoint(true)
-    val toks = qt.select(col("tok")).distinct().limit(maxPushTokens + 1)
-      .collect().map(_.getString(0)).toSeq
+    // collected once (the same re-evaluation-hazard discipline as the
+    // frame overload — pushed predicates and join side share one set)
+    val (qt, toks) = collectQueryTokens(queries)
     if (toks.isEmpty || toks.length > maxPushTokens) {
       // degenerate (empty or whole-vocab) batch: the distributed-join
       // view without pushdown — correct for any shape, never built from
@@ -480,12 +494,8 @@ object HybridRetrieval {
       validateIds: Boolean = true): Unit = {
     val old = openBm25Index(spark, oldPath)
     val hconf = spark.sessionState.newHadoopConf()
-    def qualified(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp)
-    }
-    require(qualified(oldPath) != qualified(newPath),
-      "appendBm25 publishes a NEW snapshot: newPath must differ from oldPath")
+    graft.index.VectorIndex.requireDistinctPaths(hconf, oldPath, newPath,
+      "appendBm25")
     val batch = newDocs.select(col("doc_id").cast("long"), col("text"))
       .localCheckpoint(true) // pin: postings/df/stats must see ONE batch
     try {
@@ -535,22 +545,21 @@ object HybridRetrieval {
     val fs = src.getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(dstDir)
     val dstFs = dst.getFileSystem(conf)
+    // relative paths computed against the QUALIFIED source: listFiles
+    // returns qualified paths, so stripping an unqualified (relative /
+    // "./"-spelled) srcDir would silently nest the whole source layout
+    // under the destination
+    val srcPrefix = fs.makeQualified(src).toUri.getPath
     val it = fs.listFiles(src, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = f.getPath.toUri.getPath.stripPrefix(src.toUri.getPath)
+        val rel = f.getPath.toUri.getPath.stripPrefix(srcPrefix)
           .stripPrefix("/")
         val out = new org.apache.hadoop.fs.Path(dst, rel)
         dstFs.mkdirs(out.getParent)
-        val linked = fs.getScheme == "file" && dstFs.getScheme == "file" && (try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(out.toUri.getPath),
-            java.nio.file.Paths.get(f.getPath.toUri.getPath)); true
-        } catch { case _: Exception => false })
-        if (!linked)
-          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, dstFs, out, false, conf)
+        graft.index.VectorIndex.linkOrCopyFile(fs, f.getPath, dstFs, out, conf)
       }
     }
   }
@@ -584,9 +593,7 @@ object HybridRetrieval {
           .map(_.searchWidth).getOrElse(0)
       else searchWidth
     val vidx = graft.index.VectorIndex.load(spark, vectorIndexPath, cache = cacheIndex)
-    val json = graft.index.VectorIndex.readSmallFile(
-      spark, s"$bm25IndexPath/stats.json")
-    if (json != null && json.contains("\"sum_dl\""))
+    if (isSplitSnapshot(spark, bm25IndexPath))
       serveFromLoaded(vidx, openBm25Index(spark, bm25IndexPath),
         queriesText, queriesEmb, n, k, sw)
     else {

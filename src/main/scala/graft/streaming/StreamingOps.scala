@@ -985,9 +985,11 @@ object StreamingOps {
       val index = postingsAll.join(dfAll.filter(col("df") <= maxDf), Seq("tok"))
       // exact: Σdl/n reproduces the batch avg-over-int avgdl bit-for-bit
       val stats = Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
-      // the serve reads the accumulation dir lazily — it lives until the
-      // JVM's temp cleanup (callers that publish get it deleted eagerly)
-      HybridRetrieval.bm25Serve(queries, index, stats, n)
+      // materialize the bounded (|queries| x n) serve result eagerly so
+      // the corpus-sized accumulation dir can be deleted before return —
+      // temp dirs get no automatic cleanup
+      try HybridRetrieval.bm25Serve(queries, index, stats, n).localCheckpoint(true)
+      finally deleteRecursively(accDir)
     } else {
       val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
       HybridRetrieval.saveBm25Index(postingsAll, dfAll, stats, publishPath,
