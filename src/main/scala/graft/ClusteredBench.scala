@@ -173,15 +173,27 @@ object ClusteredBench {
       println(f"holdout(200q, sw=$hw): ${hHits(hw)}/$hDenom = " +
         f"${hHits(hw).toDouble / hDenom}%.4f")
 
-      // warm serving latency at the chosen width
-      val swServe = if (chosen > 0) chosen else 64
-      idx.query(qdf, k, swServe).count() // warm (graphs already resident)
-      val lat = (1 to 2).map { _ =>
-        val t = System.nanoTime(); idx.query(qdf, k, swServe).count()
-        (System.nanoTime() - t) / 1e9
-      }.min
-      println(f"warm serve at sw=$swServe: $lat%.2f s / $nQueries queries = " +
-        f"${lat * 1000 / nQueries}%.1f ms/query")
+    }
+
+    // --- phase: serve (cold + warm latency at representative widths) ---
+    // Run in its OWN JVM with `-Dgraft.shardCache.maxEntries=128` (all
+    // shards resident — true warm steady state) — the graph phase's
+    // probe passes churn 128 graphs through a smaller LRU, and that
+    // allocation churn (humongous flat arrays under G1) is what OOM'd a
+    // combined run; measurement phases get fresh heaps.
+    if (phases("serve")) {
+      val idx = VectorIndex.load(spark, snapPath, cache = false)
+      for (sw <- Seq(0, 64, 256)) {
+        val t0 = System.nanoTime()
+        idx.query(qdf, k, sw).count()
+        val cold = (System.nanoTime() - t0) / 1e9
+        val warm = (1 to 2).map { _ =>
+          val t = System.nanoTime(); idx.query(qdf, k, sw).count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+        println(f"serve sw=$sw%3d: cold $cold%.1f s, warm $warm%.2f s / " +
+          f"$nQueries queries = ${warm * 1000 / nQueries}%.1f ms/query")
+      }
     }
 
     // --- phase: ivfpq (global vs residual codebooks, same GT) ---
