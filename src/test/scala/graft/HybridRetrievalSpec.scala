@@ -252,6 +252,56 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     } finally graft.streaming.StreamingOps.deleteRecursively(root)
   }
 
+  test("appendBm25 chains: generation -> generation -> generation == one rebuild") {
+    val base = Seq((10L, "alpha beta"), (11L, "beta gamma")).toDF("doc_id", "text")
+    val b1 = Seq((20L, "gamma delta"), (21L, "delta epsilon")).toDF("doc_id", "text")
+    val b2 = Seq((30L, "epsilon zeta alpha")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha delta"), (2L, "zeta beta")).toDF("query_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_chain_").toString
+    try {
+      val (p0, d0, s0) = HybridRetrieval.bm25SnapshotPieces(base)
+      HybridRetrieval.saveBm25Index(p0, d0, s0, s"$root/g0",
+        tokBuckets = 4, dfCapNum = 78L, dfCapDen = 100L)
+      HybridRetrieval.appendBm25(spark, s"$root/g0", b1, s"$root/g1")
+      HybridRetrieval.appendBm25(spark, s"$root/g1", b2, s"$root/g2")
+      val full = base.unionByName(b1).unionByName(b2)
+      val (pf, df_, sf) = HybridRetrieval.bm25SnapshotPieces(full)
+      HybridRetrieval.saveBm25Index(pf, df_, sf, s"$root/full",
+        tokBuckets = 4, dfCapNum = 78L, dfCapDen = 100L)
+      def key(path: String) = HybridRetrieval.bm25Serve(
+        q, HybridRetrieval.openBm25Index(spark, path), n = 10)
+        .select("query_id", "doc_id", "bm25", "lex_rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(key(s"$root/g2") === key(s"$root/full"))
+      // stats accumulated exactly across the chain
+      val g2 = HybridRetrieval.openBm25Index(spark, s"$root/g2")
+      assert(g2.nDocs === 5L)
+      // every EARLIER generation stays servable (immutable snapshots)
+      assert(key(s"$root/g1").nonEmpty && key(s"$root/g0").nonEmpty)
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
+  }
+
+  test("snapshot serve above maxPushTokens falls back to the joined view, same results") {
+    val c = Seq((10L, "alpha beta gamma"), (11L, "beta delta"), (12L, "gamma epsilon"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "alpha gamma"), (2L, "delta epsilon beta")).toDF("query_id", "text")
+    val (p, d, st) = HybridRetrieval.bm25SnapshotPieces(c)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_fb_").toString
+    try {
+      HybridRetrieval.saveBm25Index(p, d, st, dir, tokBuckets = 4)
+      val snap = HybridRetrieval.openBm25Index(spark, dir)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "doc_id", "bm25", "lex_rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      // maxPushTokens = 1 forces the whole-vocab degenerate branch (the
+      // distributed joined view, no pushdown) — results must be identical
+      val pushed = key(HybridRetrieval.bm25Serve(q, snap, 10, 1.5, 0.75, 10000))
+      val fallback = key(HybridRetrieval.bm25Serve(q, snap, 10, 1.5, 0.75, 1))
+      assert(pushed === fallback)
+      assert(pushed.nonEmpty)
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
+
   test("two-phase snapshot serve never scans an over-cap token's postings") {
     // corpus where 'the' is a stopword (df 6 of 6 docs > cap 4): a query
     // containing it must not pull its posting rows through the posting
