@@ -71,12 +71,18 @@ object ClusteredBench {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
-      sys.error("usage: ClusteredBench <dir> [n] [dim] [nClusters] [sigma] [phases]"))
+      sys.error("usage: ClusteredBench <dir> [n] [dim] [nClusters] [sigma] " +
+        "[phases] [ivfCents]"))
     val n = args.lift(1).map(_.toLong).getOrElse(100000000L)
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
     val nClusters = args.lift(3).map(_.toInt).getOrElse(10000)
     val sigma = args.lift(4).map(_.toFloat).getOrElse(0.05f)
     val phases = args.lift(5).getOrElse("build,graph,ivfpq").split(",").toSet
+    // coarse-cell count for the ivfpq phase (arg 7). The 1,024-cell run
+    // saturates in nprobe (pool-limited — ~100 planted clusters share a
+    // cell); more cells moves the corpus toward the cells≈clusters
+    // regime where residual coding collapses to tight balls.
+    val ivfCents = args.lift(6).map(_.toInt).getOrElse(1024)
     val k = 10
     val nQueries = 100
 
@@ -183,22 +189,27 @@ object ClusteredBench {
     // combined run; measurement phases get fresh heaps.
     if (phases("serve")) {
       val idx = VectorIndex.load(spark, snapPath, cache = false)
-      for (sw <- Seq(0, 64, 256)) {
+      // honest labels: only the FIRST width's first batch is cold (shard
+      // graphs + page cache persist across the loop) — later widths'
+      // "first" batches run warm; a per-width true-cold figure needs a
+      // fresh JVM per width
+      for ((sw, i) <- Seq(0, 64, 256).zipWithIndex) {
         val t0 = System.nanoTime()
         idx.query(qdf, k, sw).count()
-        val cold = (System.nanoTime() - t0) / 1e9
+        val first = (System.nanoTime() - t0) / 1e9
         val warm = (1 to 2).map { _ =>
           val t = System.nanoTime(); idx.query(qdf, k, sw).count()
           (System.nanoTime() - t) / 1e9
         }.min
-        println(f"serve sw=$sw%3d: cold $cold%.1f s, warm $warm%.2f s / " +
+        val label = if (i == 0) "cold-first" else "first(warm-cache)"
+        println(f"serve sw=$sw%3d: $label%s $first%.1f s, warm $warm%.2f s / " +
           f"$nQueries queries = ${warm * 1000 / nQueries}%.1f ms/query")
       }
     }
 
     // --- phase: ivfpq (global vs residual codebooks, same GT) ---
     if (phases("ivfpq")) {
-      val numCents = 1024; val m = 8; val codewords = 256
+      val numCents = ivfCents; val m = 8; val codewords = 256
       val stride = math.max(1L, n / 100000L)
       val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
         .select((col("id") / stride).cast("long").as("id"), col("embedding"))
@@ -220,7 +231,7 @@ object ClusteredBench {
         * global and residual flavors differ on the query side. */
       def runFlavor(label: String, kEff: Int, encoded: DataFrame,
           mkRouted: Int => DataFrame): Unit = {
-        val codesPath = s"$dir/ivfpq_$label/codes"
+        val codesPath = s"$dir/ivfpq_${label}_c$numCents/codes"
         // completion marker, not bare dir existence: a crashed encode
         // must re-run, not be "reused" into silently-deflated recall
         if (!new java.io.File(codesPath, "_SUCCESS").exists()) {

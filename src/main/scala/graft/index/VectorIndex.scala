@@ -759,10 +759,14 @@ object VectorIndex {
     * fallback the absent-file path already models, never crash a
     * serving process). */
   def readCalibration(spark: SparkSession, path: String)
-      : Option[WidthCalibration] =
+      : Option[WidthCalibration] = {
+    // the READ is outside the catch: a transient store error must stay a
+    // visible, retryable failure — only a PRESENT-but-unparseable sidecar
+    // degrades to None (else a network blip silently downgrades a
+    // calibrated serve to a corpus-wide exact scan)
+    val json = readSmallFile(spark, s"$path/calibration.json")
+    if (json == null) return None
     try {
-      val json = readSmallFile(spark, s"$path/calibration.json")
-      if (json == null) return None
       def num(k: String) =
         (s""""$k":\\s*(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json).get.group(1)
       val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(json)
@@ -771,6 +775,7 @@ object VectorIndex {
         num("target_recall").toDouble, num("k").toInt,
         num("sample_recall").toDouble, curve))
     } catch { case _: Exception => None }
+  }
 
   /** Read a small file via the Hadoop FS; null when absent. */
   private[graft] def readSmallFile(spark: SparkSession, path: String): String = {

@@ -246,13 +246,17 @@ object HybridRetrieval {
       stats: DataFrame, maxDf: Long, tokBuckets: Int, nDocs: Long,
       sumDl: Long, dfCapNum: Long, dfCapDen: Long)
 
-  /** True when `path` holds a SPLIT (df-side-table) snapshot — the ONE
-    * format sniff shared by every load/serve dispatch site. */
-  private[graft] def isSplitSnapshot(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
+  /** True when the stats.json CONTENT describes a SPLIT (df-side-table)
+    * snapshot — the ONE format sniff shared by every load/serve dispatch
+    * site. The string overload lets a caller that already read the
+    * sidecar avoid a second store round-trip. */
+  private[graft] def isSplitSnapshot(json: String): Boolean =
     json != null && json.contains("\"sum_dl\"")
-  }
+
+  private[graft] def isSplitSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    isSplitSnapshot(
+      graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json"))
 
   /** Open a [[saveBm25Index]] snapshot as its split pieces — the serving
     * handle for [[bm25Serve]]'s snapshot overload (two-phase pruning:
@@ -295,7 +299,7 @@ object HybridRetrieval {
     import spark.implicits._
     val json = graft.index.VectorIndex.readSmallFile(spark, s"$path/stats.json")
     require(json != null, s"missing $path/stats.json")
-    if (isSplitSnapshot(spark, path)) {
+    if (isSplitSnapshot(json)) {
       val snap = openBm25Index(spark, path)
       val dfKept = snap.df.filter(col("df") <= snap.maxDf)
       (snap.postings.join(dfKept, Seq("tok", "tok_bkt")), snap.stats)
@@ -367,12 +371,15 @@ object HybridRetrieval {
   private def collectQueryTokens(queries: DataFrame)
       : (DataFrame, Seq[String]) = {
     val spark = queries.sparkSession
-    import spark.implicits._
-    val rows = queries.select(col("query_id").cast("long"),
+    val qtPlan = queries.select(col("query_id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    (rows.toDF("query_id", "tok"), rows.map(_._2).distinct)
+    // rebuilt with the ORIGINAL schema — query_id keeps the caller's type
+    // (string ids and nulls survive; no silent long narrowing)
+    val rows = qtPlan.collect()
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(rows.toSeq.asJava, qtPlan.schema),
+      rows.map(_.getString(1)).distinct.toSeq)
   }
 
   /** The ONE BM25 scoring tail shared by every serve path (in-session,

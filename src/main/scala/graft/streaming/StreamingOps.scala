@@ -985,11 +985,17 @@ object StreamingOps {
       val index = postingsAll.join(dfAll.filter(col("df") <= maxDf), Seq("tok"))
       // exact: Σdl/n reproduces the batch avg-over-int avgdl bit-for-bit
       val stats = Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
-      // materialize the bounded (|queries| x n) serve result eagerly so
-      // the corpus-sized accumulation dir can be deleted before return —
-      // temp dirs get no automatic cleanup
-      try HybridRetrieval.bm25Serve(queries, index, stats, n).localCheckpoint(true)
-      finally deleteRecursively(accDir)
+      // materialize the bounded (|queries| x n) serve result as a
+      // DRIVER-LOCAL relation so the corpus-sized accumulation dir can
+      // be deleted before return (temp dirs get no automatic cleanup) —
+      // local rows, unlike localCheckpoint blocks, survive executor loss
+      // with no lineage to recompute
+      try {
+        val served = HybridRetrieval.bm25Serve(queries, index, stats, n)
+        val rows = served.collect()
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.toSeq.asJava, served.schema)
+      } finally deleteRecursively(accDir)
     } else {
       val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
       HybridRetrieval.saveBm25Index(postingsAll, dfAll, stats, publishPath,
