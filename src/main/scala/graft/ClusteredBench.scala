@@ -69,6 +69,75 @@ object ClusteredBench {
     out
   }
 
+  /** Measure the published IVF-PQ face (preferring residual codes) for
+    * the faces phase: retrain the deterministic coarse quantizer +
+    * codebooks (the same calls the ivfpq phase makes — bit-identical by
+    * construction, seconds at the 100k sample) and time the two-stage
+    * ADC pool → exact rerank serve end to end at nprobe 8 and 32.
+    * Returns Nil when no codes snapshot is published beside the graph —
+    * the face table then simply records the graph faces. */
+  private def ivfpqFace(spark: SparkSession, dir: String, n: Long,
+      numCents: Int, m: Int, poolC: Int, corpus: DataFrame, qdf: DataFrame,
+      k: Int,
+      measure: (String, Int, () => Set[(Long, Long)]) => graft.index.FacePoint)
+      : Seq[graft.index.FacePoint] = {
+    val flavor = Seq("residual", "global").find(f =>
+      new java.io.File(s"$dir/ivfpq_${f}_c$numCents/codes/_SUCCESS").exists())
+    if (flavor.isEmpty) {
+      println(s"faces: no published ivfpq codes at c$numCents — graph faces only")
+      return Nil
+    }
+    val label = flavor.get
+    val codes = spark.read.parquet(s"$dir/ivfpq_${label}_c$numCents/codes")
+    val stride = math.max(1L, n / 100000L)
+    val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
+      .select((col("id") / stride).cast("long").as("id"), col("embedding"))
+      .cache()
+    val cents = IvfKnn.trainedCentroids(sample, numCents, iterations = 3).cache()
+    val (flat, kw, sub) =
+      if (label == "global") PqKnn.trainCodebooks(sample, 256, m, iterations = 3)
+      else PqKnn.trainCodebooks(PqKnn.residuals(sample, cents), 256, m,
+        iterations = 3)
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
+    def serve(nprobe: Int): () => Set[(Long, Long)] = () => {
+      val routedBase = IvfKnn.route(qdf, cents, nprobe)
+      val routed = (if (label == "global")
+          routedBase.select(col("query_id"), col("cell"),
+            PqFunctions.adcTable(col("q_embedding"), flat, m, kw, sub).as("tab"))
+        else routedBase.join(broadcast(cents), col("cell") === col("centroid_id"))
+          .select(col("query_id"), col("cell"),
+            PqFunctions.adcTable(
+              zip_with(col("q_embedding"), col("c_embedding"), (q, c) => q - c),
+              flat, m, kw, sub).as("tab"))).cache()
+      val cells = routed.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val pool = codes.filter(col("cell").isin(cells: _*))
+        .join(broadcast(routed), Seq("cell"))
+        .select(col("query_id"), col("neighbor_id"),
+          PqFunctions.adcLookup(col("tab"), col("codes"), kw)
+            .cast("double").as("distance"))
+        .withColumn("rank", row_number().over(wPool))
+        .filter(col("rank") <= poolC)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val res = corpus.join(broadcast(pool), col("id") === col("neighbor_id"))
+        .join(broadcast(qdf.select(col("query_id"), col("embedding").as("qe"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorFunctions.squaredL2(col("qe"), col("embedding"))
+            .as("distance"))
+        .withColumn("rank", row_number().over(wPool)).filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      routed.unpersist()
+      res
+    }
+    val out = Seq(8, 32).map(np => measure(s"ivfpq_$label", np, serve(np)))
+    sample.unpersist(); cents.unpersist()
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       sys.error("usage: ClusteredBench <dir> [n] [dim] [nClusters] [sigma] " +
@@ -83,6 +152,25 @@ object ClusteredBench {
     // cell); more cells moves the corpus toward the cells≈clusters
     // regime where residual coding collapses to tight balls.
     val ivfCents = args.lift(6).map(_.toInt).getOrElse(1024)
+    // graph M (minimumConnect). The r17 decade curve is M=4-only — the
+    // reference's sweep grid reaches M=8 (dehnsw_example.cpp:100-102),
+    // and SCALE.md's diagnosis is that M=4 within-cluster discrimination
+    // is what throttles beam recall on clustered corpora.
+    val graphM = args.lift(7).map(_.toInt).getOrElse(4)
+    // PQ subquantizer count (code bytes/vector) and exact-rerank pool —
+    // the two capacity knobs the r17 nprobe saturation pinned as binding.
+    val pqM = args.lift(8).map(_.toInt).getOrElse(8)
+    val rerankPool = args.lift(9).map(_.toInt).getOrElse(500)
+    // cell-assignment router for the ivfpq encode: "argmin" (flat, linear
+    // in cells) or "beam<W>" ([[IvfKnn.routedAssign]] through a dehnsw
+    // graph over the centroids — O(beam) per row; beam0 = exhaustive walk,
+    // exact). The router is the measured encode scale-killer past ~2k
+    // cells (SCALE.md: 5,080 s at 7,693 cells vs 724 s at 1,024).
+    val route = args.lift(10).getOrElse("argmin")
+    val routeWidth =
+      if (route.startsWith("beam")) route.stripPrefix("beam").toInt else -1
+    // which codebook flavors the ivfpq phase runs (both by default)
+    val flavors = args.lift(11).getOrElse("global,residual").split(",").toSet
     val k = 10
     val nQueries = 100
 
@@ -104,8 +192,8 @@ object ClusteredBench {
 
     def queryVec(id: Long) = clusteredVector(id, dim, nClusters, sigma, QuerySalt)
 
-    val snapPath = s"$dir/graph"
-    val params = IndexParams(minimumConnect = 4, relaxedMonotonicity = 128,
+    val snapPath = if (graphM == 4) s"$dir/graph" else s"$dir/graph_m$graphM"
+    val params = IndexParams(minimumConnect = graphM, relaxedMonotonicity = 128,
       step = 4, quantized = true, quantLo = 0f, quantHi = 1f)
 
     // --- phase: build (skipped when the snapshot already exists) ---
@@ -207,9 +295,54 @@ object ClusteredBench {
       }
     }
 
+    // --- phase: faces (persist the measured cross-face operating table) ---
+    // The deployment decision is three-way — exact SQ8 scan vs beam vs
+    // IVF-PQ — and each face is a different (recall, ms/query, memory)
+    // point. This phase MEASURES each face over the same query batch +
+    // float GT and merges the table into the graph snapshot's
+    // calibration.json ([[graft.index.FacePoint]]), so a serving
+    // deployment picks a FACE from persisted evidence
+    // ([[graft.index.WidthCalibration.bestFace]]), not just a width.
+    // Run it in its own JVM with all shards resident (same discipline as
+    // the serve phase) for honest warm numbers.
+    if (phases("faces")) {
+      val idx = VectorIndex.load(spark, snapPath, cache = false)
+      val existing = VectorIndex.readCalibration(spark, snapPath).getOrElse(
+        sys.error(s"faces phase needs a calibrated snapshot (run graph first)"))
+      def recallOf(rows: Set[(Long, Long)]): Double =
+        (gt intersect rows).size.toDouble / gt.size
+      def measure(face: String, param: Int,
+          run: () => Set[(Long, Long)]): graft.index.FacePoint = {
+        run() // warm: shard graphs + page cache
+        val t0 = System.nanoTime()
+        val got = run()
+        val t1 = System.nanoTime()
+        val run2 = { val t = System.nanoTime(); run(); (System.nanoTime() - t) }
+        val ms = math.min(t1 - t0, run2) / 1e6 / nQueries
+        val f = graft.index.FacePoint(face, param, recallOf(got), ms)
+        println(f"face ${f.face}%-6s param=${f.param}%4d recall=${f.recall}%.4f " +
+          f"${f.msPerQuery}%.1f ms/query")
+        f
+      }
+      def graphFace(sw: Int): () => Set[(Long, Long)] = () =>
+        idx.query(qdf, k, sw).select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val beamWidths = (Seq(32, 256) ++
+        (if (existing.searchWidth > 0) Seq(existing.searchWidth) else Nil))
+        .distinct.sorted
+      val facePoints = Seq(measure("exact", 0, graphFace(0))) ++
+        beamWidths.map(w => measure("beam", w, graphFace(w))) ++
+        ivfpqFace(spark, dir, n, ivfCents, pqM, rerankPool, corpus, qdf, k,
+          measure)
+      VectorIndex.writeCalibration(spark, snapPath,
+        existing.copy(faces = facePoints))
+      println(s"persisted face table: " +
+        VectorIndex.readCalibration(spark, snapPath).get.faces.mkString(", "))
+    }
+
     // --- phase: ivfpq (global vs residual codebooks, same GT) ---
     if (phases("ivfpq")) {
-      val numCents = ivfCents; val m = 8; val codewords = 256
+      val numCents = ivfCents; val m = pqM; val codewords = 256
       val stride = math.max(1L, n / 100000L)
       val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
         .select((col("id") / stride).cast("long").as("id"), col("embedding"))
@@ -222,7 +355,7 @@ object ClusteredBench {
 
       val wPool = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
-      val poolC = 50 * k
+      val poolC = rerankPool
 
       /** Encode+publish one flavor's codes snapshot, then the nprobe
         * sweep: ADC pool over the pushed probed-cell set -> exact rerank
@@ -231,7 +364,11 @@ object ClusteredBench {
         * global and residual flavors differ on the query side. */
       def runFlavor(label: String, kEff: Int, encoded: DataFrame,
           mkRouted: Int => DataFrame): Unit = {
-        val codesPath = s"$dir/ivfpq_${label}_c$numCents/codes"
+        // legacy path kept for m=8+argmin so published c1024/c8192 codes
+        // are reused; other knob settings get their own codes dirs
+        val suffix = (if (m == 8) "" else s"_m$m") +
+          (if (routeWidth >= 0) s"_r$routeWidth" else "")
+        val codesPath = s"$dir/ivfpq_${label}_c$numCents$suffix/codes"
         // completion marker, not bare dir existence: a crashed encode
         // must re-run, not be "reused" into silently-deflated recall
         if (!new java.io.File(codesPath, "_SUCCESS").exists()) {
@@ -268,43 +405,53 @@ object ClusteredBench {
             .select(col("query_id"), col("neighbor_id"))
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           val rerankS = (System.nanoTime() - t5) / 1e9
-          println(f"[$label] serve nprobe=$nprobe%4d (${cells.size} cells): " +
-            f"adc $poolS%.1f s + rerank $rerankS%.1f s = " +
+          println(f"[$label] serve nprobe=$nprobe%4d (${cells.size} cells, " +
+            f"m=$m pool=$poolC): adc $poolS%.1f s + rerank $rerankS%.1f s = " +
             f"${(poolS + rerankS) * 1000 / nQueries}%.1f ms/query, " +
             f"recall@$k = ${(gt intersect reranked).size.toDouble / gt.size}%.3f")
           routed.unpersist()
         }
       }
 
+      // the encode-side cell assignment: flat argmin or graph-routed
+      def assignF(c: DataFrame): DataFrame =
+        if (routeWidth >= 0) IvfKnn.routedAssign(c, cents, routeWidth)
+        else IvfKnn.assign(c, cents)
+      if (routeWidth >= 0) println(s"ivfpq encode routing: beam sw=$routeWidth")
+
       // global codebooks: PQ over raw vectors, one ADC table per query
-      val tg = System.nanoTime()
-      val (gFlat, gK, gSub) = PqKnn.trainCodebooks(sample, codewords, m, iterations = 3)
-      println(f"[global] codebooks: ${(System.nanoTime() - tg) / 1e9}%.1f s")
-      runFlavor("global", gK,
-        IvfKnn.assign(corpus, cents)
-          .select(col("id").as("neighbor_id"), col("cell"),
-            PqFunctions.encode(col("embedding"), gFlat, m, gK, gSub).as("codes")),
-        nprobe => IvfKnn.route(qdf, cents, nprobe)
-          .select(col("query_id"), col("cell"),
-            PqFunctions.adcTable(col("q_embedding"), gFlat, m, gK, gSub).as("tab")))
+      if (flavors("global")) {
+        val tg = System.nanoTime()
+        val (gFlat, gK, gSub) = PqKnn.trainCodebooks(sample, codewords, m, iterations = 3)
+        println(f"[global] codebooks: ${(System.nanoTime() - tg) / 1e9}%.1f s")
+        runFlavor("global", gK,
+          assignF(corpus)
+            .select(col("id").as("neighbor_id"), col("cell"),
+              PqFunctions.encode(col("embedding"), gFlat, m, gK, gSub).as("codes")),
+          nprobe => IvfKnn.route(qdf, cents, nprobe)
+            .select(col("query_id"), col("cell"),
+              PqFunctions.adcTable(col("q_embedding"), gFlat, m, gK, gSub).as("tab")))
+      }
 
       // residual codebooks (FAISS IVFPQ): PQ over x - centroid(cell(x));
       // ADC table per (query, probed cell) from q - centroid
-      val tr = System.nanoTime()
-      val residSample = PqKnn.residuals(sample, cents)
-      val (rFlat, rK, rSub) = PqKnn.trainCodebooks(residSample, codewords, m,
-        iterations = 3)
-      println(f"[residual] codebooks: ${(System.nanoTime() - tr) / 1e9}%.1f s")
-      runFlavor("residual", rK,
-        PqKnn.residuals(corpus, cents)
-          .select(col("id").as("neighbor_id"), col("cell"),
-            PqFunctions.encode(col("embedding"), rFlat, m, rK, rSub).as("codes")),
-        nprobe => IvfKnn.route(qdf, cents, nprobe)
-          .join(broadcast(cents), col("cell") === col("centroid_id"))
-          .select(col("query_id"), col("cell"),
-            PqFunctions.adcTable(
-              zip_with(col("q_embedding"), col("c_embedding"), (q, c) => q - c),
-              rFlat, m, rK, rSub).as("tab")))
+      if (flavors("residual")) {
+        val tr = System.nanoTime()
+        val residSample = PqKnn.residuals(sample, cents)
+        val (rFlat, rK, rSub) = PqKnn.trainCodebooks(residSample, codewords, m,
+          iterations = 3)
+        println(f"[residual] codebooks: ${(System.nanoTime() - tr) / 1e9}%.1f s")
+        runFlavor("residual", rK,
+          PqKnn.residualsAssigned(assignF(corpus), cents)
+            .select(col("id").as("neighbor_id"), col("cell"),
+              PqFunctions.encode(col("embedding"), rFlat, m, rK, rSub).as("codes")),
+          nprobe => IvfKnn.route(qdf, cents, nprobe)
+            .join(broadcast(cents), col("cell") === col("centroid_id"))
+            .select(col("query_id"), col("cell"),
+              PqFunctions.adcTable(
+                zip_with(col("q_embedding"), col("c_embedding"), (q, c) => q - c),
+                rFlat, m, rK, rSub).as("tab")))
+      }
       sample.unpersist(); cents.unpersist()
     }
     println(s"clustered decade artifacts at $dir")

@@ -1339,6 +1339,43 @@ object PipelineQueries {
     } finally StreamingOps.deleteRecursively(root)
   }
 
+  // ---------------------------------------------------------------- v63_bm25_stream_append
+  /** Streamed lexical ingest composed with the APPEND publish — the
+    * generational lifecycle end-to-end: a base snapshot is published
+    * over part of the corpus (v55's path), the REMAINING documents
+    * arrive as a stream ([[StreamingOps.streamBm25Ingest]] with
+    * `appendBasePath`), and the stream publishes the NEXT generation
+    * via [[graft.operators.HybridRetrieval.appendBm25Pieces]] — every
+    * base posting file hardlinked, only the window's deltas + the
+    * vocab-sized df fold written. The serve runs from the LOADED
+    * appended generation, and because the inherited df cap re-evaluates
+    * against the grown corpus at load, the result is EXACTLY the full
+    * rebuild over base ∪ stream — s19's closed-form full-corpus oracle
+    * gates the streamed generational path verbatim (v61's equality, now
+    * with the batch half arriving as micro-batches). */
+  def v63Bm25StreamAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val base = docs.filter(col("doc_id") >= 10 && col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_sapp_").toString
+    try {
+      val (p0, d0, st0) = graft.operators.HybridRetrieval.bm25SnapshotPieces(base)
+      graft.operators.HybridRetrieval.saveBm25Index(p0, d0, st0,
+        s"$root/base", dfCapNum = 78L, dfCapDen = 100L)
+      StreamingOps.streamBm25Ingest(
+        s, s"$dir/documents.parquet",
+        corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 0,
+        queries = qd, n = 20, sourceSlices = 4,
+        statePartitions = streamStateParts,
+        publishPath = s"$root/next", appendBasePath = s"$root/base")
+        .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("lex_rank"))
+        .localCheckpoint(true) // eager: the temp generations are deleted below
+    } finally StreamingOps.deleteRecursively(root)
+  }
+
   // ---------------------------------------------------------------- s26_stream_bm25_ingest
   /** Streaming BM25 ingest ([[StreamingOps.streamBm25Ingest]]): the
     * corpus arrives in micro-batches, each landing one O(batch) posting
@@ -2470,6 +2507,7 @@ object PipelineQueries {
     "s24_stream_knn_graph_beam" -> ((s, dir) => s24StreamKnnGraphBeam(s, dir)),
     "v55_bm25_snapshot" -> ((s, dir) => v55Bm25Snapshot(s, dir)),
     "v61_bm25_append" -> ((s, dir) => v61Bm25Append(s, dir)),
+    "v63_bm25_stream_append" -> ((s, dir) => v63Bm25StreamAppend(s, dir)),
     "s26_stream_bm25_ingest" -> ((s, dir) => s26StreamBm25Ingest(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
@@ -2557,6 +2595,7 @@ object PipelineQueries {
     "s19_stream_bm25" -> s19Oracle,
     "v55_bm25_snapshot" -> s19Oracle,
     "v61_bm25_append" -> s19Oracle,
+    "v63_bm25_stream_append" -> s19Oracle,
     "s26_stream_bm25_ingest" -> s19Oracle,
     // streaming graph == batch graph on the final corpus (exact-by-
     // induction edge state) => v48's closed-form SQL gates it verbatim

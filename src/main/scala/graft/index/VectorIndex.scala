@@ -97,13 +97,37 @@ case class EdgeRef(nbr: Int, rc: Int)
 /** Per-shard metadata (entry point etc. — reference: dehnsw.h:54-70). */
 case class ShardMeta(sub_index_id: Int, n_vectors: Long, layer_count: Int, entry_offset: Int)
 
+/** One measured serving FACE of a published index pair: `face` names the
+  * serving path ("exact" = the index's own width-0 scan, "beam" = the
+  * graph walk at searchWidth `param`, "ivfpq" = an ADC+rerank serve at
+  * nprobe `param` from a codes snapshot published beside the graph),
+  * with its measured sample recall and warm ms/query. The deployment
+  * decision SCALE.md documents is three-way (exact vs beam vs IVF-PQ,
+  * each a different recall/latency/memory point) — persisting the
+  * measured table lets a serving deployment pick a FACE, not just a
+  * width, from evidence. */
+case class FacePoint(face: String, param: Int, recall: Double,
+    msPerQuery: Double)
+
 /** A persisted width-calibration operating point (`calibration.json`
   * beside a snapshot's params.json): the production searchWidth chosen
   * by [[VectorIndex.calibrateWidthTo]], the target it met, k, the chosen
   * width's sample recall, and the full (width, recall) curve for the
-  * record. */
+  * record. `faces` (optional — empty on width-only calibrations and on
+  * every pre-face sidecar, which parse unchanged) is the measured
+  * cross-face table ([[FacePoint]]). */
 case class WidthCalibration(searchWidth: Int, targetRecall: Double, k: Int,
-    sampleRecall: Double, curve: Seq[(Int, Double)])
+    sampleRecall: Double, curve: Seq[(Int, Double)],
+    faces: Seq[FacePoint] = Nil) {
+
+  /** The cheapest measured face meeting `target` (min ms/query, ties by
+    * face name then param for determinism); None when no face qualifies
+    * or no face table was persisted — callers fall back to the
+    * width-based operating point. */
+  def bestFace(target: Double): Option[FacePoint] =
+    faces.filter(_.recall >= target)
+      .sortBy(f => (f.msPerQuery, f.face, f.param)).headOption
+}
 
 /** Distributed dehnsw index: shard == Spark partition (SURVEY §1.3).
   *
@@ -751,7 +775,11 @@ object VectorIndex {
       s"""{"search_width":${cal.searchWidth},""" +
         s""""target_recall":${cal.targetRecall},"k":${cal.k},""" +
         s""""sample_recall":${cal.sampleRecall},""" +
-        s""""curve":[${cal.curve.map(c => s"[${c._1},${c._2}]").mkString(",")}]}""")
+        s""""curve":[${cal.curve.map(c => s"[${c._1},${c._2}]").mkString(",")}]""" +
+        (if (cal.faces.isEmpty) "}"
+         else s""","faces":[${cal.faces.map(f =>
+             s"""["${f.face}",${f.param},${f.recall},${f.msPerQuery}]""")
+           .mkString(",")}]}"""))
 
   /** Read a snapshot's persisted calibration; None when never calibrated
     * OR when the sidecar is truncated/corrupt (writeCalibration is not
@@ -771,9 +799,16 @@ object VectorIndex {
         (s""""$k":\\s*(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json).get.group(1)
       val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(json)
         .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+      // the face table is optional (pre-face sidecars parse unchanged);
+      // its entries start with a quoted face name, so the curve regex
+      // above cannot match them and vice versa
+      val faces = """\["(\w+)",(\d+),([-0-9.Ee+]+),([-0-9.Ee+]+)\]""".r
+        .findAllMatchIn(json)
+        .map(m => FacePoint(m.group(1), m.group(2).toInt,
+          m.group(3).toDouble, m.group(4).toDouble)).toSeq
       Some(WidthCalibration(num("search_width").toInt,
         num("target_recall").toDouble, num("k").toInt,
-        num("sample_recall").toDouble, curve))
+        num("sample_recall").toDouble, curve, faces))
     } catch { case _: Exception => None }
   }
 

@@ -491,6 +491,16 @@ object HybridRetrieval {
     * The old snapshot is untouched and stays servable (immutable
     * generations — retire it when traffic drains).
     *
+    * Crash/retry discipline: `stats.json` is written LAST and is the
+    * completion marker ([[openBm25Index]] refuses a snapshot without
+    * it). Because the batch's posting files land with save-mode
+    * `append` beside the kept base files, a retry into a `newPath`
+    * holding a crashed attempt's partial files would silently
+    * double-count the batch — so a `newPath` with a completed snapshot
+    * (stats.json present) is refused outright, and a partial one
+    * (files but no stats.json) is deleted wholesale before the append
+    * re-runs.
+    *
     * @param validateIds when true (default), verifies no batch doc_id
     *   already exists in the base postings (a duplicate would
     *   double-count postings). One column-pruned scan of the base
@@ -499,10 +509,6 @@ object HybridRetrieval {
   def appendBm25(spark: org.apache.spark.sql.SparkSession, oldPath: String,
       newDocs: DataFrame, newPath: String,
       validateIds: Boolean = true): Unit = {
-    val old = openBm25Index(spark, oldPath)
-    val hconf = spark.sessionState.newHadoopConf()
-    graft.index.VectorIndex.requireDistinctPaths(hconf, oldPath, newPath,
-      "appendBm25")
     val batch = newDocs.select(col("doc_id").cast("long"), col("text"))
       .localCheckpoint(true) // pin: postings/df/stats must see ONE batch
     try {
@@ -511,34 +517,70 @@ object HybridRetrieval {
           .agg(count(lit(1)), sum(col("dl")).cast("long")).head
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
-      require(bn > 0, "appendBm25 over an empty batch")
-      if (validateIds) {
-        val clash = old.postings
-          .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-          .limit(1).count()
-        require(clash == 0L,
-          "appendBm25 batch contains doc_ids already present in the base " +
-            "snapshot (postings would double-count)")
-      }
-      val p = rawPostings(batch)
-      // 1) keep every base posting file: hardlink (or copy) into the new
-      // snapshot's bucket directories — nothing in them changes
-      linkOrCopyTree(hconf, s"$oldPath/postings", s"$newPath/postings")
-      // 2) the batch's posting files land beside them, same layout
-      writePostingFiles(p, s"$newPath/postings", old.tokBuckets, "append")
-      // 3) vocab-sized df fold + republish (df is additive)
-      val dfNew = old.df.select(col("tok"), col("df"))
-        .unionByName(p.groupBy(col("tok")).agg(count(lit(1)).as("df")))
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-      dfNew
-        .select(col("tok"), col("df").cast("long"))
-        .withColumn("tok_bkt", tokBucket(col("tok"), old.tokBuckets))
-        .repartition(old.tokBuckets, col("tok_bkt"))
-        .sortWithinPartitions(col("tok_bkt"), col("tok"))
-        .write.mode("overwrite").partitionBy("tok_bkt").parquet(s"$newPath/df")
-      writeBm25Stats(spark, newPath, old.nDocs + bn, old.sumDl + bSum,
-        old.tokBuckets, old.dfCapNum, old.dfCapDen)
+      appendBm25Pieces(spark, oldPath, newPath, rawPostings(batch), bn, bSum,
+        batchIds = if (validateIds) batch.select(col("doc_id")) else null)
     } finally batch.unpersist()
+  }
+
+  /** The pieces-level core of [[appendBm25]]: append an already-derived
+    * posting frame (plus its doc count / Σdl) onto a published base
+    * snapshot, publishing the next generation at `newPath`. This is the
+    * entry the STREAMED ingest uses ([[graft.streaming.StreamingOps
+    * .streamBm25Ingest]]'s append-publish mode): the stream already
+    * holds the window's folded postings, so re-tokenizing a docs frame
+    * would be wasted work. The cap ratio and bucket count are inherited
+    * from the BASE snapshot — generations in a chain must agree on both
+    * or append-vs-rebuild equality breaks.
+    *
+    * @param batchIds distinct-able (doc_id) rows used for the
+    *   base-clash check (a duplicate would double-count postings);
+    *   null skips it. */
+  private[graft] def appendBm25Pieces(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String, postings: DataFrame,
+      bn: Long, bSum: Long, batchIds: DataFrame): Unit = {
+    val old = openBm25Index(spark, oldPath)
+    val hconf = spark.sessionState.newHadoopConf()
+    graft.index.VectorIndex.requireDistinctPaths(hconf, oldPath, newPath,
+      "appendBm25")
+    require(bn > 0, "appendBm25 over an empty batch")
+    // freshness: posting files are written with save-mode 'append', so a
+    // stale newPath would double-count. A COMPLETED snapshot (stats.json
+    // = the completion marker, written last) is never clobbered; a
+    // partial one (crashed attempt) is wiped so the retry starts clean.
+    locally {
+      val dst = new org.apache.hadoop.fs.Path(newPath)
+      val dstFs = dst.getFileSystem(hconf)
+      if (dstFs.exists(new org.apache.hadoop.fs.Path(dst, "stats.json")))
+        sys.error(s"appendBm25: $newPath already holds a completed " +
+          "snapshot (stats.json present) — refusing to append into it; " +
+          "pick a fresh generation path or retire it explicitly")
+      if (dstFs.exists(dst)) dstFs.delete(dst, true)
+    }
+    if (batchIds != null) {
+      val clash = old.postings
+        .join(broadcast(batchIds.distinct()), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "appendBm25 batch contains doc_ids already present in the base " +
+          "snapshot (postings would double-count)")
+    }
+    // 1) keep every base posting file: hardlink (or copy) into the new
+    // snapshot's bucket directories — nothing in them changes
+    linkOrCopyTree(hconf, s"$oldPath/postings", s"$newPath/postings")
+    // 2) the batch's posting files land beside them, same layout
+    writePostingFiles(postings, s"$newPath/postings", old.tokBuckets, "append")
+    // 3) vocab-sized df fold + republish (df is additive)
+    val dfNew = old.df.select(col("tok"), col("df"))
+      .unionByName(postings.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    dfNew
+      .select(col("tok"), col("df").cast("long"))
+      .withColumn("tok_bkt", tokBucket(col("tok"), old.tokBuckets))
+      .repartition(old.tokBuckets, col("tok_bkt"))
+      .sortWithinPartitions(col("tok_bkt"), col("tok"))
+      .write.mode("overwrite").partitionBy("tok_bkt").parquet(s"$newPath/df")
+    writeBm25Stats(spark, newPath, old.nDocs + bn, old.sumDl + bSum,
+      old.tokBuckets, old.dfCapNum, old.dfCapDen)
   }
 
   /** Hardlink (both ends local) or copy every data file under `srcDir`

@@ -234,7 +234,14 @@ object PqKnn {
     * identically), cells from the same per-row codegen'd argmin as
     * [[IvfKnn.assign]]; the bounded centroid table broadcasts. */
   def residuals(corpus: DataFrame, cents: DataFrame): DataFrame =
-    IvfKnn.assign(corpus, cents)
+    residualsAssigned(IvfKnn.assign(corpus, cents), cents)
+
+  /** [[residuals]] over a PRE-ASSIGNED (id, embedding, cell) frame — the
+    * slot that lets the encode pipeline swap the flat-argmin assignment
+    * for [[IvfKnn.routedAssign]] (graph-routed, O(beam) per row) without
+    * touching the residual projection. */
+  def residualsAssigned(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned
       .join(broadcast(cents), col("cell") === col("centroid_id"))
       .select(col("id"), col("cell"),
         zip_with(col("embedding"), col("c_embedding"), (x, c) => x - c)

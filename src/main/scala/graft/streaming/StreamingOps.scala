@@ -748,6 +748,32 @@ object StreamingOps {
     if (wrote) spark.read.parquet(outDir) else seed.limit(0)
   }
 
+  /** Allocate a fresh scratch directory for streaming accumulation
+    * state that EXECUTORS write to (delta parquet dirs). Driver-local
+    * java.nio temp dirs are wrong for that in any non-local deployment —
+    * each executor would append its files to its own local disk and the
+    * publish-time read would silently lose rows — so the root is the
+    * `spark.graft.streamScratchRoot` conf (point it at a filesystem
+    * shared by driver and executors: HDFS, NFS, an object store), with
+    * the local-mode default of java.io.tmpdir. Created and later
+    * deleted through the Hadoop filesystem of the resolved path, so a
+    * remote root works end-to-end. */
+  private[graft] def scratchDir(spark: SparkSession, prefix: String): String = {
+    val root = spark.conf.getOption("spark.graft.streamScratchRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val p = new org.apache.hadoop.fs.Path(root,
+      prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p)
+    fs.makeQualified(p).toString
+  }
+
+  private[graft] def deleteScratch(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    catch { case _: java.io.IOException => } // best-effort temp cleanup
+  }
+
   private[graft] def deleteRecursively(dir: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
@@ -898,6 +924,19 @@ object StreamingOps {
     * ingest→snapshot→serve loop the vector index already has
     * (buildTo → ProbeBench), so the gate's hash covers persistence too.
     *
+    * With `appendBasePath` ALSO set, the publish is the NEXT GENERATION
+    * of that base snapshot via [[graft.operators.HybridRetrieval
+    * .appendBm25Pieces]]: every base posting file is hardlinked, only
+    * the window's posting deltas plus the vocab-sized df table are
+    * written — a long-lived ingest over an existing 10M-doc generation
+    * publishes at append cost (~10 s), not rebuild cost (~538 s,
+    * SCALE.md). The cap ratio and bucket count are INHERITED from the
+    * base (this call's dfCapNum/dfCapDen are ignored — generations in a
+    * chain must agree), and the cap re-evaluates against the grown
+    * corpus at load, so the published generation equals the full
+    * rebuild over (base ∪ stream) — the v61 full-corpus oracle gates
+    * exactly that equality on the streamed path.
+    *
     * 100 TB shape: per-batch cost is O(batch) postings + O(batch vocab)
     * df rows; nothing ever rescans earlier deltas, and total work is
     * batching-invariant (BM25 ingest batching-invariance spec measures
@@ -910,14 +949,16 @@ object StreamingOps {
       queries: DataFrame, n: Int,
       dfCapNum: Long = 78L, dfCapDen: Long = 100L,
       sourceSlices: Int = 4, statePartitions: Int = 0,
-      publishPath: String = null,
+      publishPath: String = null, appendBasePath: String = null,
       onBatchEnd: Int => Unit = null): DataFrame = {
+    require(appendBasePath == null || publishPath != null,
+      "appendBasePath needs a publishPath to publish the next generation to")
     import graft.operators.HybridRetrieval
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     if (statePartitions > 0)
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25_ing_").toString
+    val srcDir = scratchDir(spark, "graft_bm25_ing_")
     spark.read.parquet(docsPath).filter(corpusPred)
       .select(col("doc_id").cast("long"), col("text"))
       .repartition(sourceSlices).write.mode("overwrite").parquet(srcDir)
@@ -925,8 +966,9 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     // the two append-only accumulation directories (the ONLY
-    // accumulated state beside two driver longs)
-    val accDir = java.nio.file.Files.createTempDirectory("graft_bm25_acc_").toString
+    // accumulated state beside two driver longs) — executor-written, so
+    // allocated under the shared-scratch root, not a driver-local tmp
+    val accDir = scratchDir(spark, "graft_bm25_acc_")
     @volatile var nBatches = 0
     @volatile var nDocs = 0L
     @volatile var sumDl = 0L
@@ -970,7 +1012,7 @@ object StreamingOps {
         java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => }
-      deleteRecursively(srcDir)
+      deleteScratch(spark, srcDir)
     }
     require(nDocs > 0, "streamBm25Ingest saw an empty corpus stream")
     import spark.implicits._
@@ -995,12 +1037,21 @@ object StreamingOps {
         val rows = served.collect()
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(rows.toSeq.asJava, served.schema)
-      } finally deleteRecursively(accDir)
+      } finally deleteScratch(spark, accDir)
     } else {
-      val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
-      HybridRetrieval.saveBm25Index(postingsAll, dfAll, stats, publishPath,
-        dfCapNum = dfCapNum, dfCapDen = dfCapDen)
-      deleteRecursively(accDir) // everything now lives in the snapshot
+      if (appendBasePath != null)
+        // next GENERATION of the base: hardlink its posting files, write
+        // only the window's deltas + the vocab-sized df fold (cap/bucket
+        // params inherited from the base snapshot)
+        HybridRetrieval.appendBm25Pieces(spark, appendBasePath, publishPath,
+          postingsAll, nDocs, sumDl,
+          batchIds = postingsAll.select(col("doc_id")))
+      else {
+        val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+        HybridRetrieval.saveBm25Index(postingsAll, dfAll, stats, publishPath,
+          dfCapNum = dfCapNum, dfCapDen = dfCapDen)
+      }
+      deleteScratch(spark, accDir) // everything now lives in the snapshot
       HybridRetrieval.bm25Serve(queries,
         HybridRetrieval.openBm25Index(spark, publishPath), n)
     }

@@ -99,4 +99,34 @@ class CalibrateWidthSpec extends AnyFunSuite with SparkSuite {
         assert(VectorIndex.readCalibration(spark, s"$dir/snap").get.sampleRecall === 1.0)
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
+
+  test("cross-face table round-trips; bestFace picks cheapest qualifying; pre-face sidecars parse") {
+    import graft.index.{FacePoint, WidthCalibration}
+    val dir = java.nio.file.Files.createTempDirectory("graft_faces_").toString
+    try {
+      val faces = Seq(
+        FacePoint("exact", 0, 0.959, 136.0),
+        FacePoint("beam", 256, 0.799, 26.0),
+        FacePoint("ivfpq", 8, 0.722, 205.0))
+      val cal = WidthCalibration(searchWidth = 256, targetRecall = 0.95,
+        k = 10, sampleRecall = 0.799, curve = Seq(32 -> 0.5, 256 -> 0.799),
+        faces = faces)
+      VectorIndex.writeCalibration(spark, dir, cal)
+      val restored = VectorIndex.readCalibration(spark, dir).get
+      assert(restored === cal, "faces must round-trip exactly")
+      // face selection: cheapest measured face meeting the target
+      assert(restored.bestFace(0.95) === Some(faces.head),
+        "only the exact face meets 0.95")
+      assert(restored.bestFace(0.7) === Some(FacePoint("beam", 256, 0.799, 26.0)),
+        "beam is the cheapest face meeting 0.7")
+      assert(restored.bestFace(0.999).isEmpty, "no face meets 0.999")
+      // a width-only calibration persists WITHOUT a face table and a
+      // pre-face sidecar (same bytes) parses to faces = Nil
+      VectorIndex.writeCalibration(spark, dir, cal.copy(faces = Nil))
+      val legacy = VectorIndex.readCalibration(spark, dir).get
+      assert(legacy.faces.isEmpty)
+      assert(legacy.curve === cal.curve)
+      assert(legacy.bestFace(0.5).isEmpty, "no evidence -> width-based fallback")
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
 }

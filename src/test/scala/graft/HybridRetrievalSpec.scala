@@ -281,6 +281,97 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     } finally graft.streaming.StreamingOps.deleteRecursively(root)
   }
 
+  test("retiring a bm25 base generation: delete is safe, freed vs shared bytes enumerated") {
+    // the AppendToSpec retirement contract applied to the lexical chain:
+    // appendBm25 hardlinks every base POSTING file into the next
+    // generation (nlink > 1 — survives the base delete) while the base's
+    // df table + stats stay old-exclusive (nlink == 1 — the delete frees
+    // them); retiring the base must leave the appended generation
+    // servable bit-identically through a fresh open.
+    val base = Seq(
+      (10L, "alpha beta gamma"), (11L, "beta gamma delta"),
+      (12L, "gamma delta epsilon"), (13L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((20L, "alpha omega"), (21L, "omega zeta"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "alpha delta"), (2L, "omega gamma")).toDF("query_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_ret_").toString
+    try {
+      val (p0, d0, s0) = HybridRetrieval.bm25SnapshotPieces(base)
+      HybridRetrieval.saveBm25Index(p0, d0, s0, s"$root/g0",
+        tokBuckets = 4, dfCapNum = 78L, dfCapDen = 100L)
+      HybridRetrieval.appendBm25(spark, s"$root/g0", batch, s"$root/g1")
+      def key(path: String) = HybridRetrieval.bm25Serve(
+        q, HybridRetrieval.openBm25Index(spark, path), n = 10)
+        .select("query_id", "doc_id", "bm25", "lex_rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val before = key(s"$root/g1")
+      assert(before.nonEmpty)
+
+      // retirement accounting BEFORE the delete: bytes the delete FREES
+      // (old-exclusive files, nlink == 1: the df table + stats) vs bytes
+      // merely UNSHARED (posting files hardlinked into g1, nlink > 1 —
+      // the inode survives the delete)
+      import scala.jdk.CollectionConverters._
+      def files(d: String) = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet")).toSeq
+      val (shared, freed) = files(s"$root/g0").partition(p =>
+        java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] > 1)
+      assert(shared.nonEmpty, "premise: base posting files must be shared into g1")
+      assert(freed.nonEmpty, "premise: the base df table must be old-exclusive")
+      assert(shared.forall(_.toString.contains("/postings/")),
+        "only posting files are hardlink-shared across generations")
+      assert(freed.forall(_.toString.contains("/df/")),
+        "the vocab-sized df table is rewritten per generation, never shared")
+      val sharedBytes = shared.map(java.nio.file.Files.size).sum
+      val freedBytes = freed.map(java.nio.file.Files.size).sum
+      assert(sharedBytes > 0 && freedBytes > 0)
+
+      // DELETE the base generation wholesale and re-serve g1 through a
+      // fresh open — every posting byte must come off the surviving
+      // hardlinked inodes, bit-identically
+      graft.streaming.StreamingOps.deleteRecursively(s"$root/g0")
+      assert(key(s"$root/g1") === before,
+        "retiring the base generation corrupted the appended snapshot")
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
+  }
+
+  test("appendBm25 freshness: completed target refused, partial target wiped") {
+    val base = Seq((10L, "alpha beta"), (11L, "beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((20L, "gamma delta")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha gamma delta")).toDF("query_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_fresh_").toString
+    try {
+      val (p0, d0, s0) = HybridRetrieval.bm25SnapshotPieces(base)
+      HybridRetrieval.saveBm25Index(p0, d0, s0, s"$root/g0",
+        tokBuckets = 4, dfCapNum = 78L, dfCapDen = 100L)
+      HybridRetrieval.appendBm25(spark, s"$root/g0", batch, s"$root/g1")
+      def key(path: String) = HybridRetrieval.bm25Serve(
+        q, HybridRetrieval.openBm25Index(spark, path), n = 10)
+        .select("query_id", "doc_id", "bm25", "lex_rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val clean = key(s"$root/g1")
+      // a COMPLETED snapshot (stats.json present) is never clobbered
+      val err = intercept[RuntimeException] {
+        HybridRetrieval.appendBm25(spark, s"$root/g0", batch, s"$root/g1")
+      }
+      assert(err.getMessage.contains("completed"))
+      assert(key(s"$root/g1") === clean, "the refused retry must not touch g1")
+      // a PARTIAL target (posting files, no stats.json — a crashed
+      // attempt) is wiped so the retry cannot double-count the batch
+      val partial = new java.io.File(s"$root/g2/postings/tok_bkt=0")
+      partial.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/g2/postings/tok_bkt=0/part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      HybridRetrieval.appendBm25(spark, s"$root/g0", batch, s"$root/g2")
+      assert(key(s"$root/g2") === clean,
+        "retry into a partial target must equal the clean append")
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
+  }
+
   test("snapshot serve above maxPushTokens falls back to the joined view, same results") {
     val c = Seq((10L, "alpha beta gamma"), (11L, "beta delta"), (12L, "gamma epsilon"))
       .toDF("doc_id", "text")
