@@ -1509,6 +1509,40 @@ object Queries {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- v64_ivfpq_routed
+  /** v30's residual IVF-PQ with the corpus cell assignment ROUTED through
+    * a dehnsw graph built over the centroids ([[graft.operators.IvfKnn
+    * .routedAssign]]) instead of the flat argmin — the ENCODE-side scale
+    * path: the argmin is linear in the cell count and is the measured
+    * encode bottleneck past ~2k cells on the 100M clustered corpus
+    * (SCALE.md), while the graph route is O(beam) per row. At
+    * `searchWidth = 0` the kernel's walk is exhaustive over the connected
+    * centroid graph with the same (distance, centroid_id) tie-break as
+    * the argmin, so the assignment — and therefore every downstream
+    * residual, code, and ADC rank — is bit-identical to v30's, and the
+    * whole routed composition keeps v30's closed-form oracle. The driver
+    * gate proves the routed encode path end-to-end (assignment, residual
+    * projection, encode, probe); RoutedAssignSpec additionally floors the
+    * production-width (sw>0) assignment agreement. */
+  def v64IvfPqRouted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = embCorpus(s, dir)
+    val cents = graft.operators.IvfKnn.centroids(corpus, 8)
+    val assigned = graft.operators.IvfKnn.routedAssign(corpus, cents,
+      searchWidth = 0)
+    val resid = graft.operators.PqKnn.residualsAssigned(assigned, cents)
+    val (flat, kEff, subDim) = residCbCache.computeIfAbsent(dir,
+      _ => graft.operators.PqKnn.codebooks(
+        graft.operators.PqKnn.residuals(corpus, cents),
+        numCodewords = 16, m = 8))
+    graft.operators.PqKnn.ivfPqResidualJoinWith(queries, corpus, k = 10,
+      cents, resid, nprobe = 3, flat, kEff, subDim, m = 8)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** v45's oracle — v36's self-describing tail over the RESIDUAL pipeline:
     * replays the SAMPLED residual-PQ pool ranks (residPqCtes' `r`) and the
     * exact L2 top-10, pins only `trained_ge_sampled` for the trained side
@@ -3412,6 +3446,7 @@ object Queries {
     "v28_pq_rerank" -> v28Oracle,
     "v29_ivfpq" -> v29Oracle,
     "v30_ivfpq_residual" -> v30Oracle,
+    "v64_ivfpq_routed" -> v30Oracle,
     "v31_binary_knn" -> v31Oracle,
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,

@@ -200,9 +200,35 @@ object TextBench {
         graft.operators.HybridRetrieval.bm25Serve(queries, snap2, n = 10).count()
       }
       println(s"  served rows from appended snapshot: $nServedApp")
+      // --- STREAMED append-publish: the same-sized window arriving as
+      // micro-batches publishes the NEXT generation of the 10M base via
+      // appendBm25Pieces (v63's gated path) — the long-lived-ingest
+      // lifecycle should pay append cost (~the batch appendBm25 line
+      // above), never rebuild cost (the build+save line at the top).
+      // streamBm25Ingest runs ingest + publish EAGERLY and returns the
+      // lazy serve over the loaded generation, so the two phases below
+      // separate (ingest+publish) from (serve).
+      val winSrc = java.nio.file.Files
+        .createTempDirectory("graft_bm25_win_").toString
+      spark.range(n + n / 100, n + 2 * (n / 100)).rdd
+        .map(id => (id, docText(id))).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(winSrc)
+      val dir3 = java.nio.file.Files
+        .createTempDirectory("graft_bm25_sapp_").toString + "/gen2"
+      val servedStream = phase(
+        s"bm25 STREAMED ingest + append-publish (${n / 100} docs into $n)") {
+        graft.streaming.StreamingOps.streamBm25Ingest(spark, winSrc,
+          corpusPred = lit(true), queries = queries, n = 10,
+          sourceSlices = 4, publishPath = dir3, appendBasePath = dir)
+      }
+      val nServedStream = phase("bm25 serve from streamed-append generation (100q)") {
+        servedStream.count()
+      }
+      println(s"  served rows from streamed-append generation: $nServedStream")
       try {
         import scala.jdk.CollectionConverters._
-        Seq(dir, java.nio.file.Paths.get(dir2).getParent.toString).foreach { d =>
+        Seq(dir, java.nio.file.Paths.get(dir2).getParent.toString,
+            winSrc, java.nio.file.Paths.get(dir3).getParent.toString).foreach { d =>
           java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
             .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
