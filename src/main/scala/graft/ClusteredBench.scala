@@ -81,14 +81,19 @@ object ClusteredBench {
       k: Int,
       measure: (String, Int, () => Set[(Long, Long)]) => graft.index.FacePoint)
       : Seq[graft.index.FacePoint] = {
+    // same codes-dir naming rule as the ivfpq phase: m=8 argmin codes
+    // live at the unsuffixed path, other m values under _m$m — reading
+    // m-mismatched codes would ADC-score garbage, so the suffix must
+    // agree with the m this phase was asked to measure
+    val suffix = if (m == 8) "" else s"_m$m"
     val flavor = Seq("residual", "global").find(f =>
-      new java.io.File(s"$dir/ivfpq_${f}_c$numCents/codes/_SUCCESS").exists())
+      new java.io.File(s"$dir/ivfpq_${f}_c$numCents$suffix/codes/_SUCCESS").exists())
     if (flavor.isEmpty) {
-      println(s"faces: no published ivfpq codes at c$numCents — graph faces only")
+      println(s"faces: no published ivfpq codes at c$numCents$suffix — graph faces only")
       return Nil
     }
     val label = flavor.get
-    val codes = spark.read.parquet(s"$dir/ivfpq_${label}_c$numCents/codes")
+    val codes = spark.read.parquet(s"$dir/ivfpq_${label}_c$numCents$suffix/codes")
     val stride = math.max(1L, n / 100000L)
     val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
       .select((col("id") / stride).cast("long").as("id"), col("embedding"))
@@ -133,7 +138,12 @@ object ClusteredBench {
       routed.unpersist()
       res
     }
-    val out = Seq(8, 32).map(np => measure(s"ivfpq_$label", np, serve(np)))
+    // nprobe=8 only: it is the efficient operating point at every
+    // measured cell count (the ivfpq phase sweeps 8/32/128 separately),
+    // and the wider ADC join's localCheckpoint blocks don't fit beside
+    // 128 resident 100M-scale shard graphs — the combined faces run at
+    // nprobe=32 exhausted a 105g heap at the decade
+    val out = Seq(8).map(np => measure(s"ivfpq_$label", np, serve(np)))
     sample.unpersist(); cents.unpersist()
     out
   }
