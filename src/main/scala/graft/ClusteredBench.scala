@@ -41,6 +41,12 @@ import graft.functions.PqFunctions
   *    predicted to win: many cells, tight intra-cell geometry) snapshots
   *    over the same corpus, nprobe sweep with ADC pool -> exact rerank,
   *    recall vs the same float GT.
+  *  - serve: cold + warm latency at representative widths (own JVM).
+  *  - ceiling: the SQ8 width-0 recall ceiling under the hard-coded
+  *    [0,1] range vs a calibrated range (index-independent fused scans)
+  *    plus the REFINE ceiling (SQ8 pool -> float rerank).
+  *  - faces: measure every serving face over the same batch and persist
+  *    the cross-face operating table into calibration.json (own JVM).
   *
   * Run: sbt "runMain graft.ClusteredBench <dir> [n] [dim] [nClusters]
   *   [sigma] [phases]"
@@ -77,23 +83,34 @@ object ClusteredBench {
     * Returns Nil when no codes snapshot is published beside the graph —
     * the face table then simply records the graph faces. */
   private def ivfpqFace(spark: SparkSession, dir: String, n: Long,
-      numCents: Int, m: Int, poolC: Int, corpus: DataFrame, qdf: DataFrame,
-      k: Int,
-      measure: (String, Int, () => Set[(Long, Long)]) => graft.index.FacePoint)
-      : Seq[graft.index.FacePoint] = {
+      numCents: Int, m: Int, poolC: Int, routeWidth: Int,
+      corpus: DataFrame, qdf: DataFrame, k: Int,
+      measure: (String, Int, String, () => Set[(Long, Long)])
+        => graft.index.FacePoint): Seq[graft.index.FacePoint] = {
     // same codes-dir naming rule as the ivfpq phase: m=8 argmin codes
-    // live at the unsuffixed path, other m values under _m$m — reading
-    // m-mismatched codes would ADC-score garbage, so the suffix must
-    // agree with the m this phase was asked to measure
-    val suffix = if (m == 8) "" else s"_m$m"
-    val flavor = Seq("residual", "global").find(f =>
-      new java.io.File(s"$dir/ivfpq_${f}_c$numCents$suffix/codes/_SUCCESS").exists())
-    if (flavor.isEmpty) {
-      println(s"faces: no published ivfpq codes at c$numCents$suffix — graph faces only")
+    // live at the unsuffixed path, other knob settings under
+    // _m$m / _r$routeWidth — reading m-mismatched codes would ADC-score
+    // garbage. The _r-free sibling is probed as a fallback: routed and
+    // argmin codes differ only in encode-side router provenance, both
+    // serve with the same (flavor, cells, m) knobs. A present
+    // params.json sidecar is validated either way (IvfPqSnapshot).
+    val msuf = if (m == 8) "" else s"_m$m"
+    val rsuf = if (routeWidth >= 0) s"_r$routeWidth" else ""
+    val candidates = for {
+      f <- Seq("residual", "global")
+      suffix <- Seq(msuf + rsuf, msuf).distinct
+    } yield (f, s"$dir/ivfpq_${f}_c$numCents$suffix")
+    val found = candidates.find { case (_, p) =>
+      new java.io.File(s"$p/codes/_SUCCESS").exists() }
+    if (found.isEmpty) {
+      println(s"faces: no published ivfpq codes at c$numCents$msuf$rsuf — " +
+        "graph faces only")
       return Nil
     }
-    val label = flavor.get
-    val codes = spark.read.parquet(s"$dir/ivfpq_${label}_c$numCents$suffix/codes")
+    val (label, snapDir) = found.get
+    graft.operators.IvfPqSnapshot.requireCompatible(spark, snapDir, label,
+      numCents, m, codewords = 256)
+    val codes = spark.read.parquet(s"$snapDir/codes")
     val stride = math.max(1L, n / 100000L)
     val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
       .select((col("id") / stride).cast("long").as("id"), col("embedding"))
@@ -105,6 +122,12 @@ object ClusteredBench {
         iterations = 3)
     val wPool = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
+    // the ADC pool is STAGED TO PARQUET SCRATCH, not localCheckpoint'd:
+    // the r18 combined faces run at nprobe=32 exhausted a 105g heap —
+    // the wide ADC join's checkpoint blocks don't fit beside 128
+    // resident 100M-scale shard graphs. The pool is |Q| x poolC rows
+    // (tiny on disk); executor storage memory stays free for the graphs.
+    val scratch = s"$dir/_faces_scratch"
     def serve(nprobe: Int): () => Set[(Long, Long)] = () => {
       val routedBase = IvfKnn.route(qdf, cents, nprobe)
       val routed = (if (label == "global")
@@ -117,7 +140,7 @@ object ClusteredBench {
               flat, m, kw, sub).as("tab"))).cache()
       val cells = routed.select(col("cell")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      val pool = codes.filter(col("cell").isin(cells: _*))
+      codes.filter(col("cell").isin(cells: _*))
         .join(broadcast(routed), Seq("cell"))
         .select(col("query_id"), col("neighbor_id"),
           PqFunctions.adcLookup(col("tab"), col("codes"), kw)
@@ -125,7 +148,8 @@ object ClusteredBench {
         .withColumn("rank", row_number().over(wPool))
         .filter(col("rank") <= poolC)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$scratch/pool")
+      val pool = spark.read.parquet(s"$scratch/pool")
       val res = corpus.join(broadcast(pool), col("id") === col("neighbor_id"))
         .join(broadcast(qdf.select(col("query_id"), col("embedding").as("qe"))),
           Seq("query_id"))
@@ -138,12 +162,11 @@ object ClusteredBench {
       routed.unpersist()
       res
     }
-    // nprobe=8 only: it is the efficient operating point at every
-    // measured cell count (the ivfpq phase sweeps 8/32/128 separately),
-    // and the wider ADC join's localCheckpoint blocks don't fit beside
-    // 128 resident 100M-scale shard graphs — the combined faces run at
-    // nprobe=32 exhausted a 105g heap at the decade
-    val out = Seq(8).map(np => measure(s"ivfpq_$label", np, serve(np)))
+    val artifact = s"$snapDir m=$m pool=$poolC " +
+      "jvm=faces(all-shard-graphs-resident)"
+    val out = Seq(8, 32).map(np =>
+      measure(s"ivfpq_$label", np, artifact, serve(np)))
+    graft.streaming.StreamingOps.deleteRecursively(scratch)
     sample.unpersist(); cents.unpersist()
     out
   }
@@ -305,6 +328,50 @@ object ClusteredBench {
       }
     }
 
+    // --- phase: ceiling (is the SQ8 range the binding knob?) ---
+    // The width-0 recall ceiling is INDEX-INDEPENDENT: the kernel's exact
+    // SQ8 scan ranks by integer-domain L2 over the codes, which equals
+    // float L2 over quantize->dequantize'd vectors up to a positive
+    // scale. So the ceiling under ANY candidate range is measurable
+    // without building a graph — one fused exact scan over the
+    // re-encoded corpus per range. This phase pins whether range
+    // CALIBRATION ([[VectorIndex.calibrateQuantRange]], v25) can lift
+    // the hard-coded [0,1] ceiling on this corpus, and measures the
+    // REFINE ceiling (SQ8 top-pool -> float rerank) beside it — the
+    // knob that breaks the ceiling when calibration cannot.
+    if (phases("ceiling")) {
+      val (cLo, cHi) = VectorIndex.calibrateQuantRange(corpus)
+      println(f"calibrateQuantRange over the corpus: [$cLo%.6f, $cHi%.6f]")
+      def recallOf(rows: Set[(Long, Long)]): Double =
+        (gt intersect rows).size.toDouble / gt.size
+      for ((label, lo, hi) <- Seq(
+          ("hard-coded [0,1]", 0.0, 1.0),
+          (f"calibrated [$cLo%.4f,$cHi%.4f]", cLo.toDouble, cHi.toDouble))) {
+        def dq(c: org.apache.spark.sql.Column) =
+          graft.functions.Sq8Functions.sq8Decode(
+            graft.functions.Sq8Functions.sq8(c, lo, hi), lo, hi)
+        val t0 = System.nanoTime()
+        val got = graft.plans.KnnJoinPlan.knnFused(
+            qdf.select(col("query_id"), dq(col("embedding")).as("embedding")),
+            corpus.select(col("id"), dq(col("embedding")).as("embedding")), k)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"SQ8 ceiling, range $label: recall@$k = ${recallOf(got)}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      // the refine ceiling: exact SQ8 top-(10k) pool from the PUBLISHED
+      // snapshot, full-precision rerank — what the pool admits is the
+      // only loss left
+      val idx = VectorIndex.load(spark, snapPath, cache = false)
+      val t1 = System.nanoTime()
+      val refined = idx.queryRefined(qdf, corpus, k, pool = 10 * k,
+          searchWidth = 0)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"REFINE ceiling (sw=0, pool=${10 * k}): recall@$k = " +
+        f"${recallOf(refined)}%.4f (${(System.nanoTime() - t1) / 1e9}%.1f s)")
+    }
+
     // --- phase: faces (persist the measured cross-face operating table) ---
     // The deployment decision is three-way — exact SQ8 scan vs beam vs
     // IVF-PQ — and each face is a different (recall, ms/query, memory)
@@ -321,7 +388,7 @@ object ClusteredBench {
         sys.error(s"faces phase needs a calibrated snapshot (run graph first)"))
       def recallOf(rows: Set[(Long, Long)]): Double =
         (gt intersect rows).size.toDouble / gt.size
-      def measure(face: String, param: Int,
+      def measure(face: String, param: Int, artifact: String,
           run: () => Set[(Long, Long)]): graft.index.FacePoint = {
         run() // warm: shard graphs + page cache
         val t0 = System.nanoTime()
@@ -329,21 +396,35 @@ object ClusteredBench {
         val t1 = System.nanoTime()
         val run2 = { val t = System.nanoTime(); run(); (System.nanoTime() - t) }
         val ms = math.min(t1 - t0, run2) / 1e6 / nQueries
-        val f = graft.index.FacePoint(face, param, recallOf(got), ms)
+        val f = graft.index.FacePoint(face, param, recallOf(got), ms, artifact)
         println(f"face ${f.face}%-6s param=${f.param}%4d recall=${f.recall}%.4f " +
-          f"${f.msPerQuery}%.1f ms/query")
+          f"${f.msPerQuery}%.1f ms/query" +
+          (if (artifact.nonEmpty) s"  [$artifact]" else ""))
         f
       }
       def graphFace(sw: Int): () => Set[(Long, Long)] = () =>
         idx.query(qdf, k, sw).select(col("query_id"), col("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val beamWidths = (Seq(32, 256) ++
+      // the refine face: SQ8 pool (beam or exact) -> full-precision
+      // rerank against the regenerated base relation — the
+      // quantization-ceiling breaker ([[graft.operators.RefineKnn]]);
+      // param = searchWidth, pool fixed at 10*k (the batch amortizes
+      // the one base pass the rerank costs)
+      val refinePool = 10 * k
+      def refineFace(sw: Int): () => Set[(Long, Long)] = () =>
+        idx.queryRefined(qdf, corpus, k, refinePool, sw)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val beamWidths = (Seq(32, 64, 128, 256) ++
         (if (existing.searchWidth > 0) Seq(existing.searchWidth) else Nil))
         .distinct.sorted
-      val facePoints = Seq(measure("exact", 0, graphFace(0))) ++
-        beamWidths.map(w => measure("beam", w, graphFace(w))) ++
-        ivfpqFace(spark, dir, n, ivfCents, pqM, rerankPool, corpus, qdf, k,
-          measure)
+      val refineArtifact = s"pool=$refinePool base=regenerated-corpus"
+      val facePoints = Seq(measure("exact", 0, "", graphFace(0))) ++
+        beamWidths.map(w => measure("beam", w, "", graphFace(w))) ++
+        Seq(0, 256).map(w => measure("refine", w, refineArtifact,
+          refineFace(w))) ++
+        ivfpqFace(spark, dir, n, ivfCents, pqM, rerankPool, routeWidth,
+          corpus, qdf, k, measure)
       VectorIndex.writeCalibration(spark, snapPath,
         existing.copy(faces = facePoints))
       println(s"persisted face table: " +
@@ -378,7 +459,8 @@ object ClusteredBench {
         // are reused; other knob settings get their own codes dirs
         val suffix = (if (m == 8) "" else s"_m$m") +
           (if (routeWidth >= 0) s"_r$routeWidth" else "")
-        val codesPath = s"$dir/ivfpq_${label}_c$numCents$suffix/codes"
+        val snapDir = s"$dir/ivfpq_${label}_c$numCents$suffix"
+        val codesPath = s"$snapDir/codes"
         // completion marker, not bare dir existence: a crashed encode
         // must re-run, not be "reused" into silently-deflated recall
         if (!new java.io.File(codesPath, "_SUCCESS").exists()) {
@@ -386,8 +468,16 @@ object ClusteredBench {
           encoded.repartition(64, col("cell"))
             .sortWithinPartitions(col("cell"), col("neighbor_id"))
             .write.mode("overwrite").parquet(codesPath)
+          // identity sidecar: the knobs that make these codes readable
+          // (naming convention alone enforced this until round 19)
+          graft.operators.IvfPqSnapshot.writeParams(spark, snapDir,
+            graft.operators.IvfPqParams(label, numCents, m, codewords, route))
           println(f"[$label] encode+publish: ${(System.nanoTime() - t) / 1e9}%.1f s")
-        } else println(s"[$label] codes already published — reusing")
+        } else {
+          graft.operators.IvfPqSnapshot.requireCompatible(spark, snapDir,
+            label, numCents, m, codewords)
+          println(s"[$label] codes already published — reusing")
+        }
         val codes = spark.read.parquet(codesPath)
         for (nprobe <- Seq(8, 32, 128)) {
           val t4 = System.nanoTime()

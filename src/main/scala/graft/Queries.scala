@@ -1543,6 +1543,52 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- v65_refined_knn
+  /** Two-stage REFINED serve from the shared SQ8 index ([[graft.index
+    * .VectorIndex.queryRefined]] / [[graft.operators.RefineKnn]]): an
+    * exact SQ8 top-30 pool (width 0 — v23's gated integer-domain scan,
+    * ties by neighbor_id) reranked with FULL-PRECISION float L2 against
+    * the base relation, top-10 kept. This is the quantization-ceiling
+    * breaker measured at the 100M decade (SCALE.md): the SQ8 exact scan
+    * is capped by its code resolution; the refine pool only has to
+    * ADMIT the true neighbors, and the float rerank orders them. The
+    * whole composition is closed-form: DuckDB reproduces the quantize →
+    * integer pool → float rerank pipeline bit-for-bit (the pool stage
+    * reuses v21's integer-domain quantization arithmetic). */
+  def v65RefinedKnn(s: SparkSession, dir: String): DataFrame =
+    quantIndex(s, dir)
+      .queryRefined(embQueries(s, dir), embCorpus(s, dir), k = 10,
+        pool = 30, searchWidth = 0)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val v65Oracle = {
+    // identical arithmetic to VecSq8Encode with the index defaults
+    // lo=-0.5, hi=0.5 (v21's quantization CTE), then float L2 rerank
+    val quant = "x -> CAST(least(greatest(floor((CAST(x AS DOUBLE) + 0.5) * 255.0 + 0.5), 0), 255) AS BIGINT)"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+      |             list_transform(embedding, $quant) AS qa
+      |           FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+      |             list_transform(embedding, $quant) AS qb
+      |           FROM embeddings WHERE vec_id >= 10),
+      |     d AS (SELECT query_id, neighbor_id, qe, ce,
+      |             CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS q_dist
+      |           FROM q CROSS JOIN c),
+      |     pool AS (SELECT query_id, neighbor_id, qe, ce,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY q_dist, neighbor_id) AS prank
+      |             FROM d),
+      |     f AS (SELECT query_id, neighbor_id,
+      |             list_sum(list_transform(generate_series(1, len(qe)), i -> (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)) * (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))) AS distance
+      |           FROM pool WHERE prank <= 30),
+      |     r AS (SELECT query_id, neighbor_id, distance,
+      |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS INT) AS rank
+      |           FROM f)
+      |SELECT query_id, rank, neighbor_id, round(distance, 6) AS distance
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** v45's oracle — v36's self-describing tail over the RESIDUAL pipeline:
     * replays the SAMPLED residual-PQ pool ranks (residPqCtes' `r`) and the
     * exact L2 top-10, pins only `trained_ge_sampled` for the trained side
@@ -3447,6 +3493,7 @@ object Queries {
     "v29_ivfpq" -> v29Oracle,
     "v30_ivfpq_residual" -> v30Oracle,
     "v64_ivfpq_routed" -> v30Oracle,
+    "v65_refined_knn" -> v65Oracle,
     "v31_binary_knn" -> v31Oracle,
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,

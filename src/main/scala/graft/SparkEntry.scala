@@ -78,6 +78,7 @@ object SparkEntry {
     "v29_ivfpq" -> ((s, dir) => Queries.v29IvfPq(s, dir)),
     "v30_ivfpq_residual" -> ((s, dir) => Queries.v30IvfPqResidual(s, dir)),
     "v64_ivfpq_routed" -> ((s, dir) => Queries.v64IvfPqRouted(s, dir)),
+    "v65_refined_knn" -> ((s, dir) => Queries.v65RefinedKnn(s, dir)),
     "v31_binary_knn" -> ((s, dir) => Queries.v31BinaryKnn(s, dir)),
     "v32_binary_rerank" -> ((s, dir) => Queries.v32BinaryRerank(s, dir)),
     "v33_knn_mips" -> ((s, dir) => Queries.v33KnnMips(s, dir)),

@@ -99,15 +99,21 @@ case class ShardMeta(sub_index_id: Int, n_vectors: Long, layer_count: Int, entry
 
 /** One measured serving FACE of a published index pair: `face` names the
   * serving path ("exact" = the index's own width-0 scan, "beam" = the
-  * graph walk at searchWidth `param`, "ivfpq" = an ADC+rerank serve at
-  * nprobe `param` from a codes snapshot published beside the graph),
-  * with its measured sample recall and warm ms/query. The deployment
-  * decision SCALE.md documents is three-way (exact vs beam vs IVF-PQ,
-  * each a different recall/latency/memory point) — persisting the
-  * measured table lets a serving deployment pick a FACE, not just a
-  * width, from evidence. */
+  * graph walk at searchWidth `param`, "refine" = an SQ8 pool at
+  * searchWidth `param` exact-float-reranked against the base relation,
+  * "ivfpq" = an ADC+rerank serve at nprobe `param` from a codes snapshot
+  * published beside the graph), with its measured sample recall and warm
+  * ms/query. The deployment decision SCALE.md documents is multi-way
+  * (exact vs beam vs refined vs IVF-PQ, each a different
+  * recall/latency/memory point) — persisting the measured table lets a
+  * serving deployment pick a FACE, not just a width, from evidence.
+  *
+  * `artifact` records WHICH artifact and measurement conditions back the
+  * point (codes-snapshot path + knobs, pool size, JVM co-residency…) —
+  * empty for faces served by the snapshot the sidecar itself lives in.
+  * Pre-artifact sidecars parse unchanged (the field defaults empty). */
 case class FacePoint(face: String, param: Int, recall: Double,
-    msPerQuery: Double)
+    msPerQuery: Double, artifact: String = "")
 
 /** A persisted width-calibration operating point (`calibration.json`
   * beside a snapshot's params.json): the production searchWidth chosen
@@ -199,6 +205,30 @@ class VectorIndex private (
     val probeCount = qds.select(col("query_id")).limit(maxBatch + 1).count()
     if (probeCount <= maxBatch) queryBatch(qds.collect().sortBy(_._1), k, searchWidth, maxBatch)
     else queryDistributed(queries, k, searchWidth)
+  }
+
+  /** Two-stage REFINED probe — the quantization-ceiling breaker: stage 1
+    * pulls a per-query pool of `pool` candidates from this index
+    * ([[query]] at `searchWidth`; width 0 = the exact SQ8 scan), stage 2
+    * re-scores only the pool with FULL-PRECISION vectors from `base`
+    * (the raw (id, embedding) relation this index was built from) and
+    * keeps the top k ([[graft.operators.RefineKnn.refine]], scored with
+    * the index's SEMANTIC metric on raw vectors). An SQ8 index's beam
+    * or exact scan is capped by its code resolution (the 100M decade
+    * ceiling: 0.959 recall@10 — SCALE.md); refinement only needs the
+    * true neighbors inside the top-`pool`, so the ceiling lifts to
+    * ~P(true k-NN ⊆ SQ8 top-pool) — near 1 for pool >> k.
+    *
+    * Cost at scale: one bounded broadcast (|queries| × pool ids) + one
+    * column-pruned pass over `base` per query BATCH — amortized, and
+    * cheaper per row than a distance eval (hash probe vs 2·dim FLOPs). */
+  def queryRefined(queries: DataFrame, base: DataFrame, k: Int, pool: Int,
+      searchWidth: Int, maxBatch: Int = 100000): DataFrame = {
+    require(pool >= k, s"refine pool $pool must be >= k=$k")
+    graft.operators.RefineKnn.refine(
+      query(queries, pool, searchWidth, maxBatch)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, base, k, probeSemanticMetric)
   }
 
   /** Query vectors transformed iff the index transforms at its API
@@ -778,7 +808,10 @@ object VectorIndex {
         s""""curve":[${cal.curve.map(c => s"[${c._1},${c._2}]").mkString(",")}]""" +
         (if (cal.faces.isEmpty) "}"
          else s""","faces":[${cal.faces.map(f =>
-             s"""["${f.face}",${f.param},${f.recall},${f.msPerQuery}]""")
+             s"""["${f.face}",${f.param},${f.recall},${f.msPerQuery}""" +
+               (if (f.artifact.isEmpty) "]"
+                else s""","${f.artifact.replace("\\", "\\\\")
+                  .replace("\"", "\\\"")}"]"""))
            .mkString(",")}]}"""))
 
   /** Read a snapshot's persisted calibration; None when never calibrated
@@ -801,11 +834,15 @@ object VectorIndex {
         .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
       // the face table is optional (pre-face sidecars parse unchanged);
       // its entries start with a quoted face name, so the curve regex
-      // above cannot match them and vice versa
-      val faces = """\["(\w+)",(\d+),([-0-9.Ee+]+),([-0-9.Ee+]+)\]""".r
+      // above cannot match them and vice versa. The trailing quoted
+      // artifact descriptor is itself optional — pre-artifact 4-element
+      // entries parse unchanged
+      val faces = """\["(\w+)",(\d+),([-0-9.Ee+]+),([-0-9.Ee+]+)(?:,"((?:[^"\\]|\\.)*)")?\]""".r
         .findAllMatchIn(json)
         .map(m => FacePoint(m.group(1), m.group(2).toInt,
-          m.group(3).toDouble, m.group(4).toDouble)).toSeq
+          m.group(3).toDouble, m.group(4).toDouble,
+          Option(m.group(5)).getOrElse("")
+            .replace("\\\"", "\"").replace("\\\\", "\\"))).toSeq
       Some(WidthCalibration(num("search_width").toInt,
         num("target_recall").toDouble, num("k").toInt,
         num("sample_recall").toDouble, curve, faces))

@@ -554,7 +554,20 @@ object HybridRetrieval {
         sys.error(s"appendBm25: $newPath already holds a completed " +
           "snapshot (stats.json present) — refusing to append into it; " +
           "pick a fresh generation path or retire it explicitly")
-      if (dstFs.exists(dst)) dstFs.delete(dst, true)
+      if (dstFs.exists(dst)) {
+        // wipe ONLY what a crashed append attempt could have left behind:
+        // a directory holding anything outside the snapshot layout
+        // (postings/, df/, stats.json, _/. markers) is some other data a
+        // mispointed newPath would destroy — refuse, delete nothing
+        val foreign = dstFs.listStatus(dst).map(_.getPath.getName).filterNot(n =>
+          n == "postings" || n == "df" || n == "stats.json" ||
+            n.startsWith("_") || n.startsWith("."))
+        if (foreign.nonEmpty)
+          sys.error(s"appendBm25: $newPath exists but does not look like a " +
+            s"partial snapshot (foreign entries: ${foreign.sorted.mkString(", ")}) " +
+            "— refusing to wipe it; point newPath at a fresh generation path")
+        dstFs.delete(dst, true)
+      }
     }
     if (batchIds != null) {
       val clash = old.postings

@@ -171,8 +171,15 @@ object IvfKnn {
         if (!it.hasNext) Iterator.empty
         else {
           val graph = buildCentroidGraph(bc.value, m, rm) // task-private
+          // searchWidth 0 must be EXACT regardless of graph topology:
+          // queryTopK(sw=0) is exhaustive only over the entry point's
+          // connected component, so a future centroid-count/pruning
+          // change could silently break the routed==argmin oracle
+          // mapping — the brute-force scan is exhaustive by construction
           it.map { case (id, emb) =>
-            val r = graph.queryTopK(emb, 1, searchWidth)
+            val r =
+              if (searchWidth <= 0) graph.bruteForceTopK(emb, 1)
+              else graph.queryTopK(emb, 1, searchWidth)
             (id, emb, if (r.isEmpty) -1L else r.head._2)
           }
         }

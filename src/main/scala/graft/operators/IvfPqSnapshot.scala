@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Identity sidecar for a published IVF-PQ codes snapshot.
+  *
+  * The codes parquet under `<dir>/codes` is meaningless without the
+  * training/encode knobs that produced it: reading codes with a
+  * mismatched subquantizer count `m` ADC-scores garbage (the per-code
+  * byte layout changes), a mismatched `flavor` scores raw vectors with
+  * residual codebooks (or vice versa), and a mismatched cell count
+  * routes queries to cells the codes were never assigned to. Until
+  * round 19 those invariants were enforced only by a directory NAMING
+  * convention (`ivfpq_<flavor>_c<cells>[_m<m>][_r<routeWidth>]`) — this
+  * sidecar makes them explicit: the encode writer persists
+  * `params.json` beside `codes/`, and every reader validates before
+  * serving. Legacy snapshots (published before the sidecar existed)
+  * carry no params.json and are accepted as-is — the naming convention
+  * remains their only identity — but a PRESENT sidecar that disagrees
+  * with what the reader expects is a hard error, never a silent
+  * garbage-scoring serve.
+  *
+  * Reference counterpart: none — the reference (dehnsw.h) has no IVF-PQ
+  * tier; this is the engine's own artifact-identity discipline, the
+  * same contract class as the vector snapshot's params.json
+  * ([[graft.index.VectorIndex.save]]).
+  *
+  * @param flavor     codebook flavor: "global" (PQ over raw vectors) or
+  *                   "residual" (PQ over x - centroid(cell(x)), the
+  *                   FAISS IVFPQ shape)
+  * @param numCents   coarse-quantizer cell count the codes were
+  *                   assigned against
+  * @param m          PQ subquantizer count (code bytes per vector)
+  * @param codewords  codewords per subquantizer (ADC table width)
+  * @param route      encode-side cell-assignment router: "argmin" or
+  *                   "beam<W>" ([[IvfKnn.routedAssign]])
+  */
+case class IvfPqParams(flavor: String, numCents: Int, m: Int,
+    codewords: Int, route: String)
+
+object IvfPqSnapshot {
+
+  /** Persist the identity sidecar beside a just-published codes dir. */
+  def writeParams(spark: SparkSession, dir: String, p: IvfPqParams): Unit =
+    graft.index.VectorIndex.writeSmallFile(spark, s"$dir/params.json",
+      s"""{"flavor":"${p.flavor}","num_cents":${p.numCents},"m":${p.m},""" +
+        s""""codewords":${p.codewords},"route":"${p.route}"}""")
+
+  /** Read a snapshot's identity sidecar; None for legacy snapshots
+    * published before the sidecar existed (callers fall back to the
+    * naming convention). A present-but-unparseable sidecar is a hard
+    * error — unlike the calibration sidecar (an optimization hint whose
+    * absence degrades safely), identity corruption must not degrade
+    * into a silently-wrong serve. */
+  def readParams(spark: SparkSession, dir: String): Option[IvfPqParams] = {
+    val json = graft.index.VectorIndex.readSmallFile(spark, s"$dir/params.json")
+    if (json == null) return None
+    def str(k: String) =
+      (s""""$k":\\s*"([^"]*)"""").r.findFirstMatchIn(json).getOrElse(
+        sys.error(s"IvfPqSnapshot: $dir/params.json is corrupt " +
+          s"(missing \"$k\"): $json")).group(1)
+    def num(k: String) =
+      (s""""$k":\\s*(\\d+)""").r.findFirstMatchIn(json).getOrElse(
+        sys.error(s"IvfPqSnapshot: $dir/params.json is corrupt " +
+          s"(missing \"$k\"): $json")).group(1).toInt
+    Some(IvfPqParams(str("flavor"), num("num_cents"), num("m"),
+      num("codewords"), str("route")))
+  }
+
+  /** Validate a snapshot against the knobs a reader is about to serve
+    * with. Legacy snapshots (no sidecar) pass — the route is an
+    * encode-provenance note, not a serve knob, so it is recorded but
+    * not matched. Throws on any mismatch of flavor / cells / m /
+    * codewords: every one of those silently corrupts ADC scoring. */
+  def requireCompatible(spark: SparkSession, dir: String, flavor: String,
+      numCents: Int, m: Int, codewords: Int): Unit =
+    readParams(spark, dir).foreach { found =>
+      val expect = (flavor, numCents, m, codewords)
+      val got = (found.flavor, found.numCents, found.m, found.codewords)
+      require(got == expect,
+        s"IvfPqSnapshot: $dir holds codes for (flavor, cells, m, " +
+          s"codewords) = $got but the reader expects $expect — serving " +
+          "would ADC-score garbage; point at the matching snapshot")
+    }
+}

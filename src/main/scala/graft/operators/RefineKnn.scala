@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DistanceMetric, VectorFunctions}
+
+/** Exact-float REFINEMENT of an approximate candidate pool — the
+  * standard two-stage serve (FAISS `IndexRefineFlat`, DiskANN's
+  * full-precision rerank): stage 1 produces a per-query candidate pool
+  * by any cheap means (SQ8 graph beam / exact SQ8 scan / IVF-PQ ADC),
+  * stage 2 re-scores ONLY the pool with full-precision vectors from the
+  * base relation and keeps the top k.
+  *
+  * Why this exists: a quantized index's recall is CEILING-limited by
+  * its code resolution — the 100M clustered decade pins the SQ8
+  * [0,1]-range ceiling at 0.959 recall@10 (SCALE.md), and that floor is
+  * intrinsic to 8-bit codes on a corpus whose values span the whole
+  * range (range CALIBRATION cannot lift it — measured). Refinement
+  * removes the ceiling without touching the index: quantization error
+  * only has to keep the true neighbors inside the top-`pool`, not the
+  * top-k.
+  *
+  * 100 TB shape: the pool is |queries| × pool rows — BOUNDED, the
+  * broadcast side. The base relation streams once per query batch
+  * (column-pruned to (id, embedding); the per-row hash probe is cheaper
+  * than a distance eval, so the refine pass costs LESS than one exact
+  * scan and amortizes over the whole batch), and the full-precision
+  * distance is evaluated only for pool hits. Nothing corpus-sized is
+  * collected, shuffled, or windowed: the window ranks |Q| × pool rows.
+  * Reference counterpart: none — dehnsw.h serves straight from its
+  * quantized codes; this is the engine's ceiling-breaking tier.
+  */
+object RefineKnn {
+
+  /** Re-score `pool` (query_id, neighbor_id) against full-precision
+    * vectors from `base` (id, embedding) and keep the per-query top-k
+    * by `metric` over (queries.embedding, base.embedding) — RAW vectors
+    * on both sides, so for a transforming index (cosine / MIPS) pass
+    * the SEMANTIC metric, not the index's internal one.
+    * Output: (query_id, rank, neighbor_id, distance) — [[graft.index
+    * .VectorIndex.query]]'s schema with full-precision distances. */
+  def refine(pool: DataFrame, queries: DataFrame, base: DataFrame, k: Int,
+      metric: DistanceMetric = DistanceMetric.Euclidean2): DataFrame = {
+    val p = pool.select(col("query_id").cast("long"),
+      col("neighbor_id").cast("long"))
+    val q = queries.select(col("query_id").cast("long"),
+      col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("neighbor_id"))
+    base
+      .select(col("id"), col("embedding"))
+      .join(broadcast(p), col("id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.distance(metric, col("q_emb"), col("embedding"))
+          .cast("double").as("distance"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("distance"))
+  }
+}

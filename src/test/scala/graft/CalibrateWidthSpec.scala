@@ -129,4 +129,34 @@ class CalibrateWidthSpec extends AnyFunSuite with SparkSuite {
       assert(legacy.bestFace(0.5).isEmpty, "no evidence -> width-based fallback")
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
+
+  test("FacePoint artifact identity round-trips; pre-artifact sidecars parse") {
+    import graft.index.{FacePoint, WidthCalibration}
+    val dir = java.nio.file.Files.createTempDirectory("graft_faceid_").toString
+    try {
+      // artifact descriptors carry paths + knobs + measurement context;
+      // quotes/backslashes must survive the JSON round-trip
+      val faces = Seq(
+        FacePoint("exact", 0, 0.959, 142.5),
+        FacePoint("refine", 256, 0.97, 14.0, "pool=100 base=corpus"),
+        FacePoint("ivfpq_residual", 8, 0.98, 579.8,
+          """/tmp/clustered/ivfpq_residual_c1024_m16 m=16 pool=2000 "faces"-jvm"""))
+      val cal = WidthCalibration(0, 0.95, 10, 1.0, Seq(256 -> 0.937), faces)
+      VectorIndex.writeCalibration(spark, dir, cal)
+      val restored = VectorIndex.readCalibration(spark, dir).get
+      assert(restored === cal, "artifact-bearing faces must round-trip exactly")
+      // bestFace surfaces the artifact with the winning point
+      assert(restored.bestFace(0.96).get.artifact === "pool=100 base=corpus")
+      // a PRE-ARTIFACT sidecar (4-element face entries, the r18 format)
+      // parses with artifact = "" — hand-written bytes, not re-serialized
+      VectorIndex.writeSmallFile(spark, s"$dir/calibration.json",
+        """{"search_width":0,"target_recall":0.95,"k":10,""" +
+          """"sample_recall":1.0,"curve":[[256,0.937]],""" +
+          """"faces":[["exact",0,0.959,142.5],["beam",256,0.937,12.1]]}""")
+      val preId = VectorIndex.readCalibration(spark, dir).get
+      assert(preId.faces === Seq(FacePoint("exact", 0, 0.959, 142.5),
+        FacePoint("beam", 256, 0.937, 12.1)),
+        "pre-artifact 4-element face entries must parse with empty artifact")
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
 }
