@@ -229,15 +229,38 @@ object ClusteredBench {
     val params = IndexParams(minimumConnect = graphM, relaxedMonotonicity = 128,
       step = 4, quantized = true, quantLo = 0f, quantHi = 1f)
 
+    // corpus identity sidecar — same contract class as IvfPqSnapshot's
+    // params.json: every phase regenerates the corpus from (n, dim,
+    // nClusters, sigma, salt), and measuring a snapshot against a
+    // DIFFERENTLY-generated corpus silently produces garbage (the probe
+    // returns the snapshot corpus's neighbors, the ground truth ranks
+    // the regenerated one's). The build phase records the generator
+    // knobs; every later phase refuses a mismatch. Legacy snapshots
+    // (pre-sidecar) are accepted as-is.
+    val corpusJson = s"""{"n":$n,"dim":$dim,"n_clusters":$nClusters,""" +
+      s""""sigma":$sigma,"corpus_salt":$CorpusSalt}"""
+    def requireCorpusMatch(): Unit = {
+      val found = VectorIndex.readSmallFile(spark, s"$snapPath/corpus.json")
+      if (found == null)
+        println(s"corpus identity: no corpus.json at $snapPath (legacy " +
+          "snapshot) — trusting the caller's generator args")
+      else require(found == corpusJson,
+        s"corpus identity mismatch: $snapPath was built from $found but " +
+          s"this run regenerates $corpusJson — every recall/latency " +
+          "number would be measured against the wrong corpus")
+    }
+
     // --- phase: build (skipped when the snapshot already exists) ---
     if (phases("build")) {
       if (new java.io.File(s"$snapPath/params.json").exists()) {
+        requireCorpusMatch()
         println(s"build: snapshot already published at $snapPath — reusing")
       } else {
         println(s"build: $n x ${dim}d clustered (K=$nClusters, sigma=$sigma), " +
           s"SQ8, shards=$numShards -> $snapPath")
         val t0 = System.nanoTime()
         VectorIndex.buildTo(corpus, params, numShards, snapPath)
+        VectorIndex.writeSmallFile(spark, s"$snapPath/corpus.json", corpusJson)
         println(f"build wall: ${(System.nanoTime() - t0) / 1e9}%.0f s")
         def walk(f: java.io.File): Long =
           if (f.isFile) f.length
@@ -262,6 +285,7 @@ object ClusteredBench {
 
     // --- phase: graph (recall curve + width calibration + latency) ---
     if (phases("graph")) {
+      requireCorpusMatch()
       val idx = VectorIndex.load(spark, snapPath, cache = false)
       println(s"graph: loaded ${idx.meta.map(_.n_vectors).sum} vectors, " +
         s"shards=${idx.numShards}")
@@ -309,6 +333,7 @@ object ClusteredBench {
     // allocation churn (humongous flat arrays under G1) is what OOM'd a
     // combined run; measurement phases get fresh heaps.
     if (phases("serve")) {
+      requireCorpusMatch()
       val idx = VectorIndex.load(spark, snapPath, cache = false)
       // honest labels: only the FIRST width's first batch is cold (shard
       // graphs + page cache persist across the loop) — later widths'
@@ -340,6 +365,7 @@ object ClusteredBench {
     // REFINE ceiling (SQ8 top-pool -> float rerank) beside it — the
     // knob that breaks the ceiling when calibration cannot.
     if (phases("ceiling")) {
+      requireCorpusMatch()
       val (cLo, cHi) = VectorIndex.calibrateQuantRange(corpus)
       println(f"calibrateQuantRange over the corpus: [$cLo%.6f, $cHi%.6f]")
       def recallOf(rows: Set[(Long, Long)]): Double =
@@ -383,6 +409,12 @@ object ClusteredBench {
     // Run it in its own JVM with all shards resident (same discipline as
     // the serve phase) for honest warm numbers.
     if (phases("faces")) {
+      requireCorpusMatch()
+      // force the float GT FIRST, while no shard graphs are resident:
+      // it is a corpus-sized fused scan, and running it lazily after the
+      // warm-ups measured it on a heap already holding all 128 graphs
+      // (249 s vs the ceiling JVM's 65 s — pure GC pressure)
+      gt
       val idx = VectorIndex.load(spark, snapPath, cache = false)
       val existing = VectorIndex.readCalibration(spark, snapPath).getOrElse(
         sys.error(s"faces phase needs a calibrated snapshot (run graph first)"))
@@ -406,19 +438,36 @@ object ClusteredBench {
         idx.query(qdf, k, sw).select(col("query_id"), col("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // the refine face: SQ8 pool (beam or exact) -> full-precision
-      // rerank against the regenerated base relation — the
-      // quantization-ceiling breaker ([[graft.operators.RefineKnn]]);
-      // param = searchWidth, pool fixed at 10*k (the batch amortizes
-      // the one base pass the rerank costs)
+      // rerank ([[graft.operators.RefineKnn]]); param = searchWidth,
+      // pool fixed at 10*k. The rerank base here is a POINT-FETCH of
+      // the pool's ~|Q|*pool distinct ids through the deterministic
+      // generator — the bench analog of fetching full-precision vectors
+      // by id from an id-bucketed store (row-group-pruned reads at
+      // 100 TB); streaming the WHOLE base relation instead costs one
+      // corpus pass per batch (the ceiling phase's full-join number)
+      // and amortizes with batch size. The fetched base covers every
+      // pool id exactly once, so RefineKnn.refine is unchanged.
       val refinePool = 10 * k
-      def refineFace(sw: Int): () => Set[(Long, Long)] = () =>
-        idx.queryRefined(qdf, corpus, k, refinePool, sw)
+      def refineFace(sw: Int): () => Set[(Long, Long)] = () => {
+        // localCheckpoint pins the pool: the probe runs ONCE, not once
+        // per downstream job (ids scan + broadcast)
+        val pool = idx.query(qdf, refinePool, sw)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+        val fetched = pool.select(col("neighbor_id").as("id")).distinct()
+          .as[Long].mapPartitions { it =>
+            it.map(id => (id, clusteredVector(id, dim, nClusters, sigma,
+              CorpusSalt)))
+          }.toDF("id", "embedding")
+        val got = graft.operators.RefineKnn.refine(pool, qdf, fetched, k)
           .select(col("query_id"), col("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        pool.unpersist()
+        got
+      }
       val beamWidths = (Seq(32, 64, 128, 256) ++
         (if (existing.searchWidth > 0) Seq(existing.searchWidth) else Nil))
         .distinct.sorted
-      val refineArtifact = s"pool=$refinePool base=regenerated-corpus"
+      val refineArtifact = s"pool=$refinePool base=point-fetch(generator)"
       val facePoints = Seq(measure("exact", 0, "", graphFace(0))) ++
         beamWidths.map(w => measure("beam", w, "", graphFace(w))) ++
         Seq(0, 256).map(w => measure("refine", w, refineArtifact,
@@ -433,6 +482,7 @@ object ClusteredBench {
 
     // --- phase: ivfpq (global vs residual codebooks, same GT) ---
     if (phases("ivfpq")) {
+      requireCorpusMatch()
       val numCents = ivfCents; val m = pqM; val codewords = 256
       val stride = math.max(1L, n / 100000L)
       val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)

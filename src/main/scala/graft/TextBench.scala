@@ -225,10 +225,48 @@ object TextBench {
         servedStream.count()
       }
       println(s"  served rows from streamed-append generation: $nServedStream")
+      // --- SECOND streamed window: the next generation chains off the
+      // STREAMED generation (gen2 -> gen3), not off the batch base — the
+      // long-lived-ingest steady state. Cap ratio and bucket count are
+      // inherited transitively; cost should repeat the first window's
+      // append cost (each generation hardlinks ALL accumulated posting
+      // files — the linked-file count grows, the bytes written stay
+      // O(window)). The two-window chain == one rebuild equality is
+      // spec-gated (HybridRetrievalSpec streamed-chain test); this
+      // phase prices it at scale.
+      val winSrc2 = java.nio.file.Files
+        .createTempDirectory("graft_bm25_win2_").toString
+      spark.range(n + 2 * (n / 100), n + 3 * (n / 100)).rdd
+        .map(id => (id, docText(id))).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(winSrc2)
+      val dir4 = java.nio.file.Files
+        .createTempDirectory("graft_bm25_sapp2_").toString + "/gen3"
+      val servedStream2 = phase(
+        s"bm25 STREAMED window 2 -> gen3 (${n / 100} docs into gen2)") {
+        graft.streaming.StreamingOps.streamBm25Ingest(spark, winSrc2,
+          corpusPred = lit(true), queries = queries, n = 10,
+          sourceSlices = 4, publishPath = dir4, appendBasePath = dir3)
+      }
+      val nServedStream2 = phase("bm25 serve from gen3 (100q)") {
+        servedStream2.count()
+      }
+      val (linked3, written3) = {
+        import scala.jdk.CollectionConverters._
+        val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir4))
+          .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        val byLinks = fs.partition(p =>
+          java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] > 1)
+        (byLinks._1.size -> byLinks._1.map(java.nio.file.Files.size).sum,
+          byLinks._2.size -> byLinks._2.map(java.nio.file.Files.size).sum)
+      }
+      println(f"  gen3: ${linked3._1}%d files hardlinked " +
+        f"(${linked3._2 / 1e9}%.2f GB zero-byte), ${written3._1}%d files " +
+        f"written (${written3._2 / 1e9}%.2f GB); served rows: $nServedStream2")
       try {
         import scala.jdk.CollectionConverters._
         Seq(dir, java.nio.file.Paths.get(dir2).getParent.toString,
-            winSrc, java.nio.file.Paths.get(dir3).getParent.toString).foreach { d =>
+            winSrc, java.nio.file.Paths.get(dir3).getParent.toString,
+            winSrc2, java.nio.file.Paths.get(dir4).getParent.toString).foreach { d =>
           java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
             .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
