@@ -1376,6 +1376,50 @@ object PipelineQueries {
     } finally StreamingOps.deleteRecursively(root)
   }
 
+  // ---------------------------------------------------------------- v66_bm25_stream_chain
+  /** TWO successive streamed windows over a base generation — the
+    * long-lived-ingest steady state v63 gates for ONE window: base g0
+    * (batch-published), stream window 1 → g1
+    * ([[StreamingOps.streamBm25Ingest]] with `appendBasePath`), stream
+    * window 2 over THE STREAMED GENERATION → g2. Cap ratio and bucket
+    * count inherit transitively (g2 reads them from g1, which read them
+    * from g0), base posting inodes hardlink through BOTH generations,
+    * and the inherited cap re-evaluates against the fully-grown corpus
+    * at load — so the serve from the LOADED g2 is EXACTLY the one-shot
+    * rebuild over base ∪ window1 ∪ window2, and s19's closed-form
+    * full-corpus oracle gates the whole chain verbatim. The spec
+    * counterpart (HybridRetrievalSpec streamed-chain test) additionally
+    * asserts the transitive hardlink accounting; TextBench prices the
+    * second window at 10M docs. */
+  def v66Bm25StreamChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qd = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val base = docs.filter(col("doc_id") >= 10 && col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_chain_").toString
+    try {
+      val (p0, d0, st0) = graft.operators.HybridRetrieval.bm25SnapshotPieces(base)
+      graft.operators.HybridRetrieval.saveBm25Index(p0, d0, st0,
+        s"$root/g0", dfCapNum = 78L, dfCapDen = 100L)
+      StreamingOps.streamBm25Ingest(
+        s, s"$dir/documents.parquet",
+        corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 2,
+        queries = qd, n = 20, sourceSlices = 4,
+        statePartitions = streamStateParts,
+        publishPath = s"$root/g1", appendBasePath = s"$root/g0")
+      StreamingOps.streamBm25Ingest(
+        s, s"$dir/documents.parquet",
+        corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 0,
+        queries = qd, n = 20, sourceSlices = 4,
+        statePartitions = streamStateParts,
+        publishPath = s"$root/g2", appendBasePath = s"$root/g1")
+        .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("lex_rank"))
+        .localCheckpoint(true) // eager: the temp generations are deleted below
+    } finally StreamingOps.deleteRecursively(root)
+  }
+
   // ---------------------------------------------------------------- s26_stream_bm25_ingest
   /** Streaming BM25 ingest ([[StreamingOps.streamBm25Ingest]]): the
     * corpus arrives in micro-batches, each landing one O(batch) posting
@@ -2508,6 +2552,7 @@ object PipelineQueries {
     "v55_bm25_snapshot" -> ((s, dir) => v55Bm25Snapshot(s, dir)),
     "v61_bm25_append" -> ((s, dir) => v61Bm25Append(s, dir)),
     "v63_bm25_stream_append" -> ((s, dir) => v63Bm25StreamAppend(s, dir)),
+    "v66_bm25_stream_chain" -> ((s, dir) => v66Bm25StreamChain(s, dir)),
     "s26_stream_bm25_ingest" -> ((s, dir) => s26StreamBm25Ingest(s, dir)),
     "p3_profile" -> ((s, dir) => p3Profile(s, dir)),
     "p4_profile_sketch" -> ((s, dir) => p4ProfileSketch(s, dir)),
@@ -2596,6 +2641,7 @@ object PipelineQueries {
     "v55_bm25_snapshot" -> s19Oracle,
     "v61_bm25_append" -> s19Oracle,
     "v63_bm25_stream_append" -> s19Oracle,
+    "v66_bm25_stream_chain" -> s19Oracle,
     "s26_stream_bm25_ingest" -> s19Oracle,
     // streaming graph == batch graph on the final corpus (exact-by-
     // induction edge state) => v48's closed-form SQL gates it verbatim
