@@ -45,8 +45,13 @@ import graft.functions.PqFunctions
   *  - ceiling: the SQ8 width-0 recall ceiling under the hard-coded
   *    [0,1] range vs a calibrated range (index-independent fused scans)
   *    plus the REFINE ceiling (SQ8 pool -> float rerank).
+  *  - basestore: publish the full-precision id-sorted rerank store
+  *    ([[graft.sources.BaseStore]]) beside the snapshots.
   *  - faces: measure every serving face over the same batch and persist
-  *    the cross-face operating table into calibration.json (own JVM).
+  *    the cross-face operating table into calibration.json (own JVM);
+  *    refine + ivfpq faces rerank through the published base store
+  *    (point fetch) and carry structured artifacts a [[graft.index
+  *    .FaceServer]] can dispatch on.
   *
   * Run: sbt "runMain graft.ClusteredBench <dir> [n] [dim] [nClusters]
   *   [sigma] [phases]"
@@ -76,17 +81,23 @@ object ClusteredBench {
   }
 
   /** Measure the published IVF-PQ face (preferring residual codes) for
-    * the faces phase: retrain the deterministic coarse quantizer +
-    * codebooks (the same calls the ivfpq phase makes — bit-identical by
-    * construction, seconds at the 100k sample) and time the two-stage
-    * ADC pool → exact rerank serve end to end at nprobe 8 and 32.
-    * Returns Nil when no codes snapshot is published beside the graph —
-    * the face table then simply records the graph faces. */
+    * the faces phase — round 20: the serve goes through the PUBLISHED
+    * artifacts end to end ([[graft.operators.IvfPqServe]]): if the
+    * snapshot has no serving model yet, the deterministic coarse
+    * quantizer + codebooks are trained once (the exact calls the encode
+    * made — bit-identical by construction, seconds at the 100k sample)
+    * and PERSISTED into `<snapDir>/model`, then every measured serve
+    * reads model + codes from disk and reranks its ADC pool through the
+    * published base store (point fetch) when one exists — the
+    * deployment-real composition (VERDICT r19 item 8). Returns Nil when
+    * no codes snapshot is published beside the graph — the face table
+    * then simply records the graph faces. */
   private def ivfpqFace(spark: SparkSession, dir: String, n: Long,
       numCents: Int, m: Int, poolC: Int, routeWidth: Int,
-      corpus: DataFrame, qdf: DataFrame, k: Int,
-      measure: (String, Int, String, () => Set[(Long, Long)])
-        => graft.index.FacePoint): Seq[graft.index.FacePoint] = {
+      corpus: DataFrame, qdf: DataFrame, k: Int, corpusJson: String,
+      measure: (String, Int, String, Option[graft.index.FaceArtifact],
+        () => Set[(Long, Long)]) => graft.index.FacePoint)
+      : Seq[graft.index.FacePoint] = {
     // same codes-dir naming rule as the ivfpq phase: m=8 argmin codes
     // live at the unsuffixed path, other knob settings under
     // _m$m / _r$routeWidth — reading m-mismatched codes would ADC-score
@@ -109,66 +120,58 @@ object ClusteredBench {
     }
     val (label, snapDir) = found.get
     graft.operators.IvfPqSnapshot.requireCompatible(spark, snapDir, label,
-      numCents, m, codewords = 256)
-    val codes = spark.read.parquet(s"$snapDir/codes")
-    val stride = math.max(1L, n / 100000L)
-    val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
-      .select((col("id") / stride).cast("long").as("id"), col("embedding"))
-      .cache()
-    val cents = IvfKnn.trainedCentroids(sample, numCents, iterations = 3).cache()
-    val (flat, kw, sub) =
-      if (label == "global") PqKnn.trainCodebooks(sample, 256, m, iterations = 3)
-      else PqKnn.trainCodebooks(PqKnn.residuals(sample, cents), 256, m,
-        iterations = 3)
-    val wPool = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("distance"), col("neighbor_id"))
+      numCents, m, codewords = 256, corpus = corpusJson)
+    // publish the serving model once (pre-r20 snapshots carry none):
+    // retrain deterministically from the regenerated corpus sample —
+    // the same calls the encode made, so the model matches the codes
+    if (graft.index.VectorIndex.readSmallFile(spark,
+        s"$snapDir/model/codebooks.json") == null) {
+      val stride = math.max(1L, n / 100000L)
+      val sample = corpus.filter(pmod(col("id"), lit(stride)) === 0)
+        .select((col("id") / stride).cast("long").as("id"), col("embedding"))
+        .cache()
+      val t0 = System.nanoTime()
+      val cents = IvfKnn.trainedCentroids(sample, numCents, iterations = 3)
+        .cache()
+      val (flat, kw, sub) =
+        if (label == "global") PqKnn.trainCodebooks(sample, 256, m, iterations = 3)
+        else PqKnn.trainCodebooks(PqKnn.residuals(sample, cents), 256, m,
+          iterations = 3)
+      graft.operators.IvfPqServe.writeModel(spark, snapDir, cents, flat, kw, sub)
+      println(f"faces: published serving model into $snapDir/model " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      sample.unpersist(); cents.unpersist()
+    }
+    val storePath = s"$dir/base"
+    val storeReady = new java.io.File(s"$storePath/params.json").exists()
     // the ADC pool is STAGED TO PARQUET SCRATCH, not localCheckpoint'd:
     // the r18 combined faces run at nprobe=32 exhausted a 105g heap —
     // the wide ADC join's checkpoint blocks don't fit beside 128
     // resident 100M-scale shard graphs. The pool is |Q| x poolC rows
     // (tiny on disk); executor storage memory stays free for the graphs.
     val scratch = s"$dir/_faces_scratch"
-    def serve(nprobe: Int): () => Set[(Long, Long)] = () => {
-      val routedBase = IvfKnn.route(qdf, cents, nprobe)
-      val routed = (if (label == "global")
-          routedBase.select(col("query_id"), col("cell"),
-            PqFunctions.adcTable(col("q_embedding"), flat, m, kw, sub).as("tab"))
-        else routedBase.join(broadcast(cents), col("cell") === col("centroid_id"))
-          .select(col("query_id"), col("cell"),
-            PqFunctions.adcTable(
-              zip_with(col("q_embedding"), col("c_embedding"), (q, c) => q - c),
-              flat, m, kw, sub).as("tab"))).cache()
-      val cells = routed.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      codes.filter(col("cell").isin(cells: _*))
-        .join(broadcast(routed), Seq("cell"))
-        .select(col("query_id"), col("neighbor_id"),
-          PqFunctions.adcLookup(col("tab"), col("codes"), kw)
-            .cast("double").as("distance"))
-        .withColumn("rank", row_number().over(wPool))
-        .filter(col("rank") <= poolC)
-        .select(col("query_id"), col("neighbor_id"))
-        .write.mode("overwrite").parquet(s"$scratch/pool")
-      val pool = spark.read.parquet(s"$scratch/pool")
-      val res = corpus.join(broadcast(pool), col("id") === col("neighbor_id"))
-        .join(broadcast(qdf.select(col("query_id"), col("embedding").as("qe"))),
-          Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          graft.functions.VectorFunctions.squaredL2(col("qe"), col("embedding"))
-            .as("distance"))
-        .withColumn("rank", row_number().over(wPool)).filter(col("rank") <= k)
+    def serve(nprobe: Int): () => Set[(Long, Long)] = () =>
+      (if (storeReady)
+         graft.operators.IvfPqServe.serveFromStore(spark, snapDir, qdf,
+           storePath, k, nprobe, poolC, scratch)
+       else
+         graft.operators.IvfPqServe.serve(spark, snapDir, qdf, corpus, k,
+           nprobe, poolC, scratch, requireCoverage = false))
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      routed.unpersist()
-      res
-    }
-    val artifact = s"$snapDir m=$m pool=$poolC " +
+    val baseNote =
+      if (storeReady) "base=store(point)" else "base=corpus-regen"
+    val artifact = s"$snapDir m=$m pool=$poolC $baseNote " +
       "jvm=faces(all-shard-graphs-resident)"
-    val out = Seq(8, 32).map(np =>
-      measure(s"ivfpq_$label", np, artifact, serve(np)))
-    graft.streaming.StreamingOps.deleteRecursively(scratch)
-    sample.unpersist(); cents.unpersist()
-    out
+    val ref =
+      if (storeReady) Some(graft.index.FaceArtifact(snapDir, Map(
+        "base" -> storePath, "pool" -> poolC.toString, "fetch" -> "point")))
+      else None
+    // finally: an exception mid-measure must not leak the scratch pool
+    // parquet beside the published snapshot
+    try Seq(8, 32).map(np =>
+      measure(s"ivfpq_$label", np, artifact, ref, serve(np)))
+    finally graft.streaming.StreamingOps.deleteRecursively(scratch)
   }
 
   def main(args: Array[String]): Unit = {
@@ -266,6 +269,37 @@ object ClusteredBench {
           if (f.isFile) f.length
           else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
         println(f"snapshot bytes: ${walk(new java.io.File(snapPath)) / 1e9}%.2f GB")
+      }
+    }
+
+    // --- phase: basestore (publish the full-precision rerank store) ---
+    // The id-sorted small-page parquet base ([[graft.sources.BaseStore]])
+    // the refine and IVF-PQ faces rerank against FROM DISK — the
+    // deployment-real half of the two-stage serve (VERDICT r19 item 1:
+    // the r19 refine numbers point-fetched through the generator; this
+    // store replaces that with real page-pruned reads). ~26 GB at the
+    // 100M x 64d decade — the corpus itself, one copy, sorted by key.
+    if (phases("basestore")) {
+      val storePath = s"$dir/base"
+      if (new java.io.File(s"$storePath/params.json").exists()) {
+        println(s"basestore: already published at $storePath — reusing")
+      } else {
+        val t0 = System.nanoTime()
+        // the generator emits contiguous ascending id ranges per
+        // partition — already the store's layout, so the corpus-sized
+        // repartitionByRange shuffle (~26 GB at the decade, and its
+        // equal-sized spill) is skipped entirely
+        val sortedCorpus = spark.range(0L, n, 1L, 256).rdd.mapPartitions { it =>
+          it.map(id => (id, clusteredVector(id, dim, nClusters, sigma,
+            CorpusSalt)))
+        }.toDF("id", "embedding")
+        graft.sources.BaseStore.publish(sortedCorpus, storePath,
+          corpusJson = corpusJson, assumeSorted = true)
+        println(f"basestore wall: ${(System.nanoTime() - t0) / 1e9}%.0f s")
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        println(f"store bytes: ${walk(new java.io.File(storePath)) / 1e9}%.2f GB")
       }
     }
 
@@ -421,6 +455,7 @@ object ClusteredBench {
       def recallOf(rows: Set[(Long, Long)]): Double =
         (gt intersect rows).size.toDouble / gt.size
       def measure(face: String, param: Int, artifact: String,
+          ref: Option[graft.index.FaceArtifact],
           run: () => Set[(Long, Long)]): graft.index.FacePoint = {
         run() // warm: shard graphs + page cache
         val t0 = System.nanoTime()
@@ -428,7 +463,8 @@ object ClusteredBench {
         val t1 = System.nanoTime()
         val run2 = { val t = System.nanoTime(); run(); (System.nanoTime() - t) }
         val ms = math.min(t1 - t0, run2) / 1e6 / nQueries
-        val f = graft.index.FacePoint(face, param, recallOf(got), ms, artifact)
+        val f = graft.index.FacePoint(face, param, recallOf(got), ms,
+          artifact, ref)
         println(f"face ${f.face}%-6s param=${f.param}%4d recall=${f.recall}%.4f " +
           f"${f.msPerQuery}%.1f ms/query" +
           (if (artifact.nonEmpty) s"  [$artifact]" else ""))
@@ -438,42 +474,65 @@ object ClusteredBench {
         idx.query(qdf, k, sw).select(col("query_id"), col("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // the refine face: SQ8 pool (beam or exact) -> full-precision
-      // rerank ([[graft.operators.RefineKnn]]); param = searchWidth,
-      // pool fixed at 10*k. The rerank base here is a POINT-FETCH of
-      // the pool's ~|Q|*pool distinct ids through the deterministic
-      // generator — the bench analog of fetching full-precision vectors
-      // by id from an id-bucketed store (row-group-pruned reads at
-      // 100 TB); streaming the WHOLE base relation instead costs one
-      // corpus pass per batch (the ceiling phase's full-join number)
-      // and amortizes with batch size. The fetched base covers every
-      // pool id exactly once, so RefineKnn.refine is unchanged.
+      // rerank; param = searchWidth, pool fixed at 10*k. Round 20: the
+      // rerank base is the PUBLISHED id-sorted base store when one
+      // exists (basestore phase) — [[VectorIndex.queryRefinedFromStore]]
+      // point-fetches the pool's ~|Q|*pool distinct ids through the
+      // parquet column index (VERDICT r19 item 1: the operating-point
+      // flip measured against DISK, not the generator). Without a store
+      // the pre-r20 generator point-fetch remains, labeled honestly.
       val refinePool = 10 * k
-      def refineFace(sw: Int): () => Set[(Long, Long)] = () => {
-        // localCheckpoint pins the pool: the probe runs ONCE, not once
-        // per downstream job (ids scan + broadcast)
-        val pool = idx.query(qdf, refinePool, sw)
-          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-        val fetched = pool.select(col("neighbor_id").as("id")).distinct()
-          .as[Long].mapPartitions { it =>
-            it.map(id => (id, clusteredVector(id, dim, nClusters, sigma,
-              CorpusSalt)))
-          }.toDF("id", "embedding")
-        val got = graft.operators.RefineKnn.refine(pool, qdf, fetched, k)
+      val storePath = s"$dir/base"
+      val storeReady = new java.io.File(s"$storePath/params.json").exists()
+      if (storeReady) {
+        val storeCorpus = graft.sources.BaseStore.publishedCorpus(spark, storePath)
+        require(storeCorpus.isEmpty || storeCorpus == corpusJson,
+          s"base store at $storePath was published from $storeCorpus but " +
+            s"this run regenerates $corpusJson — refusing to rerank " +
+            "against the wrong corpus")
+      }
+      def refineFace(sw: Int): () => Set[(Long, Long)] = () =>
+        (if (storeReady)
+           idx.queryRefinedFromStore(qdf, storePath, k, refinePool, sw)
+         else {
+           // pre-store fallback: deterministic-generator point fetch
+           val pool = idx.query(qdf, refinePool, sw)
+             .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+           val fetched = pool.select(col("neighbor_id").as("id")).distinct()
+             .as[Long].mapPartitions { it =>
+               it.map(id => (id, clusteredVector(id, dim, nClusters, sigma,
+                 CorpusSalt)))
+             }.toDF("id", "embedding")
+           graft.operators.RefineKnn.refine(pool, qdf, fetched, k)
+         })
           .select(col("query_id"), col("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        pool.unpersist()
-        got
-      }
       val beamWidths = (Seq(32, 64, 128, 256) ++
         (if (existing.searchWidth > 0) Seq(existing.searchWidth) else Nil))
         .distinct.sorted
-      val refineArtifact = s"pool=$refinePool base=point-fetch(generator)"
-      val facePoints = Seq(measure("exact", 0, "", graphFace(0))) ++
-        beamWidths.map(w => measure("beam", w, "", graphFace(w))) ++
-        Seq(0, 256).map(w => measure("refine", w, refineArtifact,
+      val refineArtifact =
+        if (storeReady) s"pool=$refinePool base=store(point)"
+        else s"pool=$refinePool base=point-fetch(generator)"
+      val refineRef =
+        if (storeReady) Some(graft.index.FaceArtifact(storePath, Map(
+          "pool" -> refinePool.toString, "fetch" -> "point")))
+        else None
+      val facePoints = Seq(measure("exact", 0, "", None, graphFace(0))) ++
+        beamWidths.map(w => measure("beam", w, "", None, graphFace(w))) ++
+        Seq(0, 256).map(w => measure("refine", w, refineArtifact, refineRef,
           refineFace(w))) ++
         ivfpqFace(spark, dir, n, ivfCents, pqM, rerankPool, routeWidth,
-          corpus, qdf, k, measure)
+          corpus, qdf, k, corpusJson, measure)
+      // one extra record (log-only, not a face): the scan-mode fetch at
+      // the production width — where the batch-amortized full-scan serve
+      // sits relative to the point fetch on this store
+      if (storeReady) {
+        val t0 = System.nanoTime()
+        idx.queryRefinedFromStore(qdf, storePath, k, refinePool, 256,
+          fetch = "scan").count()
+        println(f"refine sw=256 scan-fetch (one full store pass): " +
+          f"${(System.nanoTime() - t0) / 1e6 / nQueries}%.1f ms/query")
+      }
       VectorIndex.writeCalibration(spark, snapPath,
         existing.copy(faces = facePoints))
       println(s"persisted face table: " +
@@ -521,11 +580,12 @@ object ClusteredBench {
           // identity sidecar: the knobs that make these codes readable
           // (naming convention alone enforced this until round 19)
           graft.operators.IvfPqSnapshot.writeParams(spark, snapDir,
-            graft.operators.IvfPqParams(label, numCents, m, codewords, route))
+            graft.operators.IvfPqParams(label, numCents, m, codewords, route,
+              corpus = corpusJson))
           println(f"[$label] encode+publish: ${(System.nanoTime() - t) / 1e9}%.1f s")
         } else {
           graft.operators.IvfPqSnapshot.requireCompatible(spark, snapDir,
-            label, numCents, m, codewords)
+            label, numCents, m, codewords, corpus = corpusJson)
           println(s"[$label] codes already published — reusing")
         }
         val codes = spark.read.parquet(codesPath)

@@ -1367,7 +1367,7 @@ object PipelineQueries {
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet",
         corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 0,
-        queries = qd, n = 20, sourceSlices = 4,
+        queries = qd, n = 20, sourceSlices = 2,
         statePartitions = streamStateParts,
         publishPath = s"$root/next", appendBasePath = s"$root/base")
         .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
@@ -1405,13 +1405,13 @@ object PipelineQueries {
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet",
         corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 2,
-        queries = qd, n = 20, sourceSlices = 4,
+        queries = qd, n = 20, sourceSlices = 2,
         statePartitions = streamStateParts,
         publishPath = s"$root/g1", appendBasePath = s"$root/g0")
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet",
         corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 0,
-        queries = qd, n = 20, sourceSlices = 4,
+        queries = qd, n = 20, sourceSlices = 2,
         statePartitions = streamStateParts,
         publishPath = s"$root/g2", appendBasePath = s"$root/g1")
         .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
@@ -1440,7 +1440,7 @@ object PipelineQueries {
     try {
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet", corpusPred = col("doc_id") >= 10,
-        queries = qd, n = 20, sourceSlices = 4,
+        queries = qd, n = 20, sourceSlices = 2,
         statePartitions = streamStateParts, publishPath = snap)
         .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
         .orderBy(col("query_id"), col("lex_rank"))
@@ -2246,7 +2246,7 @@ object PipelineQueries {
     try StreamingOps.streamIndexLsm(s, s"$dir/embeddings.parquet", baseIdx,
       queries, col("vec_id") >= 300, k = 10,
       compactThreshold = math.max(1L, streamed * 3 / 5),
-      sourceSlices = 3, publishPath = s"$pub/snap")
+      sourceSlices = 2, publishPath = s"$pub/snap")
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
       .localCheckpoint(true) // eager: the temp snapshot is deleted below

@@ -1589,6 +1589,67 @@ object Queries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v67_refined_beam
+  /** The refined BEAM — the face that actually serves at the decade
+    * (SCALE.md: sw=256 + pool → 0.994 @ ~35 ms/query, the
+    * bestFace(0.95..0.99) winner): stage 1 is the SQ8 graph WALK at
+    * searchWidth (not v65's exact scan), stage 2 the full-precision
+    * rerank. v65 gates the closed-form exact-pool composition; this
+    * gate pins the beam-pool one the way v8/v26 pin beams — the build
+    * and walk are deterministic, so per-width integer hit counts
+    * against the FLOAT-exact top-10 (set overlap, ties by neighbor_id)
+    * are bit-reproducible. Both legs are emitted per width: `hits`
+    * (refined — [[graft.index.VectorIndex.queryRefined]] at sw>0) and
+    * `beam_hits` (the raw SQ8 beam top-10) — the pinned table itself
+    * shows refined ≥ beam at every width, the monotonicity the refine
+    * tier exists to buy; RefineKnnSpec asserts it sf-independently. */
+  def v67RefinedBeam(s: SparkSession, dir: String): DataFrame = {
+    val idx = quantIndex(s, dir)
+    val queries = embQueries(s, dir)
+    val corpus = embCorpus(s, dir)
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("ce"))
+    val wgt = Window.partitionBy(col("query_id"))
+      .orderBy(col("gt_dist"), col("neighbor_id"))
+    val gt = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.squaredL2(col("qe"), col("ce")).as("gt_dist"))
+      .withColumn("grank", row_number().over(wgt))
+      .filter(col("grank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      .localCheckpoint(true) // one GT pass feeds all widths and legs
+    val tagged = v8Widths.map { sw =>
+      idx.queryRefined(queries, corpus, k = 10, pool = 30, searchWidth = sw)
+        .select(lit(sw).as("search_width"), lit("refined").as("leg"),
+          col("query_id"), col("neighbor_id"))
+        .unionByName(idx.query(queries, k = 10, searchWidth = sw)
+          .select(lit(sw).as("search_width"), lit("beam").as("leg"),
+            col("query_id"), col("neighbor_id")))
+    }.reduce(_ unionByName _)
+    tagged.join(gt, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("search_width"))
+      .agg(
+        sum(when(col("leg") === "refined", coalesce(col("hit"), lit(0)))
+          .otherwise(0)).cast("long").as("hits"),
+        sum(when(col("leg") === "beam", coalesce(col("hit"), lit(0)))
+          .otherwise(0)).cast("long").as("beam_hits"),
+        sum(when(col("leg") === "refined", 1).otherwise(0)).cast("long")
+          .as("total"))
+      .orderBy(col("search_width"))
+  }
+
+  /** Pinned expectation for the refined beam at the driver's sf0.01
+    * gate — bit-reproducible like v8/v26's (deterministic build, walk,
+    * pool and float rerank; verified stable across fresh JVMs before
+    * pinning). The table IS the monotonicity evidence: hits (refined)
+    * ≥ beam_hits at every width. Regenerate like v8's if the quantized
+    * kernel build/beam or the refine pool size ever changes. */
+  private val v67Oracle =
+    """SELECT search_width, CAST(hits AS BIGINT) AS hits,
+      |  CAST(beam_hits AS BIGINT) AS beam_hits, CAST(total AS BIGINT) AS total
+      |FROM (VALUES (2, 100, 91, 100), (4, 100, 94, 100), (8, 100, 97, 100), (16, 100, 99, 100)) AS t(search_width, hits, beam_hits, total)
+      |ORDER BY search_width""".stripMargin
+
   /** v45's oracle — v36's self-describing tail over the RESIDUAL pipeline:
     * replays the SAMPLED residual-PQ pool ranks (residPqCtes' `r`) and the
     * exact L2 top-10, pins only `trained_ge_sampled` for the trained side
@@ -3494,6 +3555,7 @@ object Queries {
     "v30_ivfpq_residual" -> v30Oracle,
     "v64_ivfpq_routed" -> v30Oracle,
     "v65_refined_knn" -> v65Oracle,
+    "v67_refined_beam" -> v67Oracle,
     "v31_binary_knn" -> v31Oracle,
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,

@@ -97,6 +97,38 @@ case class EdgeRef(nbr: Int, rc: Int)
 /** Per-shard metadata (entry point etc. — reference: dehnsw.h:54-70). */
 case class ShardMeta(sub_index_id: Int, n_vectors: Long, layer_count: Int, entry_offset: Int)
 
+/** The MACHINE-READABLE half of a face's provenance: the artifact `path`
+  * a serve of this face must open (the IVF-PQ codes snapshot, the
+  * full-precision base store) plus small string `knobs` (pool size,
+  * fetch mode, nprobe…). [[FacePoint.artifact]] stays free text for
+  * measurement context (JVM co-residency, corpus notes) — this is the
+  * part [[FaceServer]] dispatches on, so it must survive a JSON
+  * round-trip structurally, not as prose. */
+case class FaceArtifact(path: String, knobs: Map[String, String] = Map.empty) {
+  private def esc(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** Compact JSON object (keys sorted for deterministic bytes). */
+  def toJson: String =
+    s"""{"path":"${esc(path)}","knobs":{${
+      knobs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(",")}}}"""
+}
+
+object FaceArtifact {
+  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Parse [[FaceArtifact.toJson]] output; None on anything else. */
+  def fromJson(json: String): Option[FaceArtifact] = {
+    val strPair = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+    for {
+      p <- """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      kn <- VectorIndex.sliceBalanced(json, "knobs", '{', '}')
+    } yield FaceArtifact(unesc(p.group(1)),
+      strPair.findAllMatchIn(kn)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap)
+  }
+}
+
 /** One measured serving FACE of a published index pair: `face` names the
   * serving path ("exact" = the index's own width-0 scan, "beam" = the
   * graph walk at searchWidth `param`, "refine" = an SQ8 pool at
@@ -111,9 +143,13 @@ case class ShardMeta(sub_index_id: Int, n_vectors: Long, layer_count: Int, entry
   * `artifact` records WHICH artifact and measurement conditions back the
   * point (codes-snapshot path + knobs, pool size, JVM co-residency…) —
   * empty for faces served by the snapshot the sidecar itself lives in.
-  * Pre-artifact sidecars parse unchanged (the field defaults empty). */
+  * `ref` is the structured counterpart ([[FaceArtifact]]: path + knobs)
+  * that [[FaceServer.serve]] dispatches on — free text stays free text.
+  * Pre-artifact (4-element) and pre-ref (5-element) sidecar entries
+  * parse unchanged (both fields default empty). */
 case class FacePoint(face: String, param: Int, recall: Double,
-    msPerQuery: Double, artifact: String = "")
+    msPerQuery: Double, artifact: String = "",
+    ref: Option[FaceArtifact] = None)
 
 /** A persisted width-calibration operating point (`calibration.json`
   * beside a snapshot's params.json): the production searchWidth chosen
@@ -221,14 +257,61 @@ class VectorIndex private (
     *
     * Cost at scale: one bounded broadcast (|queries| × pool ids) + one
     * column-pruned pass over `base` per query BATCH — amortized, and
-    * cheaper per row than a distance eval (hash probe vs 2·dim FLOPs). */
+    * cheaper per row than a distance eval (hash probe vs 2·dim FLOPs).
+    *
+    * CONTRACT: `base` must be the relation this index was built from
+    * (or a superset) — a pool id missing from `base` is silently
+    * dropped by the rerank's inner join ([[graft.operators.RefineKnn
+    * .refine]]), degrading to fewer-than-k rows or shifted ranks with
+    * no error. Pass `requireCoverage = true` when the base comes from
+    * an external store whose freshness is not guaranteed by
+    * construction: coverage is then asserted (one extra count over the
+    * bounded scored pool) and a stale base throws instead. */
   def queryRefined(queries: DataFrame, base: DataFrame, k: Int, pool: Int,
-      searchWidth: Int, maxBatch: Int = 100000): DataFrame = {
+      searchWidth: Int, maxBatch: Int = 100000,
+      requireCoverage: Boolean = false): DataFrame = {
     require(pool >= k, s"refine pool $pool must be >= k=$k")
     graft.operators.RefineKnn.refine(
       query(queries, pool, searchWidth, maxBatch)
         .select(col("query_id"), col("neighbor_id")),
-      queries, base, k, probeSemanticMetric)
+      queries, base, k, probeSemanticMetric, requireCoverage)
+  }
+
+  /** [[queryRefined]] with the rerank base read from a PUBLISHED
+    * [[graft.sources.BaseStore]] — the deployment shape, where the
+    * build corpus is not a live relation. `fetch` picks the store read:
+    *  - "point": pin the bounded stage-1 pool, collect its distinct ids
+    *    (≤ |queries| × pool longs) and page-pruned-read only those rows
+    *    ([[graft.sources.BaseStore.fetch]]) — rerank I/O scales with
+    *    the POOL, the serving default;
+    *  - "scan": stream the whole store once, column-pruned, semi-joined
+    *    against the broadcast pool — wins only when the batch is so
+    *    large the pool touches most pages anyway.
+    * Coverage is always asserted (a store that has drifted from the
+    * index must throw, not silently return fewer neighbors). */
+  def queryRefinedFromStore(queries: DataFrame, storePath: String, k: Int,
+      pool: Int, searchWidth: Int, fetch: String = "point",
+      maxBatch: Int = 100000): DataFrame = {
+    require(pool >= k, s"refine pool $pool must be >= k=$k")
+    val spark = rows.sparkSession
+    fetch match {
+      case "scan" =>
+        queryRefined(queries,
+          graft.sources.BaseStore.relation(spark, storePath), k, pool,
+          searchWidth, maxBatch, requireCoverage = true)
+      case "point" =>
+        // pin the pool so the probe runs once, not once per consumer
+        // (ids collect + rerank join)
+        val stage1 = query(queries, pool, searchWidth, maxBatch)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+        val ids = stage1.select(col("neighbor_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        graft.operators.RefineKnn.refine(stage1, queries,
+          graft.sources.BaseStore.fetch(spark, storePath, ids), k,
+          probeSemanticMetric, requireCoverage = true)
+      case other => sys.error(
+        s"queryRefinedFromStore: unknown fetch mode '$other' (point|scan)")
+    }
   }
 
   /** Query vectors transformed iff the index transforms at its API
@@ -807,12 +890,19 @@ object VectorIndex {
         s""""sample_recall":${cal.sampleRecall},""" +
         s""""curve":[${cal.curve.map(c => s"[${c._1},${c._2}]").mkString(",")}]""" +
         (if (cal.faces.isEmpty) "}"
-         else s""","faces":[${cal.faces.map(f =>
+         else s""","faces":[${cal.faces.map { f =>
+             def q(s: String) =
+               "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+             // the structured ref rides as a 7th/6th ESCAPED-JSON string
+             // element (same escaping as the free-text artifact — the
+             // reader's quoted-group regex handles both); a ref with an
+             // empty artifact still writes the artifact slot so element
+             // positions stay unambiguous
              s"""["${f.face}",${f.param},${f.recall},${f.msPerQuery}""" +
-               (if (f.artifact.isEmpty) "]"
-                else s""","${f.artifact.replace("\\", "\\\\")
-                  .replace("\"", "\\\"")}"]"""))
-           .mkString(",")}]}"""))
+               (if (f.artifact.isEmpty && f.ref.isEmpty) "]"
+                else s",${q(f.artifact)}" +
+                  f.ref.map(r => s",${q(r.toJson)}]").getOrElse("]"))
+           }.mkString(",")}]}"""))
 
   /** Read a snapshot's persisted calibration; None when never calibrated
     * OR when the sidecar is truncated/corrupt (writeCalibration is not
@@ -830,23 +920,59 @@ object VectorIndex {
     try {
       def num(k: String) =
         (s""""$k":\\s*(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json).get.group(1)
-      val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(json)
+      // the regexes apply to the SLICED "curve" / "faces" array
+      // substrings, never the whole document — a free-text artifact
+      // containing a bracketed numeric pattern like [8,0.5] (a snapshot
+      // path, a knob note) must not be mis-parsed as a curve point
+      val curveJson = sliceBalanced(json, "curve", '[', ']').get
+      val curve = """\[(\d+),([-0-9.Ee+]+)\]""".r.findAllMatchIn(curveJson)
         .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
-      // the face table is optional (pre-face sidecars parse unchanged);
-      // its entries start with a quoted face name, so the curve regex
-      // above cannot match them and vice versa. The trailing quoted
-      // artifact descriptor is itself optional — pre-artifact 4-element
-      // entries parse unchanged
-      val faces = """\["(\w+)",(\d+),([-0-9.Ee+]+),([-0-9.Ee+]+)(?:,"((?:[^"\\]|\\.)*)")?\]""".r
-        .findAllMatchIn(json)
+      // the face table is optional (pre-face sidecars parse unchanged).
+      // Trailing quoted elements are optional too: 4-element
+      // (pre-artifact), 5-element (free-text artifact only), 6-element
+      // (+ escaped structured-ref JSON) entries all parse
+      val facesJson = sliceBalanced(json, "faces", '[', ']').getOrElse("")
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      val faces = ("""\["(\w+)",(\d+),([-0-9.Ee+]+),([-0-9.Ee+]+)""" +
+          """(?:,"((?:[^"\\]|\\.)*)")?(?:,"((?:[^"\\]|\\.)*)")?\]""").r
+        .findAllMatchIn(facesJson)
         .map(m => FacePoint(m.group(1), m.group(2).toInt,
           m.group(3).toDouble, m.group(4).toDouble,
-          Option(m.group(5)).getOrElse("")
-            .replace("\\\"", "\"").replace("\\\\", "\\"))).toSeq
+          Option(m.group(5)).map(unesc).getOrElse(""),
+          Option(m.group(6)).map(unesc).flatMap(FaceArtifact.fromJson))).toSeq
       Some(WidthCalibration(num("search_width").toInt,
         num("target_recall").toDouble, num("k").toInt,
         num("sample_recall").toDouble, curve, faces))
     } catch { case _: Exception => None }
+  }
+
+  /** Slice the balanced `open`…`close` value of `"key":` out of a JSON
+    * document — string-aware (quotes and escapes inside the value never
+    * confuse the depth count), so regex-based field extraction can run
+    * on exactly the substring it targets. None when the key is absent
+    * or the value is truncated. */
+  private[graft] def sliceBalanced(json: String, key: String, open: Char,
+      close: Char): Option[String] = {
+    val at = json.indexOf(s""""$key":""")
+    if (at < 0) return None
+    val start = json.indexOf(open, at + key.length + 3)
+    if (start < 0) return None
+    var depth = 0; var i = start; var inStr = false; var escaped = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == open) depth += 1
+      else if (c == close) {
+        depth -= 1
+        if (depth == 0) return Some(json.substring(start, i + 1))
+      }
+      i += 1
+    }
+    None
   }
 
   /** Read a small file via the Hadoop FS; null when absent. */

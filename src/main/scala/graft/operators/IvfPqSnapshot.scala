@@ -34,9 +34,18 @@ import org.apache.spark.sql.SparkSession
   * @param codewords  codewords per subquantizer (ADC table width)
   * @param route      encode-side cell-assignment router: "argmin" or
   *                   "beam<W>" ([[IvfKnn.routedAssign]])
+  * @param corpus     identity of the corpus the codes were encoded FROM
+  *                   — for generated benchmark corpora the generator
+  *                   knobs JSON (ClusteredBench's corpus.json string),
+  *                   for real corpora a content fingerprint. Codes
+  *                   published before a corpus regeneration at the same
+  *                   dir must not silently serve against the new one —
+  *                   the same failure class the graph snapshot's
+  *                   corpus.json gate closes. Empty = unrecorded
+  *                   (legacy), accepted as-is.
   */
 case class IvfPqParams(flavor: String, numCents: Int, m: Int,
-    codewords: Int, route: String)
+    codewords: Int, route: String, corpus: String = "")
 
 object IvfPqSnapshot {
 
@@ -44,7 +53,9 @@ object IvfPqSnapshot {
   def writeParams(spark: SparkSession, dir: String, p: IvfPqParams): Unit =
     graft.index.VectorIndex.writeSmallFile(spark, s"$dir/params.json",
       s"""{"flavor":"${p.flavor}","num_cents":${p.numCents},"m":${p.m},""" +
-        s""""codewords":${p.codewords},"route":"${p.route}"}""")
+        s""""codewords":${p.codewords},"route":"${p.route}"""" +
+        // raw object, not a string: the corpus identity is itself JSON
+        (if (p.corpus.isEmpty) "}" else s""","corpus":${p.corpus}}"""))
 
   /** Read a snapshot's identity sidecar; None for legacy snapshots
     * published before the sidecar existed (callers fall back to the
@@ -64,16 +75,21 @@ object IvfPqSnapshot {
         sys.error(s"IvfPqSnapshot: $dir/params.json is corrupt " +
           s"(missing \"$k\"): $json")).group(1).toInt
     Some(IvfPqParams(str("flavor"), num("num_cents"), num("m"),
-      num("codewords"), str("route")))
+      num("codewords"), str("route"),
+      graft.index.VectorIndex.sliceBalanced(json, "corpus", '{', '}')
+        .getOrElse("")))
   }
 
   /** Validate a snapshot against the knobs a reader is about to serve
     * with. Legacy snapshots (no sidecar) pass — the route is an
     * encode-provenance note, not a serve knob, so it is recorded but
     * not matched. Throws on any mismatch of flavor / cells / m /
-    * codewords: every one of those silently corrupts ADC scoring. */
+    * codewords: every one of those silently corrupts ADC scoring.
+    * `corpus` (when the caller passes one AND the sidecar recorded one)
+    * must match too — codes encoded from a differently-generated corpus
+    * ADC-score the WRONG vectors even with identical knobs. */
   def requireCompatible(spark: SparkSession, dir: String, flavor: String,
-      numCents: Int, m: Int, codewords: Int): Unit =
+      numCents: Int, m: Int, codewords: Int, corpus: String = ""): Unit =
     readParams(spark, dir).foreach { found =>
       val expect = (flavor, numCents, m, codewords)
       val got = (found.flavor, found.numCents, found.m, found.codewords)
@@ -81,5 +97,10 @@ object IvfPqSnapshot {
         s"IvfPqSnapshot: $dir holds codes for (flavor, cells, m, " +
           s"codewords) = $got but the reader expects $expect — serving " +
           "would ADC-score garbage; point at the matching snapshot")
+      require(corpus.isEmpty || found.corpus.isEmpty ||
+          corpus == found.corpus,
+        s"IvfPqSnapshot: $dir was encoded from corpus ${found.corpus} " +
+          s"but the reader serves corpus $corpus — the codes describe " +
+          "different vectors; re-encode or point at the matching snapshot")
     }
 }

@@ -40,22 +40,44 @@ object RefineKnn {
     * on both sides, so for a transforming index (cosine / MIPS) pass
     * the SEMANTIC metric, not the index's internal one.
     * Output: (query_id, rank, neighbor_id, distance) — [[graft.index
-    * .VectorIndex.query]]'s schema with full-precision distances. */
+    * .VectorIndex.query]]'s schema with full-precision distances.
+    *
+    * CONTRACT: `base` must cover every pool id. The rerank is an inner
+    * join, so a pool id absent from `base` (a mispointed or stale base
+    * relation) silently drops that candidate — fewer-than-k rows or
+    * shifted ranks, no error. Callers who cannot trust the base by
+    * construction should pass `requireCoverage = true`: the scored pool
+    * is pinned once (bounded, |Q| × pool rows) and its row count
+    * compared against the pool's — a mismatch throws instead of
+    * degrading. Costs one extra count over the bounded frame, so it is
+    * off by default for the gated closed-form paths whose base IS the
+    * build corpus. */
   def refine(pool: DataFrame, queries: DataFrame, base: DataFrame, k: Int,
-      metric: DistanceMetric = DistanceMetric.Euclidean2): DataFrame = {
+      metric: DistanceMetric = DistanceMetric.Euclidean2,
+      requireCoverage: Boolean = false): DataFrame = {
     val p = pool.select(col("query_id").cast("long"),
       col("neighbor_id").cast("long"))
     val q = queries.select(col("query_id").cast("long"),
       col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance"), col("neighbor_id"))
-    base
+    val scored = base
       .select(col("id"), col("embedding"))
       .join(broadcast(p), col("id") === col("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.distance(metric, col("q_emb"), col("embedding"))
           .cast("double").as("distance"))
+    val checked = if (!requireCoverage) scored else {
+      val pinned = scored.localCheckpoint(true)
+      val (nPool, nScored) = (p.count(), pinned.count())
+      require(nScored == nPool,
+        s"RefineKnn: base covers only $nScored of $nPool pool candidates — " +
+          "the base relation is stale or mispointed; refusing a silently " +
+          "degraded rerank")
+      pinned
+    }
+    checked
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

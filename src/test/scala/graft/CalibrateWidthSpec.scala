@@ -159,4 +159,38 @@ class CalibrateWidthSpec extends AnyFunSuite with SparkSuite {
         "pre-artifact 4-element face entries must parse with empty artifact")
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
+
+  test("structured FaceArtifact refs round-trip; bracketed free text cannot corrupt the curve") {
+    import graft.index.{FaceArtifact, FacePoint, WidthCalibration}
+    val dir = java.nio.file.Files.createTempDirectory("graft_faceref_").toString
+    try {
+      // the machine-readable half FaceServer dispatches on — paths and
+      // knob values with quotes/backslashes must survive the DOUBLE
+      // escaping (value-level inside the ref JSON, embedding-level when
+      // the ref rides as a quoted face element)
+      val ref = FaceArtifact("""/tmp/sto"re\base""",
+        Map("pool" -> "100", "fetch" -> "point", "note" -> """q"v\x"""))
+      val ivfRef = FaceArtifact("/tmp/clustered/ivfpq_residual_c8192_m16_r64",
+        Map("base" -> "/tmp/clustered/base", "pool" -> "500"))
+      // ADVICE r19 regression: free text containing a bracketed numeric
+      // pattern ([8,0.5] — a knob note) must NOT be parsed as a curve
+      // point now that the regexes run on sliced array substrings
+      val faces = Seq(
+        FacePoint("exact", 0, 0.959, 136.0),
+        FacePoint("refine", 256, 0.994, 34.9,
+          "pool=100 base=store sweep [8,0.5] note", Some(ref)),
+        FacePoint("ivfpq_residual", 8, 0.993, 262.0, "m=16", Some(ivfRef)))
+      val cal = WidthCalibration(0, 0.95, 10, 1.0,
+        Seq(32 -> 0.5, 256 -> 0.799), faces)
+      VectorIndex.writeCalibration(spark, dir, cal)
+      val restored = VectorIndex.readCalibration(spark, dir).get
+      assert(restored === cal, "ref-bearing faces must round-trip exactly")
+      assert(restored.curve === Seq(32 -> 0.5, 256 -> 0.799),
+        "the bracketed free-text pattern leaked into the curve")
+      assert(restored.bestFace(0.99).get.ref === Some(ref))
+      // FaceArtifact's own JSON round-trip, standalone
+      assert(FaceArtifact.fromJson(ref.toJson) === Some(ref))
+      assert(FaceArtifact.fromJson("not json").isEmpty)
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
 }

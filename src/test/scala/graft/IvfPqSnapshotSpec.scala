@@ -44,6 +44,34 @@ class IvfPqSnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
 
+  test("corpus identity: recorded corpus round-trips and a mismatch refuses to serve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_id_").toString
+    try {
+      val corpus = """{"n":100000000,"dim":64,"n_clusters":100000,"sigma":0.05,"corpus_salt":29}"""
+      IvfPqSnapshot.writeParams(spark, dir,
+        IvfPqParams("residual", 8192, 16, 256, "beam64", corpus))
+      assert(IvfPqSnapshot.readParams(spark, dir).get.corpus === corpus)
+      // matching corpus passes; absent caller corpus passes (can't check)
+      IvfPqSnapshot.requireCompatible(spark, dir, "residual", 8192, 16, 256,
+        corpus)
+      IvfPqSnapshot.requireCompatible(spark, dir, "residual", 8192, 16, 256)
+      // a regenerated corpus at the same knobs-compatible snapshot is the
+      // silent-garbage case the sidecar exists to refuse
+      val other = corpus.replace("100000000", "10000000")
+      val e = intercept[IllegalArgumentException] {
+        IvfPqSnapshot.requireCompatible(spark, dir, "residual", 8192, 16, 256,
+          other)
+      }
+      assert(e.getMessage.contains("different vectors"))
+      // legacy sidecar (no corpus recorded): caller corpus passes — the
+      // naming convention + knob match remain the only identity
+      IvfPqSnapshot.writeParams(spark, dir,
+        IvfPqParams("residual", 8192, 16, 256, "beam64"))
+      IvfPqSnapshot.requireCompatible(spark, dir, "residual", 8192, 16, 256,
+        corpus)
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
+
   test("a corrupt sidecar is a hard error, not a silent legacy fallback") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_id_").toString
     try {

@@ -122,6 +122,67 @@ class RefineKnnSpec extends AnyFunSuite with SparkSuite {
     assert(got === want, "refine must rank by cosine over RAW vectors")
   }
 
+  test("beam-pool refine (the served face): refined hits >= raw beam hits at every width, exhaustive-pool beam == float exact") {
+    val dim = 8
+    val corpus = (0L until 600L).map { id =>
+      val r = new scala.util.Random(id * 7919 + 23)
+      (id, Array.fill(dim)(r.nextFloat()))
+    }
+    val corpusDf = corpus.toDF("id", "embedding")
+    val idx = VectorIndex.build(corpusDf,
+      IndexParams(minimumConnect = 4, relaxedMonotonicity = 16, step = 4,
+        quantized = true, quantLo = 0f, quantHi = 1f), numShards = 4)
+    val queries = (0L until 8L).map { qid =>
+      val r = new scala.util.Random(qid * 104729 + 19)
+      (qid, Array.fill(dim)(r.nextFloat()))
+    }
+    val qdf = queries.toDF("query_id", "embedding")
+    val gt: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+      qid -> floatTopK(corpus, q, 10).toSet
+    }.toMap
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .count { case (qid, nid) => gt(qid).contains(nid) }
+    for (sw <- Seq(2, 4, 8)) {
+      val beamHits = hitsOf(idx.query(qdf, k = 10, searchWidth = sw))
+      val refinedHits = hitsOf(
+        idx.queryRefined(qdf, corpusDf, k = 10, pool = 40, searchWidth = sw))
+      assert(refinedHits >= beamHits,
+        s"sw=$sw: refine ($refinedHits) must not lose to the raw beam " +
+          s"($beamHits) — the rerank only reorders a superset pool")
+    }
+    // a beam pool covering the whole corpus refined to top-k IS the
+    // float-exact kNN — the sw>0 counterpart of the closed-form gate
+    val got = idx.queryRefined(qdf, corpusDf, k = 10, pool = 600,
+        searchWidth = 600)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = queries.flatMap { case (qid, q) =>
+      floatTopK(corpus, q, 10).zipWithIndex.map { case (id, i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got === want, "exhaustive beam pool must refine to float-exact")
+  }
+
+  test("requireCoverage refuses a stale base; default documents the silent drop") {
+    val corpusDf = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(2f, 0f))).toDF("id", "embedding")
+    val qdf = Seq((0L, Array(0.4f, 0f))).toDF("query_id", "embedding")
+    val pool = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("query_id", "neighbor_id")
+    // base is missing id 3 — a mispointed/stale store
+    val stale = corpusDf.filter($"id" =!= 3L)
+    val e = intercept[IllegalArgumentException] {
+      RefineKnn.refine(pool, qdf, stale, k = 3, DistanceMetric.Euclidean2,
+        requireCoverage = true).collect()
+    }
+    assert(e.getMessage.contains("covers only 2 of 3"),
+      s"coverage error must name the gap: ${e.getMessage}")
+    // without the flag the drop is silent (the documented contract for
+    // by-construction-complete bases): 2 rows, not 3
+    val silent = RefineKnn.refine(pool, qdf, stale, k = 3,
+      DistanceMetric.Euclidean2)
+    assert(silent.count() === 2)
+  }
+
   test("pool below k is rejected; bare RefineKnn ranks a hand-built pool") {
     val corpusDf = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
       (3L, Array(2f, 0f))).toDF("id", "embedding")
