@@ -160,12 +160,15 @@ object ClusteredBench {
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val baseNote =
-      if (storeReady) "base=store(point)" else "base=corpus-regen"
+      if (storeReady) "base=store(auto)" else "base=corpus-regen"
     val artifact = s"$snapDir m=$m pool=$poolC $baseNote " +
       "jvm=faces(all-shard-graphs-resident)"
     val ref =
       if (storeReady) Some(graft.index.FaceArtifact(snapDir, Map(
-        "base" -> storePath, "pool" -> poolC.toString, "fetch" -> "point")))
+        // "auto" resolves by the measured crossover (BaseStore.pointWins)
+        // — at this pool (|Q|×500 distinct ids) it lands on the scan;
+        // recording auto keeps FaceServer serving the same resolution
+        "base" -> storePath, "pool" -> poolC.toString, "fetch" -> "auto")))
       else None
     // finally: an exception mid-measure must not leak the scratch pool
     // parquet beside the published snapshot
@@ -269,6 +272,23 @@ object ClusteredBench {
           if (f.isFile) f.length
           else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
         println(f"snapshot bytes: ${walk(new java.io.File(snapPath)) / 1e9}%.2f GB")
+      }
+    }
+
+    // --- phase: relayout (one-time dir-sharded probe layout migration) ---
+    // After this, every serving JVM's probeLayout is a narrow aligned
+    // scan — the legacy load re-serializes the WHOLE index through one
+    // shuffle (51 GB for this snapshot, measured) before its first
+    // probe. Run it in a SMALL-heap JVM (no graphs are hydrated) with
+    // spark.local.dir on tmpfs if local disk is tight: the shuffle it
+    // pays is the last one any consumer of this snapshot pays.
+    if (phases("relayout")) {
+      if (new java.io.File(s"$snapPath/rows_sharded/_SUCCESS").exists()) {
+        println(s"relayout: $snapPath already dir-sharded — reusing")
+      } else {
+        val t0 = System.nanoTime()
+        VectorIndex.relayoutSharded(spark, snapPath)
+        println(f"relayout wall: ${(System.nanoTime() - t0) / 1e9}%.0f s")
       }
     }
 
@@ -493,7 +513,14 @@ object ClusteredBench {
       }
       def refineFace(sw: Int): () => Set[(Long, Long)] = () =>
         (if (storeReady)
-           idx.queryRefinedFromStore(qdf, storePath, k, refinePool, sw)
+           // scan mode explicitly: at |Q|×pool = 10k ids the point fetch
+           // decodes ~10k vector pages (~1 ms each) while the full pass
+           // is a fixed batch-amortized cost — the measured crossover
+           // (RefineServeBench / BaseStore.pointWins) sits right here,
+           // and scan is the mode that keeps winning as batches grow,
+           // so the TABLE records the mode a deployment serves
+           idx.queryRefinedFromStore(qdf, storePath, k, refinePool, sw,
+             fetch = "scan")
          else {
            // pre-store fallback: deterministic-generator point fetch
            val pool = idx.query(qdf, refinePool, sw)
@@ -511,11 +538,11 @@ object ClusteredBench {
         (if (existing.searchWidth > 0) Seq(existing.searchWidth) else Nil))
         .distinct.sorted
       val refineArtifact =
-        if (storeReady) s"pool=$refinePool base=store(point)"
+        if (storeReady) s"pool=$refinePool base=store(scan)"
         else s"pool=$refinePool base=point-fetch(generator)"
       val refineRef =
         if (storeReady) Some(graft.index.FaceArtifact(storePath, Map(
-          "pool" -> refinePool.toString, "fetch" -> "point")))
+          "pool" -> refinePool.toString, "fetch" -> "scan")))
         else None
       val facePoints = Seq(measure("exact", 0, "", None, graphFace(0))) ++
         beamWidths.map(w => measure("beam", w, "", None, graphFace(w))) ++
@@ -523,14 +550,14 @@ object ClusteredBench {
           refineFace(w))) ++
         ivfpqFace(spark, dir, n, ivfCents, pqM, rerankPool, routeWidth,
           corpus, qdf, k, corpusJson, measure)
-      // one extra record (log-only, not a face): the scan-mode fetch at
-      // the production width — where the batch-amortized full-scan serve
-      // sits relative to the point fetch on this store
+      // one extra record (log-only, not a face): the POINT fetch at the
+      // production width — where column-index page reads sit relative
+      // to the batch-amortized scan on this store, in this JVM
       if (storeReady) {
         val t0 = System.nanoTime()
         idx.queryRefinedFromStore(qdf, storePath, k, refinePool, 256,
-          fetch = "scan").count()
-        println(f"refine sw=256 scan-fetch (one full store pass): " +
+          fetch = "point").count()
+        println(f"refine sw=256 point-fetch (column-index page reads): " +
           f"${(System.nanoTime() - t0) / 1e6 / nQueries}%.1f ms/query")
       }
       VectorIndex.writeCalibration(spark, snapPath,

@@ -1650,6 +1650,31 @@ object Queries {
       |FROM (VALUES (2, 100, 91, 100), (4, 100, 94, 100), (8, 100, 97, 100), (16, 100, 99, 100)) AS t(search_width, hits, beam_hits, total)
       |ORDER BY search_width""".stripMargin
 
+  // ---------------------------------------------------------------- v68_sharded_layout
+  /** The dir-sharded SERVING layout end to end under the driver gate:
+    * buildTo a snapshot, [[VectorIndex.relayoutSharded]] it, load (which
+    * detects `rows_sharded/` and swaps [[VectorIndex!.probeLayout]] to
+    * the shuffle-free one-file-per-shard aligned scan — the path that
+    * removes the ~2.5×-snapshot-bytes load shuffle every serving JVM
+    * otherwise pays), exact-probe. The layout must be invisible in the
+    * results, so v4's brute-force oracle applies unchanged; the plan
+    * properties (no shuffle dependency, ShardPartitioner carried,
+    * corrupt-layout fallback) are spec-gated in ShardedLayoutSpec. */
+  def v68ShardedLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shl_").toString
+    VectorIndex.buildTo(embCorpus(s, dir),
+      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+      numShards = 4, s"$path/snap")
+    VectorIndex.relayoutSharded(s, s"$path/snap")
+    val loaded = VectorIndex.load(s, s"$path/snap", cache = false)
+    require(loaded.shardedLayoutDir.nonEmpty,
+      "load must detect the rows_sharded layout")
+    loaded.query(embQueries(s, dir), k = 10, searchWidth = 0)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** v45's oracle — v36's self-describing tail over the RESIDUAL pipeline:
     * replays the SAMPLED residual-PQ pool ranks (residPqCtes' `r`) and the
     * exact L2 top-10, pins only `trained_ge_sampled` for the trained side
@@ -3556,6 +3581,7 @@ object Queries {
     "v64_ivfpq_routed" -> v30Oracle,
     "v65_refined_knn" -> v65Oracle,
     "v67_refined_beam" -> v67Oracle,
+    "v68_sharded_layout" -> v4Oracle,
     "v31_binary_knn" -> v31Oracle,
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,

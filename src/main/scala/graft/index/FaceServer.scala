@@ -63,7 +63,7 @@ object FaceServer {
         val a = ref("full-precision base store")
         idx.queryRefinedFromStore(queries, a.path, k,
           pool = knobInt(a, "pool", 10 * k), searchWidth = face.param,
-          fetch = a.knobs.getOrElse("fetch", "point"))
+          fetch = a.knobs.getOrElse("fetch", "auto"))
       case f if f.startsWith("ivfpq") =>
         val a = ref("codes snapshot")
         val basePath = a.knobs.getOrElse("base",
@@ -73,7 +73,7 @@ object FaceServer {
         graft.operators.IvfPqServe.serveFromStore(spark, a.path, queries,
           basePath, k, nprobe = face.param,
           pool = knobInt(a, "pool", 10 * k),
-          fetch = a.knobs.getOrElse("fetch", "point"))
+          fetch = a.knobs.getOrElse("fetch", "auto"))
       case other =>
         sys.error(s"FaceServer: unknown face '$other' in the calibration " +
           s"table at ${idx.probeDescription} — known faces: exact, beam, " +

@@ -290,11 +290,24 @@ class VectorIndex private (
     * Coverage is always asserted (a store that has drifted from the
     * index must throw, not silently return fewer neighbors). */
   def queryRefinedFromStore(queries: DataFrame, storePath: String, k: Int,
-      pool: Int, searchWidth: Int, fetch: String = "point",
+      pool: Int, searchWidth: Int, fetch: String = "auto",
       maxBatch: Int = 100000): DataFrame = {
     require(pool >= k, s"refine pool $pool must be >= k=$k")
     val spark = rows.sparkSession
-    fetch match {
+    // "auto": the measured crossover ([[graft.sources.BaseStore
+    // .pointWins]]) — point fetch for small pools, the batch-amortized
+    // full-store scan once the pool id set would touch enough vector
+    // pages that per-hit page decodes cost more than one pass
+    val mode =
+      if (fetch != "auto") fetch
+      else {
+        // |Q|×pool bounds the distinct pool ids without running stage 1
+        val nIds = queries.count() * pool
+        if (graft.sources.BaseStore.pointWins(spark, storePath, nIds))
+          "point"
+        else "scan"
+      }
+    mode match {
       case "scan" =>
         queryRefined(queries,
           graft.sources.BaseStore.relation(spark, storePath), k, pool,
@@ -310,7 +323,7 @@ class VectorIndex private (
           graft.sources.BaseStore.fetch(spark, storePath, ids), k,
           probeSemanticMetric, requireCoverage = true)
       case other => sys.error(
-        s"queryRefinedFromStore: unknown fetch mode '$other' (point|scan)")
+        s"queryRefinedFromStore: unknown fetch mode '$other' (auto|point|scan)")
     }
   }
 
@@ -481,11 +494,28 @@ class VectorIndex private (
     * shard id to itself), cached ONCE per index — the exchange happens on
     * first probe, not once per query call, and both probe paths read the
     * same cached blocks. */
-  @transient private[index] lazy val probeLayout
+  /** Set by [[VectorIndex.load]] when the snapshot carries a
+    * [[VectorIndex.relayoutSharded]] layout — [[probeLayout]] then
+    * builds shard-aligned partitions by a NARROW scan instead of the
+    * corpus-sized shuffle. */
+  @transient private[graft] var shardedLayoutDir: Option[String] = None
+
+  @transient private[graft] lazy val probeLayout
       : org.apache.spark.rdd.RDD[IndexRow] = {
-    val rdd = rows.rdd.map(r => (r.sub_index_id, r))
-      .partitionBy(new VectorIndex.ShardPartitioner(numShards))
-      .map(_._2)
+    // FAST PATH — dir-sharded snapshot layout (rows_sharded/, one file
+    // per shard): the probe layout is a narrow aligned scan, NOT a
+    // shuffle. The legacy partitionBy below moves ~2.5x the snapshot's
+    // parquet bytes through shuffle storage on EVERY serving process's
+    // first probe (51 GB measured for the 100M M=8 snapshot — the
+    // whole index, re-serialized row-wise); with the sharded layout a
+    // load-then-probe touches only the parquet it actually reads.
+    val aligned = shardedLayoutDir.flatMap(dir =>
+      VectorIndex.alignedLayout(rows.sparkSession, dir, numShards))
+    val rdd = aligned.getOrElse {
+      rows.rdd.map(r => (r.sub_index_id, r))
+        .partitionBy(new VectorIndex.ShardPartitioner(numShards))
+        .map(_._2)
+    }
     // `spark.graft.probeLayoutStorage` = NONE drops the layout cache for
     // corpus-scale LOADED indexes: the rehydrated shard graphs live in
     // ShardGraphCache after the first probe pass anyway, so the cached
@@ -1336,6 +1366,147 @@ object VectorIndex {
     writeSmallFile(spark, s"$path/params.json", json)
   }
 
+  /** Partition stub for [[ShardAlignedRDD]]: target index == shard id,
+    * wrapping the parent (file-scan) partition that holds that shard. */
+  private class ShardAlignedPartition(
+      override val index: Int, val parent: org.apache.spark.Partition)
+    extends org.apache.spark.Partition
+
+  /** Narrow re-indexing of a one-file-per-shard scan so that partition
+    * index == shard id — the property every probe consumer relies on
+    * (TaskContext.getPartitionId as the shard, [[VectorIndex
+    * .queryDistributed]]'s zipPartitions against [[ShardPartitioner]]-
+    * partitioned queries). Purity is enforced per ROW (a mis-packed
+    * file partition would otherwise hydrate a graph from another
+    * shard's rows — silent corruption, so it is a hard error). */
+  private class ShardAlignedRDD(
+      parent: org.apache.spark.rdd.RDD[IndexRow], perm: Array[Int],
+      numShards: Int)
+    extends org.apache.spark.rdd.RDD[IndexRow](parent) {
+    override val partitioner: Option[org.apache.spark.Partitioner] =
+      Some(new ShardPartitioner(numShards))
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      Array.tabulate[org.apache.spark.Partition](perm.length)(s =>
+        new ShardAlignedPartition(s, firstParent[IndexRow].partitions(perm(s))))
+    override def compute(split: org.apache.spark.Partition,
+        ctx: org.apache.spark.TaskContext): Iterator[IndexRow] = {
+      val p = split.asInstanceOf[ShardAlignedPartition]
+      val shardId = p.index
+      firstParent[IndexRow].iterator(p.parent, ctx).map { r =>
+        require(r.sub_index_id == shardId,
+          s"sharded layout violation: a row of shard ${r.sub_index_id} " +
+            s"appeared in the partition serving shard $shardId — the " +
+            "rows_sharded layout is corrupt; re-run relayoutSharded")
+        r
+      }
+    }
+    override protected def getPreferredLocations(
+        split: org.apache.spark.Partition): Seq[String] =
+      firstParent[IndexRow].preferredLocations(
+        split.asInstanceOf[ShardAlignedPartition].parent)
+  }
+
+  /** Build the shard-aligned probe layout from a [[relayoutSharded]]
+    * directory: one whole-file partition per shard (split/packing
+    * disabled for exactly this scan), a 1-row-per-partition probe job
+    * to learn which file holds which shard, then a narrow re-index so
+    * partition i == shard i. None (with a log line) when the layout
+    * does not hold one file per shard — callers fall back to the
+    * legacy shuffle, never to a wrong layout. */
+  private[index] def alignedLayout(spark: SparkSession, dir: String,
+      numShards: Int): Option[org.apache.spark.rdd.RDD[IndexRow]] = {
+    import spark.implicits._
+    val conf = spark.conf
+    val overrides = Seq(
+      // openCost == maxPartitionBytes closes a file partition after
+      // every file (no packing two shards into one partition); files
+      // below the bound are never split (no shard torn across two)
+      "spark.sql.files.maxPartitionBytes" -> (16L << 30).toString,
+      "spark.sql.files.openCostInBytes" -> (16L << 30).toString)
+    val prev = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // classic stream reads, NOT Hadoop vectored IO: each aligned task
+      // drains its file over MINUTES (graph hydration interleaves with
+      // the read), and the vectored path bounds every prefetched range
+      // fetch at 300 s — 32 slow-draining consumers starve the shared
+      // fetch pool and the whole probe dies on a read "timeout"
+      // (measured at the 100M decade). Per-scan option, no global state.
+      val raw = spark.read
+        .option("parquet.hadoop.vectored.io.enabled", "false")
+        .parquet(dir)
+        .select(col("sub_index_id").cast("int"), col("offset"),
+          col("global_id"), col("layer"), col("embedding"), col("out"),
+          col("edges"))
+        .as[IndexRow].rdd
+      val nParts = raw.partitions.length // force under the conf window
+      val firstShard = raw.mapPartitionsWithIndex { (i, it) =>
+        if (it.hasNext) Iterator((i, it.next().sub_index_id))
+        else Iterator.empty
+      }.collect()
+      if (nParts != numShards || firstShard.length != numShards ||
+          firstShard.map(_._2).distinct.length != numShards) {
+        Console.err.println(
+          s"graft: sharded layout at $dir is not one-file-per-shard " +
+          s"($nParts partitions, ${firstShard.length} non-empty, " +
+          s"${firstShard.map(_._2).distinct.length} distinct shards for " +
+          s"$numShards shards) — falling back to the shuffle layout")
+        None
+      } else {
+        val perm = new Array[Int](numShards)
+        firstShard.foreach { case (i, s) => perm(s) = i }
+        Some(new ShardAlignedRDD(raw, perm, numShards))
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  /** One-time MIGRATION of a snapshot to the dir-sharded probe layout:
+    * writes `<path>/rows_sharded/sub_index_id=N/` with EXACTLY one file
+    * per shard (a hash repartition on the shard id puts all of a
+    * shard's rows in one task, so each directory receives one file),
+    * then validates the one-file-per-shard invariant and per-shard row
+    * counts against meta.json. The flat `rows/` stays untouched — it
+    * remains the authoritative copy for [[appendTo]]'s footer-stat
+    * file surgery; this layout exists so every SERVING process's
+    * [[VectorIndex!.probeLayout]] is a narrow scan instead of a
+    * shuffle that re-serializes the whole index (~2.5x the parquet
+    * bytes — 51 GB for the 100M M=8 snapshot, paid per JVM).
+    *
+    * Run it once per published snapshot, anywhere: the one shuffle it
+    * pays is the last one any consumer of this snapshot pays. */
+  def relayoutSharded(spark: SparkSession, path: String): Unit = {
+    val rows = spark.read.parquet(s"$path/rows")
+    val paramsJson = readSmallFile(spark, s"$path/params.json")
+    require(paramsJson != null, s"missing $path/params.json")
+    val numShards = """"numShards":\s*(\d+)""".r.findFirstMatchIn(paramsJson)
+      .get.group(1).toInt
+    rows.repartition(numShards, col("sub_index_id"))
+      .write.mode("overwrite").partitionBy("sub_index_id")
+      .parquet(s"$path/rows_sharded")
+    // validate before anyone serves from it: exactly one data file per
+    // shard directory, one directory per shard
+    val base = new org.apache.hadoop.fs.Path(s"$path/rows_sharded")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("sub_index_id="))
+    val nonEmptyShards = spark.read.parquet(s"$path/rows").
+      select(col("sub_index_id")).distinct().count()
+    require(dirs.length.toLong == nonEmptyShards,
+      s"relayoutSharded wrote ${dirs.length} shard dirs for " +
+        s"$nonEmptyShards non-empty shards at $path")
+    dirs.foreach { d =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(base, d))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      require(files.length == 1,
+        s"relayoutSharded: $d holds ${files.length} files — the " +
+          "one-file-per-shard invariant failed (concurrent writer?)")
+    }
+  }
+
   /** One-time write of a shard-bucketed corpus table: rows land in
     * `numShards` buckets keyed by `sub_index_id` (the same `id % numShards`
     * assignment [[build]] uses — [[shardOf]] is the single source of
@@ -1462,8 +1633,16 @@ object VectorIndex {
     // probe of the loaded index hit executor-cached graphs built from the
     // ORIGINAL in-memory index (same JVM), silently bypassing the loaded
     // rows — the save/load invariance gate must exercise the load path
-    new VectorIndex(params, extract("numShards").toInt, rows, meta,
+    val idx = new VectorIndex(params, extract("numShards").toInt, rows, meta,
       extract("indexId") + "#load-" + java.util.UUID.randomUUID().toString)
+    // a relayoutSharded snapshot probes through the narrow aligned scan
+    // (probeLayout fast path) — detected here so the handle knows its
+    // layout; absence or a malformed layout degrades to the shuffle
+    val shardedDir = new org.apache.hadoop.fs.Path(s"$path/rows_sharded/_SUCCESS")
+    if (shardedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(shardedDir))
+      idx.shardedLayoutDir = Some(s"$path/rows_sharded")
+    idx
   }
 
   private def computeMeta(rows: Dataset[IndexRow]): Array[ShardMeta] = {

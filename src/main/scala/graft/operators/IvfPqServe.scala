@@ -110,16 +110,22 @@ object IvfPqServe {
     * whole store once instead, for very large batches). */
   def serveFromStore(spark: SparkSession, snapDir: String,
       queries: DataFrame, storePath: String, k: Int, nprobe: Int, pool: Int,
-      scratch: String = null, fetch: String = "point"): DataFrame = {
+      scratch: String = null, fetch: String = "auto"): DataFrame = {
     val pinned = adcPool(spark, snapDir, queries, nprobe, pool, k, scratch)
     val base = fetch match {
       case "scan" => graft.sources.BaseStore.relation(spark, storePath)
-      case "point" =>
+      case "point" | "auto" =>
         val ids = pinned.select(col("neighbor_id")).distinct()
           .collect().map(_.getLong(0)).toSeq
-        graft.sources.BaseStore.fetch(spark, storePath, ids)
+        // the ADC pool is already pinned, so the exact distinct id count
+        // is free here (unlike queryRefinedFromStore's pre-stage-1 bound)
+        if (fetch == "auto" &&
+            !graft.sources.BaseStore.pointWins(spark, storePath, ids.size))
+          graft.sources.BaseStore.relation(spark, storePath)
+        else graft.sources.BaseStore.fetch(spark, storePath, ids)
       case other => sys.error(
-        s"IvfPqServe.serveFromStore: unknown fetch mode '$other' (point|scan)")
+        s"IvfPqServe.serveFromStore: unknown fetch mode '$other' " +
+          "(auto|point|scan)")
     }
     RefineKnn.refine(pinned, queries, base, k, requireCoverage = true)
   }

@@ -117,4 +117,22 @@ object BaseStore {
     require(ids.nonEmpty, "BaseStore.fetch needs a non-empty id set")
     relation(spark, path).filter(col("id").isInCollection(ids))
   }
+
+  /** Crossover between [[fetch]] (point) and a full-store scan, measured
+    * on the 100M×64d decade store (26 GB, warm cache, dedicated JVM):
+    * the point path pays ~1 ms per id — the parquet column index admits
+    * one ~256-row range per hit, but materializing the WIDE embedding
+    * column still decodes a page per hit (a count-only probe of the
+    * same ids runs 5× faster) — while the scan is a fixed pass at
+    * ~0.1 µs per stored row (9.8 s for the full store). Equating the
+    * two: point wins below ~n/10⁴ ids, the scan above. Callers passing
+    * `fetch = "auto"` get this rule; both constants are store-shape
+    * dependent (vector width, page size), so forcing a mode stays
+    * supported. An unknown row count (pre-sidecar store) defaults to
+    * the point path — the safe choice for the small pools such stores
+    * served historically. */
+  def pointWins(spark: SparkSession, path: String, nIds: Long): Boolean = {
+    val n = publishedCount(spark, path)
+    n <= 0 || nIds <= math.max(1024L, n / 10000L)
+  }
 }
