@@ -1215,7 +1215,11 @@ object PipelineQueries {
       s, s"$dir/embeddings.parquet",
       baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 500,
       newVectorsPred = col("vec_id") >= 500,
-      kEdges = 3, sourceSlices = 4, statePartitions = streamStateParts)
+      // 2 slices at gate scale: the result is batching-invariant (the
+      // oracle is closed-form over the final corpus) and LsmIndexSpec
+      // pins 1-slice == 4-slice equality — the gate pays per-batch
+      // index-build fixed cost, so fewer batches is pure overhead cut
+      kEdges = 3, sourceSlices = 2, statePartitions = streamStateParts)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------- s24_stream_knn_graph_beam
@@ -1237,7 +1241,7 @@ object PipelineQueries {
       s, s"$dir/embeddings.parquet",
       baseCorpusPred = col("vec_id") >= 10 && col("vec_id") < 500,
       newVectorsPred = col("vec_id") >= 500,
-      kEdges = 3, sourceSlices = 4, statePartitions = streamStateParts,
+      kEdges = 3, sourceSlices = 2, statePartitions = streamStateParts,
       searchWidth = 8)
       .select(col("id_a"), col("id_b"))
     val exact = Queries.reciprocalNnPairs(s, dir).select(col("id_a"), col("id_b")).cache()
@@ -1292,8 +1296,11 @@ object PipelineQueries {
       graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
     val path = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
     try {
+      // 8 tok buckets at gate scale (vs the production 64): the
+      // partitioned-write cost is the gate's floor and the serve-time
+      // pruning/scoring is bucket-count-invariant
       graft.operators.HybridRetrieval.saveBm25Index(postings, dfTable, stats,
-        path, dfCapNum = 78L, dfCapDen = 100L)
+        path, tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
       val snap = graft.operators.HybridRetrieval.openBm25Index(s, path)
       // materialize the (≤ queries×n row) serve result eagerly so the
       // temp snapshot can be deleted before the frame is consumed
@@ -1328,7 +1335,7 @@ object PipelineQueries {
     try {
       val (p0, d0, st0) = graft.operators.HybridRetrieval.bm25SnapshotPieces(base)
       graft.operators.HybridRetrieval.saveBm25Index(p0, d0, st0,
-        s"$root/base", dfCapNum = 78L, dfCapDen = 100L)
+        s"$root/base", tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
       graft.operators.HybridRetrieval.appendBm25(s, s"$root/base", batch,
         s"$root/next")
       val snap = graft.operators.HybridRetrieval.openBm25Index(s, s"$root/next")
@@ -1363,7 +1370,7 @@ object PipelineQueries {
     try {
       val (p0, d0, st0) = graft.operators.HybridRetrieval.bm25SnapshotPieces(base)
       graft.operators.HybridRetrieval.saveBm25Index(p0, d0, st0,
-        s"$root/base", dfCapNum = 78L, dfCapDen = 100L)
+        s"$root/base", tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet",
         corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 0,
@@ -1400,18 +1407,24 @@ object PipelineQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_chain_").toString
     try {
       val (p0, d0, st0) = graft.operators.HybridRetrieval.bm25SnapshotPieces(base)
+      // gate-scale knobs (results invariant to both): 8 tok buckets cut
+      // the partitioned-write fixed cost ~4x vs the production 64, and
+      // ONE slice per window keeps each window a real stream while the
+      // CHAIN (generations, not batching) stays this gate's claim —
+      // multi-batch accumulation is gated by s26/v63 at 2 slices and the
+      // batching-invariance spec at 4 vs 16
       graft.operators.HybridRetrieval.saveBm25Index(p0, d0, st0,
-        s"$root/g0", dfCapNum = 78L, dfCapDen = 100L)
+        s"$root/g0", tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet",
         corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 2,
-        queries = qd, n = 20, sourceSlices = 2,
+        queries = qd, n = 20, sourceSlices = 1,
         statePartitions = streamStateParts,
         publishPath = s"$root/g1", appendBasePath = s"$root/g0")
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet",
         corpusPred = col("doc_id") >= 10 && col("doc_id") % 3 === 0,
-        queries = qd, n = 20, sourceSlices = 2,
+        queries = qd, n = 20, sourceSlices = 1,
         statePartitions = streamStateParts,
         publishPath = s"$root/g2", appendBasePath = s"$root/g1")
         .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
@@ -1441,7 +1454,8 @@ object PipelineQueries {
       StreamingOps.streamBm25Ingest(
         s, s"$dir/documents.parquet", corpusPred = col("doc_id") >= 10,
         queries = qd, n = 20, sourceSlices = 2,
-        statePartitions = streamStateParts, publishPath = snap)
+        statePartitions = streamStateParts, publishPath = snap,
+        tokBuckets = 8) // gate-scale layout knob; scoring is invariant
         .select(col("query_id"), col("lex_rank"), col("doc_id"), col("bm25"))
         .orderBy(col("query_id"), col("lex_rank"))
         .localCheckpoint(true) // eager: the temp snapshot is deleted below

@@ -1663,16 +1663,65 @@ object Queries {
   def v68ShardedLayout(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files
       .createTempDirectory("graft_shl_").toString
-    VectorIndex.buildTo(embCorpus(s, dir),
-      IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
-      numShards = 4, s"$path/snap")
-    VectorIndex.relayoutSharded(s, s"$path/snap")
-    val loaded = VectorIndex.load(s, s"$path/snap", cache = false)
-    require(loaded.shardedLayoutDir.nonEmpty,
-      "load must detect the rows_sharded layout")
-    loaded.query(embQueries(s, dir), k = 10, searchWidth = 0)
-      .withColumn("distance", round(col("distance"), 6))
-      .orderBy(col("query_id"), col("rank"))
+    try {
+      VectorIndex.buildTo(embCorpus(s, dir),
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
+        numShards = 4, s"$path/snap")
+      VectorIndex.relayoutSharded(s, s"$path/snap")
+      val loaded = VectorIndex.load(s, s"$path/snap", cache = false)
+      require(loaded.shardedLayoutDir.nonEmpty,
+        "load must detect the rows_sharded layout")
+      loaded.query(embQueries(s, dir), k = 10, searchWidth = 0)
+        .withColumn("distance", round(col("distance"), 6))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true) // eager: the temp snapshot is deleted below
+    } finally graft.streaming.StreamingOps.deleteRecursively(path)
+  }
+
+  // ---------------------------------------------------------------- v69_face_serve
+  /** [[graft.index.FaceServer]] under the driver gate — the full
+    * publish→calibrate→dispatch→serve loop: an SQ8 snapshot and its
+    * full-precision [[graft.sources.BaseStore]] are published, a
+    * measured-face table is persisted beside the snapshot
+    * (calibration.json with structured [[graft.index.FaceArtifact]]
+    * refs, the ClusteredBench faces schema), and the serve asks only
+    * for a RECALL TARGET: `FaceServer.serve(target=0.99)` must pick the
+    * sole face meeting it — refine sw=0 pool=30 — resolve its store
+    * artifact, and run the two-stage refined serve from the PUBLISHED
+    * store. The result is therefore exactly v65's closed-form
+    * composition (SQ8 exact pool → float rerank), so v65's oracle gates
+    * the whole dispatch chain: a wrong face pick, a mis-parsed
+    * artifact, or a store-fetch defect all break the hash.
+    * FaceServerSpec covers the per-face dispatch + error surfaces;
+    * this pins the end-to-end target-driven path under DuckDB. */
+  def v69FaceServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.{FaceArtifact, FacePoint, FaceServer, WidthCalibration}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_faceserve_").toString
+    try {
+      val corpus = embCorpus(s, dir)
+      VectorIndex.build(corpus,
+        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
+          quantized = true), numShards = 4).save(s"$root/snap")
+      graft.sources.BaseStore.publish(corpus, s"$root/base", files = 4)
+      // the face table a calibration run would persist: only the refine
+      // face reaches 0.99, so the target-driven dispatch must select it
+      // (beam@8 is the decoy a silent face substitution would grab)
+      VectorIndex.writeCalibration(s, s"$root/snap", WidthCalibration(
+        searchWidth = 0, targetRecall = 0.99, k = 10, sampleRecall = 1.0,
+        curve = Seq(0 -> 1.0),
+        faces = Seq(
+          FacePoint("beam", 8, 0.90, 1.0),
+          FacePoint("refine", 0, 1.0, 5.0,
+            artifact = "gate-scale published store",
+            ref = Some(FaceArtifact(s"$root/base",
+              Map("pool" -> "30", "fetch" -> "scan")))))))
+      FaceServer.serve(s, s"$root/snap", embQueries(s, dir), k = 10,
+        target = 0.99, cache = false)
+        .withColumn("distance", round(col("distance"), 6))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true) // eager: temp snapshot + store deleted below
+    } finally graft.streaming.StreamingOps.deleteRecursively(root)
   }
 
   /** v45's oracle — v36's self-describing tail over the RESIDUAL pipeline:
@@ -3300,7 +3349,7 @@ object Queries {
         numShards = 4).save(s"$root/vec")
       val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
       graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
-        dfCapNum = 78L, dfCapDen = 100L)
+        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
       graft.operators.HybridRetrieval.serveFromSnapshots(
         s, s"$root/vec", s"$root/lex", qd, qe,
         n = 20, k = 10, searchWidth = 4096)
@@ -3334,7 +3383,7 @@ object Queries {
         numShards = 4).save(s"$root/vec")
       val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
       graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
-        dfCapNum = 78L, dfCapDen = 100L)
+        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
       // ONE loaded pair serves both widths (the long-lived server shape);
       // each beam probe runs ONCE (bounded |Q| x 20 frames, pinned) and
       // feeds BOTH its recall row and its fusion — and the lexical leg
@@ -3582,6 +3631,7 @@ object Queries {
     "v65_refined_knn" -> v65Oracle,
     "v67_refined_beam" -> v67Oracle,
     "v68_sharded_layout" -> v4Oracle,
+    "v69_face_serve" -> v65Oracle, // the dispatch serves v65's composition
     "v31_binary_knn" -> v31Oracle,
     "v32_binary_rerank" -> v32Oracle,
     "v33_knn_mips" -> v33Oracle,

@@ -81,6 +81,7 @@ object SparkEntry {
     "v65_refined_knn" -> ((s, dir) => Queries.v65RefinedKnn(s, dir)),
     "v67_refined_beam" -> ((s, dir) => Queries.v67RefinedBeam(s, dir)),
     "v68_sharded_layout" -> ((s, dir) => Queries.v68ShardedLayout(s, dir)),
+    "v69_face_serve" -> ((s, dir) => Queries.v69FaceServe(s, dir)),
     "v31_binary_knn" -> ((s, dir) => Queries.v31BinaryKnn(s, dir)),
     "v32_binary_rerank" -> ((s, dir) => Queries.v32BinaryRerank(s, dir)),
     "v33_knn_mips" -> ((s, dir) => Queries.v33KnnMips(s, dir)),

@@ -950,6 +950,7 @@ object StreamingOps {
       dfCapNum: Long = 78L, dfCapDen: Long = 100L,
       sourceSlices: Int = 4, statePartitions: Int = 0,
       publishPath: String = null, appendBasePath: String = null,
+      tokBuckets: Int = 64,
       onBatchEnd: Int => Unit = null): DataFrame = {
     require(appendBasePath == null || publishPath != null,
       "appendBasePath needs a publishPath to publish the next generation to")
@@ -1049,7 +1050,7 @@ object StreamingOps {
       else {
         val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
         HybridRetrieval.saveBm25Index(postingsAll, dfAll, stats, publishPath,
-          dfCapNum = dfCapNum, dfCapDen = dfCapDen)
+          tokBuckets = tokBuckets, dfCapNum = dfCapNum, dfCapDen = dfCapDen)
       }
       deleteScratch(spark, accDir) // everything now lives in the snapshot
       HybridRetrieval.bm25Serve(queries,
