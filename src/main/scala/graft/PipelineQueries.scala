@@ -2260,7 +2260,12 @@ object PipelineQueries {
     try StreamingOps.streamIndexLsm(s, s"$dir/embeddings.parquet", baseIdx,
       queries, col("vec_id") >= 300, k = 10,
       compactThreshold = math.max(1L, streamed * 3 / 5),
-      sourceSlices = 2, publishPath = s"$pub/snap")
+      // 3 slices is LOAD-BEARING with the 60% threshold: compaction
+      // fires after batch 2 and batch 3 lands as a still-fresh
+      // generation, so the final probe merges compacted base + fresh
+      // gen (2 slices would compact on the LAST batch and probe a
+      // compacted-only state — a narrower surface than documented)
+      sourceSlices = 3, publishPath = s"$pub/snap")
       .withColumn("distance", round(col("distance"), 6))
       .orderBy(col("query_id"), col("rank"))
       .localCheckpoint(true) // eager: the temp snapshot is deleted below
