@@ -29,9 +29,18 @@ object FaceServer {
 
   /** Load + serve in one call: the cheapest measured face with recall
     * ≥ `target`. The loaded index is returned alongside the result so a
-    * long-lived server can keep probing it. */
+    * long-lived server can keep probing it.
+    *
+    * `scratch`: when non-null, an ivfpq face stages its bounded ADC
+    * pool to parquet under this directory instead of localCheckpoint
+    * blocks — REQUIRED in a JVM whose executor storage is already full
+    * of resident shard graphs (the r18 faces run at nprobe=32
+    * exhausted a 105 GB heap exactly this way; ClusteredBench's ivfpq
+    * face stages to `_faces_scratch` for the same reason). Graph faces
+    * ignore it. */
   def serve(spark: SparkSession, snapPath: String, queries: DataFrame,
-      k: Int, target: Double, cache: Boolean = true): DataFrame = {
+      k: Int, target: Double, cache: Boolean = true,
+      scratch: String = null): DataFrame = {
     val cal = VectorIndex.readCalibration(spark, snapPath).getOrElse(
       sys.error(s"FaceServer: $snapPath has no calibration.json — run " +
         "calibrateWidthTo (and the faces bench) before face-serving"))
@@ -40,14 +49,16 @@ object FaceServer {
         s"recall $target (faces: ${cal.faces.map(f =>
           s"${f.face}@${f.param}=${f.recall}").mkString(", ")}) — " +
         "lower the target or measure more faces"))
-    serveFace(VectorIndex.load(spark, snapPath, cache), face, queries, k)
+    serveFace(VectorIndex.load(spark, snapPath, cache), face, queries, k,
+      scratch)
   }
 
   /** Dispatch one specific measured face. Public so a server that
     * already holds the loaded index (or wants a non-best face, e.g. a
-    * cheaper tier under load shedding) can skip the reload. */
+    * cheaper tier under load shedding) can skip the reload. `scratch`
+    * as in [[serve]] (ivfpq ADC-pool staging beside resident graphs). */
   def serveFace(idx: VectorIndex, face: FacePoint, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, scratch: String = null): DataFrame = {
     val spark = idx.rows.sparkSession
     def ref(what: String): FaceArtifact = face.ref.getOrElse(
       sys.error(s"FaceServer: face '${face.face}'@${face.param} carries " +
@@ -73,6 +84,7 @@ object FaceServer {
         graft.operators.IvfPqServe.serveFromStore(spark, a.path, queries,
           basePath, k, nprobe = face.param,
           pool = knobInt(a, "pool", 10 * k),
+          scratch = scratch,
           fetch = a.knobs.getOrElse("fetch", "auto"))
       case other =>
         sys.error(s"FaceServer: unknown face '$other' in the calibration " +

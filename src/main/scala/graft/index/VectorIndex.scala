@@ -1413,53 +1413,74 @@ object VectorIndex {
     * partition i == shard i. None (with a log line) when the layout
     * does not hold one file per shard — callers fall back to the
     * legacy shuffle, never to a wrong layout. */
+  /** Serializes [[alignedLayout]]'s session-conf window: the file-split
+    * knobs are read through `sessionState.conf` (NOT the thread-local
+    * `SQLConf.get`), so a thread-scoped overlay cannot reach the file
+    * scan's partition planning — the set/restore must be session-global
+    * and therefore LOCKED, or two indexes loading concurrently could
+    * interleave restores and one would plan under default confs, fail
+    * the one-file-per-partition check, and silently fall back to the
+    * 51 GB load shuffle this layout exists to remove. An unrelated
+    * query planned by ANOTHER thread during the (narrow, planning-only)
+    * window can still see 16 GB file partitions — a perf hiccup, never
+    * a correctness one: mis-packed aligned scans are detected (and fall
+    * back) and per-row shard purity is hard-checked at compute. */
+  private val alignedLayoutLock = new Object
+
   private[index] def alignedLayout(spark: SparkSession, dir: String,
       numShards: Int): Option[org.apache.spark.rdd.RDD[IndexRow]] = {
     import spark.implicits._
-    val conf = spark.conf
-    val overrides = Seq(
-      // openCost == maxPartitionBytes closes a file partition after
-      // every file (no packing two shards into one partition); files
-      // below the bound are never split (no shard torn across two)
-      "spark.sql.files.maxPartitionBytes" -> (16L << 30).toString,
-      "spark.sql.files.openCostInBytes" -> (16L << 30).toString)
-    val prev = overrides.map { case (k, _) => k -> conf.getOption(k) }
-    overrides.foreach { case (k, v) => conf.set(k, v) }
-    try {
-      // classic stream reads, NOT Hadoop vectored IO: each aligned task
-      // drains its file over MINUTES (graph hydration interleaves with
-      // the read), and the vectored path bounds every prefetched range
-      // fetch at 300 s — 32 slow-draining consumers starve the shared
-      // fetch pool and the whole probe dies on a read "timeout"
-      // (measured at the 100M decade). Per-scan option, no global state.
-      val raw = spark.read
-        .option("parquet.hadoop.vectored.io.enabled", "false")
-        .parquet(dir)
-        .select(col("sub_index_id").cast("int"), col("offset"),
-          col("global_id"), col("layer"), col("embedding"), col("out"),
-          col("edges"))
-        .as[IndexRow].rdd
-      val nParts = raw.partitions.length // force under the conf window
-      val firstShard = raw.mapPartitionsWithIndex { (i, it) =>
-        if (it.hasNext) Iterator((i, it.next().sub_index_id))
-        else Iterator.empty
-      }.collect()
-      if (nParts != numShards || firstShard.length != numShards ||
-          firstShard.map(_._2).distinct.length != numShards) {
-        Console.err.println(
-          s"graft: sharded layout at $dir is not one-file-per-shard " +
-          s"($nParts partitions, ${firstShard.length} non-empty, " +
-          s"${firstShard.map(_._2).distinct.length} distinct shards for " +
-          s"$numShards shards) — falling back to the shuffle layout")
-        None
-      } else {
-        val perm = new Array[Int](numShards)
-        firstShard.foreach { case (i, s) => perm(s) = i }
-        Some(new ShardAlignedRDD(raw, perm, numShards))
+    // PLAN the scan under the conf window, holding the lock; the window
+    // ends before any job runs — RDD.partitions memoizes, so the
+    // planning result is fixed once forced
+    val raw = alignedLayoutLock.synchronized {
+      val conf = spark.conf
+      val overrides = Seq(
+        // openCost == maxPartitionBytes closes a file partition after
+        // every file (no packing two shards into one partition); files
+        // below the bound are never split (no shard torn across two)
+        "spark.sql.files.maxPartitionBytes" -> (16L << 30).toString,
+        "spark.sql.files.openCostInBytes" -> (16L << 30).toString)
+      val prev = overrides.map { case (k, _) => k -> conf.getOption(k) }
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      try {
+        // classic stream reads, NOT Hadoop vectored IO: each aligned task
+        // drains its file over MINUTES (graph hydration interleaves with
+        // the read), and the vectored path bounds every prefetched range
+        // fetch at 300 s — 32 slow-draining consumers starve the shared
+        // fetch pool and the whole probe dies on a read "timeout"
+        // (measured at the 100M decade). Per-scan option, no global state.
+        val r = spark.read
+          .option("parquet.hadoop.vectored.io.enabled", "false")
+          .parquet(dir)
+          .select(col("sub_index_id").cast("int"), col("offset"),
+            col("global_id"), col("layer"), col("embedding"), col("out"),
+            col("edges"))
+          .as[IndexRow].rdd
+        r.partitions.length // force planning under the conf window
+        r
+      } finally prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
       }
-    } finally prev.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
+    }
+    val nParts = raw.partitions.length // memoized above
+    val firstShard = raw.mapPartitionsWithIndex { (i, it) =>
+      if (it.hasNext) Iterator((i, it.next().sub_index_id))
+      else Iterator.empty
+    }.collect()
+    if (nParts != numShards || firstShard.length != numShards ||
+        firstShard.map(_._2).distinct.length != numShards) {
+      Console.err.println(
+        s"graft: sharded layout at $dir is not one-file-per-shard " +
+        s"($nParts partitions, ${firstShard.length} non-empty, " +
+        s"${firstShard.map(_._2).distinct.length} distinct shards for " +
+        s"$numShards shards) — falling back to the shuffle layout")
+      None
+    } else {
+      val perm = new Array[Int](numShards)
+      firstShard.foreach { case (i, s) => perm(s) = i }
+      Some(new ShardAlignedRDD(raw, perm, numShards))
     }
   }
 

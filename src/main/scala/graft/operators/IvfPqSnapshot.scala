@@ -37,7 +37,10 @@ import org.apache.spark.sql.SparkSession
   * @param corpus     identity of the corpus the codes were encoded FROM
   *                   — for generated benchmark corpora the generator
   *                   knobs JSON (ClusteredBench's corpus.json string),
-  *                   for real corpora a content fingerprint. Codes
+  *                   for real corpora a content fingerprint WRAPPED AS
+  *                   AN OBJECT ({"fingerprint":"..."} — writeParams
+  *                   refuses a bare string, which would not survive the
+  *                   sidecar's balanced-brace parse). Codes
   *                   published before a corpus regeneration at the same
   *                   dir must not silently serve against the new one —
   *                   the same failure class the graph snapshot's
@@ -50,12 +53,25 @@ case class IvfPqParams(flavor: String, numCents: Int, m: Int,
 object IvfPqSnapshot {
 
   /** Persist the identity sidecar beside a just-published codes dir. */
-  def writeParams(spark: SparkSession, dir: String, p: IvfPqParams): Unit =
-    graft.index.VectorIndex.writeSmallFile(spark, s"$dir/params.json",
+  def writeParams(spark: SparkSession, dir: String, p: IvfPqParams): Unit = {
+    val json =
       s"""{"flavor":"${p.flavor}","num_cents":${p.numCents},"m":${p.m},""" +
         s""""codewords":${p.codewords},"route":"${p.route}"""" +
         // raw object, not a string: the corpus identity is itself JSON
-        (if (p.corpus.isEmpty) "}" else s""","corpus":${p.corpus}}"""))
+        (if (p.corpus.isEmpty) "}" else s""","corpus":${p.corpus}}""")
+    // the identity must survive the reader's balanced-brace slice: a
+    // non-object value (a bare fingerprint string) would write invalid
+    // JSON that readParams slices to "" — the corpus gate the field
+    // exists for would then be SILENTLY off for every reader. Refuse at
+    // write time with guidance instead (wrap fingerprints in an object)
+    require(p.corpus.isEmpty ||
+        graft.index.VectorIndex.sliceBalanced(json, "corpus", '{', '}')
+          .contains(p.corpus),
+      s"IvfPqSnapshot: corpus identity must be a JSON OBJECT that " +
+        s"round-trips the sidecar (got: ${p.corpus}) — wrap a raw " +
+        """fingerprint as {"fingerprint":"..."}""")
+    graft.index.VectorIndex.writeSmallFile(spark, s"$dir/params.json", json)
+  }
 
   /** Read a snapshot's identity sidecar; None for legacy snapshots
     * published before the sidecar existed (callers fall back to the

@@ -46,17 +46,23 @@ object RefineKnn {
     * join, so a pool id absent from `base` (a mispointed or stale base
     * relation) silently drops that candidate — fewer-than-k rows or
     * shifted ranks, no error. Callers who cannot trust the base by
-    * construction should pass `requireCoverage = true`: the scored pool
-    * is pinned once (bounded, |Q| × pool rows) and its row count
-    * compared against the pool's — a mismatch throws instead of
-    * degrading. Costs one extra count over the bounded frame, so it is
+    * construction should pass `requireCoverage = true`: the pool and
+    * the scored pool are each pinned once (bounded, |Q| × pool rows)
+    * and their row counts compared — a mismatch throws instead of
+    * degrading; stage 1 never re-runs for the check. Costs one extra count over the bounded frame, so it is
     * off by default for the gated closed-form paths whose base IS the
     * build corpus. */
   def refine(pool: DataFrame, queries: DataFrame, base: DataFrame, k: Int,
       metric: DistanceMetric = DistanceMetric.Euclidean2,
       requireCoverage: Boolean = false): DataFrame = {
-    val p = pool.select(col("query_id").cast("long"),
+    val p0 = pool.select(col("query_id").cast("long"),
       col("neighbor_id").cast("long"))
+    // under coverage checking the pool feeds TWO consumers (the rerank
+    // join and the coverage count) — pin it so stage 1 runs ONCE; an
+    // unpinned pool would re-run the whole stage-1 probe (a full exact
+    // scan for the sw=0 refine face) for the count, doubling the serve
+    // cost the calibration table then records as the face's ms/query
+    val p = if (requireCoverage) p0.localCheckpoint(true) else p0
     val q = queries.select(col("query_id").cast("long"),
       col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
@@ -70,6 +76,7 @@ object RefineKnn {
           .cast("double").as("distance"))
     val checked = if (!requireCoverage) scored else {
       val pinned = scored.localCheckpoint(true)
+      // p is pinned above: this count reads checkpoint blocks, not lineage
       val (nPool, nScored) = (p.count(), pinned.count())
       require(nScored == nPool,
         s"RefineKnn: base covers only $nScored of $nPool pool candidates — " +

@@ -72,9 +72,19 @@ object BaseStore {
       .option("parquet.block.size", 32 << 20)
       .mode("overwrite").parquet(s"$path/data")
     val n = spark.read.parquet(s"$path/data").count()
-    graft.index.VectorIndex.writeSmallFile(spark, s"$path/params.json",
-      s"""{"n":$n,"files":$files,"page_rows":$PageRows""" +
-        (if (corpusJson.isEmpty) "}" else s""","corpus":$corpusJson}"""))
+    val json = s"""{"n":$n,"files":$files,"page_rows":$PageRows""" +
+      (if (corpusJson.isEmpty) "}" else s""","corpus":$corpusJson}""")
+    // same contract as IvfPqSnapshot.writeParams: a non-object identity
+    // (a bare fingerprint string) would write invalid JSON that
+    // publishedCorpus slices to "" — every reader's corpus require
+    // would then pass vacuously. Refuse at publish time instead.
+    require(corpusJson.isEmpty ||
+        graft.index.VectorIndex.sliceBalanced(json, "corpus", '{', '}')
+          .contains(corpusJson),
+      s"BaseStore: corpus identity must be a JSON OBJECT that " +
+        s"round-trips params.json (got: $corpusJson) — wrap a raw " +
+        """fingerprint as {"fingerprint":"..."}""")
+    graft.index.VectorIndex.writeSmallFile(spark, s"$path/params.json", json)
   }
 
   /** The store as a plain relation (full-scan serve shape, or any other

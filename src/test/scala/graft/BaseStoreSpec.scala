@@ -55,6 +55,21 @@ class BaseStoreSpec extends AnyFunSuite with SparkSuite {
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
 
+  test("a non-object corpus identity is refused at publish time") {
+    // same contract as IvfPqSnapshot.writeParams: a bare string would
+    // splice invalid JSON that publishedCorpus reads back as "" — every
+    // consumer's corpus require would pass vacuously
+    val corpusDf = mkCorpus(100, 4).toDF("id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bstore_").toString
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BaseStore.publish(corpusDf, s"$dir/bad", files = 2,
+          corpusJson = "abc123")
+      }
+      assert(e.getMessage.contains("JSON OBJECT"))
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
+
   test("the fetch's IN predicate reaches the parquet scan as a pushed filter") {
     val corpusDf = mkCorpus(2000, 4).toDF("id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("graft_bstore_").toString

@@ -72,6 +72,27 @@ class IvfPqSnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
 
+  test("a non-object corpus identity is refused at write time") {
+    // a bare fingerprint string would splice invalid JSON that the
+    // reader's balanced-brace slice resolves to "" — the corpus gate
+    // would then pass vacuously for EVERY reader; writeParams must
+    // refuse instead of silently disarming the check
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_id_").toString
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IvfPqSnapshot.writeParams(spark, dir,
+          IvfPqParams("residual", 1024, 8, 256, "argmin", corpus = "abc123"))
+      }
+      assert(e.getMessage.contains("JSON OBJECT"))
+      // the documented wrapped form round-trips
+      IvfPqSnapshot.writeParams(spark, dir,
+        IvfPqParams("residual", 1024, 8, 256, "argmin",
+          corpus = """{"fingerprint":"abc123"}"""))
+      assert(IvfPqSnapshot.readParams(spark, dir).get.corpus ===
+        """{"fingerprint":"abc123"}""")
+    } finally graft.streaming.StreamingOps.deleteRecursively(dir)
+  }
+
   test("a corrupt sidecar is a hard error, not a silent legacy fallback") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_id_").toString
     try {
