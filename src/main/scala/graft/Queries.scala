@@ -256,6 +256,11 @@ object Queries {
     cosineEmbIndex(s, dir) // v44's cosine index (same one-time role)
     cosQuantIndex(s, dir) // v51's SQ8 cosine index (same one-time role)
     mipsIndex(s, dir) // v54's MIPS-augmented index (same one-time role)
+    // session-shared BM25 base snapshots consumed read-only by the
+    // v60-v63/v66 lifecycle gates (optimization r20; same one-time role)
+    PipelineQueries.bm25BaseNe0(s, dir)
+    PipelineQueries.bm25BaseEq1(s, dir)
+    PipelineQueries.bm25BaseAll(s, dir)
     graft.streaming.StreamingOps.warmEngine(s) // streaming-engine cold init
   }
 
@@ -1664,9 +1669,11 @@ object Queries {
     val path = java.nio.file.Files
       .createTempDirectory("graft_shl_").toString
     try {
-      VectorIndex.buildTo(embCorpus(s, dir),
-        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
-        numShards = 4, s"$path/snap")
+      // publish the session-shared index (same params/corpus as buildTo
+      // would produce — deterministic build; buildTo's shuffle-free
+      // build-to-path plan stays gated by v20/BucketedBuildSpec): THIS
+      // gate's claim starts at relayoutSharded + the layout-aware load
+      buildEmbIndex(s, dir).save(s"$path/snap")
       VectorIndex.relayoutSharded(s, s"$path/snap")
       val loaded = VectorIndex.load(s, s"$path/snap", cache = false)
       require(loaded.shardedLayoutDir.nonEmpty,
@@ -1700,9 +1707,11 @@ object Queries {
       .createTempDirectory("graft_faceserve_").toString
     try {
       val corpus = embCorpus(s, dir)
-      VectorIndex.build(corpus,
-        IndexParams(minimumConnect = 8, relaxedMonotonicity = 32, step = 2,
-          quantized = true), numShards = 4).save(s"$root/snap")
+      // publish the session-shared SQ8 index (v23's quantIndex — same
+      // params/corpus, deterministic build) instead of rebuilding it
+      // per invocation; the gate's claim starts at the published
+      // snapshot + store + face table
+      quantIndex(s, dir).save(s"$root/snap")
       graft.sources.BaseStore.publish(corpus, s"$root/base", files = 4)
       // the face table a calibration run would persist: only the refine
       // face reaches 0.99, so the target-driven dispatch must select it
@@ -3338,20 +3347,19 @@ object Queries {
     * either round trip (schema, stats precision, quantization of ranks,
     * dropped postings, fusion order) breaks the hash. */
   def v60HybridSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val (qd, cd, qe, maxDf) = hybridInputs(s, dir)
-    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("id"), col("embedding"))
+    val (qd, _, qe, _) = hybridInputs(s, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_hybrid_snap_").toString
     try {
-      VectorIndex.build(ce,
-        IndexParams(metric = graft.functions.DistanceMetric.Cosine,
-          minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
-        numShards = 4).save(s"$root/vec")
-      val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
-      graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
-        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
+      // the dense artifact is the session-shared cosine index (identical
+      // params/corpus — deterministic build, same rows) PUBLISHED here;
+      // the lexical artifact is the session-shared full-corpus base
+      // snapshot (v55's gated path). The gate's claim — BOTH legs served
+      // from loaded copies — is unchanged; only the per-invocation
+      // rebuild of the identical inputs is gone (optimization r20).
+      cosineEmbIndex(s, dir).save(s"$root/vec")
+      val lexPath = PipelineQueries.bm25BaseAll(s, dir)
       graft.operators.HybridRetrieval.serveFromSnapshots(
-        s, s"$root/vec", s"$root/lex", qd, qe,
+        s, s"$root/vec", lexPath, qd, qe,
         n = 20, k = 10, searchWidth = 4096)
         .orderBy(col("query_id"), col("rank"))
         .localCheckpoint(true) // eager: the temp snapshots are deleted below
@@ -3372,24 +3380,20 @@ object Queries {
     * the exhaustive fused ranking (floors hold with margin at sf0.001/
     * 0.01/0.1; the pinned sf0.01 oracle carries the exact counts). */
   def v62HybridProduction(s: SparkSession, dir: String): DataFrame = {
-    val (qd, cd, qe, _) = hybridInputs(s, dir)
-    val ce = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("id"), col("embedding"))
+    val (qd, _, qe, _) = hybridInputs(s, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_hybrid_prod_").toString
     try {
-      VectorIndex.build(ce,
-        IndexParams(metric = graft.functions.DistanceMetric.Cosine,
-          minimumConnect = 8, relaxedMonotonicity = 32, step = 2),
-        numShards = 4).save(s"$root/vec")
-      val (bp, bd, bst) = graft.operators.HybridRetrieval.bm25SnapshotPieces(cd)
-      graft.operators.HybridRetrieval.saveBm25Index(bp, bd, bst, s"$root/lex",
-        tokBuckets = 8, dfCapNum = 78L, dfCapDen = 100L)
+      // shared-input publish, as in v60: session-shared cosine index
+      // saved here, session-shared full-corpus lexical snapshot reused
+      // (identical artifacts — deterministic builds, same knobs)
+      cosineEmbIndex(s, dir).save(s"$root/vec")
+      val lexPath = PipelineQueries.bm25BaseAll(s, dir)
       // ONE loaded pair serves both widths (the long-lived server shape);
       // each beam probe runs ONCE (bounded |Q| x 20 frames, pinned) and
       // feeds BOTH its recall row and its fusion — and the lexical leg
       // is width-independent, so it also runs once
       val vidx = VectorIndex.load(s, s"$root/vec", cache = false)
-      val snap = graft.operators.HybridRetrieval.openBm25Index(s, s"$root/lex")
+      val snap = graft.operators.HybridRetrieval.openBm25Index(s, lexPath)
       def denseAt(sw: Int) = vidx.query(qe, 20, sw)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("dense_rank"))

@@ -581,6 +581,33 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSuite {
     } finally graft.streaming.StreamingOps.deleteRecursively(dir)
   }
 
+  test("shared BM25 base snapshot (r20): one publish per session, read-only under append") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p1 = PipelineQueries.bm25BaseNe0(spark, sfDir)
+    assert(p1 == PipelineQueries.bm25BaseNe0(spark, sfDir),
+      "second call must reuse the session-shared publish, not re-build")
+    def state(dir: String) = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => (p.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis))
+      .toList.sortBy(_._1)
+    val before = state(p1)
+    assert(before.nonEmpty, "shared base must hold a published snapshot")
+    // the consumer gates (v61/v63/v66) append FROM the shared base; the
+    // base dir must stay byte-identical (appendBm25 hardlinks its files
+    // into the next generation and never writes into the source)
+    val batch = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 10 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val next = Files.createTempDirectory("graft_shared_base_next_").toString
+    try {
+      HybridRetrieval.appendBm25(spark, p1, batch, s"$next/g1")
+      assert(state(p1) == before,
+        "append must leave the session-shared base untouched")
+    } finally graft.streaming.StreamingOps.deleteRecursively(next)
+  }
+
   test("v52 quality report: hybrid recall >= max(dense-only, lex-only), sf-independent") {
     val rows = Queries.v52RetrievalQuality(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
